@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.config.StrategyConfig
+import graft.ops.SmaCross
+import graft.queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps one entry per implemented operator (SURVEY §2) to a
+  * DataFrame program over the testdata dir; `oracleSql` carries the DuckDB
+  * twin the driver hash-compares against. Query groups live under
+  * `graft.queries.*` so each domain (ticks, relational, text, similarity)
+  * keeps its Spark code and oracle SQL side by side.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Full normalize → SMA-enrich → crossover classification over the tick
+    * stream (HOLD rows included so the count is never empty on tiny data).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    SmaCross(TickQueries.ticks(spark, "/root/testdata/sf0.001"), StrategyConfig())
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    TickQueries.queries
+
+  def oracleSql: Map[String, String] =
+    TickQueries.oracleSql
 }

@@ -10,6 +10,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Testdata events.parquet stores TIMESTAMP(NANOS); Spark reads it as
+      // a nanos LongType under this flag (TickQueries converts to micros).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1,0 +1,304 @@
+package graft.queries
+
+import graft.config.StrategyConfig
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Driver-verifiable queries for the tick/signals pipeline (SURVEY §2.2-2.8)
+  * over `events.parquet` mapped to the reference's tick schema
+  * (FIXTURES.md §7: user_id→product_id, ts→event_time, value→price,
+  * event_id→sequence). Synthetic best_bid/best_ask = value ∓ 0.1% except on
+  * 'error' rows (NULL), so both branches of the mid-price CASE
+  * (sma_cross.py:67-70) are exercised.
+  *
+  * Each query has a DuckDB oracle twin built from the SAME StrategyConfig
+  * constants. Output doubles are rounded to 6 dp on BOTH sides: per-row
+  * arithmetic is bit-identical across engines, but windowed/grouped
+  * aggregates (AVG/STDDEV_POP) legitimately differ in the last ulps because
+  * the two engines combine partials in different orders; rounding pins the
+  * contract to a deterministic grid without touching library semantics
+  * (the graft.ops functions themselves return full-precision values).
+  */
+object TickQueries {
+
+  val cfg: StrategyConfig = StrategyConfig()
+
+  /** events.parquet → reference raw-tick shape.
+    *
+    * `ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a nanos
+    * Long (`spark.sql.legacy.parquet.nanosAsLong=true`, set by
+    * Verify/Bench/tests); the data carries no sub-microsecond components,
+    * so `div 1000` → timestamp_micros is exact. When the flag is off and
+    * the column arrives as a real timestamp already, pass it through.
+    */
+  def ticks(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val eventTime =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("timestamp_micros(ts div 1000)")
+      else col("ts")
+    // price = value + 100: shifts the synthetic series into a realistic
+    // price band (events.value has min 0.0; near-zero prices make
+    // (mid−prev)/prev returns explode to ~1e13, a dynamic range no real
+    // ticker exhibits and no fixed-point verification grid can hold).
+    // The reference's prev_mid=0 NULL guard branch is covered by unit
+    // tests instead (NormalizeSpec).
+    raw
+      .select(
+        col("user_id").cast("string").as("product_id"),
+        eventTime.as("event_time"),
+        col("event_id").as("sequence"),
+        (col("value") + lit(100.0)).cast("double").as("price"),
+        when(col("event_type") =!= "error", (col("value") + lit(100.0)) * 0.999).as("best_bid"),
+        when(col("event_type") =!= "error", (col("value") + lit(100.0)) * 1.001).as("best_ask")
+      )
+  }
+
+  /** Replayed/backtest source (J3, sma_cross.py:43-52): the same stream
+    * re-published one hour later with offset sequences.
+    */
+  def replayTicks(s: SparkSession, dir: String): DataFrame =
+    ticks(s, dir)
+      .withColumn("event_time", expr("timestampadd(HOUR, 1, event_time)"))
+      .withColumn("sequence", col("sequence") + lit(10000000L))
+
+  /** Snap every double output column to the 1e-6 grid (verify-contract
+    * only). Uses Det.snap, not round(): round()'s half-way tie-breaking is
+    * implementation-defined across engines, the IEEE snap is not.
+    */
+  def r6(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      if (f.dataType == DoubleType) Det.snap(col(f.name), 6).as(f.name) else col(f.name)
+    }.toIndexedSeq: _*)
+
+  private def costs(s: SparkSession, dir: String): DataFrame =
+    Positions.costs(Positions.stream(SmaCross.enrich(Normalize(ticks(s, dir)), cfg)), cfg)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "normalize" -> ((s, d) => r6(Normalize(ticks(s, d)))),
+    "sma_signals" -> ((s, d) =>
+      r6(SmaCross(ticks(s, d), cfg).filter(col("signal_type") =!= "HOLD").drop("metadata"))),
+    "positions" -> ((s, d) => r6(Positions.transitions(costs(s, d), cfg).drop("metadata"))),
+    "executions" -> ((s, d) => r6(Positions.executions(costs(s, d), cfg).drop("metadata"))),
+    "metrics_5m" -> ((s, d) => r6(Performance(costs(s, d), cfg).drop("metadata"))),
+    "rollup_hourly" -> ((s, d) =>
+      // Inner r6 so the rollup consumes the same 6-dp metric values the
+      // oracle's `metrics` CTE aggregates.
+      r6(Rollup.hourly(r6(Performance(costs(s, d), cfg))))),
+    "topk_positions" -> ((s, d) =>
+      // §2.6 serving query: most recent 200 position transitions.
+      r6(Positions.transitions(costs(s, d), cfg).drop("metadata")
+        .orderBy(col("event_time").desc, col("sequence").desc).limit(200))),
+    "union_replay" -> ((s, d) =>
+      // J3 backtest union: live ∪ replayed through the same normalize stage.
+      r6(Normalize(ticks(s, d).unionByName(replayTicks(s, d)))))
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL (same constants, same tie-break ordering).
+  // ---------------------------------------------------------------------
+
+  private val ord = "PARTITION BY product_id ORDER BY event_time, sequence"
+  private def f(d: Double): String = d.toString
+  /** 1e-6 grid snap (duckdb side of TickQueries.r6 / Det.snap). */
+  private def s6(x: String): String = Det.snapSql(x, 6)
+
+  /** Shared CTE chain: ticks → normalized → sma-enriched → positions → costs. */
+  private def pipelineCtes(ticksSql: String): String = {
+    val c = cfg
+    s"""WITH ticks AS (
+  $ticksSql
+), base AS (
+  SELECT product_id, event_time, sequence, price, best_bid, best_ask,
+         CASE WHEN best_bid IS NOT NULL AND best_ask IS NOT NULL
+              THEN (best_bid + best_ask) / 2 ELSE price END AS mid_price
+  FROM ticks
+), normalized AS (
+  SELECT product_id, event_time, sequence, mid_price, best_bid, best_ask,
+         CASE WHEN prev_mid IS NULL OR prev_mid = 0 THEN NULL
+              ELSE (mid_price - prev_mid) / prev_mid END AS returns,
+         ${Det.stddevPopDSql("mid_price", 4, s" OVER ($ord ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)")} AS volatility
+  FROM (SELECT *, lag(mid_price) OVER ($ord) AS prev_mid FROM base)
+), enriched AS (
+  SELECT *, fast_sma - slow_sma AS spread,
+         lag(fast_sma - slow_sma, ${c.confirmation}) OVER ($ord) AS prev_spread
+  FROM (SELECT *,
+          ${Det.avgDSql("mid_price", 9, s" OVER ($ord ROWS BETWEEN ${c.smaFastWindow - 1} PRECEDING AND CURRENT ROW)")} AS fast_sma,
+          ${Det.avgDSql("mid_price", 9, s" OVER ($ord ROWS BETWEEN ${c.smaSlowWindow - 1} PRECEDING AND CURRENT ROW)")} AS slow_sma
+        FROM normalized)
+), possig AS (
+  SELECT product_id, event_time, sequence, mid_price, returns, volatility, best_bid, best_ask,
+         CASE WHEN spread > 0 AND prev_spread <= 0 THEN 1.0
+              WHEN spread < 0 AND prev_spread >= 0 THEN -1.0 ELSE 0.0 END AS signal_position,
+         CASE WHEN spread > 0 AND prev_spread <= 0 THEN 'LONG'
+              WHEN spread < 0 AND prev_spread >= 0 THEN 'SHORT' ELSE 'HOLD' END AS signal_type
+  FROM enriched
+), pos AS (
+  SELECT product_id, event_time, sequence, mid_price, returns, volatility, best_bid, best_ask, signal_type,
+         CASE WHEN best_bid IS NOT NULL AND best_ask IS NOT NULL
+              THEN best_ask - best_bid ELSE NULL END AS spread,
+         coalesce(last_value(signal_position IGNORE NULLS)
+                    OVER ($ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  0.0) AS position
+  FROM possig
+), costs AS (
+  SELECT *,
+         position - coalesce(prev_position, 0.0) AS position_change,
+         greatest(0.0, least(${f(c.slippageMaxRate)},
+           ${f(c.slippageRate)} + volatility_ratio * ${f(c.slippageVolatilityMultiplier)}
+                               + spread_ratio * ${f(c.slippageSpreadMultiplier)})) AS slippage_rate,
+         ${f(c.transactionCostRate)} AS transaction_cost_rate,
+         greatest(0.0, least(${f(c.slippageMaxRate)},
+           ${f(c.slippageRate)} + volatility_ratio * ${f(c.slippageVolatilityMultiplier)}
+                               + spread_ratio * ${f(c.slippageSpreadMultiplier)}))
+           + ${f(c.transactionCostRate)} AS trade_cost_rate,
+         greatest(${c.fillLatencyMs}, least(${c.fillLatencyMs + c.fillLatencyJitterMs},
+           ${c.fillLatencyMs} + CAST(floor(${c.fillLatencyVolatilityMs}.0 * volatility_ratio) AS BIGINT))) AS fill_latency_ms
+  FROM (SELECT *,
+          lag(position) OVER ($ord) AS prev_position,
+          CASE WHEN mid_price IS NULL OR mid_price = 0 THEN 0.0
+               ELSE coalesce(volatility, 0.0) / mid_price END AS volatility_ratio,
+          CASE WHEN mid_price IS NULL OR mid_price = 0 OR spread IS NULL THEN 0.0
+               ELSE spread / mid_price END AS spread_ratio
+        FROM pos)
+), rets AS (
+  SELECT *,
+         abs(position_change) * mid_price * transaction_cost_rate AS transaction_cost,
+         abs(position_change) * mid_price * slippage_rate AS slippage_cost,
+         abs(position_change) * mid_price * trade_cost_rate AS trade_cost,
+         coalesce(prev_position, 0.0) * coalesce(returns, 0.0)
+           - abs(position_change) * mid_price * trade_cost_rate AS realized_pnl,
+         abs(position) * mid_price AS notional_exposure,
+         abs(position) AS unit_exposure
+  FROM costs
+)"""
+  }
+
+  private val liveTicksSql =
+    """SELECT CAST(user_id AS VARCHAR) AS product_id,
+         ts AS event_time,
+         event_id AS sequence,
+         CAST(value + 100.0 AS DOUBLE) AS price,
+         CASE WHEN event_type <> 'error' THEN (value + 100.0) * 0.999 END AS best_bid,
+         CASE WHEN event_type <> 'error' THEN (value + 100.0) * 1.001 END AS best_ask
+  FROM events"""
+
+  private val unionTicksSql =
+    s"""$liveTicksSql
+  UNION ALL
+  SELECT CAST(user_id AS VARCHAR) AS product_id,
+         ts + INTERVAL '1 hour' AS event_time,
+         event_id + 10000000 AS sequence,
+         CAST(value + 100.0 AS DOUBLE) AS price,
+         CASE WHEN event_type <> 'error' THEN (value + 100.0) * 0.999 END AS best_bid,
+         CASE WHEN event_type <> 'error' THEN (value + 100.0) * 1.001 END AS best_ask
+  FROM events"""
+
+  private def p: String = pipelineCtes(liveTicksSql)
+
+  private def metricsSelect: String = {
+    val c = cfg
+    s"""SELECT '${c.strategyRunId}' AS strategy_run_id,
+       window_end AS metric_time,
+       '${c.metricsWindowLabel}' AS window_label,
+       ${s6("""CASE WHEN volatility IS NULL OR volatility = 0 THEN NULL
+            ELSE (avg_return / volatility) * sqrt(12.0) END""")} AS sharpe_ratio,
+       ${s6("""CASE WHEN downside_sum IS NULL OR negative_samples = 0 THEN NULL
+            ELSE (avg_return / nullif(sqrt(downside_sum / negative_samples), 0)) * sqrt(12.0) END""")} AS sortino_ratio,
+       ${s6("cumulative_return")} AS cumulative_return,
+       ${s6("min_return")} AS drawdown,
+       ${s6("volatility")} AS volatility,
+       trades_executed,
+       ${s6("avg_notional_exposure")} AS avg_exposure_notional,
+       ${s6("total_trade_cost")} AS total_trade_cost,
+       ${s6("total_transaction_cost")} AS total_transaction_cost,
+       ${s6("total_slippage_cost")} AS total_slippage_cost
+FROM (
+  SELECT window_start,
+         window_start + INTERVAL '5 minutes' AS window_end,
+         ${Det.avgDSql("realized_pnl", 12)} AS avg_return,
+         ${Det.stddevPopDSql("realized_pnl", 5)} AS volatility,
+         ${Det.sumDSql("realized_pnl", 12)} AS cumulative_return,
+         ${Det.sumSqWhereDSql("realized_pnl < 0", "realized_pnl", 5)} AS downside_sum,
+         count(realized_pnl) AS sample_size,
+         count(CASE WHEN realized_pnl < 0 THEN 1 END) AS negative_samples,
+         min(realized_pnl) AS min_return,
+         ${Det.avgDSql("notional_exposure", 9)} AS avg_notional_exposure,
+         ${Det.avgDSql("unit_exposure", 9)} AS avg_unit_exposure,
+         ${Det.sumDSql("trade_cost", 12)} AS total_trade_cost,
+         ${Det.sumDSql("transaction_cost", 12)} AS total_transaction_cost,
+         ${Det.sumDSql("slippage_cost", 12)} AS total_slippage_cost,
+         count(CASE WHEN signal_type <> 'HOLD' THEN 1 END) AS trades_executed
+  FROM (SELECT *, time_bucket(INTERVAL '5 minutes', event_time) AS window_start FROM rets)
+  GROUP BY window_start
+)"""
+  }
+
+  def oracleSql: Map[String, String] = {
+    val c = cfg
+    val normalizedSelect =
+      s"""SELECT product_id, event_time, sequence, ${s6("mid_price")} AS mid_price,
+       ${s6("best_bid")} AS best_bid, ${s6("best_ask")} AS best_ask,
+       ${s6("returns")} AS returns, ${s6("volatility")} AS volatility
+FROM normalized"""
+    Map(
+      "normalize" -> s"$p $normalizedSelect",
+      "sma_signals" ->
+        s"""$p SELECT '${c.strategyRunId}' AS strategy_run_id,
+       product_id AS instrument_id, event_time AS signal_time, sequence,
+       st AS signal_type, sp AS position, ${s6("confidence")} AS confidence
+FROM (SELECT *,
+        CASE WHEN spread > 0 AND prev_spread <= 0 THEN 'LONG'
+             WHEN spread < 0 AND prev_spread >= 0 THEN 'SHORT' ELSE 'HOLD' END AS st,
+        CASE WHEN spread > 0 AND prev_spread <= 0 THEN 1.0
+             WHEN spread < 0 AND prev_spread >= 0 THEN -1.0 ELSE 0.0 END AS sp,
+        abs(spread) AS confidence
+      FROM enriched)
+WHERE st <> 'HOLD'""",
+      "positions" ->
+        s"""$p SELECT '${c.strategyRunId}' AS strategy_run_id, product_id, event_time, sequence,
+       position, ${s6("position_change")} AS position_change,
+       ${s6(s"abs(position_change) * mid_price * ${f(c.transactionCostRate)}")} AS transaction_cost,
+       ${s6("abs(position_change) * mid_price * slippage_rate")} AS slippage_cost,
+       ${s6("abs(position_change) * mid_price * trade_cost_rate")} AS trade_cost,
+       ${s6("mid_price")} AS mid_price
+FROM costs WHERE prev_position IS NULL OR position <> prev_position""",
+      "executions" ->
+        s"""$p SELECT '${c.strategyRunId}' AS strategy_run_id, product_id,
+       event_time AS signal_time, sequence,
+       event_time + fill_latency_ms * INTERVAL '1 millisecond' AS execution_time,
+       ${s6("position_change")} AS position_change,
+       ${s6("""CASE WHEN position_change > 0 THEN mid_price * (1 + slippage_rate)
+            WHEN position_change < 0 THEN mid_price * (1 - slippage_rate)
+            ELSE mid_price END""")} AS execution_price,
+       ${s6("mid_price")} AS base_price,
+       ${s6(s"abs(position_change) * mid_price * ${f(c.transactionCostRate)}")} AS transaction_cost,
+       ${s6("abs(position_change) * mid_price * slippage_rate")} AS slippage_cost
+FROM costs WHERE position_change <> 0""",
+      "metrics_5m" -> s"$p $metricsSelect",
+      "rollup_hourly" ->
+        s"""$p, metrics AS ($metricsSelect)
+SELECT strategy_run_id,
+       time_bucket(INTERVAL '1 hour', metric_time) AS bucket,
+       ${s6(Det.avgDSql("sharpe_ratio", 6))} AS avg_sharpe,
+       ${s6(Det.avgDSql("sortino_ratio", 6))} AS avg_sortino,
+       ${s6("arg_max(cumulative_return, metric_time)")} AS last_cumulative_return,
+       ${s6("max(drawdown)")} AS max_drawdown,
+       sum(trades_executed) AS total_trades
+FROM metrics
+GROUP BY strategy_run_id, time_bucket(INTERVAL '1 hour', metric_time)""",
+      "topk_positions" ->
+        s"""$p SELECT '${c.strategyRunId}' AS strategy_run_id, product_id, event_time, sequence,
+       position, ${s6("position_change")} AS position_change,
+       ${s6(s"abs(position_change) * mid_price * ${f(c.transactionCostRate)}")} AS transaction_cost,
+       ${s6("abs(position_change) * mid_price * slippage_rate")} AS slippage_cost,
+       ${s6("abs(position_change) * mid_price * trade_cost_rate")} AS trade_cost,
+       ${s6("mid_price")} AS mid_price
+FROM costs WHERE prev_position IS NULL OR position <> prev_position
+ORDER BY event_time DESC, sequence DESC LIMIT 200""",
+      "union_replay" -> s"${pipelineCtes(unionTicksSql)} $normalizedSelect"
+    )
+  }
+}

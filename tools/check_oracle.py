@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Dev-only pre-check of the driver's DuckDB oracle compare.
+
+Replays what the driver does with Verify's output: registers the sf parquet
+tables in DuckDB, runs each oracle_sql.json statement, and compares against
+the corresponding <name>/ parquet dump (column names sorted, rows sorted,
+exact match for non-floats, exact-then-tolerance report for floats).
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as fh:
+        oracles = json.load(fh)
+    failures = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM parquet_scan('{out_dir}/{name}/*.parquet')"
+            ).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: no spark output ({e})")
+            failures += 1
+            continue
+        try:
+            want = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            failures += 1
+            continue
+        got = got.reindex(sorted(got.columns), axis=1)
+        want = want.reindex(sorted(want.columns), axis=1)
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            failures += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            failures += 1
+            continue
+        got = got.sort_values(by=list(got.columns), ignore_index=True)
+        want = want.sort_values(by=list(want.columns), ignore_index=True)
+        bad = 0
+        worst = 0.0
+        for c in got.columns:
+            a, b = got[c], want[c]
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                for x, y in zip(a, b):
+                    if (isinstance(x, float) and math.isnan(x)) and (
+                            isinstance(y, float) and math.isnan(y)):
+                        continue
+                    if x is None and y is None:
+                        continue
+                    if x is None or y is None or x != y:
+                        d = abs((x or 0) - (y or 0))
+                        worst = max(worst, d)
+                        bad += 1
+            else:
+                neq = (a != b) & ~(a.isna() & b.isna())
+                if neq.any():
+                    bad += int(neq.sum())
+        if bad:
+            print(f"FAIL {name}: {bad} mismatched values (worst float delta {worst:.3e}) of {len(got)} rows")
+            failures += 1
+        else:
+            print(f"OK   {name}: {len(got)} rows, {len(got.columns)} cols exact")
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
