@@ -23,8 +23,10 @@ object SparkEntry {
     SmaCross(TickQueries.ticks(spark, "/root/testdata/sf0.001"), StrategyConfig())
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TickQueries.queries
+    TickQueries.queries ++ DocQueries.queries ++
+      VecQueries.queries ++ RelQueries.queries
 
   def oracleSql: Map[String, String] =
-    TickQueries.oracleSql
+    TickQueries.oracleSql ++ DocQueries.oracleSql ++
+      VecQueries.oracleSql ++ RelQueries.oracleSql
 }

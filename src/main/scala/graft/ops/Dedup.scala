@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact (hash groupBy), word-n-gram Jaccard over an inverted
+  * shingle index, MinHash+LSH banding, and SimHash.
+  *
+  * Scale design notes (the point of each implementation choice):
+  *  - Exact dedup is ONE shuffle on the content hash; the canonical-id
+  *    assignment is a window over the same partitioning, so no second
+  *    exchange.
+  *  - The Jaccard pair generator is an inverted-index (bucket) join, not a
+  *    cross join: cost is Σ df(shingle)², bounded by the `maxDf`
+  *    stop-shingle cap — the standard guard that keeps the candidate set
+  *    near-linear on skewed corpora (a 100 TB crawl has shingles appearing
+  *    in millions of docs; joining those buckets is quadratic death).
+  *  - MinHash banding keeps the candidate probability at s^(hashes/bands)
+  *    so the self-join stays sparse; signatures are min() aggregates —
+  *    order-independent and shuffle-safe by construction.
+  *  - All hashes are md5 hex (identical in every engine) and all math is
+  *    integer/bitwise, so results are bit-reproducible (cf. Det).
+  */
+object Dedup {
+
+  /** Exact near-zero-cost dedup: md5 content hash → hash-partitioned
+    * canonical-id (min doc_id) + group size. One Exchange total.
+    */
+  def exact(docs: DataFrame): DataFrame = {
+    val byHash = Window.partitionBy(col("text_md5"))
+    docs
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .withColumn("canonical_id", min(col("doc_id")).over(byHash))
+      .withColumn("group_size", count(lit(1)).over(byHash))
+      .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
+  }
+
+  /** Inverted-index n-gram Jaccard: emits the `topK` most similar
+    * document pairs (ties broken by ids). `maxDf` drops stop-shingles
+    * (present in more than maxDf docs) before pairing.
+    */
+  def ngramJaccardTopK(docs: DataFrame, n: Int = 3, topK: Int = 50,
+                       maxDf: Int = 500): DataFrame = {
+    val shingled = docs.select(
+      col("doc_id"),
+      Shingles.of(col("text"), n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("sz"),
+        explode(col("sh")).as("shingle"))
+    val capped = shingled
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxDf)
+    val pairs = capped.as("a")
+      .join(capped.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("intersection"))
+    pairs
+      .select(
+        col("doc_a"), col("doc_b"), col("intersection"),
+        (col("sz_a") + col("sz_b") - col("intersection")).as("union_size"),
+        Det.snap(col("intersection").cast("double") /
+          (col("sz_a") + col("sz_b") - col("intersection")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(topK)
+  }
+
+  /** MinHash signature columns m0..m{numHashes-1}: min over the doc's
+    * shingles of md5(seed || ':' || shingle). */
+  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame =
+    docs
+      .select(col("doc_id"), explode(Shingles.of(col("text"), n)).as("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(lit("0:"), col("shingle")))).as("m0"),
+        (1 until numHashes).map(h =>
+          min(md5(concat(lit(s"$h:"), col("shingle")))).as(s"m$h")): _*)
+
+  /** MinHash + LSH banding: candidate duplicate pairs whose signatures
+    * collide in at least one band, with the per-hash agreement count
+    * (n_agree/numHashes estimates Jaccard). bands must divide numHashes.
+    */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 8,
+                      bands: Int = 2): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(docs, n, numHashes)
+    val banded = sigs.withColumn("band",
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("idx"),
+          md5(concat_ws("|", (0 until rows).map(r => col(s"m${b * rows + r}")): _*))
+            .as("key"))
+      }: _*)))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band.idx") === col("b.band.idx") &&
+          col("a.band.key") === col("b.band.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        Seq(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")) ++
+          (0 until numHashes).map(h =>
+            when(col(s"a.m$h") === col(s"b.m$h"), 1L).otherwise(0L).as(s"eq$h")): _*)
+      .dropDuplicates("doc_a", "doc_b")
+    cand.select(
+      col("doc_a"), col("doc_b"),
+      (0 until numHashes).map(h => col(s"eq$h")).reduce(_ + _).as("n_agree"))
+      .withColumn("est_jaccard",
+        Det.snap(col("n_agree").cast("double") / numHashes, 6))
+  }
+
+  /** SimHash over word unigrams (with multiplicity): `bits`-bit
+    * fingerprint from the first 4 hex digits of each word's md5; bit j of
+    * the fingerprint is the sign of Σ_words (2·bit_j(word) − 1). Output
+    * adds the exact-simhash cluster (canonical id + size) — the
+    * hash-groupBy that follows simhashing in a dedup pipeline.
+    */
+  def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
+    require(bits <= 16, "4 hex digits = 16 bits max")
+    val hv = (c: String) =>
+      s"(position(${c} IN '0123456789abcdef') - 1)"
+    val v16 =
+      s"""((${hv("substring(h4,1,1)")} * 16 + ${hv("substring(h4,2,1)")}) * 16 +
+          ${hv("substring(h4,3,1)")}) * 16 + ${hv("substring(h4,4,1)")}"""
+    val perWord = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), substring(md5(col("word")), 1, 4).as("h4"))
+      .select(col("doc_id"), expr(v16).cast("long").as("v"))
+    val sums = perWord.groupBy(col("doc_id")).agg(
+      sum(shiftright(col("v"), 0).bitwiseAND(1) * 2 - 1).as("s0"),
+      (1 until bits).map(j =>
+        sum(shiftright(col("v"), j).bitwiseAND(1) * 2 - 1).as(s"s$j")): _*)
+    val fp = (0 until bits).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+    val byFp = Window.partitionBy(col("simhash"))
+    sums
+      .select(col("doc_id"), fp.as("simhash"))
+      .withColumn("canonical_id", min(col("doc_id")).over(byFp))
+      .withColumn("cluster_size", count(lit(1)).over(byFp))
+  }
+}

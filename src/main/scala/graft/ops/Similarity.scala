@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`Array[Float]`), three ways:
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k — the baseline. The query
+  *    set is broadcast, so the big side streams through one codegen'd
+  *    stage with no shuffle of the corpus; per-query top-k is a
+  *    window-ranked selection.
+  *  - [[lshTopK]]: sign-random-projection LSH — queries only touch their
+  *    hash bucket. At 100 TB the bucket column becomes the partition
+  *    key, so a query reads one partition instead of the corpus.
+  *  - [[ivfAssign]] (with [[centroids]]): IVF-style coarse quantization —
+  *    per-label centroids (exact deterministic means via Det) and
+  *    nearest-centroid assignment with the centroid table broadcast.
+  *
+  * Numeric determinism: dot products / distances are computed on the
+  * 1e-12 integer grid with Long accumulation (associative and exact, so
+  * any evaluation order gives the same bits; see Det's scaladoc), then
+  * finished in IEEE doubles.
+  */
+object Similarity {
+
+  /** Exact integer-grid inner product Σ round(a_i·b_i·1e12) as Long. */
+  def dotL(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        floor(x.cast("double") * y.cast("double") * lit(1e12) + lit(0.5))),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Squared L2 distance on the same grid: Σ round((a_i−b_i)²·1e12). */
+  def dist2L(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        floor((x.cast("double") - y) * (x.cast("double") - y) * lit(1e12) + lit(0.5))),
+      lit(0L), (acc, v) => acc + v)
+
+  /** cosine(q, v) from grid inner products, snapped to 1e-6. */
+  private def cosine(dot: Column, n1: Column, n2: Column): Column =
+    Det.snap(
+      (dot.cast("double") / 1e12) /
+        sqrt((n1.cast("double") / 1e12) * (n2.cast("double") / 1e12)), 6)
+
+  private def ranked(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id")))
+        .cast("long"))
+      .filter(col("rnk") <= k)
+
+  /** Exact cosine top-k of `corpus` rows for each row of `queries`
+    * (both need vec_id + embedding). Self-matches excluded. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("qid"), col("embedding").as("qv"),
+      dotL(col("embedding"), col("embedding")).as("nq")))
+    val scored = corpus
+      .select(col("vec_id"), col("embedding"),
+        dotL(col("embedding"), col("embedding")).as("nv"))
+      .join(q, col("vec_id") =!= col("qid"))
+      .filter(col("nv") > 0 && col("nq") > 0)
+      .select(col("qid"), col("vec_id"),
+        cosine(dotL(col("qv"), col("embedding")), col("nq"), col("nv")).as("cosine"))
+    ranked(scored, k).select(col("qid"), col("vec_id"), col("cosine"), col("rnk"))
+  }
+
+  /** Sign-random-projection bucket key: the sign bits of the first
+    * `planes` coordinates (axis-aligned SRP). */
+  def srpBucket(v: Column, planes: Int = 8): Column =
+    concat((1 to planes).map(i =>
+      when(element_at(v, i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
+
+  /** LSH-bucketed ANN top-k: candidates limited to the query's SRP
+    * bucket (recall trades for a corpus-partition-sized read). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+              planes: Int = 8): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("qid"), col("embedding").as("qv"),
+      dotL(col("embedding"), col("embedding")).as("nq"),
+      srpBucket(col("embedding"), planes).as("bucket")))
+    val scored = corpus
+      .select(col("vec_id"), col("embedding"),
+        dotL(col("embedding"), col("embedding")).as("nv"),
+        srpBucket(col("embedding"), planes).as("bucket"))
+      .join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid") && col("nv") > 0 && col("nq") > 0)
+      .select(col("qid"), col("vec_id"),
+        cosine(dotL(col("qv"), col("embedding")), col("nq"), col("nv")).as("cosine"))
+    ranked(scored, k).select(col("qid"), col("vec_id"), col("cosine"), col("rnk"))
+  }
+
+  /** Per-label centroids as (label, pos [1-based], c) rows — exact
+    * deterministic means per coordinate. */
+  def centroids(vectors: DataFrame): DataFrame =
+    vectors
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "val")))
+      .select(col("label"), (col("pos0") + 1).cast("long").as("pos"),
+        col("val").cast("double").as("val"))
+      .groupBy(col("label"), col("pos"))
+      .agg(Det.avgD(col("val"), 12).as("c"))
+
+  /** Centroid rows → (label, cv: Array[Double] ordered by pos). */
+  def centroidArrays(cent: DataFrame): DataFrame =
+    cent
+      .groupBy(col("label"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cv"))
+
+  /** IVF coarse assignment: nearest centroid per vector (centroid table
+    * broadcast; ties broken by smaller label). */
+  def ivfAssign(vectors: DataFrame, centArrays: DataFrame): DataFrame = {
+    val scored = vectors
+      .join(broadcast(centArrays.select(col("label").as("cand_label"), col("cv"))))
+      .select(col("vec_id"), col("label"), col("cand_label"),
+        dist2L(col("embedding"), col("cv")).as("d2l"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d2l"), col("cand_label"))))
+      .filter(col("rnk") === 1)
+      .select(
+        col("vec_id"), col("label"),
+        col("cand_label").as("assigned_label"),
+        Det.snap(col("d2l").cast("double") / 1e12, 6).as("d2"),
+        (col("cand_label") === col("label")).as("correct"))
+  }
+}

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization stats, quality scoring, n-gram heuristic language ID,
+  * and document fingerprinting. All pure narrow `select`s over the text
+  * column — no shuffle, fully codegen'd, and embarrassingly parallel at
+  * 100 TB (the scan dominates; every expression here runs inside one
+  * WholeStageCodegen span over the parquet scan).
+  *
+  * Determinism: only integer arithmetic, md5 (identical hex in every
+  * engine), and rational ops on exact integers — every output is
+  * bit-reproducible (see Det's scaladoc for why that matters here).
+  */
+object TextOps {
+
+  /** Language profiles for the n-gram/stopword heuristic classifier.
+    * Order is the deterministic tie-break (first wins on equal score).
+    * Shared constant with the oracle SQL via [[langProfiles]].
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une"),
+    "es" -> Seq("el", "los", "las", "y", "por", "una")
+  )
+
+  /** Stopwords for the quality score (union of profile heads). */
+  val stopwords: Seq[String] = langProfiles.flatMap(_._2).distinct
+
+  private def words(text: Column): Column = split(text, " ")
+
+  private def countIn(text: Column, set: Seq[String]): Column =
+    size(filter(words(text), w => w.isInCollection(set)))
+
+  /** Token/char statistics + quality score per document.
+    *
+    * Quality model (deterministic rational arithmetic, each term in
+    * [0,1]): length term min(tokens,100)/100, lexical diversity
+    * distinct/total tokens, non-stopword ratio, vowel ratio ×5 capped.
+    * This mirrors the length/punct/stopword-ratio family of quality
+    * heuristics used for LLM corpus filtering.
+    */
+  def stats(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val nTok = size(w).cast("long")
+    val nDistinct = size(array_distinct(w)).cast("long")
+    val nStop = countIn(col("text"), stopwords).cast("long")
+    val chars = length(col("text")).cast("long")
+    val vowels = (chars - length(regexp_replace(col("text"), "[aeiou]", ""))).cast("long")
+    docs.select(
+      col("doc_id"),
+      chars.as("n_chars"),
+      nTok.as("n_tokens"),
+      nDistinct.as("n_distinct_tokens"),
+      nStop.as("n_stopwords"),
+      vowels.as("n_vowels"),
+      // bytes > chars ⇔ multibyte (CJK etc.) content present.
+      (octet_length(col("text")) - length(col("text"))).cast("long").as("n_multibyte"),
+      ((least(nTok, lit(100L)).cast("double") / 100d) * 0.3 +
+        (nDistinct.cast("double") / nTok.cast("double")) * 0.3 +
+        (lit(1.0) - nStop.cast("double") / nTok.cast("double")) * 0.2 +
+        least(lit(1.0), vowels.cast("double") * 5d / chars.cast("double")) * 0.2)
+        .as("quality_score")
+    )
+  }
+
+  /** Heuristic language ID: per-language stopword hit counts, multibyte
+    * bytes as the zh signal, deterministic argmax in [[langProfiles]]
+    * order ("zh" wins only on multibyte presence; "en" is the fallback).
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val scores = langProfiles.map { case (l, ws) => l -> countIn(col("text"), ws) }
+    val multibyte = octet_length(col("text")) - length(col("text"))
+    // argmax with fixed priority: a language wins iff its score strictly
+    // beats every later one and is >= every earlier one.
+    val best = scores.zipWithIndex.foldLeft(lit("en")) { case (acc, ((l, _), i)) =>
+      val s = scores(i)._2
+      val geLater = scores.drop(i + 1).map(o => s >= o._2).foldLeft(lit(true))(_ && _)
+      val beatsEarlier = scores.take(i).map(o => s > o._2).foldLeft(lit(true))(_ && _)
+      when(s > 0 && geLater && beatsEarlier, lit(l)).otherwise(acc)
+    }
+    docs.select(
+      col("doc_id"),
+      col("lang").as("label_lang"),
+      when(multibyte > 0, lit("zh")).otherwise(best).as("predicted_lang"),
+      scores.map(_._2).reduce(greatest(_, _)).cast("long").as("top_score")
+    )
+  }
+
+  /** Document fingerprints: full-text md5, a winnowing-style min/max
+    * shingle fingerprint (min & max md5 over word 3-grams — the rolling
+    * hash family), and the shingle count. md5 hex compares are portable
+    * across engines; min/max over strings are order-independent.
+    */
+  def fingerprint(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("text_md5"),
+        Shingles.of(col("text"), n).as("sh"))
+      .select(
+        col("doc_id"),
+        col("text_md5"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        array_min(transform(col("sh"), s => md5(s))).as("min_shingle_md5"),
+        array_max(transform(col("sh"), s => md5(s))).as("max_shingle_md5")
+      )
+}
+
+/** Word n-gram shingling shared by fingerprinting and dedup. */
+object Shingles {
+  /** Distinct word n-grams of `text` as an array column (empty when the
+    * document has fewer than n words). */
+  def of(text: Column, n: Int): Column = {
+    val ws = split(text, " ")
+    array_distinct(
+      when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** DuckDB twin of [[of]] (1-based list slicing). */
+  def ofSql(text: String, n: Int): String =
+    s"""list_distinct(CASE WHEN len(string_split($text, ' ')) >= $n
+       THEN [array_to_string(string_split($text, ' ')[i+1:i+$n], ' ')
+             for i in range(0, len(string_split($text, ' ')) - ${n - 1})]
+       ELSE [] END)"""
+}

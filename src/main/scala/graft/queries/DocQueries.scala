@@ -1,0 +1,196 @@
+package graft.queries
+
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-verifiable queries for the text-analysis + deduplication
+  * operator families (TextOps, Dedup) over `documents.parquet`, each with
+  * a DuckDB oracle twin assembled from the same constants. All hashes are
+  * md5 (identical hex in both engines); all arithmetic follows the Det
+  * determinism rules, so every query hash-matches exactly.
+  */
+object DocQueries {
+
+  import TickQueries.r6
+
+  private def s6(x: String): String = Det.snapSql(x, 6)
+
+  def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> ((s, d) => r6(TextOps.stats(docs(s, d)))),
+    "lang_id" -> ((s, d) => TextOps.langId(docs(s, d))),
+    "fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
+    "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
+    "dedup_jaccard" -> ((s, d) => Dedup.ngramJaccardTopK(docs(s, d))),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d)))
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL
+  // ---------------------------------------------------------------------
+
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** len(list_filter(words, w -> w IN (...))) — duck twin of
+    * TextOps.countIn. */
+  private def nIn(ws: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), w -> w IN ${inList(ws)}))"
+
+  private val statsSql = {
+    val q =
+      """(least(n_tokens, 100)::DOUBLE / 100) * 0.3 +
+         (n_distinct_tokens::DOUBLE / n_tokens::DOUBLE) * 0.3 +
+         (1.0 - n_stopwords::DOUBLE / n_tokens::DOUBLE) * 0.2 +
+         least(1.0, n_vowels::DOUBLE * 5 / n_chars::DOUBLE) * 0.2"""
+    s"""WITH st AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+         ${nIn(TextOps.stopwords)} AS n_stopwords,
+         length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_vowels,
+         strlen(text) - length(text) AS n_multibyte
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens, n_distinct_tokens, n_stopwords, n_vowels,
+       n_multibyte, ${s6(q)} AS quality_score
+FROM st"""
+  }
+
+  private val langIdSql = {
+    val ps = TextOps.langProfiles
+    val scoreCols = ps.zipWithIndex
+      .map { case ((_, ws), i) => s"${nIn(ws)} AS s$i" }.mkString(",\n         ")
+    // Mirrors TextOps.langId's fold: lang i wins iff its score is > 0,
+    // strictly beats every earlier profile and >= every later one
+    // (first-of-max wins); zh on any multibyte content; fallback en.
+    val cases = ps.zipWithIndex.map { case ((l, _), i) =>
+      val conds = Seq(s"s$i > 0") ++
+        (0 until i).map(j => s"s$i > s$j") ++
+        (i + 1 until ps.size).map(j => s"s$i >= s$j")
+      s"WHEN ${conds.mkString(" AND ")} THEN '$l'"
+    }.mkString("\n            ")
+    s"""WITH sc AS (
+  SELECT doc_id, lang,
+         strlen(text) - length(text) AS mb,
+         $scoreCols
+  FROM documents)
+SELECT doc_id, lang AS label_lang,
+       CASE WHEN mb > 0 THEN 'zh'
+            $cases
+            ELSE 'en' END AS predicted_lang,
+       CAST(greatest(${ps.indices.map(i => s"s$i").mkString(", ")}) AS BIGINT) AS top_score
+FROM sc"""
+  }
+
+  private val fingerprintSql =
+    s"""WITH sh AS (
+  SELECT doc_id, md5(text) AS text_md5, ${Shingles.ofSql("text", 3)} AS sh
+  FROM documents)
+SELECT doc_id, text_md5, len(sh) AS n_shingles,
+       list_min([md5(s) for s in sh]) AS min_shingle_md5,
+       list_max([md5(s) for s in sh]) AS max_shingle_md5
+FROM sh"""
+
+  private val dedupExactSql =
+    """SELECT doc_id, md5(text) AS text_md5,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       count(*) OVER (PARTITION BY md5(text)) AS group_size,
+       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+FROM documents"""
+
+  private val dedupJaccardSql =
+    s"""WITH sh AS (
+  SELECT doc_id, ${Shingles.ofSql("text", 3)} AS sh FROM documents
+), ex AS (
+  SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM sh
+), capped AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM ex)
+  WHERE df <= 500
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sz_a, b.sz AS sz_b,
+         count(*) AS intersection
+  FROM capped a JOIN capped b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b, intersection,
+       sz_a + sz_b - intersection AS union_size,
+       ${s6("intersection::DOUBLE / (sz_a + sz_b - intersection)::DOUBLE")} AS jaccard
+FROM pairs
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT 50"""
+
+  private val dedupMinhashSql = {
+    val H = 8
+    val mins = (0 until H)
+      .map(h => s"min(md5('$h:' || shingle)) AS m$h").mkString(",\n         ")
+    val eqs = (0 until H)
+      .map(h => s"CASE WHEN a.m$h = b.m$h THEN 1 ELSE 0 END AS eq$h")
+      .mkString(",\n         ")
+    val agree = (0 until H).map(h => s"eq$h").mkString(" + ")
+    s"""WITH sh AS (
+  SELECT doc_id, ${Shingles.ofSql("text", 3)} AS sh FROM documents
+), sigs AS (
+  SELECT doc_id,
+         $mins
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh)
+  GROUP BY doc_id
+), banded AS (
+  SELECT s.*, b.idx AS band_idx,
+         CASE WHEN b.idx = 0 THEN md5(m0 || '|' || m1 || '|' || m2 || '|' || m3)
+              ELSE md5(m4 || '|' || m5 || '|' || m6 || '|' || m7) END AS band_key
+  FROM sigs s, (SELECT unnest([0, 1]) AS idx) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         $eqs
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST($agree AS BIGINT) AS n_agree,
+       ${s6(s"($agree)::DOUBLE / $H")} AS est_jaccard
+FROM cand"""
+  }
+
+  private val dedupSimhashSql = {
+    val bits = 16
+    def hv(c: String) = s"(strpos('0123456789abcdef', $c) - 1)"
+    val v16 =
+      s"""((${hv("substring(h4, 1, 1)")} * 16 + ${hv("substring(h4, 2, 1)")}) * 16 +
+          ${hv("substring(h4, 3, 1)")}) * 16 + ${hv("substring(h4, 4, 1)")}"""
+    val sums = (0 until bits)
+      .map(j => s"CAST(sum(((v >> $j) & 1) * 2 - 1) AS BIGINT) AS s$j")
+      .mkString(",\n         ")
+    val fp = (0 until bits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH pw AS (
+  SELECT doc_id, substring(md5(word), 1, 4) AS h4
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+), pv AS (
+  SELECT doc_id, CAST($v16 AS BIGINT) AS v FROM pw
+), sums AS (
+  SELECT doc_id,
+         $sums
+  FROM pv GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums)
+SELECT doc_id, simhash,
+       min(doc_id) OVER (PARTITION BY simhash) AS canonical_id,
+       count(*) OVER (PARTITION BY simhash) AS cluster_size
+FROM fp"""
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "text_stats" -> statsSql,
+    "lang_id" -> langIdSql,
+    "fingerprint" -> fingerprintSql,
+    "dedup_exact" -> dedupExactSql,
+    "dedup_jaccard" -> dedupJaccardSql,
+    "dedup_minhash" -> dedupMinhashSql,
+    "dedup_simhash" -> dedupSimhashSql
+  )
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.ops.Det
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational/serving queries over the TPC-H-ish tables, standing in for
+  * the reference's control-plane SQL (SURVEY §2.3 J4 runs⨝strategies,
+  * §2.4 A8 lifecycle summary, §2.6 top-k) plus a TPC-H-Q1-style pricing
+  * aggregate that exercises the scan→filter→hash-agg path Bench cares
+  * about.
+  *
+  * Scale notes: the dimension side of every join here (customer) is
+  * explicitly broadcast — no shuffle of the fact table; aggregates are
+  * partial/final hash aggregates with Det exact sums (prices live on the
+  * cent grid, so scale-2 decimal sums are EXACT, not approximations).
+  */
+object RelQueries {
+
+  import TickQueries.r6
+
+  private def s6(x: String): String = Det.snapSql(x, 6)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** J4-style run listing: fact ⨝ broadcast dimension. */
+  private def runsJoin(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .join(broadcast(t(s, d, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .select(
+        col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"),
+        col("o_totalprice"), col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  /** A8-style lifecycle summary: conditional count/min FILTER aggregates. */
+  private def lifecycle(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("o_orderstatus") === "O", lit(1))).as("n_open"),
+        min(when(col("o_orderstatus") === "O", col("o_orderdate"))).as("first_open_date"),
+        Det.sumD(col("o_totalprice"), 2).as("total_value"),
+        Det.avgD(col("o_totalprice"), 2).as("avg_value"))
+
+  /** TPC-H Q1-style pricing summary (filter → hash aggregate). */
+  private def pricing(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Det.sumD(col("l_quantity"), 2).as("sum_qty"),
+        Det.sumD(col("l_extendedprice"), 2).as("sum_base_price"),
+        Det.sumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("sum_disc_price"),
+        Det.sumD(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")), 4).as("sum_charge"),
+        Det.avgD(col("l_quantity"), 2).as("avg_qty"),
+        Det.avgD(col("l_extendedprice"), 2).as("avg_price"),
+        Det.avgD(col("l_discount"), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** §2.6 serving top-k: revenue ranking with broadcast dim join. */
+  private def topCustomers(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(Det.sumD(col("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .join(broadcast(t(s, d, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_runs_join" -> ((s, d) => r6(runsJoin(s, d))),
+    "rel_lifecycle" -> ((s, d) => r6(lifecycle(s, d))),
+    "rel_pricing" -> ((s, d) => r6(pricing(s, d))),
+    "rel_top_customers" -> ((s, d) => r6(topCustomers(s, d)))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "rel_runs_join" ->
+      s"""SELECT o_orderkey, o_orderdate, o_orderstatus,
+       ${s6("o_totalprice")} AS o_totalprice,
+       c.c_custkey, c_name, c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+    "rel_lifecycle" ->
+      s"""SELECT o_orderpriority,
+       count(*) AS n_total,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+       min(CASE WHEN o_orderstatus = 'O' THEN o_orderdate END) AS first_open_date,
+       ${s6(Det.sumDSql("o_totalprice", 2))} AS total_value,
+       ${s6(Det.avgDSql("o_totalprice", 2))} AS avg_value
+FROM orders GROUP BY o_orderpriority""",
+    "rel_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+       ${s6(Det.sumDSql("l_quantity", 2))} AS sum_qty,
+       ${s6(Det.sumDSql("l_extendedprice", 2))} AS sum_base_price,
+       ${s6(Det.sumDSql("l_extendedprice * (1.0 - l_discount)", 4))} AS sum_disc_price,
+       ${s6(Det.sumDSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 4))} AS sum_charge,
+       ${s6(Det.avgDSql("l_quantity", 2))} AS avg_qty,
+       ${s6(Det.avgDSql("l_extendedprice", 2))} AS avg_price,
+       ${s6(Det.avgDSql("l_discount", 2))} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+    "rel_top_customers" ->
+      s"""SELECT c_custkey, c_name, ${s6("revenue")} AS revenue, n_orders
+FROM (SELECT o_custkey, ${Det.sumDSql("o_totalprice", 2)} AS revenue,
+             count(*) AS n_orders
+      FROM orders GROUP BY o_custkey) r
+JOIN customer c ON r.o_custkey = c.c_custkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 10"""
+  )
+}
