@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val corpus = docs(Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en"),
+    (1L, "the quick brown fox jumps over the lazy dog", "en"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat", "en"), // near dup of 0
+    (3L, "completely different words entirely here now", "en"),
+    (4L, "other text again with different content", "en")))
+
+  test("exact dedup groups identical texts under the min doc_id") {
+    val out = Dedup.exact(corpus).collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("canonical_id"), r.getAs[Long]("group_size"),
+          r.getAs[Boolean]("is_duplicate"))).toMap
+    assert(out(0L) == ((0L, 2L, false)))
+    assert(out(1L) == ((0L, 2L, true)))
+    assert(out(2L)._1 == 2L && !out(2L)._3)
+  }
+
+  test("n-gram Jaccard ranks the exact pair above the near pair") {
+    val pairs = Dedup.ngramJaccardTopK(corpus, topK = 10).collect()
+    assert(pairs.nonEmpty)
+    val top = pairs.head
+    assert((top.getAs[Long]("doc_a"), top.getAs[Long]("doc_b")) == ((0L, 1L)))
+    assert(top.getAs[Double]("jaccard") == 1.0)
+    val near = pairs.find(r => r.getAs[Long]("doc_a") == 0L && r.getAs[Long]("doc_b") == 2L)
+    assert(near.isDefined && near.get.getAs[Double]("jaccard") > 0.5)
+  }
+
+  test("minhash LSH surfaces identical docs with full signature agreement") {
+    val pairs = Dedup.minhashLshPairs(corpus).collect()
+    val exact = pairs.find(r =>
+      r.getAs[Long]("doc_a") == 0L && r.getAs[Long]("doc_b") == 1L)
+    assert(exact.isDefined, "identical docs must collide in every band")
+    assert(exact.get.getAs[Long]("n_agree") == 8L)
+    assert(exact.get.getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("simhash: identical docs share a fingerprint and cluster; near dups are close") {
+    val out = Dedup.simhash(corpus).collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("simhash"), r.getAs[Long]("canonical_id"))).toMap
+    assert(out(0L)._1 == out(1L)._1)
+    assert(out(1L)._2 == 0L)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(out(0L)._1, out(2L)._1) <= ham(out(0L)._1, out(3L)._1))
+  }
+}

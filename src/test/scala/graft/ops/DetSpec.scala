@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Det: order-independent deterministic aggregation. */
+class DetSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("sumD/avgD are invariant under repartitioning (order independence)") {
+    val xs = (1 to 5000).map(i => math.sin(i.toDouble) * 100.0)
+    val results = Seq(1, 3, 16).map { parts =>
+      xs.toDF("x").repartition(parts)
+        .agg(Det.sumD(col("x"), 9).as("s"), Det.avgD(col("x"), 9).as("a"))
+        .head()
+    }
+    assert(results.map(_.getDouble(0)).distinct.size == 1, "sum must not depend on partitioning")
+    assert(results.map(_.getDouble(1)).distinct.size == 1, "avg must not depend on partitioning")
+  }
+
+  test("stddevPopD matches built-in stddev_pop within grid tolerance and is exact 0 on constants") {
+    val xs = (1 to 1000).map(i => 100.0 + math.cos(i.toDouble))
+    val r = xs.toDF("x")
+      .agg(Det.stddevPopD(col("x"), 4).as("d"), stddev_pop(col("x")).as("ref"))
+      .head()
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-3)
+
+    val c = Seq.fill(100)(42.123456789).toDF("x")
+      .agg(Det.stddevPopD(col("x"), 4).as("d")).head()
+    assert(c.getDouble(0) == 0.0, "constant input must give exactly 0")
+  }
+
+  test("snap rounds to the 1e-6 grid (half away from zero via floor(x*1e6+0.5))") {
+    val r = Seq(1.0000004, 1.0000005, 1.0000006, -1.0000004, 0.0)
+      .toDF("x").select(Det.snap(col("x"), 6).as("y"))
+      .collect().map(_.getDouble(0))
+    assert(r(0) == 1.0)
+    assert(r(1) == 1.000001)
+    assert(r(2) == 1.000001)
+    assert(r(3) == -1.0)
+    assert(r(4) == 0.0)
+  }
+
+  test("property: avgD within grid distance of true mean; stddevPopD >= 0 (seeded trials)") {
+    val rng = new scala.util.Random(42)
+    for (_ <- 1 to 10) {
+      val xs = List.fill(rng.nextInt(200) + 1)(rng.nextDouble() * 2000.0 - 1000.0)
+      val r = xs.toDF("x").agg(
+        Det.avgD(col("x"), 9).as("a"),
+        Det.stddevPopD(col("x"), 4).as("s")).head()
+      val trueMean = xs.sum / xs.size
+      assert(math.abs(r.getDouble(0) - trueMean) < 1e-6 * (1 + math.abs(trueMean)))
+      assert(r.getDouble(1) >= 0.0)
+    }
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark._
+
+  // two tight clusters on orthogonal axes + one diagonal outlier
+  private val corpus = vecs(Seq(
+    (0L, Seq(1f, 0f, 0f, 0f), 0),
+    (1L, Seq(0.9f, 0.1f, 0f, 0f), 0),
+    (2L, Seq(0.95f, -0.05f, 0f, 0f), 0),
+    (3L, Seq(0f, 1f, 0f, 0f), 1),
+    (4L, Seq(0.1f, 0.9f, 0f, 0f), 1),
+    (5L, Seq(-0.05f, 0.95f, 0f, 0f), 1),
+    (6L, Seq(0.7f, 0.7f, 0f, 0f), 1)))
+
+  test("brute-force top-k ranks same-cluster vectors first, cosine in [-1,1]") {
+    val out = Similarity.bruteForceTopK(
+      corpus.filter("vec_id = 0"), corpus, k = 3).orderBy("rnk").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Long]("vec_id")).toSet == Set(1L, 2L, 6L))
+    assert(out.head.getAs[Long]("vec_id") != 3L)
+    out.foreach { r =>
+      val c = r.getAs[Double]("cosine")
+      assert(c >= -1.0000001 && c <= 1.0000001)
+    }
+    // descending by cosine
+    val cs = out.map(_.getAs[Double]("cosine"))
+    assert(cs.sameElements(cs.sorted.reverse))
+  }
+
+  test("LSH bucketing only returns same-bucket candidates (recall/cost trade)") {
+    val out = Similarity.lshTopK(
+      corpus.filter("vec_id = 0"), corpus, k = 7, planes = 2).collect()
+    // bucket of v0 = sign bits of dims (1,2) = "11" (0f >= 0 → '1');
+    // v2 ("10") and v5 ("01") fall outside and must be pruned
+    assert(out.map(_.getAs[Long]("vec_id")).toSet == Set(1L, 3L, 4L, 6L))
+  }
+
+  test("IVF assignment sends cluster members to their own centroid") {
+    val cents = Similarity.centroidArrays(Similarity.centroids(corpus))
+    val out = Similarity.ivfAssign(corpus, cents).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("assigned_label")).toMap
+    assert(out(0L) == 0 && out(1L) == 0 && out(2L) == 0)
+    assert(out(3L) == 1 && out(4L) == 1 && out(5L) == 1)
+  }
+
+  test("cosine of a vector with an identical vector is exactly 1.0") {
+    val two = vecs(Seq((0L, Seq(0.3f, -0.2f, 0.5f, 0.1f), 0),
+      (1L, Seq(0.3f, -0.2f, 0.5f, 0.1f), 0)))
+    val out = Similarity.bruteForceTopK(two.filter("vec_id = 0"), two, k = 1).head()
+    assert(out.getAs[Double]("cosine") == 1.0)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("stats: token/distinct/stopword/vowel counts and quality in [0,1]") {
+    val out = TextOps.stats(docs(Seq(
+      (0L, "the cat sat on the mat", "en")))).head()
+    assert(out.getAs[Long]("n_tokens") == 6L)
+    assert(out.getAs[Long]("n_distinct_tokens") == 5L)
+    assert(out.getAs[Long]("n_stopwords") == 2L) // 'the' twice
+    assert(out.getAs[Long]("n_multibyte") == 0L)
+    val q = out.getAs[Double]("quality_score")
+    assert(q >= 0.0 && q <= 1.0)
+  }
+
+  test("language ID picks the profile with most stopword hits; zh on multibyte") {
+    val out = TextOps.langId(docs(Seq(
+      (0L, "the cat and the dog of it", "en"),
+      (1L, "der hund und die katze ist hier", "de"),
+      (2L, "le chien et la vache les aime", "fr"),
+      (3L, "el perro y los gatos una casa", "es"),
+      (4L, "中文文本", "zh"),
+      (5L, "xyzzy qwerty asdf", "en")))) // no hits → fallback en
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
+    assert(out(0L) == "en")
+    assert(out(1L) == "de")
+    assert(out(2L) == "fr")
+    assert(out(3L) == "es")
+    assert(out(4L) == "zh")
+    assert(out(5L) == "en")
+  }
+
+  test("fingerprint: identical texts share all fingerprint fields") {
+    val out = TextOps.fingerprint(docs(Seq(
+      (0L, "alpha beta gamma delta epsilon", "en"),
+      (1L, "alpha beta gamma delta epsilon", "en"),
+      (2L, "totally other words here now", "en")))).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text_md5"), r.getAs[String]("min_shingle_md5"))).toMap
+    assert(out(0L) == out(1L))
+    assert(out(0L) != out(2L))
+  }
+
+  test("shingles: word 3-grams, distinct, empty below 3 words") {
+    import org.apache.spark.sql.functions._
+    val df = docs(Seq((0L, "a b c d", "en"), (1L, "a b", "en")))
+      .select(col("doc_id"), Shingles.of(col("text"), 3).as("sh"))
+    val m = df.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    assert(m(0L).toSet == Set("a b c", "b c d"))
+    assert(m(1L).isEmpty)
+  }
+}
