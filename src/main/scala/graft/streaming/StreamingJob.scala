@@ -1,0 +1,161 @@
+package graft.streaming
+
+import graft.config.StrategyConfig
+import graft.ops.Normalize
+import graft.strategy.{Strategy, StrategyOutputs}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.storage.StorageLevel
+
+/** Per-sink writer callbacks (the streaming analog of the reference's five
+  * INSERT INTO statements in one StatementSet, __main__.py:239-241). Each
+  * receives the micro-batch slice of its stream. Metrics windows that
+  * overlap a batch boundary are re-emitted with refined values — sinks must
+  * upsert on (strategy_run_id, metric_time, window_label), exactly the
+  * reference's at-least-once JDBC + PK model (02_schema.sql:149,175).
+  */
+final case class Sinks(
+    normalized: DataFrame => Unit = _ => (),
+    signals: DataFrame => Unit = _ => (),
+    positions: DataFrame => Unit = _ => (),
+    executions: DataFrame => Unit = _ => (),
+    metrics: DataFrame => Unit = _ => ())
+
+/** Structured-Streaming runner for a [[Strategy]]: ONE input stream, ONE
+  * foreachBatch, five sinks — the multi-sink single-DAG obligation
+  * (SURVEY §4): the computed core is persisted once per micro-batch and
+  * shared by all sinks instead of five independent queries re-reading the
+  * source.
+  *
+  * Cross-batch correctness: the rolling operators (SMAs, volatility,
+  * confirmation lag, prev-position) look back up to
+  * `slow_window + confirmation + 1` rows per key. The job carries exactly
+  * that many trailing raw rows per product as explicit state, prepends
+  * them to each micro-batch, recomputes, and emits only rows newer than
+  * the carried tail — so a tick's signal is identical whether the stream
+  * was cut here or not (streaming ≡ batch, verified by
+  * StreamingJobSpec). State is tiny (≤ tailRows × #instruments raw rows)
+  * and lives in the driver as a cached plan; with a checkpoint dir it is
+  * also persisted as parquet for restart (T5).
+  *
+  * Event time: watermark bounds disorder at the source (T1,
+  * __main__.py:63); rows later than the watermark may still reach
+  * foreachBatch and are handled by recomputation within the tail, matching
+  * the reference's drop-after-watermark envelope (T3).
+  */
+final class StreamingJob(
+    strategy: Strategy,
+    cfg: StrategyConfig,
+    sinks: Sinks,
+    watermarkDelay: String = "5 seconds",
+    checkpointDir: Option[String] = None) extends Serializable {
+
+  /** Rows of per-key history that fully determine every rolling operator. */
+  val tailRows: Int =
+    math.max(cfg.smaSlowWindow, Normalize.VolatilityLookback) + cfg.confirmation + 1
+
+  /** cfg.metricsWindow ("5 minutes") in milliseconds. */
+  val metricsWindowMs: Long = {
+    val Array(n, unit) = cfg.metricsWindow.trim.split("\\s+")
+    val per = unit.toLowerCase match {
+      case "second" | "seconds" => 1000L
+      case "minute" | "minutes" => 60000L
+      case "hour" | "hours" => 3600000L
+      case u => throw new IllegalArgumentException(s"unsupported window unit $u")
+    }
+    n.toLong * per
+  }
+
+  private def windowStartMs(tsMs: Long): Long = tsMs - Math.floorMod(tsMs, metricsWindowMs)
+
+  @volatile private var tail: Option[DataFrame] = None
+
+  private def tailPath = checkpointDir.map(_ + "/graft-tail")
+
+  /** Load persisted tail state on restart. */
+  private def loadTail(spark: SparkSession): Unit =
+    tailPath.foreach { p =>
+      try {
+        val df = spark.read.parquet(p)
+        if (df.columns.nonEmpty) tail = Some(df)
+      } catch { case _: Exception => () } // first start: no state yet
+    }
+
+  /** One micro-batch: prepend tail, run the strategy once, fan out. */
+  private[streaming] def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    if (batchId == 0) loadTail(spark)
+
+    // The tail carries every row of the still-open metrics window, so its
+    // max event time is the previous batch's high-water mark; windows at or
+    // after its window-start were NOT final then and are re-emitted refined.
+    val prevOpenStartMs: Option[Long] = tail.map { t =>
+      windowStartMs(t.agg(max(col("event_time"))).head().getTimestamp(0).getTime)
+    }
+    val withTail = tail match {
+      case Some(t) => t.unionByName(batch.select(t.columns.map(col).toIndexedSeq: _*))
+      case None => batch
+    }
+    val input = withTail.persist(StorageLevel.MEMORY_AND_DISK)
+    val maxEventMs = input.agg(max(col("event_time"))).head().getTimestamp(0).getTime
+    val openStartMs = windowStartMs(maxEventMs)
+
+    // Lower bound of new data per key: everything >= the batch's first
+    // (event_time, sequence) per product is (re-)emitted.
+    val bounds = batch.groupBy(col("product_id")).agg(
+      min(struct(col("event_time"), col("sequence"))).as("lo"))
+    def newOnly(df: DataFrame, timeCol: String, keyCol: String = "product_id"): DataFrame = {
+      val cols = df.columns.toIndexedSeq
+      df.join(broadcast(bounds.withColumnRenamed("product_id", keyCol)), Seq(keyCol))
+        .filter(struct(col(timeCol), col("sequence")) >= col("lo"))
+        .select(cols.map(col): _*)
+    }
+
+    val out: StrategyOutputs = strategy(input, cfg)
+    sinks.normalized(newOnly(out.normalized, "event_time"))
+    sinks.signals(newOnly(out.signals, "signal_time", keyCol = "instrument_id"))
+    sinks.positions(newOnly(out.positions, "event_time"))
+    sinks.executions(newOnly(out.executions, "signal_time"))
+    // Metrics: emit only windows fully covered by this input — i.e. not
+    // finalized before the previous batch's open window. Earlier windows
+    // already received their final upsert; rows later than that horizon
+    // are dropped from metrics (T3 drop-after-watermark envelope).
+    val metricsOut = prevOpenStartMs match {
+      case Some(ms) => out.metrics.filter(
+        col("metric_time").cast("long") * 1000L >= lit(ms + metricsWindowMs))
+      case None => out.metrics
+    }
+    sinks.metrics(metricsOut)
+
+    // New tail per key = every row of the open metrics window (so the next
+    // batch can refine it) + tailRows older rows (rolling-operator lookback).
+    val older = Window.partitionBy(col("product_id"))
+      .orderBy(col("event_time").desc, col("sequence").desc)
+    val nextTail = input
+      .withColumn("__rn", row_number().over(older))
+      .withColumn("__openRows", sum(
+        when(col("event_time").cast("long") * 1000L >= lit(openStartMs), 1)
+          .otherwise(0)).over(older.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("event_time").cast("long") * 1000L >= lit(openStartMs) ||
+        col("__rn") - col("__openRows") <= tailRows)
+      .drop("__rn", "__openRows")
+      .localCheckpoint(true) // cut lineage so state doesn't grow per batch
+    tailPath.foreach(p => nextTail.write.mode("overwrite").parquet(p))
+    tail = Some(nextTail)
+    input.unpersist()
+  }
+
+  /** Start the single multi-sink streaming query. */
+  def start(raw: DataFrame): StreamingQuery = {
+    val writer = raw
+      .withWatermark("event_time", watermarkDelay)
+      .writeStream
+      .queryName(s"${strategy.name}-pipeline") // cf. "{strategy}-pipeline", __main__.py:241
+      .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id))
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d + "/query"))
+      .start()
+  }
+}

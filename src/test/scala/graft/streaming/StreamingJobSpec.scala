@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.config.StrategyConfig
+import graft.strategy.SmaCrossStrategy
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+
+/** The load-bearing streaming property: feeding the pipeline in
+  * micro-batches yields EXACTLY the rows of one batch run (SURVEY §7
+  * "hard parts" 1-3: rolling state across batch boundaries via the
+  * carried tail).
+  */
+class StreamingJobSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val cfg = StrategyConfig(
+    smaFastWindow = 3, smaSlowWindow = 6, smaConfirmationWindow = 1)
+
+  // 180 ticks per key, wavy so crossovers occur throughout; 2 instruments
+  // to exercise per-key bounds.
+  private def price(i: Int): Double = 100.0 + 3.0 * math.sin(i / 7.0) + (i % 5) * 0.2
+  private val rows: Seq[Tick] = (for {
+    p <- Seq("A", "B")
+    i <- 0 until 180
+  } yield Tick(p, ts(i * 10L), i.toLong, price(i) + (if (p == "A") 0 else 5),
+    price(i) * 0.999, price(i) * 1.001)).toVector
+
+  test("micro-batched streaming equals one-shot batch for every sink") {
+    val s = spark
+    import s.implicits._
+
+    val sigBuf = mutable.ArrayBuffer[Row]()
+    val posBuf = mutable.ArrayBuffer[Row]()
+    val exeBuf = mutable.ArrayBuffer[Row]()
+    val metBuf = mutable.LinkedHashMap[Any, Row]() // upsert on metric_time
+    val sinks = Sinks(
+      signals = df => sigBuf ++= df.collect(),
+      positions = df => posBuf ++= df.collect(),
+      executions = df => exeBuf ++= df.collect(),
+      metrics = df => df.collect().foreach(r => metBuf(r.getAs[Any]("metric_time")) = r))
+
+    val job = new StreamingJob(SmaCrossStrategy, cfg, sinks)
+    implicit val sq = s.sqlContext
+    val ms = MemoryStream[Tick]
+    val q = job.start(ms.toDF())
+    try {
+      // three uneven chunks, interleaving both keys (ordered by time)
+      val sorted = rows.sortBy(t => (t.event_time.getTime, t.product_id))
+      Seq(sorted.slice(0, 130), sorted.slice(130, 220), sorted.slice(220, 360))
+        .foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+
+    val batchOut = SmaCrossStrategy(ticks(rows.map(t =>
+      (t.product_id, (t.event_time.getTime - ts(0).getTime) / 1000, t.sequence,
+        t.price: Double, Option(t.best_bid).map(Double.unbox),
+        Option(t.best_ask).map(Double.unbox)))), cfg)
+
+    def key(r: Row): (String, Long) =
+      (r.getAs[String](r.schema.fieldNames.find(_.contains("product_id"))
+        .getOrElse("instrument_id")), r.getAs[Long]("sequence"))
+    def canon(rs: Seq[Row]): Seq[String] =
+      rs.map(r => r.toSeq.map(String.valueOf).mkString("|")).sorted
+
+    assert(canon(sigBuf.toSeq) == canon(batchOut.signals.collect().toSeq),
+      "signals must match batch run")
+    assert(canon(posBuf.toSeq) == canon(batchOut.positions.collect().toSeq),
+      "positions must match batch run")
+    assert(canon(exeBuf.toSeq) == canon(batchOut.executions.collect().toSeq),
+      "executions must match batch run")
+    assert(canon(metBuf.values.toSeq) == canon(batchOut.metrics.collect().toSeq),
+      "upserted metrics must converge to batch metrics")
+  }
+
+  test("tail size covers every rolling operator's lookback") {
+    val job = new StreamingJob(SmaCrossStrategy, StrategyConfig(), Sinks())
+    // slow=60 < volatility lookback 60; + confirmation 3 + 1 for lag
+    assert(job.tailRows == 64)
+  }
+}
