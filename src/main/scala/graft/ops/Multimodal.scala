@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for training-data pipelines: media
+  * (image/audio/video) travels as an opaque `binary` column with typed
+  * metadata beside it; decode/feature-extract/frame-sample run as
+  * partition-streamed operators so one task handles a batch of blobs
+  * without materializing them all (the Scala analog of `mapInPandas`
+  * batch processing).
+  *
+  * ==STUB NOTICE==
+  * This container ships no image/audio codecs, so [[StubDecoder]] is a
+  * clearly-marked DETERMINISTIC FAKE: it derives "dimensions" from the
+  * content hash and "pixels" from the raw bytes. The Spark-side contract —
+  * blob schema, metadata struct, partitioning, per-partition batch shape,
+  * and the operator signatures — is real and tested; swapping in a real
+  * codec means replacing StubDecoder.decode only.
+  */
+object Multimodal {
+
+  /** Attach an opaque media blob + typed metadata to a documents table
+    * (fixture path: the UTF-8 bytes of `text` stand in for media payloads). */
+  def toBlobTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "utf-8").as("media"),
+      lit("application/octet-stream").as("media_type"),
+      struct(
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        md5(col("text")).as("checksum_md5")).as("media_meta"))
+
+  /** Declarative (codegen-friendly) feature columns that need no codec:
+    * sizes, checksums, and the stub "decoded" geometry derived from the
+    * checksum. Everything here is expressible in one narrow projection
+    * over the scan. */
+  def features(blobs: DataFrame, frameBytes: Int = 64): DataFrame = {
+    def nib(i: Int) = // hex nibble i of the checksum as 0..15
+      expr(s"position(substring(media_meta.checksum_md5, $i, 1) IN '0123456789abcdef') - 1")
+    blobs.select(
+      col("doc_id"),
+      col("media_type"),
+      col("media_meta.n_bytes").as("n_bytes"),
+      col("media_meta.checksum_md5").as("checksum_md5"),
+      // STUB geometry: fake width/height ∈ [16, 271] from checksum nibbles.
+      (lit(16) + nib(1) * 16 + nib(2)).cast("long").as("width"),
+      (lit(16) + nib(3) * 16 + nib(4)).cast("long").as("height"),
+      // frame sampling plan: ceil(n_bytes / frameBytes)
+      ((col("media_meta.n_bytes") + (frameBytes - 1)) / frameBytes)
+        .cast("long").as("n_frames"))
+  }
+
+  /** One sampled "frame" of a decoded blob. */
+  final case class Frame(
+      doc_id: Long, frame_idx: Long, n_bytes: Long,
+      mean_byte: Double, max_byte: Int, min_byte: Int)
+
+  /** DETERMINISTIC FAKE decoder: chops the payload into frameBytes-sized
+    * "frames" and reduces each to byte statistics — the stand-in for
+    * decode→resize→feature-extract. Pure function of the bytes. */
+  object StubDecoder {
+    def decode(docId: Long, payload: Array[Byte], frameBytes: Int,
+               sampleEvery: Int): Iterator[Frame] =
+      payload.grouped(frameBytes).zipWithIndex
+        .filter { case (_, i) => i % sampleEvery == 0 } // frame sampling
+        .map { case (chunk, i) =>
+          val u = chunk.map(b => b & 0xff)
+          Frame(docId, i.toLong, chunk.length.toLong,
+            u.sum.toDouble / u.length, u.max, u.min)
+        }
+  }
+
+  /** Frame sampling + feature extraction, partition-streamed: each task
+    * pulls blobs off its partition iterator one at a time (bounded
+    * memory), runs the decoder, and emits frames. `parallelism` controls
+    * the decode fan-out — at 100 TB this is the knob that matches decode
+    * tasks to cluster cores while the scan stays columnar. */
+  def decodeFrames(blobs: DataFrame, frameBytes: Int = 64, sampleEvery: Int = 2,
+                   parallelism: Option[Int] = None): Dataset[Frame] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val src = blobs.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+    val part = parallelism.fold(src)(n => src.repartition(n))
+    part.mapPartitions(_.flatMap { case (id, bytes) =>
+      StubDecoder.decode(id, bytes, frameBytes, sampleEvery)
+    })
+  }
+}

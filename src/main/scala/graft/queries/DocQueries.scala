@@ -25,7 +25,12 @@ object DocQueries {
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
     "dedup_jaccard" -> ((s, d) => Dedup.ngramJaccardTopK(docs(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d))),
-    "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d)))
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
+    "multimodal_features" -> ((s, d) =>
+      Multimodal.features(Multimodal.toBlobTable(docs(s, d)))),
+    // No SQL oracle (byte-level mapPartitions decode) → driver rows-only check.
+    "multimodal_decode" -> ((s, d) =>
+      Multimodal.decodeFrames(Multimodal.toBlobTable(docs(s, d))).toDF())
   )
 
   // ---------------------------------------------------------------------
@@ -184,7 +189,20 @@ SELECT doc_id, simhash,
 FROM fp"""
   }
 
+  private val multimodalFeaturesSql = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substring(md5(text), $i, 1)) - 1)"
+    s"""SELECT doc_id,
+       'application/octet-stream' AS media_type,
+       strlen(text) AS n_bytes,
+       md5(text) AS checksum_md5,
+       CAST(16 + ${nib(1)} * 16 + ${nib(2)} AS BIGINT) AS width,
+       CAST(16 + ${nib(3)} * 16 + ${nib(4)} AS BIGINT) AS height,
+       (strlen(text) + 63) // 64 AS n_frames
+FROM documents"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "multimodal_features" -> multimodalFeaturesSql,
     "text_stats" -> statsSql,
     "lang_id" -> langIdSql,
     "fingerprint" -> fingerprintSql,

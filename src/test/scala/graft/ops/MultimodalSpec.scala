@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val corpus = docs(Seq(
+    (0L, "abcdefghij" * 20, "en"), // 200 bytes
+    (1L, "short", "en"),
+    (2L, "x" * 64, "en")))
+
+  test("blob table carries opaque bytes + typed metadata") {
+    val b = Multimodal.toBlobTable(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(b(0L).getAs[Array[Byte]]("media").length == 200)
+    val meta = b(1L).getAs[org.apache.spark.sql.Row]("media_meta")
+    assert(meta.getAs[Long]("n_bytes") == 5L)
+    assert(meta.getAs[String]("checksum_md5").length == 32)
+  }
+
+  test("features: geometry deterministic from checksum, frame plan = ceil(bytes/64)") {
+    val f = Multimodal.features(Multimodal.toBlobTable(corpus)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(f(0L).getAs[Long]("n_frames") == 4L) // ceil(200/64)
+    assert(f(1L).getAs[Long]("n_frames") == 1L)
+    assert(f(2L).getAs[Long]("n_frames") == 1L)
+    Seq(0L, 1L, 2L).foreach { id =>
+      assert(f(id).getAs[Long]("width") >= 16L && f(id).getAs[Long]("width") <= 271L)
+      assert(f(id).getAs[Long]("height") >= 16L && f(id).getAs[Long]("height") <= 271L)
+    }
+    // determinism: same content → same geometry
+    val again = Multimodal.features(Multimodal.toBlobTable(corpus)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("width")).toMap
+    assert(again(0L) == f(0L).getAs[Long]("width"))
+  }
+
+  test("decodeFrames streams partition-wise and samples every Nth frame") {
+    val frames = Multimodal.decodeFrames(
+      Multimodal.toBlobTable(corpus), frameBytes = 64, sampleEvery = 2,
+      parallelism = Some(3)).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    // doc 0: 4 frames (0..3), sampled idx 0 and 2
+    assert(byDoc(0L).map(_.frame_idx).sorted.toSeq == Seq(0L, 2L))
+    // 'x'*64: single frame of constant bytes → mean == min == max == 'x'
+    val x = byDoc(2L).head
+    assert(x.mean_byte == 'x'.toInt.toDouble && x.max_byte == 'x'.toInt)
+    frames.foreach(f => assert(f.mean_byte >= f.min_byte && f.mean_byte <= f.max_byte))
+  }
+}
