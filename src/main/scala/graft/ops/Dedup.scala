@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Typed posting-list entry (doc + its distinct-shingle count). */
+  final case class DocSz(doc_id: Long, sz: Long)
+
+  /** Typed LSH-bucket entry (doc + its minhash signature vector). */
+  final case class DocSig(doc_id: Long, sigs: Seq[String])
+
   /** Exact near-zero-cost dedup: md5 content hash → hash-partitioned
     * canonical-id (min doc_id) + group size. One Exchange total.
     */
@@ -40,23 +46,36 @@ object Dedup {
   /** Inverted-index n-gram Jaccard: emits the `topK` most similar
     * document pairs (ties broken by ids). `maxDf` drops stop-shingles
     * (present in more than maxDf docs) before pairing.
+    *
+    * Shape: ONE scan → explode → groupBy(shingle) builds each posting
+    * list; ordered pairs are generated map-side from the list (no
+    * self-join, which would compute the whole inverted index twice) and
+    * reduced by a partial/final hash aggregate. Cost stays Σ df², bounded
+    * by the stop-shingle cap.
     */
   def ngramJaccardTopK(docs: DataFrame, n: Int = 3, topK: Int = 50,
                        maxDf: Int = 500): DataFrame = {
-    val shingled = docs.select(
-      col("doc_id"),
-      Shingles.of(col("text"), n).as("sh"))
-      .select(col("doc_id"), size(col("sh")).cast("long").as("sz"),
-        explode(col("sh")).as("shingle"))
-    val capped = shingled
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= maxDf)
-    val pairs = capped.as("a")
-      .join(capped.as("b"), col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val shingled = Shingles.exploded(docs, n)
+    val postings = shingled
+      .groupBy(col("shingle"))
+      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDf)
+    // Ordered pairs generated per posting list in compiled Scala (the
+    // nested-transform Catalyst equivalent runs interpreted and dominates).
+    val pairs = postings
+      .select(col("ds"))
+      .as[Seq[Dedup.DocSz]]
+      .flatMap { ds0 =>
+        val ds = ds0.sortBy(_.doc_id)
+        for {
+          i <- ds.indices.iterator
+          j <- (i + 1) until ds.size
+        } yield (ds(i).doc_id, ds(j).doc_id, ds(i).sz, ds(j).sz)
+      }
+      .toDF("doc_a", "doc_b", "sz_a", "sz_b")
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("intersection"))
     pairs
       .select(
@@ -72,8 +91,7 @@ object Dedup {
   /** MinHash signature columns m0..m{numHashes-1}: min over the doc's
     * shingles of md5(seed || ':' || shingle). */
   def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame =
-    docs
-      .select(col("doc_id"), explode(Shingles.of(col("text"), n)).as("shingle"))
+    Shingles.exploded(docs, n)
       .groupBy(col("doc_id"))
       .agg(
         min(md5(concat(lit("0:"), col("shingle")))).as("m0"),
@@ -83,31 +101,44 @@ object Dedup {
   /** MinHash + LSH banding: candidate duplicate pairs whose signatures
     * collide in at least one band, with the per-hash agreement count
     * (n_agree/numHashes estimates Jaccard). bands must divide numHashes.
+    *
+    * Shape: signatures once (one shuffle on doc_id), band keys exploded,
+    * groupBy(band) buckets, pairs generated map-side from each bucket —
+    * no self-join, so the signature computation isn't duplicated. Bucket
+    * sizes stay small by LSH construction (P[collide] ≈ jaccard^rows).
     */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 8,
                       bands: Int = 2): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
     val sigs = minhashSignatures(docs, n, numHashes)
-    val banded = sigs.withColumn("band",
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("idx"),
-          md5(concat_ws("|", (0 until rows).map(r => col(s"m${b * rows + r}")): _*))
-            .as("key"))
-      }: _*)))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band.idx") === col("b.band.idx") &&
-          col("a.band.key") === col("b.band.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(
-        Seq(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")) ++
-          (0 until numHashes).map(h =>
-            when(col(s"a.m$h") === col(s"b.m$h"), 1L).otherwise(0L).as(s"eq$h")): _*)
-      .dropDuplicates("doc_a", "doc_b")
-    cand.select(
-      col("doc_a"), col("doc_b"),
-      (0 until numHashes).map(h => col(s"eq$h")).reduce(_ + _).as("n_agree"))
+    val banded = sigs.select(
+      Seq(struct(col("doc_id"),
+        array((0 until numHashes).map(h => col(s"m$h")): _*).as("sigs")).as("d"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("idx"),
+            md5(concat_ws("|", (0 until rows).map(r => col(s"m${b * rows + r}")): _*))
+              .as("key"))
+        }: _*)).as("band")): _*)
+    val buckets = banded
+      .groupBy(col("band.idx"), col("band.key"))
+      .agg(collect_list(col("d")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    buckets
+      .select(col("ds"))
+      .as[Seq[Dedup.DocSig]]
+      .flatMap { ds0 =>
+        val ds = ds0.sortBy(_.doc_id)
+        for {
+          i <- ds.indices.iterator
+          j <- (i + 1) until ds.size
+        } yield (ds(i).doc_id, ds(j).doc_id,
+          ds(i).sigs.iterator.zip(ds(j).sigs.iterator).count { case (a, b) => a == b }.toLong)
+      }
+      .toDF("doc_a", "doc_b", "n_agree")
+      .dropDuplicates("doc_a", "doc_b") // a pair can collide in several bands
       .withColumn("est_jaccard",
         Det.snap(col("n_agree").cast("double") / numHashes, 6))
   }

@@ -123,6 +123,40 @@ object Shingles {
         .otherwise(array().cast("array<string>")))
   }
 
+  /** Exploded distinct shingles as (doc_id, sz, shingle) rows via a typed
+    * flatMap. Same semantics as `explode(of(text, n))` + the distinct
+    * count, but JIT-compiled: higher-order Catalyst expressions run
+    * interpreted per element, which dominates wall-clock on string-heavy
+    * corpora — per-record Scala is the idiomatic escape hatch (codegen
+    * can't enter lambdas anyway). */
+  def exploded(docs: DataFrame, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.split(' ')
+        if (ws.length < n) Iterator.empty
+        else {
+          val distinct = new scala.collection.mutable.LinkedHashSet[String]
+          var i = 0
+          val sb = new java.lang.StringBuilder
+          while (i <= ws.length - n) {
+            sb.setLength(0)
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(' ')
+              sb.append(ws(i + j)); j += 1
+            }
+            distinct += sb.toString; i += 1
+          }
+          val sz = distinct.size.toLong
+          distinct.iterator.map(s => (id, sz, s))
+        }
+      }
+      .toDF("doc_id", "sz", "shingle")
+  }
+
   /** DuckDB twin of [[of]] (1-based list slicing). */
   def ofSql(text: String, n: Int): String =
     s"""list_distinct(CASE WHEN len(string_split($text, ' ')) >= $n
