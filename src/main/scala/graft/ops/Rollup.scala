@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   * `LAST(value, time)` without a sort.
   */
 object Rollup {
+
+  /** Streaming continuous-aggregate form: the 15-min refresh policy
+    * becomes the trigger interval of the query that runs this with
+    * `metrics.withWatermark("metric_time", delay)` upstream — same
+    * aggregate, watermark closes hourly buckets (A7,
+    * docker/postgres/init/03_continuous_aggregates.sql:17-22). */
+  def hourlyStream(metricsWithWatermark: DataFrame): DataFrame =
+    hourly(metricsWithWatermark)
+
   def hourly(metrics: DataFrame): DataFrame =
     metrics
       .groupBy(
