@@ -93,6 +93,50 @@ object Similarity {
     ranked(scored, k).select(col("qid"), col("vec_id"), col("cosine"), col("rnk"))
   }
 
+  /** Typed LSH-bucket entry for near-dup pair generation. */
+  final case class VecNorm(vec_id: Long, embedding: Seq[Float], n: Long)
+
+  /** Embedding-cosine near-duplicate pairs: SRP-bucketed candidates,
+    * compiled pairwise cosine on the 1e-12 integer grid, threshold τ.
+    * Recall is bucket-limited by construction (a 100 TB corpus only ever
+    * compares within a bucket); raise `planes` to shrink buckets.
+    */
+  def cosineNearDupPairs(vectors: DataFrame, tau: Double = 0.2,
+                         planes: Int = 4): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val buckets = vectors
+      .select(srpBucket(col("embedding"), planes).as("bucket"),
+        struct(col("vec_id"), col("embedding"),
+          dotL(col("embedding"), col("embedding")).as("n")).as("d"))
+      .groupBy(col("bucket"))
+      .agg(collect_list(col("d")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    buckets.select(col("ds")).as[Seq[VecNorm]]
+      .flatMap { ds0 =>
+        val ds = ds0.sortBy(_.vec_id)
+        for {
+          i <- ds.indices.iterator
+          j <- (i + 1) until ds.size
+          a = ds(i); b = ds(j)
+          if a.n > 0 && b.n > 0
+          // identical IEEE sequence to dotL/cosine/snap (bit-exact twin)
+          dot = {
+            var s = 0L; var k = 0
+            while (k < a.embedding.length) {
+              s += math.floor(a.embedding(k).toDouble * b.embedding(k).toDouble * 1e12 + 0.5).toLong
+              k += 1
+            }
+            s
+          }
+          c = (dot.toDouble / 1e12) / math.sqrt((a.n.toDouble / 1e12) * (b.n.toDouble / 1e12))
+          c6 = math.floor(c * 1e6 + 0.5) / 1e6
+          if c6 >= tau
+        } yield (a.vec_id, b.vec_id, c6)
+      }
+      .toDF("vec_a", "vec_b", "cosine")
+  }
+
   /** Per-label centroids as (label, pos [1-based], c) rows — exact
     * deterministic means per coordinate. */
   def centroids(vectors: DataFrame): DataFrame =

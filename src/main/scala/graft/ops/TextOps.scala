@@ -32,6 +32,11 @@ object TextOps {
 
   private def words(text: Column): Column = split(text, " ")
 
+  /** BPE-ish token pattern: letter runs, digit runs, single other marks —
+    * the cheap proxy for subword token counting over a corpus. Identical
+    * semantics in Java regex (Spark) and RE2 (DuckDB). */
+  val subtokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
   private def countIn(text: Column, set: Seq[String]): Column =
     size(filter(words(text), w => w.isInCollection(set)))
 
@@ -59,6 +64,7 @@ object TextOps {
       vowels.as("n_vowels"),
       // bytes > chars ⇔ multibyte (CJK etc.) content present.
       (octet_length(col("text")) - length(col("text"))).cast("long").as("n_multibyte"),
+      regexp_count(col("text"), lit(subtokenPattern)).cast("long").as("n_subtokens"),
       ((least(nTok, lit(100L)).cast("double") / 100d) * 0.3 +
         (nDistinct.cast("double") / nTok.cast("double")) * 0.3 +
         (lit(1.0) - nStop.cast("double") / nTok.cast("double")) * 0.2 +

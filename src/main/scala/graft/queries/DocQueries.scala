@@ -58,10 +58,11 @@ object DocQueries {
          len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
          ${nIn(TextOps.stopwords)} AS n_stopwords,
          length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_vowels,
-         strlen(text) - length(text) AS n_multibyte
+         strlen(text) - length(text) AS n_multibyte,
+         len(regexp_extract_all(text, '${TextOps.subtokenPattern}')) AS n_subtokens
   FROM documents)
 SELECT doc_id, n_chars, n_tokens, n_distinct_tokens, n_stopwords, n_vowels,
-       n_multibyte, ${s6(q)} AS quality_score
+       n_multibyte, n_subtokens, ${s6(q)} AS quality_score
 FROM st"""
   }
 

@@ -34,6 +34,9 @@ object TickQueries {
     * the column arrives as a real timestamp already, pass it through.
     */
   def ticks(s: SparkSession, dir: String): DataFrame = {
+    // Defensive: a caller-supplied session (driver smoke test) may not
+    // carry the flag; without it the TIMESTAMP(NANOS) read throws.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
     val eventTime =
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)

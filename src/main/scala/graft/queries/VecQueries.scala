@@ -31,7 +31,8 @@ object VecQueries {
     "embed_ivf" -> ((s, d) => {
       val v = vecs(s, d)
       Similarity.ivfAssign(v, Similarity.centroidArrays(Similarity.centroids(v)))
-    })
+    }),
+    "dedup_embed" -> ((s, d) => Similarity.cosineNearDupPairs(vecs(s, d)))
   )
 
   // ---------------------------------------------------------------------
@@ -115,7 +116,21 @@ FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2l, cand_label)
       FROM assign)
 WHERE rnk = 1"""
 
+  private val dedupEmbedSql =
+    s"""WITH e AS (
+  SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n,
+         ${bucketSql("embedding", 4)} AS bucket
+  FROM embeddings
+), p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ${cosSql(dotSql("a.embedding", "b.embedding"), "a.n", "b.n")} AS cosine
+  FROM e a JOIN e b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE a.n > 0 AND b.n > 0)
+SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.2"""
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_embed" -> dedupEmbedSql,
     "embed_topk" -> topkSql,
     "embed_lsh_topk" -> lshTopkSql,
     "embed_centroids" -> centroidsSql,
