@@ -1,0 +1,41 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet history warehouse — the engine's answer to the reference's
+  * TimescaleDB hypertables (SURVEY §1, docker/postgres/init/02_schema.sql:
+  * 48-63): time chunking → daily partition directories, hash
+  * subpartitioning → layout repartitioned by (day, instrument), chunk
+  * pruning → Catalyst partition pruning on `event_date`, compression →
+  * parquet codec, and row-group skipping via min/max stats (data sorted
+  * within partitions by (product_id, event_time), so an instrument slice
+  * reads a handful of row groups out of a day).
+  *
+  * At 100 TB this layout is what makes replay/backtest cheap: a backtest
+  * over one week × 10 instruments prunes to 7 directories and skips
+  * almost every row group inside them.
+  */
+object History {
+
+  /** Append a tick-shaped stream/batch slice to the warehouse. */
+  def write(df: DataFrame, path: String, timeCol: String = "event_time"): Unit =
+    df.withColumn("event_date", to_date(col(timeCol)))
+      .repartition(col("event_date"), col("product_id"))
+      .sortWithinPartitions(col("product_id"), col(timeCol))
+      .write.mode("append")
+      .partitionBy("event_date")
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Pruned slice: one day × one instrument (the Grafana/runbook-style
+    * serving read, SURVEY §2.6). The date predicate prunes partitions;
+    * the instrument predicate is pushed to parquet row groups. */
+  def slice(spark: SparkSession, path: String, date: String,
+            productId: String): DataFrame =
+    read(spark, path)
+      .filter(col("event_date") === to_date(lit(date)) &&
+        col("product_id") === productId)
+}

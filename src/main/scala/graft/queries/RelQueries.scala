@@ -73,7 +73,21 @@ object RelQueries {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(10)
 
+  /** 3-way join: fact⨝fact shuffle join on the key both sides can be
+    * co-partitioned/bucketed on at scale, dimension broadcast on top. */
+  private def revenueBySegment(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"),
+        date_trunc("month", col("o_orderdate")).as("order_month"))
+      .agg(
+        Det.sumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_revenue_by_segment" -> ((s, d) => r6(revenueBySegment(s, d))),
     "rel_runs_join" -> ((s, d) => r6(runsJoin(s, d))),
     "rel_lifecycle" -> ((s, d) => r6(lifecycle(s, d))),
     "rel_pricing" -> ((s, d) => r6(pricing(s, d))),
@@ -81,6 +95,14 @@ object RelQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "rel_revenue_by_segment" ->
+      s"""SELECT c_mktsegment, date_trunc('month', o_orderdate) AS order_month,
+       ${s6(Det.sumDSql("l_extendedprice * (1.0 - l_discount)", 4))} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, date_trunc('month', o_orderdate)""",
     "rel_runs_join" ->
       s"""SELECT o_orderkey, o_orderdate, o_orderstatus,
        ${s6("o_totalprice")} AS o_totalprice,

@@ -74,6 +74,35 @@ class StreamingJobSpec extends AnyFunSuite {
       "upserted metrics must converge to batch metrics")
   }
 
+  test("restart from checkpoint: a fresh job resumes from persisted tail state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val sorted = rows.sortBy(t => (t.event_time.getTime, t.product_id))
+    val (chunk1, chunk2) = sorted.splitAt(200)
+    def mkSinks(sig: mutable.ArrayBuffer[Row]) = Sinks(signals = df => sig ++= df.collect())
+
+    val sig1 = mutable.ArrayBuffer[Row]()
+    val job1 = new StreamingJob(SmaCrossStrategy, cfg, mkSinks(sig1),
+      checkpointDir = Some(dir))
+    job1.processBatch(ticksOf(chunk1), 0L)
+
+    // simulate process restart: brand-new job instance, same checkpoint dir
+    val sig2 = mutable.ArrayBuffer[Row]()
+    val job2 = new StreamingJob(SmaCrossStrategy, cfg, mkSinks(sig2),
+      checkpointDir = Some(dir))
+    job2.processBatch(ticksOf(chunk2), 0L)
+
+    val batchSignals = SmaCrossStrategy(ticksOf(rows), cfg).signals.collect().toSeq
+    def canon(rs: Seq[Row]): Seq[String] =
+      rs.map(r => r.toSeq.map(String.valueOf).mkString("|")).sorted
+    assert(canon(sig1.toSeq ++ sig2.toSeq) == canon(batchSignals),
+      "signals across a restart must equal the batch run")
+  }
+
+  private def ticksOf(ts0: Seq[Tick]) = ticks(ts0.map(t =>
+    (t.product_id, (t.event_time.getTime - ts(0).getTime) / 1000, t.sequence,
+      t.price: Double, Option(t.best_bid).map(Double.unbox),
+      Option(t.best_ask).map(Double.unbox))))
+
   test("tail size covers every rolling operator's lookback") {
     val job = new StreamingJob(SmaCrossStrategy, StrategyConfig(), Sinks())
     // slow=60 < volatility lookback 60; + confirmation 3 + 1 for lag
