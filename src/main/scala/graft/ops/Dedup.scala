@@ -88,15 +88,22 @@ object Dedup {
       .limit(topK)
   }
 
-  /** MinHash signature columns m0..m{numHashes-1}: min over the doc's
-    * shingles of md5(seed || ':' || shingle). */
-  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame =
-    Shingles.exploded(docs, n)
-      .groupBy(col("doc_id"))
-      .agg(
-        min(md5(concat(lit("0:"), col("shingle")))).as("m0"),
-        (1 until numHashes).map(h =>
-          min(md5(concat(lit(s"$h:"), col("shingle")))).as(s"m$h")): _*)
+  /** MinHash signature columns m0..m{numHashes-1}. One md5 yields four
+    * independent 32-bit (8-hex) hash slices, so numHashes hashes cost
+    * numHashes/4 md5 evaluations per shingle — at corpus scale md5 is the
+    * dominant cost of signature building. Hash h = slice h%4 of
+    * md5((h/4) || ':' || shingle); min is over the 8-hex string
+    * (lexicographic = numeric for fixed-width hex).
+    */
+  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
+    require(numHashes % 4 == 0, "numHashes must be a multiple of 4 (md5 slicing)")
+    val sh = Shingles.exploded(docs, n)
+    val sigs = (0 until numHashes).map { h =>
+      min(substring(md5(concat(lit(s"${h / 4}:"), col("shingle"))),
+        (h % 4) * 8 + 1, 8)).as(s"m$h")
+    }
+    sh.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
+  }
 
   /** MinHash + LSH banding: candidate duplicate pairs whose signatures
     * collide in at least one band, with the per-hash agreement count

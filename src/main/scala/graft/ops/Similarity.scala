@@ -102,7 +102,7 @@ object Similarity {
     * compares within a bucket); raise `planes` to shrink buckets.
     */
   def cosineNearDupPairs(vectors: DataFrame, tau: Double = 0.2,
-                         planes: Int = 4): DataFrame = {
+                         planes: Int = 6): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val buckets = vectors

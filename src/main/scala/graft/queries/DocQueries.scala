@@ -133,7 +133,8 @@ LIMIT 50"""
   private val dedupMinhashSql = {
     val H = 8
     val mins = (0 until H)
-      .map(h => s"min(md5('$h:' || shingle)) AS m$h").mkString(",\n         ")
+      .map(h => s"min(substring(md5('${h / 4}:' || shingle), ${(h % 4) * 8 + 1}, 8)) AS m$h")
+      .mkString(",\n         ")
     val eqs = (0 until H)
       .map(h => s"CASE WHEN a.m$h = b.m$h THEN 1 ELSE 0 END AS eq$h")
       .mkString(",\n         ")

@@ -119,7 +119,7 @@ WHERE rnk = 1"""
   private val dedupEmbedSql =
     s"""WITH e AS (
   SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n,
-         ${bucketSql("embedding", 4)} AS bucket
+         ${bucketSql("embedding", 6)} AS bucket
   FROM embeddings
 ), p AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
