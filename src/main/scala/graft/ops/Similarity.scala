@@ -155,9 +155,53 @@ object Similarity {
         sort_array(collect_list(struct(col("pos"), col("c")))),
         s => s.getField("c")).as("cv"))
 
-  /** IVF coarse assignment: nearest centroid per vector (centroid table
-    * broadcast; ties broken by smaller label). */
+  /** One IVF assignment row (d2 snapped to the 1e-6 grid). */
+  final case class IvfRow(vec_id: Long, label: Int, assigned_label: Int,
+                          d2: Double, correct: Boolean)
+
+  /** IVF coarse assignment: nearest centroid per vector, ties broken by
+    * smaller label. The codebook is tiny by construction, so it is
+    * collected and shipped in the task closure; each vector then gets a
+    * compiled argmin over the codebook — one output row per input row,
+    * no join blowup, no shuffle, no window rank. Distances use the same
+    * exact 1e-12 integer grid as [[dist2L]] (Long sums are associative,
+    * so this is bit-identical to the declarative form).
+    */
   def ivfAssign(vectors: DataFrame, centArrays: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val codebook: Array[(Int, Array[Double])] = centArrays
+      .select(col("label").cast("int"), col("cv"))
+      .as[(Int, Seq[Double])]
+      .collect()
+      .map { case (l, cv) => (l, cv.toArray) }
+      .sortBy(_._1)
+    vectors.select(col("vec_id").cast("long"), col("embedding"), col("label").cast("int"))
+      .as[(Long, Seq[Float], Int)]
+      .map { case (id, emb, label) =>
+        val e = emb.toArray
+        var bestLabel = -1; var bestD = Long.MaxValue
+        var ci = 0
+        while (ci < codebook.length) {
+          val (cl, cv) = codebook(ci)
+          var s = 0L; var k = 0
+          while (k < e.length) {
+            val d = e(k).toDouble - cv(k)
+            s += math.floor(d * d * 1e12 + 0.5).toLong
+            k += 1
+          }
+          if (s < bestD) { bestD = s; bestLabel = cl } // sorted → tie keeps smaller
+          ci += 1
+        }
+        IvfRow(id, label, bestLabel,
+          math.floor((bestD.toDouble / 1e12) * 1e6 + 0.5) / 1e6,
+          bestLabel == label)
+      }
+      .toDF()
+  }
+
+  /** Declarative variant kept for reference/testing of [[dist2L]]. */
+  def ivfAssignDeclarative(vectors: DataFrame, centArrays: DataFrame): DataFrame = {
     val scored = vectors
       .join(broadcast(centArrays.select(col("label").as("cand_label"), col("cv"))))
       .select(col("vec_id"), col("label"), col("cand_label"),

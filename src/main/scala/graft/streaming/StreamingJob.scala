@@ -50,15 +50,15 @@ final class StreamingJob(
     cfg: StrategyConfig,
     sinks: Sinks,
     watermarkDelay: String = "5 seconds",
-    checkpointDir: Option[String] = None) extends Serializable {
+    checkpointDir: Option[String] = None,
+    idleStateTtl: String = "6 hours") extends Serializable {
 
   /** Rows of per-key history that fully determine every rolling operator. */
   val tailRows: Int =
     math.max(cfg.smaSlowWindow, Normalize.VolatilityLookback) + cfg.confirmation + 1
 
-  /** cfg.metricsWindow ("5 minutes") in milliseconds. */
-  val metricsWindowMs: Long = {
-    val Array(n, unit) = cfg.metricsWindow.trim.split("\\s+")
+  private def durationMs(d: String): Long = {
+    val Array(n, unit) = d.trim.split("\\s+")
     val per = unit.toLowerCase match {
       case "second" | "seconds" => 1000L
       case "minute" | "minutes" => 60000L
@@ -67,6 +67,14 @@ final class StreamingJob(
     }
     n.toLong * per
   }
+
+  /** cfg.metricsWindow ("5 minutes") in milliseconds. */
+  val metricsWindowMs: Long = durationMs(cfg.metricsWindow)
+
+  /** Keyed-state TTL (T4 parity: `table.exec.state.ttl = PT6H`,
+    * __main__.py:45): tail rows of instruments idle longer than this are
+    * evicted, bounding state to active keys. */
+  val idleStateTtlMs: Long = durationMs(idleStateTtl)
 
   private def windowStartMs(tsMs: Long): Long = tsMs - Math.floorMod(tsMs, metricsWindowMs)
 
@@ -139,8 +147,9 @@ final class StreamingJob(
       .withColumn("__openRows", sum(
         when(col("event_time").cast("long") * 1000L >= lit(openStartMs), 1)
           .otherwise(0)).over(older.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(col("event_time").cast("long") * 1000L >= lit(openStartMs) ||
-        col("__rn") - col("__openRows") <= tailRows)
+      .filter((col("event_time").cast("long") * 1000L >= lit(openStartMs) ||
+        col("__rn") - col("__openRows") <= tailRows) &&
+        col("event_time").cast("long") * 1000L >= lit(maxEventMs - idleStateTtlMs))
       .drop("__rn", "__openRows")
       .localCheckpoint(true) // cut lineage so state doesn't grow per batch
     tailPath.foreach(p => nextTail.write.mode("overwrite").parquet(p))
