@@ -25,6 +25,12 @@ object TickQueries {
 
   val cfg: StrategyConfig = StrategyConfig()
 
+  /** The reference's mock_breakout run profile
+    * (configs/strategies/mock_breakout.json): fast=5 / slow=30. */
+  val cfgBreakout: StrategyConfig = StrategyConfig(
+    strategyRunId = "mock-breakout",
+    smaFastWindow = 5, smaSlowWindow = 30, smaConfirmationWindow = 2)
+
   /** events.parquet → reference raw-tick shape.
     *
     * `ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a nanos
@@ -83,6 +89,10 @@ object TickQueries {
     "normalize" -> ((s, d) => r6(Normalize(ticks(s, d)))),
     "sma_signals" -> ((s, d) =>
       r6(SmaCross(ticks(s, d), cfg).filter(col("signal_type") =!= "HOLD").drop("metadata"))),
+    // §2.10 parameterized run profiles: same pipeline, breakout knobs.
+    "sma_signals_breakout" -> ((s, d) =>
+      r6(SmaCross(ticks(s, d), cfgBreakout)
+        .filter(col("signal_type") =!= "HOLD").drop("metadata"))),
     "positions" -> ((s, d) => r6(Positions.transitions(costs(s, d), cfg).drop("metadata"))),
     "executions" -> ((s, d) => r6(Positions.executions(costs(s, d), cfg).drop("metadata"))),
     "metrics_5m" -> ((s, d) => r6(Performance(costs(s, d), cfg).drop("metadata"))),
@@ -109,8 +119,7 @@ object TickQueries {
   private def s6(x: String): String = Det.snapSql(x, 6)
 
   /** Shared CTE chain: ticks → normalized → sma-enriched → positions → costs. */
-  private def pipelineCtes(ticksSql: String): String = {
-    val c = cfg
+  private def pipelineCtes(ticksSql: String, c: StrategyConfig = cfg): String = {
     s"""WITH ticks AS (
   $ticksSql
 ), base AS (
@@ -201,6 +210,21 @@ object TickQueries {
 
   private def p: String = pipelineCtes(liveTicksSql)
 
+  /** Crossover-signals select over the `enriched` CTE (duck twin of
+    * SmaCross.signals minus metadata). */
+  private def signalsSelect(c: StrategyConfig): String =
+    s"""SELECT '${c.strategyRunId}' AS strategy_run_id,
+       product_id AS instrument_id, event_time AS signal_time, sequence,
+       st AS signal_type, sp AS position, ${s6("confidence")} AS confidence
+FROM (SELECT *,
+        CASE WHEN spread > 0 AND prev_spread <= 0 THEN 'LONG'
+             WHEN spread < 0 AND prev_spread >= 0 THEN 'SHORT' ELSE 'HOLD' END AS st,
+        CASE WHEN spread > 0 AND prev_spread <= 0 THEN 1.0
+             WHEN spread < 0 AND prev_spread >= 0 THEN -1.0 ELSE 0.0 END AS sp,
+        abs(spread) AS confidence
+      FROM enriched)
+WHERE st <> 'HOLD'"""
+
   private def metricsSelect: String = {
     val c = cfg
     s"""SELECT '${c.strategyRunId}' AS strategy_run_id,
@@ -248,18 +272,10 @@ FROM (
 FROM normalized"""
     Map(
       "normalize" -> s"$p $normalizedSelect",
-      "sma_signals" ->
-        s"""$p SELECT '${c.strategyRunId}' AS strategy_run_id,
-       product_id AS instrument_id, event_time AS signal_time, sequence,
-       st AS signal_type, sp AS position, ${s6("confidence")} AS confidence
-FROM (SELECT *,
-        CASE WHEN spread > 0 AND prev_spread <= 0 THEN 'LONG'
-             WHEN spread < 0 AND prev_spread >= 0 THEN 'SHORT' ELSE 'HOLD' END AS st,
-        CASE WHEN spread > 0 AND prev_spread <= 0 THEN 1.0
-             WHEN spread < 0 AND prev_spread >= 0 THEN -1.0 ELSE 0.0 END AS sp,
-        abs(spread) AS confidence
-      FROM enriched)
-WHERE st <> 'HOLD'""",
+      "sma_signals" -> s"$p ${signalsSelect(c)}",
+      // §2.10 parameterized run profile (mock_breakout knobs).
+      "sma_signals_breakout" ->
+        s"${pipelineCtes(liveTicksSql, cfgBreakout)} ${signalsSelect(cfgBreakout)}",
       "positions" ->
         s"""$p SELECT '${c.strategyRunId}' AS strategy_run_id, product_id, event_time, sequence,
        position, ${s6("position_change")} AS position_change,

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** ScalaCheck properties for Det's core promise: aggregation results are
+  * a pure function of the multiset of inputs — independent of row order
+  * and partitioning. */
+object DetProps extends Properties("Det") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8) // each sample runs Spark jobs
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val xsGen: Gen[List[Double]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(-1000.0, 1000.0))
+
+  private def agg(xs: List[Double], parts: Int): (Double, Double, Double) = {
+    val r = xs.toDF("x").repartition(parts)
+      .agg(Det.sumD(col("x"), 9).as("s"),
+        Det.avgD(col("x"), 9).as("a"),
+        Det.stddevPopD(col("x"), 4).as("sd"))
+      .head()
+    (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+  }
+
+  property("permutation- and partitioning-invariant") = Prop.forAll(xsGen) { xs =>
+    val a = agg(xs, 1)
+    val b = agg(scala.util.Random.shuffle(xs), 7)
+    a == b
+  }
+
+  property("constant inputs give exactly zero stddev") =
+    Prop.forAll(Gen.chooseNum(-500.0, 500.0), Gen.chooseNum(1, 50)) { (x, n) =>
+      agg(List.fill(n)(x), 3)._3 == 0.0
+    }
+
+  property("snap is idempotent on its own grid") =
+    Prop.forAll(Gen.chooseNum(-100.0, 100.0)) { x =>
+      val r = Seq(x).toDF("x")
+        .select(Det.snap(col("x"), 6).as("once"))
+        .select(col("once"), Det.snap(col("once"), 6).as("twice"))
+        .head()
+      r.getDouble(0) == r.getDouble(1)
+    }
+}
