@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.WindowSpec
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -81,6 +81,32 @@ object Det {
   /** Windowed [[avgD]] over a frame. */
   def avgD(c: Column, s: Int, frame: WindowSpec): Column =
     sum(dec(c, s)).over(frame).cast("double") / count(c).over(frame)
+
+  /** Trailing-window mean over the last `w` rows, O(n) instead of the
+    * O(n·w) per-row frame rebuild Spark does for sliding frames: running
+    * prefix sum minus its value `w` rows back. EXACT decimal arithmetic
+    * makes the subtraction bit-identical to summing the frame directly —
+    * this rewrite is only sound because Det sums never round. Requires a
+    * non-null input column (count = min(row_number, w)).
+    */
+  def avgDTrailing(c: Column, s: Int, w: Int, base: WindowSpec): Column = {
+    val cum = sum(dec(c, s)).over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val sumW = cum - coalesce(lag(cum, w).over(base), lit(0).cast(DecimalType(18, s)))
+    val cnt = least(row_number().over(base), lit(w))
+    sumW.cast("double") / cnt
+  }
+
+  /** Trailing-window population stddev over the last `w` rows, O(n) via
+    * exact prefix sums of k and k² (see [[avgDTrailing]] and
+    * [[stddevPopD]]). Requires a non-null input column. */
+  def stddevPopDTrailing(c: Column, e: Int, w: Int, base: WindowSpec): Column = {
+    val k = ki(c, e)
+    def trail(x: Column) = {
+      val cum = sum(x).over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      cum - coalesce(lag(cum, w).over(base), lit(0).cast(DecimalType(38, 0)))
+    }
+    finishStd(trail(k), trail(k * k), least(row_number().over(base), lit(w)), e)
+  }
 
   /** Order-independent population stddev over grid integers k = x·10^e:
     * sqrt(n·Σk² − (Σk)²) / (10^e · n), with the numerator exact (rule 2).

@@ -63,9 +63,8 @@ object Normalize {
           .otherwise((col("mid_price") - col("prev_mid_price")) / col("prev_mid_price"))
           .as("returns"),
         // STDDEV_POP over the trailing 60 rows, via Det for run-to-run
-        // bit-reproducibility (see Det's scaladoc).
-        Det.stddevPopD(col("mid_price"), 4,
-          w.rowsBetween(-(VolatilityLookback - 1), Window.currentRow))
+        // bit-reproducibility, in O(n) prefix-sum form (see Det scaladoc).
+        Det.stddevPopDTrailing(col("mid_price"), 4, VolatilityLookback, w)
           .as("volatility")
       )
   }

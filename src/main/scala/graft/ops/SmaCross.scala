@@ -24,10 +24,12 @@ object SmaCross {
   def enrich(normalized: DataFrame, cfg: StrategyConfig): DataFrame = {
     val w = Ticks.byInstrument
     normalized
+      // O(n) prefix-sum trailing means (Det scaladoc) — bit-identical to
+      // the direct frame sums because the decimal arithmetic is exact.
       .withColumn("fast_sma",
-        Det.avgD(col("mid_price"), 9, w.rowsBetween(-(cfg.smaFastWindow - 1), Window.currentRow)))
+        Det.avgDTrailing(col("mid_price"), 9, cfg.smaFastWindow, w))
       .withColumn("slow_sma",
-        Det.avgD(col("mid_price"), 9, w.rowsBetween(-(cfg.smaSlowWindow - 1), Window.currentRow)))
+        Det.avgDTrailing(col("mid_price"), 9, cfg.smaSlowWindow, w))
       .withColumn("spread", col("fast_sma") - col("slow_sma"))
       .withColumn("prev_spread", lag(col("spread"), cfg.confirmation).over(w))
   }
