@@ -44,6 +44,27 @@ class DetSpec extends AnyFunSuite {
     assert(r(4) == 0.0)
   }
 
+  test("trailing prefix-sum forms are bit-identical to direct frame forms") {
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(7)
+    val rows = for (k <- Seq("a", "b"); i <- 0 until 300)
+      yield (k, i.toLong, rng.nextDouble() * 500.0)
+    val df = rows.toDF("k", "seq", "x")
+    val base = Window.partitionBy(col("k")).orderBy(col("seq"))
+    val w = 60
+    val frame = base.rowsBetween(-(w - 1), Window.currentRow)
+    val cmp = df.select(
+      Det.avgD(col("x"), 9, frame).as("a1"),
+      Det.avgDTrailing(col("x"), 9, w, base).as("a2"),
+      Det.stddevPopD(col("x"), 4, frame).as("s1"),
+      Det.stddevPopDTrailing(col("x"), 4, w, base).as("s2"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "trailing avg must be bit-identical")
+      assert(r.getDouble(2) == r.getDouble(3), "trailing stddev must be bit-identical")
+    }
+  }
+
   test("property: avgD within grid distance of true mean; stddevPopD >= 0 (seeded trials)") {
     val rng = new scala.util.Random(42)
     for (_ <- 1 to 10) {
