@@ -30,4 +30,29 @@ class HistorySpec extends AnyFunSuite {
     val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
     assert(dirs.count(_.startsWith("event_date=")) == 2)
   }
+
+  test("backtest over a warehouse slice equals the strategy on the same ticks (T8)") {
+    import graft.{Backtest, TestSpark}
+    import graft.config.StrategyConfig
+    import graft.strategy.SmaCrossStrategy
+    val dir = java.nio.file.Files.createTempDirectory("graft-bt").toString + "/ticks"
+    val cfg = StrategyConfig(smaFastWindow = 2, smaSlowWindow = 4,
+      smaConfirmationWindow = 1)
+    val rows = (0 until 120).map(i =>
+      ("A", i * 60L, i.toLong, 100.0 + 3 * math.sin(i / 5.0),
+        Option(99.0), Option(101.0)))
+    History.write(ticks(rows), dir)
+
+    // slice = second hour of data
+    val t0 = TestSpark.ts(3600).toInstant.toString.replace("T", " ").dropRight(1)
+    val t1 = TestSpark.ts(7200).toInstant.toString.replace("T", " ").dropRight(1)
+    val bt = Backtest.run(spark, dir, SmaCrossStrategy, cfg, t0, t1)
+
+    val direct = SmaCrossStrategy(
+      ticks(rows.filter(r => r._2 >= 3600 && r._2 < 7200)), cfg)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(canon(bt.signals) == canon(direct.signals))
+    assert(canon(bt.executions) == canon(direct.executions))
+  }
 }
