@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.ops._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Driver-verifiable queries for the text-analysis + deduplication
   * operator families (TextOps, Dedup) over `documents.parquet`, each with
@@ -30,7 +31,19 @@ object DocQueries {
       Multimodal.features(Multimodal.toBlobTable(docs(s, d)))),
     // No SQL oracle (byte-level mapPartitions decode) → driver rows-only check.
     "multimodal_decode" -> ((s, d) =>
-      Multimodal.decodeFrames(Multimodal.toBlobTable(docs(s, d))).toDF())
+      Multimodal.decodeFrames(Multimodal.toBlobTable(docs(s, d))).toDF()),
+    // Composite curation pipeline: quality × language × dedup filters —
+    // the canonical LLM-corpus cleaning pass, composed from the same ops.
+    "corpus_clean" -> ((s, d) => {
+      val base = docs(s, d)
+      r6(TextOps.stats(base))
+        .join(TextOps.langId(base).select("doc_id", "predicted_lang"), Seq("doc_id"))
+        .join(Dedup.exact(base).select("doc_id", "is_duplicate"), Seq("doc_id"))
+        .filter(col("quality_score") >= 0.68 &&
+          col("predicted_lang") === "en" && !col("is_duplicate"))
+        .select(col("doc_id"), col("n_tokens"), col("n_subtokens"),
+          col("predicted_lang"), col("quality_score"))
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -203,8 +216,16 @@ FROM fp"""
 FROM documents"""
   }
 
+  private val corpusCleanSql =
+    s"""SELECT s1.doc_id, s1.n_tokens, s1.n_subtokens, s2.predicted_lang, s1.quality_score
+FROM ($statsSql) s1
+JOIN ($langIdSql) s2 USING (doc_id)
+JOIN ($dedupExactSql) s3 USING (doc_id)
+WHERE s1.quality_score >= 0.68 AND s2.predicted_lang = 'en' AND NOT s3.is_duplicate"""
+
   def oracleSql: Map[String, String] = Map(
     "multimodal_features" -> multimodalFeaturesSql,
+    "corpus_clean" -> corpusCleanSql,
     "text_stats" -> statsSql,
     "lang_id" -> langIdSql,
     "fingerprint" -> fingerprintSql,
