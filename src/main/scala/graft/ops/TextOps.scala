@@ -73,6 +73,21 @@ object TextOps {
     )
   }
 
+  /** Corpus-level vocabulary statistics: document/token totals, exact
+    * distinct vocabulary size, and mean document length. The distinct
+    * count is a real shuffle-dedup (the thing approx sketches replace at
+    * 100 TB — kept exact here so the oracle can verify it; swap in
+    * approx_count_distinct at crawl scale). */
+  def vocab(docs: DataFrame): DataFrame = {
+    val w = explode(words(col("text"))).as("word")
+    docs.select(col("doc_id"), w)
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("word")).as("vocab_size"),
+        Det.avgD(length(col("word")).cast("double"), 6).as("avg_token_len"))
+  }
+
   /** Heuristic language ID: per-language stopword hit counts, multibyte
     * bytes as the zh signal, deterministic argmax in [[langProfiles]]
     * order ("zh" wins only on multibyte presence; "en" is the fallback).

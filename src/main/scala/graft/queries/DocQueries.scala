@@ -21,6 +21,7 @@ object DocQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> ((s, d) => r6(TextOps.stats(docs(s, d)))),
+    "text_vocab" -> ((s, d) => r6(TextOps.vocab(docs(s, d)))),
     "lang_id" -> ((s, d) => TextOps.langId(docs(s, d))),
     "fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
@@ -226,6 +227,12 @@ WHERE s1.quality_score >= 0.68 AND s2.predicted_lang = 'en' AND NOT s3.is_duplic
   def oracleSql: Map[String, String] = Map(
     "multimodal_features" -> multimodalFeaturesSql,
     "corpus_clean" -> corpusCleanSql,
+    "text_vocab" ->
+      s"""SELECT count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_tokens,
+       count(DISTINCT word) AS vocab_size,
+       ${s6(Det.avgDSql("length(word)::DOUBLE", 6))} AS avg_token_len
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)""",
     "text_stats" -> statsSql,
     "lang_id" -> langIdSql,
     "fingerprint" -> fingerprintSql,
