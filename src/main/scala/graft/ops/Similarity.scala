@@ -25,12 +25,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact integer-grid inner product Σ round(a_i·b_i·1e12) as Long. */
+  /** Exact integer-grid inner product Σ round(a_i·b_i·1e12) as Long,
+    * via the codegen'd native expression (graft.functions.DotProductGrid;
+    * call [[graft.functions.GraftFunctions.register]] on the session
+    * first — every operator here does). Bit-identical to the interpreted
+    * composition `aggregate(zip_with(a, b, round·), 0L, +)`. */
   def dotL(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        floor(x.cast("double") * y.cast("double") * lit(1e12) + lit(0.5))),
-      lit(0L), (acc, v) => acc + v)
+    call_function(graft.functions.GraftFunctions.DotName, a, b)
 
   /** Squared L2 distance on the same grid: Σ round((a_i−b_i)²·1e12). */
   def dist2L(a: Column, b: Column): Column =
@@ -55,6 +56,7 @@ object Similarity {
   /** Exact cosine top-k of `corpus` rows for each row of `queries`
     * (both need vec_id + embedding). Self-matches excluded. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val q = broadcast(queries.select(
       col("vec_id").as("qid"), col("embedding").as("qv"),
       dotL(col("embedding"), col("embedding")).as("nq")))
@@ -78,6 +80,7 @@ object Similarity {
     * bucket (recall trades for a corpus-partition-sized read). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
               planes: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val q = broadcast(queries.select(
       col("vec_id").as("qid"), col("embedding").as("qv"),
       dotL(col("embedding"), col("embedding")).as("nq"),
@@ -104,6 +107,7 @@ object Similarity {
   def cosineNearDupPairs(vectors: DataFrame, tau: Double = 0.2,
                          planes: Int = 6): DataFrame = {
     val spark = vectors.sparkSession
+    graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
     val buckets = vectors
       .select(srpBucket(col("embedding"), planes).as("bucket"),
