@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.TestSpark
+import graft.config.StrategyConfig
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every operator must degrade to an empty result (never throw) on empty
+  * input — at cluster scale empty partitions/slices are routine. */
+class EmptyInputSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val cfg = StrategyConfig()
+  private val noTicks = ticks(Seq.empty)
+  private val noDocs = docs(Seq.empty)
+  private val noVecs = vecs(Seq.empty)
+
+  test("tick pipeline on empty input") {
+    val enriched = SmaCross.enrich(Normalize(noTicks), cfg)
+    val costs = Positions.costs(Positions.stream(enriched), cfg)
+    assert(SmaCross.signals(enriched, cfg).count() == 0)
+    assert(Positions.executions(costs, cfg).count() == 0)
+    assert(Performance(costs, cfg).count() == 0)
+    assert(Rollup.hourly(Performance(costs, cfg)).count() == 0)
+  }
+
+  test("text and dedup operators on empty corpus") {
+    assert(TextOps.stats(noDocs).count() == 0)
+    assert(TextOps.langId(noDocs).count() == 0)
+    assert(TextOps.vocab(noDocs).count() == 1) // global agg row of zeros
+    assert(Dedup.exact(noDocs).count() == 0)
+    assert(Dedup.ngramJaccardTopK(noDocs).count() == 0)
+    assert(Dedup.minhashLshPairs(noDocs).count() == 0)
+    assert(Dedup.simhash(noDocs).count() == 0)
+  }
+
+  test("similarity operators on empty corpus") {
+    assert(Similarity.bruteForceTopK(noVecs, noVecs).count() == 0)
+    assert(Similarity.lshTopK(noVecs, noVecs).count() == 0)
+    assert(Similarity.cosineNearDupPairs(noVecs).count() == 0)
+    assert(Similarity.centroids(noVecs).count() == 0)
+    assert(Similarity.ivfAssign(noVecs,
+      Similarity.centroidArrays(Similarity.centroids(noVecs))).count() == 0)
+    assert(Multimodal.decodeFrames(Multimodal.toBlobTable(noDocs)).count() == 0)
+  }
+}
