@@ -103,6 +103,30 @@ class StreamingJobSpec extends AnyFunSuite {
       t.price: Double, Option(t.best_bid).map(Double.unbox),
       Option(t.best_ask).map(Double.unbox))))
 
+  test("a late row within the carried tail is reordered into its correct place") {
+    val sig = mutable.ArrayBuffer[Row]()
+    val job = new StreamingJob(SmaCrossStrategy, cfg,
+      Sinks(signals = df => sig ++= df.collect()))
+    val a = (0 until 40).map(i =>
+      ("A", i * 10L, i.toLong, 100.0 + (i % 9), Option(99.0), Option(101.0)))
+    // batch 1: everything except row 35; batch 2: rows 40.. plus LATE row 35
+    job.processBatch(ticks(a.filterNot(_._3 == 35L)), 0L)
+    val later = (40 until 60).map(i =>
+      ("A", i * 10L, i.toLong, 100.0 + (i % 9), Option(99.0), Option(101.0)))
+    job.processBatch(ticks(later ++ a.filter(_._3 == 35L)), 1L)
+
+    val batchSignals = SmaCrossStrategy(ticks(a ++ later), cfg).signals.collect()
+    def canon(rs: Seq[Row]): Seq[String] =
+      rs.map(r => r.toSeq.map(String.valueOf).mkString("|")).sorted
+    // every signal at/after the late row's position is recomputed with it
+    // in place; earlier ones were already emitted from batch 1 — so the
+    // union of emissions must contain the batch result for rows >= 35
+    val emitted = canon(sig.toSeq)
+    val expectedLateOn = canon(batchSignals.filter(_.getAs[Long]("sequence") >= 35L).toSeq)
+    expectedLateOn.foreach(e => assert(emitted.contains(e),
+      s"late-row-corrected signal missing: $e"))
+  }
+
   test("tail size covers every rolling operator's lookback") {
     val job = new StreamingJob(SmaCrossStrategy, StrategyConfig(), Sinks())
     // slow=60 < volatility lookback 60; + confirmation 3 + 1 for lag
