@@ -47,6 +47,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(3L) == 1 && out(4L) == 1 && out(5L) == 1)
   }
 
+  test("compiled and declarative IVF assignment agree bit-for-bit") {
+    val cents = Similarity.centroidArrays(Similarity.centroids(corpus))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(canon(Similarity.ivfAssign(corpus, cents)) ==
+      canon(Similarity.ivfAssignDeclarative(corpus, cents)))
+  }
+
   test("cosine of a vector with an identical vector is exactly 1.0") {
     val two = vecs(Seq((0L, Seq(0.3f, -0.2f, 0.5f, 0.1f), 0),
       (1L, Seq(0.3f, -0.2f, 0.5f, 0.1f), 0)))
