@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sessionization — event streams grouped into per-key activity sessions
+  * split on inactivity gaps. The reference uses only tumbling windows
+  * (SURVEY T9 notes sessions as an available-but-unused Spark
+  * capability); training-data pipelines need this shape constantly
+  * (user sessions, document bursts, crawl visits).
+  *
+  * Implementation: native `session_window` (Spark ≥3.2) — state-merged
+  * sessions in one shuffle on (key, overlapping-window merge), identical
+  * semantics batch and streaming (with a watermark upstream in
+  * streaming). Session end = last event + gap, Spark's convention; a new
+  * session starts when the gap to the previous event is ≥ `gap`.
+  */
+object Sessionize {
+
+  /** Per-key sessions over an event-time column: (key, session_start,
+    * session_end, n_events, value Det-sum). */
+  def apply(events: DataFrame, keyCol: String, timeCol: String,
+            valueCol: String, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col(keyCol), session_window(col(timeCol), gap).as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Det.sumD(col(valueCol), 9).as("total_value"))
+      .select(
+        col(keyCol),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
+  /** DuckDB twin: gaps-and-islands with the same boundary rule
+    * (split when diff >= gap; end = last event + gap). */
+  def sql(table: String, keyCol: String, timeCol: String,
+          valueCol: String, gapSql: String = "INTERVAL '30 minutes'"): String =
+    s"""WITH marked AS (
+  SELECT $keyCol, $timeCol, $valueCol,
+         CASE WHEN lag($timeCol) OVER (PARTITION BY $keyCol ORDER BY $timeCol) IS NULL
+                OR $timeCol - lag($timeCol) OVER (PARTITION BY $keyCol ORDER BY $timeCol) >= $gapSql
+              THEN 1 ELSE 0 END AS new_s
+  FROM $table
+), sessions AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY $keyCol ORDER BY $timeCol
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked)
+SELECT $keyCol,
+       min($timeCol) AS session_start,
+       max($timeCol) + $gapSql AS session_end,
+       count(*) AS n_events,
+       ${Det.sumDSql(valueCol, 9)} AS total_value
+FROM sessions
+GROUP BY $keyCol, sid"""
+}

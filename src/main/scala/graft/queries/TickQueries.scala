@@ -106,7 +106,10 @@ object TickQueries {
         .orderBy(col("event_time").desc, col("sequence").desc).limit(200))),
     "union_replay" -> ((s, d) =>
       // J3 backtest union: live ∪ replayed through the same normalize stage.
-      r6(Normalize(ticks(s, d).unionByName(replayTicks(s, d)))))
+      r6(Normalize(ticks(s, d).unionByName(replayTicks(s, d))))),
+    "sessions" -> ((s, d) =>
+      // T9 sessionization over the tick stream (1-day inactivity gap).
+      r6(Sessionize(ticks(s, d), "product_id", "event_time", "price", "1 day")))
   )
 
   // ---------------------------------------------------------------------
@@ -317,7 +320,14 @@ GROUP BY strategy_run_id, time_bucket(INTERVAL '1 hour', metric_time)""",
        ${s6("mid_price")} AS mid_price
 FROM costs WHERE prev_position IS NULL OR position <> prev_position
 ORDER BY event_time DESC, sequence DESC LIMIT 200""",
-      "union_replay" -> s"${pipelineCtes(unionTicksSql)} $normalizedSelect"
+      "union_replay" -> s"${pipelineCtes(unionTicksSql)} $normalizedSelect",
+      "sessions" -> {
+        val base = Sessionize.sql(s"($liveTicksSql) t", "product_id",
+          "event_time", "price", "INTERVAL '1 day'")
+        s"""SELECT product_id, session_start, session_end, n_events,
+       ${s6("total_value")} AS total_value
+FROM ($base) sessions_out"""
+      }
     )
   }
 }
