@@ -19,10 +19,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
-    def run(name: String): Long =
-      try SparkEntry.queries(name)(spark, sfDir).count()
+    // Write to the noop sink, NOT count(): count(1) lets Catalyst prune every
+    // unreferenced column, so projection-only queries (text_stats, lang_id,
+    // fingerprint, ...) would time just the parquet scan instead of the real
+    // per-row compute (regexp, md5, window functions).
+    def run(name: String): Unit =
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
     names.foreach(run) // warmup pass
     val results = names.map { name =>

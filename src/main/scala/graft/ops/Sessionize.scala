@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
+  /** Det grid for session value sums. Scale 4 (not 9): Det.sumD's envelope
+    * needs Σ|value|·10^s < 2^53, and a long inactivity gap can merge an
+    * entire key's history into ONE session — at scale 4 the envelope holds
+    * to Σ|value| < 9e11 (~9e9 rows of price≈100), where scale 9 would
+    * overflow past ~9e4 absolute. The query contract snaps outputs to 6 dp
+    * anyway, so a 1e-4 sum grid loses nothing visible. */
+  val SumScale: Int = 4
+
   /** Per-key sessions over an event-time column: (key, session_start,
     * session_end, n_events, value Det-sum). */
   def apply(events: DataFrame, keyCol: String, timeCol: String,
@@ -25,7 +33,7 @@ object Sessionize {
       .groupBy(col(keyCol), session_window(col(timeCol), gap).as("w"))
       .agg(
         count(lit(1)).as("n_events"),
-        Det.sumD(col(valueCol), 9).as("total_value"))
+        Det.sumD(col(valueCol), SumScale).as("total_value"))
       .select(
         col(keyCol),
         col("w.start").as("session_start"),
@@ -50,7 +58,7 @@ SELECT $keyCol,
        min($timeCol) AS session_start,
        max($timeCol) + $gapSql AS session_end,
        count(*) AS n_events,
-       ${Det.sumDSql(valueCol, 9)} AS total_value
+       ${Det.sumDSql(valueCol, SumScale)} AS total_value
 FROM sessions
 GROUP BY $keyCol, sid"""
 }

@@ -308,7 +308,7 @@ SELECT strategy_run_id,
        ${s6(Det.avgDSql("sortino_ratio", 6))} AS avg_sortino,
        ${s6("arg_max(cumulative_return, metric_time)")} AS last_cumulative_return,
        ${s6("max(drawdown)")} AS max_drawdown,
-       sum(trades_executed) AS total_trades
+       CAST(sum(trades_executed) AS BIGINT) AS total_trades
 FROM metrics
 GROUP BY strategy_run_id, time_bucket(INTERVAL '1 hour', metric_time)""",
       "topk_positions" ->

@@ -16,25 +16,52 @@ import org.apache.spark.sql.functions._
 final class RunCatalog(spark: SparkSession, path: String) {
 
   import spark.implicits._
+  import org.apache.hadoop.fs.Path
 
   private def emptyRuns: DataFrame =
     Seq.empty[(String, String, String, java.sql.Timestamp, Option[java.sql.Timestamp])]
       .toDF("run_id", "strategy_name", "params", "started_at", "ended_at")
 
-  def runs: DataFrame =
-    try spark.read.parquet(path)
-    catch { case _: Exception => emptyRuns } // first use: no table yet
+  private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Committed snapshot versions, oldest→newest. A version counts only once
+    * its `_SUCCESS` marker exists (the committer writes it last), so readers
+    * never observe a half-written snapshot and a writer crash mid-save
+    * leaves the previous version intact. */
+  private def committedVersions: Seq[(Long, Path)] = {
+    val dir = new Path(path)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+            fs.exists(new Path(st.getPath, "_SUCCESS")))
+          Some((n.drop(1).toLong, st.getPath))
+        else None
+      }
+      .sortBy(_._1)
+  }
+
+  def runs: DataFrame =
+    committedVersions.lastOption match {
+      case Some((_, p)) => spark.read.parquet(p.toString) // IO errors propagate
+      case None => emptyRuns // genuinely no table yet
+    }
+
+  /** Commit a new snapshot as `<path>/v<n+1>`; never touches the version a
+    * concurrent reader may be scanning (only versions older than the
+    * previous one are pruned). Version numbering assumes a SINGLE writer —
+    * the reference has the same model (one strategy_manager mutating
+    * strategy_runs); concurrent writers would need a real transactional
+    * table format. */
   private def save(df: DataFrame): Unit = {
-    // control-plane table: rewrite via a temp dir so readers never see a
-    // half-written directory
-    val tmp = path + ".tmp"
-    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val prior = committedVersions
+    val next = prior.lastOption.map(_._1 + 1).getOrElse(1L)
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new Path(path, f"v$next%019d").toString)
+    // keep the just-superseded version for in-flight readers; prune older
+    prior.dropRight(1).foreach { case (_, p) => fs.delete(p, true) }
   }
 
   /** Register a new run (strategy_runs INSERT, strategy_runs.py:24-47). */

@@ -79,6 +79,7 @@ final class StreamingJob(
   private def windowStartMs(tsMs: Long): Long = tsMs - Math.floorMod(tsMs, metricsWindowMs)
 
   @volatile private var tail: Option[DataFrame] = None
+  @volatile private var tailLoaded = false
 
   private def tailPath = checkpointDir.map(_ + "/graft-tail")
 
@@ -95,7 +96,11 @@ final class StreamingJob(
   private[streaming] def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    if (batchId == 0) loadTail(spark)
+    // Load the persisted tail on the FIRST batch this process handles,
+    // whatever its id: after a checkpoint restart foreachBatch resumes with
+    // the last UNcommitted batchId (> 0), and the pre-crash tail must still
+    // seed the rolling operators (invariant 5, streaming ≡ batch).
+    if (!tailLoaded) { loadTail(spark); tailLoaded = true }
 
     // The tail carries every row of the still-open metrics window, so its
     // max event time is the previous batch's high-water mark; windows at or
@@ -104,7 +109,14 @@ final class StreamingJob(
       windowStartMs(t.agg(max(col("event_time"))).head().getTimestamp(0).getTime)
     }
     val withTail = tail match {
+      // A replayed batch (crash after the tail was persisted but before the
+      // micro-batch committed) is already inside the tail: keep one copy of
+      // each (product_id, sequence) tick, or the rolling SMAs/volatility
+      // would run over doubled rows and upsert wrong values. Duplicate keys
+      // only ever carry identical rows (a tick is immutable), so which copy
+      // survives is immaterial.
       case Some(t) => t.unionByName(batch.select(t.columns.map(col).toIndexedSeq: _*))
+        .dropDuplicates("product_id", "sequence")
       case None => batch
     }
     val input = withTail.persist(StorageLevel.MEMORY_AND_DISK)

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.TestSpark
 import graft.config.StrategyConfig
 import graft.strategy.SmaCrossStrategy
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 import scala.collection.mutable
@@ -85,11 +85,13 @@ class StreamingJobSpec extends AnyFunSuite {
       checkpointDir = Some(dir))
     job1.processBatch(ticksOf(chunk1), 0L)
 
-    // simulate process restart: brand-new job instance, same checkpoint dir
+    // simulate process restart: brand-new job instance, same checkpoint dir.
+    // The resumed batchId is NOT 0 — a real checkpoint restart re-enters
+    // foreachBatch at the last uncommitted id, and the tail must load anyway.
     val sig2 = mutable.ArrayBuffer[Row]()
     val job2 = new StreamingJob(SmaCrossStrategy, cfg, mkSinks(sig2),
       checkpointDir = Some(dir))
-    job2.processBatch(ticksOf(chunk2), 0L)
+    job2.processBatch(ticksOf(chunk2), 7L)
 
     val batchSignals = SmaCrossStrategy(ticksOf(rows), cfg).signals.collect().toSeq
     def canon(rs: Seq[Row]): Seq[String] =
@@ -102,6 +104,63 @@ class StreamingJobSpec extends AnyFunSuite {
     (t.product_id, (t.event_time.getTime - ts(0).getTime) / 1000, t.sequence,
       t.price: Double, Option(t.best_bid).map(Double.unbox),
       Option(t.best_ask).map(Double.unbox))))
+
+  private def canonRows(rs: Iterable[Row]): Seq[String] =
+    rs.map(r => r.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+
+  test("restart through start()+checkpointLocation: tail loads at batchId > 0") {
+    val s = spark
+    val base = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    val ckpt = base + "/ckpt"
+    val srcDir = base + "/src"
+    val sorted = rows.sortBy(t => (t.event_time.getTime, t.product_id))
+    val (chunk1, chunk2) = sorted.splitAt(200)
+    val schema = ticksOf(chunk1).schema
+
+    // Each call is a fresh "process": new StreamingJob instance, same
+    // checkpoint. The file source resumes from the committed offsets, so the
+    // second run's first foreachBatch call arrives with batchId = 1.
+    def runProcess(chunk: Seq[Tick], sig: mutable.ArrayBuffer[Row]): Unit = {
+      ticksOf(chunk).coalesce(1).write.mode("append").parquet(srcDir)
+      val job = new StreamingJob(SmaCrossStrategy, cfg,
+        Sinks(signals = df => sig ++= df.collect()), checkpointDir = Some(ckpt))
+      val q = job.start(s.readStream.schema(schema).parquet(srcDir))
+      try q.processAllAvailable() finally q.stop()
+    }
+    val sig1 = mutable.ArrayBuffer[Row]()
+    val sig2 = mutable.ArrayBuffer[Row]()
+    runProcess(chunk1, sig1)
+    runProcess(chunk2, sig2)
+
+    val batchSignals = SmaCrossStrategy(ticksOf(rows), cfg).signals.collect().toSeq
+    assert(canonRows(sig1.toSeq ++ sig2.toSeq) == canonRows(batchSignals),
+      "signals across a real checkpointed restart must equal the batch run")
+  }
+
+  test("a replayed micro-batch (tail persisted, commit lost) upserts the batch values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val sorted = rows.sortBy(t => (t.event_time.getTime, t.product_id))
+    val (c1, rest) = sorted.splitAt(150)
+    val (c2, c3) = rest.splitAt(120)
+    val sig = mutable.LinkedHashMap[(String, Long), Row]() // upsert on PK
+    def upsert(df: DataFrame): Unit = df.collect().foreach(r =>
+      sig((r.getAs[String]("instrument_id"), r.getAs[Long]("sequence"))) = r)
+
+    val job1 = new StreamingJob(SmaCrossStrategy, cfg,
+      Sinks(signals = upsert), checkpointDir = Some(dir))
+    job1.processBatch(ticksOf(c1), 0L)
+    job1.processBatch(ticksOf(c2), 1L) // tail (incl. c2) persisted...
+    // ...but the micro-batch commit is lost: the restarted process replays
+    // batch 1, whose rows are now ALSO in the loaded tail.
+    val job2 = new StreamingJob(SmaCrossStrategy, cfg,
+      Sinks(signals = upsert), checkpointDir = Some(dir))
+    job2.processBatch(ticksOf(c2), 1L) // replay
+    job2.processBatch(ticksOf(c3), 2L)
+
+    val batchSignals = SmaCrossStrategy(ticksOf(rows), cfg).signals.collect().toSeq
+    assert(canonRows(sig.values) == canonRows(batchSignals),
+      "upserted signals after a replayed batch must equal the batch run")
+  }
 
   test("a late row within the carried tail is reordered into its correct place") {
     val sig = mutable.ArrayBuffer[Row]()

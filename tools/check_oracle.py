@@ -53,6 +53,19 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             failures += 1
             continue
+        # A dtype mismatch (e.g. DuckDB sum(BIGINT) -> HUGEINT -> float64 vs
+        # Spark's int64) hash-mismatches at the driver even when every value
+        # compares equal, so treat it as a failure here too.
+        dtype_bad = [
+            c for c in got.columns
+            if got[c].dtype.kind != want[c].dtype.kind
+        ]
+        if dtype_bad:
+            print(f"FAIL {name}: dtype mismatch on "
+                  + ", ".join(f"{c} (spark {got[c].dtype} vs oracle {want[c].dtype})"
+                              for c in dtype_bad))
+            failures += 1
+            continue
         got = got.sort_values(by=list(got.columns), ignore_index=True)
         want = want.sort_values(by=list(want.columns), ignore_index=True)
         bad = 0
@@ -66,7 +79,9 @@ def main(sf_dir: str, out_dir: str) -> int:
                         continue
                     if x is None and y is None:
                         continue
-                    if x is None or y is None or x != y:
+                    if x is None or y is None or x != y or (
+                            x == 0.0 and y == 0.0
+                            and math.copysign(1.0, x) != math.copysign(1.0, y)):
                         d = abs((x or 0) - (y or 0))
                         worst = max(worst, d)
                         bad += 1
