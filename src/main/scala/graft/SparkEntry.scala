@@ -24,9 +24,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TickQueries.queries ++ DocQueries.queries ++
-      VecQueries.queries ++ RelQueries.queries
+      VecQueries.queries ++ RelQueries.queries ++ AnalyticsQueries.queries
 
   def oracleSql: Map[String, String] =
     TickQueries.oracleSql ++ DocQueries.oracleSql ++
-      VecQueries.oracleSql ++ RelQueries.oracleSql
+      VecQueries.oracleSql ++ RelQueries.oracleSql ++ AnalyticsQueries.oracleSql
 }

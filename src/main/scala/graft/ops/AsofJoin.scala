@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — attach to every left ("probe") row the single most
+  * recent right ("reference") row per key with `right.time <= left.time`.
+  *
+  * The reference solves its one as-of-shaped problem (prices ⟕ signals,
+  * SURVEY J1, flink_jobs/strategies/sma_cross.py:186-207) as an
+  * exact-timestamp equi-join because both streams share tick timestamps; a
+  * real as-of join is the general tool (trade ⟕ latest quote, event ⟕
+  * latest snapshot) and Spark has no built-in. DuckDB's `ASOF LEFT JOIN`
+  * is the oracle twin.
+  *
+  * Implementation is union + forward-fill, NOT a point-lookup join:
+  * both sides are tagged and unioned, shuffled ONCE on the key, sorted by
+  * (time, side) inside each partition, and the right payload is carried
+  * forward with `last(ignoreNulls)` over an unbounded-preceding frame;
+  * left rows then read the carried value. One Exchange + one Sort total —
+  * at 100 TB this scales exactly like any windowed operator (hash-partition
+  * by key, external sort), with no row-at-a-time probing, no range
+  * explosion, and skew handled the same way as every other per-key window
+  * (AQE / salting upstream if one key dominates).
+  *
+  * Tie semantics: right rows sort BEFORE left rows at equal time (side 0 <
+  * side 1), so an exactly-simultaneous right row IS matched — the same
+  * `l.t >= r.t` convention as DuckDB ASOF. The right side must be unique
+  * per (keys, rightTime); pre-aggregate it otherwise (two simultaneous
+  * reference rows make "the" most recent row ill-defined in any engine).
+  */
+object AsofJoin {
+
+  /** @param rightCols right-side column → output name (names must not
+    *                  collide with left columns; include the right time
+    *                  column here, renamed, if the caller wants it). */
+  def apply(left: DataFrame, right: DataFrame, keys: Seq[String],
+            leftTime: String, rightTime: String,
+            rightCols: Seq[(String, String)]): DataFrame = {
+    val lCols = left.columns.toSeq
+    val outNames = rightCols.map(_._2)
+    require(outNames.intersect(lCols).isEmpty,
+      s"right output names ${outNames.intersect(lCols)} collide with left columns")
+
+    val keyCols: Seq[Column] = keys.map(col)
+    val l2 = left.select(
+      keyCols :+ col(leftTime).as("__t") :+ lit(1).as("__side") :+
+        struct(lCols.map(col): _*).as("__left"): _*)
+    val r2 = right.select(
+      keyCols :+ col(rightTime).as("__t") :+ lit(0).as("__side") :+
+        struct(rightCols.map { case (c, o) => col(c).as(o) }: _*).as("__pay"): _*)
+
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.unionByName(r2, allowMissingColumns = true)
+      .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(lCols.map(c => col("__left").getField(c).as(c)) ++
+        outNames.map(o => col("__m").getField(o).as(o)): _*)
+  }
+}
