@@ -24,9 +24,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TickQueries.queries ++ DocQueries.queries ++
-      VecQueries.queries ++ RelQueries.queries ++ AnalyticsQueries.queries
+      VecQueries.queries ++ RelQueries.queries ++ AnalyticsQueries.queries ++
+      BreadthQueries.queries
 
   def oracleSql: Map[String, String] =
     TickQueries.oracleSql ++ DocQueries.oracleSql ++
-      VecQueries.oracleSql ++ RelQueries.oracleSql ++ AnalyticsQueries.oracleSql
+      VecQueries.oracleSql ++ RelQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
+      BreadthQueries.oracleSql
 }
