@@ -33,6 +33,10 @@ object DocQueries {
     // No SQL oracle (byte-level mapPartitions decode) → driver rows-only check.
     "multimodal_decode" -> ((s, d) =>
       Multimodal.decodeFrames(Multimodal.toBlobTable(docs(s, d))).toDF()),
+    // Benchmark decontamination: training docs sharing word 5-grams with
+    // the held-out "benchmark" source (src0 plays the eval set).
+    "decontaminate" -> ((s, d) =>
+      r6(Decontaminate.report(docs(s, d), col("source") === "src0"))),
     // Composite curation pipeline: quality × language × dedup filters —
     // the canonical LLM-corpus cleaning pass, composed from the same ops.
     "corpus_clean" -> ((s, d) => {
@@ -227,6 +231,7 @@ WHERE s1.quality_score >= 0.68 AND s2.predicted_lang = 'en' AND NOT s3.is_duplic
   def oracleSql: Map[String, String] = Map(
     "multimodal_features" -> multimodalFeaturesSql,
     "corpus_clean" -> corpusCleanSql,
+    "decontaminate" -> Decontaminate.reportSql("documents", "source = 'src0'"),
     "text_vocab" ->
       s"""SELECT count(DISTINCT doc_id) AS n_docs,
        count(*) AS n_tokens,
