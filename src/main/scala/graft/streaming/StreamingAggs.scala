@@ -1,0 +1,44 @@
+package graft.streaming
+
+import graft.ops.Det
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming-native aggregation operators that run the SAME code path in
+  * batch and streaming (invariant 5) — the `window(slide)` and
+  * `dropDuplicatesWithinWatermark` counterparts of the batch
+  * `sliding_windows` contract query and the Dedup family.
+  *
+  * Both take an already-watermarked (or batch) frame: `withWatermark` is
+  * a no-op in batch, so callers can `.withWatermark("event_time", "10
+  * minutes")` unconditionally and feed either a parquet scan or a Kafka
+  * stream. At scale the hopping aggregation keeps one state row per open
+  * (window, key) — bounded by slide-count × key-cardinality, not data
+  * volume — and the dedup keeps one state row per key seen within the
+  * watermark horizon, evicted as event time advances (unlike plain
+  * streaming `dropDuplicates`, whose state never shrinks).
+  */
+object StreamingAggs {
+
+  /** Hopping count + exact-decimal sum per (window, key). `sumScale`
+    * follows the Det envelope rules (Σ|x|·10^s < 2^53 per window). */
+  def hoppingStats(ticks: DataFrame, keyCol: String, valCol: String,
+                   duration: String, slide: String): DataFrame =
+    ticks
+      .groupBy(window(col("event_time"), duration, slide), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(Det.dec(col(valCol), 4)).as("sum_dec"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col(keyCol), col("n"), col("sum_dec").cast("double").as("sum_value"))
+
+  /** Exactly-once tick dedup on (key, sequence). Streaming keeps
+    * watermark-bounded state (evicted as event time advances — a plain
+    * streaming dropDuplicates would grow forever); batch is plain
+    * dropDuplicates, which Spark refuses to spell
+    * dropDuplicatesWithinWatermark (analysis error), hence the branch —
+    * semantics are identical because a tick is immutable per key. */
+  def dedupTicks(ticks: DataFrame): DataFrame =
+    if (ticks.isStreaming)
+      ticks.dropDuplicatesWithinWatermark("product_id", "sequence")
+    else ticks.dropDuplicates("product_id", "sequence")
+}
