@@ -109,7 +109,16 @@ object TickQueries {
       r6(Normalize(ticks(s, d).unionByName(replayTicks(s, d))))),
     "sessions" -> ((s, d) =>
       // T9 sessionization over the tick stream (1-day inactivity gap).
-      r6(Sessionize(ticks(s, d), "product_id", "event_time", "price", "1 day")))
+      r6(Sessionize(ticks(s, d), "product_id", "event_time", "price", "1 day"))),
+    "gapfill" -> ((s, d) =>
+      // Resample to an hourly grid with forward-fill (locf) + staleness.
+      r6(GapFill(ticks(s, d).select(col("product_id"), col("event_time"), col("price")),
+        Seq("product_id"), "event_time", "1 hour",
+        Seq("price" -> "price", "event_time" -> "src_time"), truncUnit = "hour")
+        .withColumn("stale_us",
+          unix_micros(col("grid_ts")) - unix_micros(col("src_time"))))),
+    "ewma" -> ((s, d) =>
+      r6(Ewma.finalPerKey(ticks(s, d), "product_id", "event_time", "sequence", "price")))
   )
 
   // ---------------------------------------------------------------------
@@ -327,6 +336,24 @@ ORDER BY event_time DESC, sequence DESC LIMIT 200""",
         s"""SELECT product_id, session_start, session_end, n_events,
        ${s6("total_value")} AS total_value
 FROM ($base) sessions_out"""
+      },
+      "gapfill" ->
+        s"""WITH t AS ($liveTicksSql),
+bounds AS (
+  SELECT product_id, date_trunc('hour', min(event_time)) AS s, max(event_time) AS e
+  FROM t GROUP BY 1),
+g AS (
+  SELECT product_id, unnest(generate_series(s, e, INTERVAL '1 hour')) AS grid_ts
+  FROM bounds)
+SELECT g.product_id, g.grid_ts, ${s6("t.price")} AS price,
+       t.event_time AS src_time,
+       epoch_us(g.grid_ts) - epoch_us(t.event_time) AS stale_us
+FROM g ASOF LEFT JOIN t
+  ON g.product_id = t.product_id AND g.grid_ts >= t.event_time""",
+      "ewma" -> {
+        val base = Ewma.finalPerKeySql(s"($liveTicksSql) t", "product_id",
+          "event_time", "sequence", "price")
+        s"""SELECT product_id, n_ticks, ${s6("ewma")} AS ewma FROM ($base) ewma_out"""
       }
     )
   }
