@@ -18,23 +18,28 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Design rules that make every aggregate bit-reproducible in ANY engine:
   *
-  *  1. The additive part runs on exact fixed-point decimals (decimal
-  *     addition IS associative). Inputs are snapped to the decimal grid
-  *     with pure double ops (`floor(x*10^s+0.5)`), so the double→decimal
-  *     cast is unambiguous everywhere: the snapped value sits ~1 ulp from
-  *     a grid point, never near the half-way boundary where cast rounding
-  *     is implementation-defined.
+  *  1. The additive part runs on exact integers: inputs are snapped to a
+  *     10^-s grid with pure double ops (`floor(x*10^s+0.5)` — each step
+  *     correctly rounded, no implementation freedom) and carried as
+  *     primitive longs, so partial sums stay in whole-stage codegen with
+  *     no Decimal boxing (switching the sums from DECIMAL(18,s) to long
+  *     grid integers cut aggregate wall-clock ~5× at sf0.1) and integer
+  *     addition is exactly associative.
   *  2. Variance numerators are computed EXACTLY in integer arithmetic:
-  *     `D = n·Σk² − (Σk)²` over grid integers k, carried in decimals wide
-  *     enough to never round. D ≥ 0 by Cauchy–Schwarz and is exactly 0
-  *     for constant inputs — no cancellation junk for `sqrt` to amplify,
-  *     and the `x = 0 → NULL` ratio guards fire identically everywhere.
-  *  3. Every decimal that is cast back to double stays below 2^53 in
-  *     unscaled magnitude (asserted by the width choices below), so both
-  *     a correctly-rounded cast (Spark: BigDecimal.doubleValue) and a
-  *     two-step int64→double→÷10^s cast (DuckDB) yield the same bits.
-  *  4. All finishing arithmetic (divide, sqrt) is a fixed sequence of
-  *     correctly-rounded IEEE double ops.
+  *     `D = n·Σk² − (Σk)²` over grid integers k, with the one-row-per-
+  *     group finishing arithmetic widened to decimals so it never rounds.
+  *     D ≥ 0 by Cauchy–Schwarz and is exactly 0 for constant inputs — no
+  *     cancellation junk for `sqrt` to amplify, and the `x = 0 → NULL`
+  *     ratio guards fire identically everywhere.
+  *  3. Finishing is the fixed IEEE sequence `(double)Σk / 10^s [/ n]`:
+  *     int64→double conversion is correctly rounded in the JVM, DuckDB
+  *     (HUGEINT→DOUBLE), and every IEEE engine, and the divides are
+  *     single correctly-rounded ops — so the bits agree engine-to-engine
+  *     for ANY exact Σk, not just Σk < 2^53. Exactness of the sum itself
+  *     requires Σ|x|·10^s < 2^63 (long overflow; ANSI Spark throws loudly
+  *     if ever exceeded).
+  *  4. All remaining arithmetic (sqrt, ratio guards) is a fixed sequence
+  *     of correctly-rounded IEEE double ops.
   *
   * The grids (1e-9 for means, 1e-4/1e-5 for variance operands) perturb
   * inputs far below any signal-relevant scale; in exchange, aggregates are
@@ -44,7 +49,8 @@ import org.apache.spark.sql.types.DecimalType
   * upgrades that to deterministic semantics with the same formulas.
   *
   * Each Column builder has a DuckDB-SQL twin below generated from the SAME
-  * constants — that pairing is what keeps the two engines in lockstep.
+  * constants — that pairing is what keeps the two engines in lockstep
+  * (invariant 2 in CLAUDE.md: never edit one side alone).
   */
 object Det {
 
@@ -61,73 +67,79 @@ object Det {
   def snap(c: Column, s: Int): Column =
     floor(c * lit(pow10(s)) + lit(0.5)) / lit(pow10(s))
 
-  /** Snap to the 10^-s grid, then cast to DECIMAL(18,s) — exact by rule 1. */
-  def dec(c: Column, s: Int): Column =
-    snap(c, s).cast(DecimalType(18, s))
+  /** Grid integer k = round(x·10^s) as a primitive long. The double
+    * `floor(x·10^s+0.5)` is exactly an integer < 2^53 when it reaches the
+    * cast, so the cast is exact in any implementation. Public for
+    * operators that build their own combine trees over grid integers
+    * (Salt) — pair with [[klSql]]. */
+  def kl(c: Column, s: Int): Column =
+    floor(c * lit(pow10(s)) + lit(0.5)).cast("long")
 
-  /** Grid integer k = round(x·10^e) as DECIMAL(18,0). The double is exactly
-    * an integer < 2^53 when it reaches the cast, so the cast is exact in
-    * any implementation. */
-  private def ki(c: Column, e: Int): Column =
-    floor(c * lit(pow10(e)) + lit(0.5)).cast(DecimalType(18, 0))
+  /** Order-independent SUM: exact long-grid sum at scale s, finished as
+    * `(double)Σk / 10^s` (rule 3). Exactness envelope: Σ|x|·10^s < 2^63. */
+  def sumD(c: Column, s: Int): Column =
+    sum(kl(c, s)).cast("double") / lit(pow10(s))
 
-  /** Order-independent SUM: exact decimal sum at scale s, finished as
-    * double. Envelope: Σ|x|·10^s < 2^53. */
-  def sumD(c: Column, s: Int): Column = sum(dec(c, s)).cast("double")
+  /** Windowed [[sumD]] over a frame. */
+  def sumD(c: Column, s: Int, frame: WindowSpec): Column =
+    sum(kl(c, s)).over(frame).cast("double") / lit(pow10(s))
 
-  /** Order-independent AVG = exact decimal sum / non-null count. */
+  /** Order-independent AVG = exact grid sum / non-null count. */
   def avgD(c: Column, s: Int): Column = sumD(c, s) / count(c)
 
   /** Windowed [[avgD]] over a frame. */
   def avgD(c: Column, s: Int, frame: WindowSpec): Column =
-    sum(dec(c, s)).over(frame).cast("double") / count(c).over(frame)
+    sumD(c, s, frame) / count(c).over(frame)
 
   /** Trailing-window mean over the last `w` rows, O(n) instead of the
     * O(n·w) per-row frame rebuild Spark does for sliding frames: running
-    * prefix sum minus its value `w` rows back. EXACT decimal arithmetic
+    * prefix sum minus its value `w` rows back. EXACT integer arithmetic
     * makes the subtraction bit-identical to summing the frame directly —
-    * this rewrite is only sound because Det sums never round. Requires a
+    * this rewrite is only sound because grid sums never round. Requires a
     * non-null input column (count = min(row_number, w)).
     */
   def avgDTrailing(c: Column, s: Int, w: Int, base: WindowSpec): Column = {
-    val cum = sum(dec(c, s)).over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    val sumW = cum - coalesce(lag(cum, w).over(base), lit(0).cast(DecimalType(18, s)))
+    val cum = sum(kl(c, s)).over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val sumW = cum - coalesce(lag(cum, w).over(base), lit(0L))
     val cnt = least(row_number().over(base), lit(w))
-    sumW.cast("double") / cnt
+    (sumW.cast("double") / lit(pow10(s))) / cnt
   }
 
   /** Trailing-window population stddev over the last `w` rows, O(n) via
     * exact prefix sums of k and k² (see [[avgDTrailing]] and
     * [[stddevPopD]]). Requires a non-null input column. */
   def stddevPopDTrailing(c: Column, e: Int, w: Int, base: WindowSpec): Column = {
-    val k = ki(c, e)
+    val k = kl(c, e)
     def trail(x: Column) = {
       val cum = sum(x).over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-      cum - coalesce(lag(cum, w).over(base), lit(0).cast(DecimalType(38, 0)))
+      cum - coalesce(lag(cum, w).over(base), lit(0L))
     }
     finishStd(trail(k), trail(k * k), least(row_number().over(base), lit(w)), e)
   }
 
   /** Order-independent population stddev over grid integers k = x·10^e:
     * sqrt(n·Σk² − (Σk)²) / (10^e · n), with the numerator exact (rule 2).
-    * Envelope: Σk² < 2^53 and Σ|k| < 10^14. Matches STDDEV_POP semantics
-    * (0.0 for a single sample or constant input, null only on empty).
+    * Envelope: Σk² < 2^53, Σ|k| < 10^14, and |k| < 3·10^9 (so k² fits a
+    * long). Matches STDDEV_POP semantics (0.0 for a single sample or
+    * constant input, null only on empty).
     */
   def stddevPopD(c: Column, e: Int): Column = {
-    val k = ki(c, e)
+    val k = kl(c, e)
     finishStd(sum(k), sum(k * k), count(c), e)
   }
 
   /** Windowed variant of [[stddevPopD]] over a frame. */
   def stddevPopD(c: Column, e: Int, frame: WindowSpec): Column =
     finishStd(
-      sum(ki(c, e)).over(frame),
-      sum(ki(c, e) * ki(c, e)).over(frame),
+      sum(kl(c, e)).over(frame),
+      sum(kl(c, e) * kl(c, e)).over(frame),
       count(c).over(frame),
       e)
 
   private def finishStd(s1: Column, s2: Column, n: Column, e: Int): Column = {
-    // Exact integer D = n·Σk² − (Σk)²  (≥ 0 by Cauchy–Schwarz).
+    // Exact integer D = n·Σk² − (Σk)² (≥ 0 by Cauchy–Schwarz), carried in
+    // decimals wide enough to never round — one row per group, so the
+    // decimal cost is irrelevant here (the hot path is the long sums).
     val d = n.cast(DecimalType(10, 0)) * s2.cast(DecimalType(18, 0)) -
       s1.cast(DecimalType(14, 0)) * s1.cast(DecimalType(14, 0))
     sqrt(d.cast("double")) / (lit(pow10(e)) * n.cast("double"))
@@ -137,30 +149,31 @@ object Det {
     * as double·10^-2e; 0.0 when no row matches. Used for downside variance
     * (Sortino). */
   def sumSqWhereD(cond: Column, c: Column, e: Int): Column = {
-    val k = ki(c, e)
+    val k = kl(c, e)
     coalesce(sum(when(cond, k * k)).cast("double"), lit(0.0)) / lit(pow10(2 * e))
   }
 
   // -------------------------------------------------------------------
-  // DuckDB-SQL twins (same formulas, same grids).
+  // DuckDB-SQL twins (same formulas, same grids). DuckDB sums BIGINT as
+  // HUGEINT — exact like the long sums (wider, in fact), and
+  // HUGEINT→DOUBLE is the same correctly-rounded conversion as the JVM's
+  // long→double (rule 3).
   // -------------------------------------------------------------------
 
   def snapSql(x: String, s: Int): String = s"floor(($x)*1e$s+0.5)/1e$s"
 
-  def decSql(x: String, s: Int): String =
-    s"CAST(${snapSql(x, s)} AS DECIMAL(18,$s))"
-
-  private def kiSql(x: String, e: Int): String =
-    s"CAST(floor(($x)*1e$e+0.5) AS DECIMAL(18,0))"
+  /** Twin of [[kl]]. */
+  def klSql(x: String, s: Int): String =
+    s"CAST(floor(($x)*1e$s+0.5) AS BIGINT)"
 
   def sumDSql(x: String, s: Int, over: String = ""): String =
-    s"CAST(sum(${decSql(x, s)})$over AS DOUBLE)"
+    s"(CAST(sum(${klSql(x, s)})$over AS DOUBLE) / 1e$s)"
 
   def avgDSql(x: String, s: Int, over: String = ""): String =
     s"(${sumDSql(x, s, over)} / (count($x)$over))"
 
   def stddevPopDSql(x: String, e: Int, over: String = ""): String = {
-    val k = kiSql(x, e)
+    val k = klSql(x, e)
     val s1 = s"CAST(sum($k)$over AS DECIMAL(14,0))"
     val s2 = s"CAST(sum($k*$k)$over AS DECIMAL(18,0))"
     val n = s"count($x)$over"
@@ -169,7 +182,7 @@ object Det {
   }
 
   def sumSqWhereDSql(cond: String, x: String, e: Int): String = {
-    val k = kiSql(x, e)
+    val k = klSql(x, e)
     s"(coalesce(CAST(sum(CASE WHEN $cond THEN $k*$k END) AS DOUBLE), 0.0) / 1e${2 * e})"
   }
 }

@@ -25,9 +25,9 @@ object Salt {
                  salts: Int = 16): DataFrame =
     df.withColumn("__salt", pmod(hash(value), lit(salts)))
       .groupBy(keys.map(col) :+ col("__salt"): _*)
-      .agg(sum(Det.dec(value, s)).as("__partial"), count(lit(1)).as("__n"))
+      .agg(sum(Det.kl(value, s)).as("__partial"), count(lit(1)).as("__n"))
       .groupBy(keys.map(col): _*)
       .agg(
-        sum(col("__partial")).cast("double").as("sum"),
+        (sum(col("__partial")).cast("double") / lit(s"1e$s".toDouble)).as("sum"),
         sum(col("__n")).as("count"))
 }

@@ -126,7 +126,7 @@ object BreadthQueries {
     events(s, d)
       .withColumn("__us", unix_micros(col("ts")))
       .withColumn("n_1h", count(lit(1)).over(w))
-      .withColumn("sum_1h", sum(Det.dec(col("value"), 4)).over(w).cast("double"))
+      .withColumn("sum_1h", Det.sumD(col("value"), 4, w))
       .select(col("event_id"), col("user_id"), col("ts"), col("n_1h"), col("sum_1h"))
   }
 
@@ -165,7 +165,7 @@ object BreadthQueries {
 
   private def pivotCols: String = priorities.map { p =>
     val filteredSum =
-      s"CAST(sum(${Det.decSql("o_totalprice", 2)}) FILTER (WHERE o_orderpriority = '$p') AS DOUBLE)"
+      s"(CAST(sum(${Det.klSql("o_totalprice", 2)}) FILTER (WHERE o_orderpriority = '$p') AS DOUBLE) / 1e2)"
     s"""count(*) FILTER (WHERE o_orderpriority = '$p') AS "${p}_n",
        ${s6(s"coalesce($filteredSum, 0.0)")} AS "${p}_rev""""
   }.mkString(",\n       ")
@@ -206,7 +206,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders
     "range_frame" ->
       s"""SELECT event_id, user_id, ts,
        count(*) OVER w AS n_1h,
-       ${s6(s"CAST(sum(${Det.decSql("value", 4)}) OVER w AS DOUBLE)")} AS sum_1h
+       ${s6(Det.sumDSql("value", 4, " OVER w"))} AS sum_1h
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)""",

@@ -39,12 +39,11 @@ object StatefulExecutions {
       spreads: Vector[Double],
       prevPosition: Double)
 
-  private def scaledToDouble(sum: Long, scale: Int): Double =
-    new java.math.BigDecimal(java.math.BigInteger.valueOf(sum), scale).doubleValue
-
   private def sma(mids9: Vector[Long], w: Int): Double = {
+    // Det rule 3 finishing: (double)Σk / 10^s / n — the same correctly-
+    // rounded IEEE sequence as Det.avgDTrailing's long-grid path.
     val window = mids9.takeRight(w)
-    scaledToDouble(window.sum, 9) / window.size
+    (window.sum.toDouble / 1e9) / window.size
   }
 
   /** Exact-integer population stddev over the trailing lookback —

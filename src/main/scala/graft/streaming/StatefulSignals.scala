@@ -17,10 +17,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Numeric contract: identical bits to the batch pipeline. Sums are kept
   * as exact scaled Longs (mid·10⁹ for SMAs, grid integers for the
-  * variance numerator — same grids as Det), and finishing arithmetic
-  * replays Det's exact cast path (`BigDecimal(unscaled, scale)
-  * .doubleValue` = Spark's decimal→double cast). StatefulSignalsSpec
-  * asserts equality with the batch SmaCross output.
+  * variance numerator — same grids as Det), and finishing replays Det's
+  * rule-3 sequence (`(double)Σk / 10^s / n`, each op correctly rounded).
+  * StatefulSignalsSpec asserts equality with the batch SmaCross output.
   *
   * Event-time caveat: rows are sorted within each micro-batch per key;
   * rows arriving after their key's state has advanced past them are
@@ -45,13 +44,11 @@ object StatefulSignals {
       k4: Vector[Long],         // mid·1e4 (variance grid, kept for parity/extension)
       spreads: Vector[Double])  // recent spread values for the confirmation lag
 
-  /** Exact scaled-long sum → double via the decimal cast path. */
-  private def scaledToDouble(sum: Long, scale: Int): Double =
-    new java.math.BigDecimal(java.math.BigInteger.valueOf(sum), scale).doubleValue
-
   private def sma(mids9: Vector[Long], w: Int): Double = {
+    // Det rule 3 finishing: (double)Σk / 10^s / n — the same correctly-
+    // rounded IEEE sequence as Det.avgDTrailing's long-grid path.
     val window = mids9.takeRight(w)
-    scaledToDouble(window.sum, 9) / window.size
+    (window.sum.toDouble / 1e9) / window.size
   }
 
   def signals(ticks: Dataset[TickIn], cfg: StrategyConfig): Dataset[SignalOut] = {

@@ -27,9 +27,9 @@ object StreamingAggs {
     ticks
       .groupBy(window(col("event_time"), duration, slide), col(keyCol))
       .agg(count(lit(1)).as("n"),
-        sum(Det.dec(col(valCol), 4)).as("sum_dec"))
+        Det.sumD(col(valCol), 4).as("sum_value"))
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
-        col(keyCol), col("n"), col("sum_dec").cast("double").as("sum_value"))
+        col(keyCol), col("n"), col("sum_value"))
 
   /** Exactly-once tick dedup on (key, sequence). Streaming keeps
     * watermark-bounded state (evicted as event time advances — a plain
