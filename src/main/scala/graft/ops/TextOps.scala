@@ -115,20 +115,61 @@ object TextOps {
     * shingle fingerprint (min & max md5 over word 3-grams — the rolling
     * hash family), and the shingle count. md5 hex compares are portable
     * across engines; min/max over strings are order-independent.
+    *
+    * Typed map, not `transform(sh, md5)`: higher-order Catalyst lambdas
+    * run INTERPRETED per element (invariant 4), and hashing every shingle
+    * of every document is the hot loop — per-record Scala with a reused
+    * MessageDigest is ~3× faster and byte-identical (same md5 hex).
     */
-  def fingerprint(docs: DataFrame, n: Int = 3): DataFrame =
-    docs
-      .select(
-        col("doc_id"),
-        md5(col("text")).as("text_md5"),
-        Shingles.of(col("text"), n).as("sh"))
-      .select(
-        col("doc_id"),
-        col("text_md5"),
-        size(col("sh")).cast("long").as("n_shingles"),
-        array_min(transform(col("sh"), s => md5(s))).as("min_shingle_md5"),
-        array_max(transform(col("sh"), s => md5(s))).as("max_shingle_md5")
-      )
+  def fingerprint(docs: DataFrame, n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        def hex(s: String): String = {
+          val b = digest.digest(s.getBytes("UTF-8"))
+          val sb = new java.lang.StringBuilder(32)
+          var i = 0
+          while (i < b.length) {
+            sb.append(Character.forDigit((b(i) >> 4) & 0xf, 16))
+            sb.append(Character.forDigit(b(i) & 0xf, 16))
+            i += 1
+          }
+          sb.toString
+        }
+        it.map { case (id, text) =>
+          val ws = text.split(' ')
+          var nSh = 0L
+          var min: String = null
+          var max: String = null
+          if (ws.length >= n) {
+            val seen = new scala.collection.mutable.HashSet[String]
+            val sb = new java.lang.StringBuilder
+            var i = 0
+            while (i <= ws.length - n) {
+              sb.setLength(0)
+              var j = 0
+              while (j < n) {
+                if (j > 0) sb.append(' ')
+                sb.append(ws(i + j)); j += 1
+              }
+              val sh = sb.toString
+              if (seen.add(sh)) {
+                nSh += 1L
+                val h = hex(sh)
+                if (min == null || h < min) min = h
+                if (max == null || h > max) max = h
+              }
+              i += 1
+            }
+          }
+          (id, hex(text), nSh, min, max)
+        }
+      }
+      .toDF("doc_id", "text_md5", "n_shingles", "min_shingle_md5", "max_shingle_md5")
+  }
 }
 
 /** Word n-gram shingling shared by fingerprinting and dedup. */
