@@ -33,6 +33,23 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dedup.simhash(noDocs).count() == 0)
   }
 
+  test("round-2 analytics operators on empty input") {
+    import org.apache.spark.sql.functions._
+    val obs = noTicks.select(col("product_id"), col("event_time"), col("price"))
+    assert(AsofJoin(obs, obs, Seq("product_id"), "event_time", "event_time",
+      Seq("price" -> "m")).count() == 0)
+    assert(RangeJoin.pairs(obs, obs, Seq("product_id"), "event_time", "event_time",
+      -60L, 0L, Seq("price" -> "m")).count() == 0)
+    assert(GapFill(obs, Seq("product_id"), "event_time", "1 minute",
+      Seq("price" -> "price")).count() == 0)
+    assert(Ewma.finalPerKey(noTicks, "product_id", "event_time", "sequence", "price")
+      .count() == 0)
+    assert(Decontaminate.report(noDocs, lit(false)).count() == 0)
+    assert(Sample.stratified(noDocs, col("doc_id"), col("lang"),
+      Map("en" -> 0.5), 0.1).count() == 0)
+    assert(noDocs.filter(Sample.hashFilter(col("doc_id"), 0.5)).count() == 0)
+  }
+
   test("similarity operators on empty corpus") {
     assert(Similarity.bruteForceTopK(noVecs, noVecs).count() == 0)
     assert(Similarity.lshTopK(noVecs, noVecs).count() == 0)
