@@ -86,7 +86,22 @@ object RelQueries {
           .as("revenue"),
         count(lit(1)).as("n_items"))
 
+  /** Star-schema join: fact (lineitem) ⨝ orders ⨝ customer with the two
+    * snowflake dims (nation, region) BROADCAST — the canonical 100 TB
+    * plan: the fact table shuffles only for the orderkey join, dims ride
+    * along as broadcast hash joins, then one partial/final aggregate. */
+  private def starJoin(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).as("order_year"))
+      .agg(count(lit(1)).as("n_items"),
+        Det.sumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_star_join" -> ((s, d) => r6(starJoin(s, d))),
     "rel_revenue_by_segment" -> ((s, d) => r6(revenueBySegment(s, d))),
     "rel_runs_join" -> ((s, d) => r6(runsJoin(s, d))),
     "rel_lifecycle" -> ((s, d) => r6(lifecycle(s, d))),
@@ -95,6 +110,16 @@ object RelQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "rel_star_join" ->
+      s"""SELECT r_name, CAST(year(o_orderdate) AS INT) AS order_year,
+       count(*) AS n_items,
+       ${s6(Det.sumDSql("l_extendedprice * (1.0 - l_discount)", 4))} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2""",
     "rel_revenue_by_segment" ->
       s"""SELECT c_mktsegment, date_trunc('month', o_orderdate) AS order_month,
        ${s6(Det.sumDSql("l_extendedprice * (1.0 - l_discount)", 4))} AS revenue,
