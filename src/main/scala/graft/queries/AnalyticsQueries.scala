@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{AsofJoin, Det, RangeJoin, Sample}
+import graft.ops.{AsofJoin, Det, Funnel, RangeJoin, Sample}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -123,7 +123,13 @@ object AnalyticsQueries {
         pick(0.50).as("p50"), pick(0.90).as("p90"), pick(0.99).as("p99"))
   }
 
+  /** Conversion funnel view → click → purchase within 24 h. */
+  private def funnel(s: SparkSession, d: String): DataFrame =
+    Funnel.threeStep(events(s, d).drop("value"), "user_id", "ts", "event_type",
+      "view", "click", "purchase", horizonSec = 86400L)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel" -> ((s, d) => funnel(s, d)),
     "asof_join" -> ((s, d) => r6(asofJoin(s, d))),
     "range_join" -> ((s, d) => r6(rangeJoin(s, d))),
     "rel_rollup" -> ((s, d) => r6(rollupOrders(s, d))),
@@ -134,6 +140,8 @@ object AnalyticsQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "funnel" -> Funnel.threeStepSql("events", "user_id", "ts", "event_type",
+      "view", "click", "purchase", horizonSec = 86400L),
     "asof_join" ->
       s"""WITH pur AS (
   SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'
