@@ -33,6 +33,10 @@ object DocQueries {
     // No SQL oracle (byte-level mapPartitions decode) → driver rows-only check.
     "multimodal_decode" -> ((s, d) =>
       Multimodal.decodeFrames(Multimodal.toBlobTable(docs(s, d))).toDF()),
+    // Data-quality profiling of the corpus table (no float columns: the
+    // string rendering of ints/strings is engine-portable).
+    "profile_docs" -> ((s, d) =>
+      Profiler.stringProfile(docs(s, d), Seq("doc_id", "lang", "source", "n_chars"))),
     // Benchmark decontamination: training docs sharing word 5-grams with
     // the held-out "benchmark" source (src0 plays the eval set).
     "decontaminate" -> ((s, d) =>
@@ -232,6 +236,8 @@ WHERE s1.quality_score >= 0.68 AND s2.predicted_lang = 'en' AND NOT s3.is_duplic
     "multimodal_features" -> multimodalFeaturesSql,
     "corpus_clean" -> corpusCleanSql,
     "decontaminate" -> Decontaminate.reportSql("documents", "source = 'src0'"),
+    "profile_docs" -> Profiler.stringProfileSql("documents",
+      Seq("doc_id", "lang", "source", "n_chars")),
     "text_vocab" ->
       s"""SELECT count(DISTINCT doc_id) AS n_docs,
        count(*) AS n_tokens,
