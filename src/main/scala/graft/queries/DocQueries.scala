@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ops._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** Driver-verifiable queries for the text-analysis + deduplication
   * operator families (TextOps, Dedup) over `documents.parquet`, each with
@@ -33,6 +33,14 @@ object DocQueries {
     // No SQL oracle (byte-level mapPartitions decode) → driver rows-only check.
     "multimodal_decode" -> ((s, d) =>
       Multimodal.decodeFrames(Multimodal.toBlobTable(docs(s, d))).toDF()),
+    // Near-dup pairs -> canonical clusters (min-id label propagation).
+    "dedup_clusters" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      ConnectedComponents.clusters(Dedup.minhashLshPairs(docs(s, d)), "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+    }),
     // Data-quality profiling of the corpus table (no float columns: the
     // string rendering of ints/strings is engine-portable).
     "profile_docs" -> ((s, d) =>
@@ -236,6 +244,10 @@ WHERE s1.quality_score >= 0.68 AND s2.predicted_lang = 'en' AND NOT s3.is_duplic
     "multimodal_features" -> multimodalFeaturesSql,
     "corpus_clean" -> corpusCleanSql,
     "decontaminate" -> Decontaminate.reportSql("documents", "source = 'src0'"),
+    "dedup_clusters" ->
+      s"""SELECT id AS doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS n_members
+FROM (${ConnectedComponents.clustersSql(dedupMinhashSql, "doc_a", "doc_b")}) cc""",
     "profile_docs" -> Profiler.stringProfileSql("documents",
       Seq("doc_id", "lang", "source", "n_chars")),
     "text_vocab" ->
