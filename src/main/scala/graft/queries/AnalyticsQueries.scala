@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{AsofJoin, Det, Funnel, RangeJoin, Sample}
+import graft.ops.{AsofJoin, Det, Funnel, RangeJoin, Retention, Sample}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -129,6 +129,7 @@ object AnalyticsQueries {
       "view", "click", "purchase", horizonSec = 86400L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "retention" -> ((s, d) => Retention.matrix(events(s, d), "user_id", "ts")),
     "funnel" -> ((s, d) => funnel(s, d)),
     "asof_join" -> ((s, d) => r6(asofJoin(s, d))),
     "range_join" -> ((s, d) => r6(rangeJoin(s, d))),
@@ -140,6 +141,7 @@ object AnalyticsQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "retention" -> Retention.matrixSql("events", "user_id", "ts"),
     "funnel" -> Funnel.threeStepSql("events", "user_id", "ts", "event_type",
       "view", "click", "purchase", horizonSec = 86400L),
     "asof_join" ->
