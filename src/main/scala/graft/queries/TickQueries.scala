@@ -3,6 +3,7 @@ package graft.queries
 import graft.config.StrategyConfig
 import graft.ops._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -118,7 +119,20 @@ object TickQueries {
         .withColumn("stale_us",
           unix_micros(col("grid_ts")) - unix_micros(col("src_time"))))),
     "ewma" -> ((s, d) =>
-      r6(Ewma.finalPerKey(ticks(s, d), "product_id", "event_time", "sequence", "price")))
+      r6(Ewma.finalPerKey(ticks(s, d), "product_id", "event_time", "sequence", "price"))),
+    "outliers" -> ((s, d) => {
+      // Anomaly detection: |z| > 2 ticks vs the key's own Det-exact
+      // mean/stddev — one whole-partition window (single Exchange).
+      val byKey = Window.partitionBy(col("product_id"))
+      r6(ticks(s, d)
+        .withColumn("mean_p", Det.avgD(col("price"), 9, byKey))
+        .withColumn("sd_p", Det.stddevPopD(col("price"), 4, byKey))
+        .withColumn("z",
+          when(col("sd_p") > 0d, (col("price") - col("mean_p")) / col("sd_p")))
+        .filter(abs(col("z")) > 2d)
+        .select(col("product_id"), col("event_time"), col("sequence"),
+          col("price"), col("z")))
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -354,6 +368,18 @@ FROM g ASOF LEFT JOIN t
         val base = Ewma.finalPerKeySql(s"($liveTicksSql) t", "product_id",
           "event_time", "sequence", "price")
         s"""SELECT product_id, n_ticks, ${s6("ewma")} AS ewma FROM ($base) ewma_out"""
+      },
+      "outliers" -> {
+        val ov = " OVER (PARTITION BY product_id)"
+        s"""WITH t AS ($liveTicksSql),
+z AS (
+  SELECT product_id, event_time, sequence, price,
+         CASE WHEN ${Det.stddevPopDSql("price", 4, ov)} > 0
+              THEN (price - ${Det.avgDSql("price", 9, ov)})
+                   / ${Det.stddevPopDSql("price", 4, ov)} END AS z
+  FROM t)
+SELECT product_id, event_time, sequence, ${s6("price")} AS price, ${s6("z")} AS z
+FROM z WHERE abs(z) > 2"""
       }
     )
   }
