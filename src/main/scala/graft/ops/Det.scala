@@ -153,6 +153,27 @@ object Det {
     coalesce(sum(when(cond, k * k)).cast("double"), lit(0.0)) / lit(pow10(2 * e))
   }
 
+  /** Order-independent Pearson correlation over grid integers kx, ky:
+    * (n·Σkxky − Σkx·Σky) / √(n·Σkx²−(Σkx)²) / √(n·Σky²−(Σky)²) — every
+    * sum exact in longs, the three moment combinations exact in wide
+    * decimals, finishing a fixed IEEE sequence. NULL when either side has
+    * zero variance (the ratio-guard convention). Scale-invariant in exact
+    * arithmetic, so one grid e serves both inputs. Envelope: |k| < 3·10⁹
+    * (k·k fits a long) and n·Σ|kx·ky| < 10³⁷. Inputs must be non-null
+    * (pre-filter). */
+  def corrD(x: Column, y: Column, e: Int): Column = {
+    val kx = kl(x, e)
+    val ky = kl(y, e)
+    val n = count(x).cast(DecimalType(19, 0))
+    def dec(c: Column) = c.cast(DecimalType(19, 0))
+    val s1x = dec(sum(kx)); val s1y = dec(sum(ky))
+    val num = (n * dec(sum(kx * ky)) - s1x * s1y).cast(DecimalType(38, 0))
+    val dx = (n * dec(sum(kx * kx)) - s1x * s1x).cast(DecimalType(38, 0))
+    val dy = (n * dec(sum(ky * ky)) - s1y * s1y).cast(DecimalType(38, 0))
+    when(dx > 0 && dy > 0,
+      num.cast("double") / sqrt(dx.cast("double")) / sqrt(dy.cast("double")))
+  }
+
   // -------------------------------------------------------------------
   // DuckDB-SQL twins (same formulas, same grids). DuckDB sums BIGINT as
   // HUGEINT — exact like the long sums (wider, in fact), and
@@ -184,5 +205,18 @@ object Det {
   def sumSqWhereDSql(cond: String, x: String, e: Int): String = {
     val k = klSql(x, e)
     s"(coalesce(CAST(sum(CASE WHEN $cond THEN $k*$k END) AS DOUBLE), 0.0) / 1e${2 * e})"
+  }
+
+  /** Twin of [[corrD]]. */
+  def corrDSql(x: String, y: String, e: Int): String = {
+    val kx = klSql(x, e)
+    val ky = klSql(y, e)
+    val n = s"CAST(count($x) AS DECIMAL(19,0))"
+    def d(s: String) = s"CAST($s AS DECIMAL(19,0))"
+    val num = s"CAST(($n * ${d(s"sum($kx*$ky)")} - ${d(s"sum($kx)")} * ${d(s"sum($ky)")}) AS DECIMAL(38,0))"
+    val dx = s"CAST(($n * ${d(s"sum($kx*$kx)")} - ${d(s"sum($kx)")} * ${d(s"sum($kx)")}) AS DECIMAL(38,0))"
+    val dy = s"CAST(($n * ${d(s"sum($ky*$ky)")} - ${d(s"sum($ky)")} * ${d(s"sum($ky)")}) AS DECIMAL(38,0))"
+    s"""(CASE WHEN $dx > 0 AND $dy > 0
+      THEN CAST($num AS DOUBLE) / sqrt(CAST($dx AS DOUBLE)) / sqrt(CAST($dy AS DOUBLE)) END)"""
   }
 }

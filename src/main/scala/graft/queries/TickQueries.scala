@@ -120,6 +120,21 @@ object TickQueries {
           unix_micros(col("grid_ts")) - unix_micros(col("src_time"))))),
     "ewma" -> ((s, d) =>
       r6(Ewma.finalPerKey(ticks(s, d), "product_id", "event_time", "sequence", "price"))),
+    "market_corr" -> ((s, d) => {
+      // Each instrument's Pearson correlation with the cross-sectional
+      // market mean over the gap-filled hourly grid (time-series
+      // similarity vs the market factor). mkt is one row per grid hour —
+      // broadcast; corr runs on Det grids, engine-exact.
+      val filled = GapFill(
+        ticks(s, d).select(col("product_id"), col("event_time"), col("price")),
+        Seq("product_id"), "event_time", "1 hour",
+        Seq("price" -> "price"), truncUnit = "hour")
+        .filter(col("price").isNotNull)
+      val mkt = filled.groupBy(col("grid_ts")).agg(Det.avgD(col("price"), 9).as("mkt"))
+      r6(filled.join(broadcast(mkt), "grid_ts")
+        .groupBy(col("product_id"))
+        .agg(count(lit(1)).as("n_obs"), Det.corrD(col("price"), col("mkt"), 4).as("mkt_corr")))
+    }),
     "outliers" -> ((s, d) => {
       // Anomaly detection: |z| > 2 ticks vs the key's own Det-exact
       // mean/stddev — one whole-partition window (single Exchange).
@@ -369,6 +384,25 @@ FROM g ASOF LEFT JOIN t
           "event_time", "sequence", "price")
         s"""SELECT product_id, n_ticks, ${s6("ewma")} AS ewma FROM ($base) ewma_out"""
       },
+      "market_corr" ->
+        s"""WITH t AS ($liveTicksSql),
+bounds AS (
+  SELECT product_id, date_trunc('hour', min(event_time)) AS s, max(event_time) AS e
+  FROM t GROUP BY 1),
+g AS (
+  SELECT product_id, unnest(generate_series(s, e, INTERVAL '1 hour')) AS grid_ts
+  FROM bounds),
+filled AS (
+  SELECT g.product_id, g.grid_ts, t.price
+  FROM g ASOF LEFT JOIN t
+    ON g.product_id = t.product_id AND g.grid_ts >= t.event_time
+  WHERE t.price IS NOT NULL),
+mkt AS (
+  SELECT grid_ts, ${Det.avgDSql("price", 9)} AS mkt FROM filled GROUP BY 1)
+SELECT product_id, count(*) AS n_obs,
+       ${s6(Det.corrDSql("price", "mkt", 4))} AS mkt_corr
+FROM filled JOIN mkt USING (grid_ts)
+GROUP BY product_id""",
       "outliers" -> {
         val ov = " OVER (PARTITION BY product_id)"
         s"""WITH t AS ($liveTicksSql),

@@ -65,6 +65,27 @@ class DetSpec extends AnyFunSuite {
     }
   }
 
+  test("corrD matches built-in corr within grid tolerance; zero variance -> null") {
+    val rng = new scala.util.Random(11)
+    val xs = (1 to 2000).map(i => 100.0 + math.sin(i / 9.0) + rng.nextDouble())
+    val ys = xs.map(x => 0.5 * x + 3.0 + rng.nextDouble() * 2.0)
+    val r = xs.zip(ys).toSeq.toDF("x", "y")
+      .agg(Det.corrD(col("x"), col("y"), 4).as("d"), corr(col("x"), col("y")).as("ref"))
+      .head()
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-4)
+    assert(r.getDouble(0) >= -1.0 && r.getDouble(0) <= 1.0)
+
+    val flat = (1 to 100).map(i => (42.0, i.toDouble)).toDF("x", "y")
+      .agg(Det.corrD(col("x"), col("y"), 4).as("d")).head()
+    assert(flat.isNullAt(0), "zero variance must yield NULL, not NaN")
+
+    val invariant = Seq(1, 4, 16).map { parts =>
+      xs.zip(ys).toSeq.toDF("x", "y").repartition(parts)
+        .agg(Det.corrD(col("x"), col("y"), 4)).head().getDouble(0)
+    }
+    assert(invariant.distinct.size == 1, "corr must not depend on partitioning")
+  }
+
   test("property: avgD within grid distance of true mean; stddevPopD >= 0 (seeded trials)") {
     val rng = new scala.util.Random(42)
     for (_ <- 1 to 10) {
