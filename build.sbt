@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked stdout passes through UNprefixed: sbt's default logger wraps
+// child stdout as "[info] ..." which breaks any consumer parsing the
+// one-line JSON contract of graft.Bench / graft.Verify.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
