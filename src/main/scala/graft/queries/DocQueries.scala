@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ops._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, count, expr, lit, max, min}
 
 /** Driver-verifiable queries for the text-analysis + deduplication
   * operator families (TextOps, Dedup) over `documents.parquet`, each with
@@ -33,6 +33,13 @@ object DocQueries {
     // No SQL oracle (byte-level mapPartitions decode) → driver rows-only check.
     "multimodal_decode" -> ((s, d) =>
       Multimodal.decodeFrames(Multimodal.toBlobTable(docs(s, d))).toDF()),
+    // Numeric histogram: fixed-width document-length bins per language
+    // (integer bin arithmetic — exact; one partial/final aggregate).
+    "doc_histogram" -> ((s, d) =>
+      docs(s, d)
+        .groupBy(col("lang"), expr("n_chars div 500").as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))),
     // Near-dup pairs -> canonical clusters (min-id label propagation).
     "dedup_clusters" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -250,6 +257,10 @@ WHERE s1.quality_score >= 0.68 AND s2.predicted_lang = 'en' AND NOT s3.is_duplic
 FROM (${ConnectedComponents.clustersSql(dedupMinhashSql, "doc_a", "doc_b")}) cc""",
     "profile_docs" -> Profiler.stringProfileSql("documents",
       Seq("doc_id", "lang", "source", "n_chars")),
+    "doc_histogram" ->
+      """SELECT lang, CAST(n_chars // 500 AS BIGINT) AS bin,
+       count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY 1, 2""",
     "text_vocab" ->
       s"""SELECT count(DISTINCT doc_id) AS n_docs,
        count(*) AS n_tokens,
