@@ -130,9 +130,12 @@ object TickQueries {
         Seq("product_id"), "event_time", "1 hour",
         Seq("price" -> "price"), truncUnit = "hour")
         .filter(col("price").isNotNull)
-      val mkt = filled.groupBy(col("grid_ts")).agg(Det.avgD(col("price"), 9).as("mkt"))
-      r6(filled.join(broadcast(mkt), "grid_ts")
-        .groupBy(col("product_id"))
+      // mkt via window-over-hour, not a self-join: the grid subtree is
+      // computed ONCE (a self-join would recompute the whole gap-fill
+      // for each side).
+      val withMkt = filled.withColumn("mkt",
+        Det.avgD(col("price"), 9, Window.partitionBy(col("grid_ts"))))
+      r6(withMkt.groupBy(col("product_id"))
         .agg(count(lit(1)).as("n_obs"), Det.corrD(col("price"), col("mkt"), 4).as("mkt_corr")))
     }),
     "outliers" -> ((s, d) => {
@@ -397,11 +400,13 @@ filled AS (
   FROM g ASOF LEFT JOIN t
     ON g.product_id = t.product_id AND g.grid_ts >= t.event_time
   WHERE t.price IS NOT NULL),
-mkt AS (
-  SELECT grid_ts, ${Det.avgDSql("price", 9)} AS mkt FROM filled GROUP BY 1)
+withmkt AS (
+  SELECT product_id, price,
+         ${Det.avgDSql("price", 9, " OVER (PARTITION BY grid_ts)")} AS mkt
+  FROM filled)
 SELECT product_id, count(*) AS n_obs,
        ${s6(Det.corrDSql("price", "mkt", 4))} AS mkt_corr
-FROM filled JOIN mkt USING (grid_ts)
+FROM withmkt
 GROUP BY product_id""",
       "outliers" -> {
         val ov = " OVER (PARTITION BY product_id)"
