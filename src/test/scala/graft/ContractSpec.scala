@@ -1,0 +1,36 @@
+package graft
+
+import graft.queries._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Static sanity for the driver contract: the merged query/oracle maps
+  * must not silently drop entries (Map ++ overrides duplicate keys —
+  * a lost query would weaken the correctness gate without any failure). */
+class ContractSpec extends AnyFunSuite {
+
+  private val queryGroups = Seq(
+    "tick" -> TickQueries.queries.keySet,
+    "doc" -> DocQueries.queries.keySet,
+    "vec" -> VecQueries.queries.keySet,
+    "rel" -> RelQueries.queries.keySet,
+    "analytics" -> AnalyticsQueries.queries.keySet,
+    "breadth" -> BreadthQueries.queries.keySet)
+
+  test("no query name collides across groups") {
+    val all = queryGroups.flatMap(_._2)
+    val dups = all.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    assert(SparkEntry.queries.size == all.size)
+  }
+
+  test("every oracle entry points at an existing query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: ${orphans.mkString(", ")}")
+  }
+
+  test("every query has an oracle except the documented rows-only ones") {
+    val rowsOnly = Set("multimodal_decode") // byte-level mapPartitions, by design
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(missing.isEmpty, s"queries missing oracles: ${missing.mkString(", ")}")
+  }
+}
