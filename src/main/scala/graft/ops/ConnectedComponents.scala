@@ -44,13 +44,16 @@ object ConnectedComponents {
     while (changed > 0 && it < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src")).agg(min(col("lbl")).as("nbr_lbl"))
+      // The change flag rides in the checkpointed frame, so the
+      // convergence count scans materialized rows instead of re-running
+      // the join as a second job per iteration.
+      val newLbl = least(labels("lbl"), coalesce(col("nbr_lbl"), labels("lbl")))
       val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .select(labels("id"), newLbl.as("lbl"),
+          (newLbl =!= labels("lbl")).as("__chg"))
         .localCheckpoint(true)
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
-      labels = next
+      changed = next.filter(col("__chg")).count()
+      labels = next.drop("__chg")
       it += 1
     }
     require(changed == 0, s"label propagation did not converge in $maxIter iterations")
