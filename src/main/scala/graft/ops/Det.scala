@@ -32,12 +32,19 @@ import org.apache.spark.sql.types.DecimalType
   *     cancellation junk for `sqrt` to amplify, and the `x = 0 → NULL`
   *     ratio guards fire identically everywhere.
   *  3. Finishing is the fixed IEEE sequence `(double)Σk / 10^s [/ n]`:
-  *     int64→double conversion is correctly rounded in the JVM, DuckDB
-  *     (HUGEINT→DOUBLE), and every IEEE engine, and the divides are
-  *     single correctly-rounded ops — so the bits agree engine-to-engine
-  *     for ANY exact Σk, not just Σk < 2^53. Exactness of the sum itself
-  *     requires Σ|x|·10^s < 2^63 (long overflow; ANSI Spark throws loudly
-  *     if ever exceeded).
+  *     the JVM's long→double (and BigDecimal→double) conversion is
+  *     correctly rounded for ANY sign and magnitude, and the divides are
+  *     single correctly-rounded ops. DuckDB's HUGEINT/DECIMAL→DOUBLE cast
+  *     is correctly rounded for non-negative values but can misround
+  *     NEGATIVE values past 2^53 magnitude (verified:
+  *     `CAST(-(2^53+2) AS DOUBLE)` → -9007199254740992.0 there vs the
+  *     representable -9007199254740994.0 on the JVM). Every SQL twin that
+  *     casts a sign-capable exact sum therefore negates first via
+  *     [[signedDblSql]] — IEEE negation is exact, so
+  *     `-CAST(-s AS DOUBLE)` is the correctly-rounded conversion of s —
+  *     which restores bit agreement for ANY exact Σk over the full
+  *     envelope. Exactness of the sum itself requires Σ|x|·10^s < 2^63
+  *     (long overflow; ANSI Spark throws loudly if ever exceeded).
   *  4. All remaining arithmetic (sqrt, ratio guards) is a fixed sequence
   *     of correctly-rounded IEEE double ops.
   *
@@ -176,10 +183,20 @@ object Det {
 
   // -------------------------------------------------------------------
   // DuckDB-SQL twins (same formulas, same grids). DuckDB sums BIGINT as
-  // HUGEINT — exact like the long sums (wider, in fact), and
-  // HUGEINT→DOUBLE is the same correctly-rounded conversion as the JVM's
-  // long→double (rule 3).
+  // HUGEINT — exact like the long sums (wider, in fact). HUGEINT→DOUBLE
+  // is correctly rounded only for non-negative values (rule 3), so every
+  // sign-capable cast goes through signedDblSql.
   // -------------------------------------------------------------------
+
+  /** Correctly-rounded exact-integer→DOUBLE cast in DuckDB for ANY sign:
+    * negative values take the `-CAST(-s AS DOUBLE)` path (negation of an
+    * exact HUGEINT/DECIMAL is exact; DuckDB's cast is correctly rounded
+    * for non-negative inputs; IEEE negation of the result is exact).
+    * Matches the JVM's always-correctly-rounded long/BigDecimal→double.
+    * Use for any exact sum that can be negative; non-negative-by-
+    * construction casts (k², variance numerators) may cast directly. */
+  def signedDblSql(e: String): String =
+    s"(CASE WHEN ($e) < 0 THEN -CAST(-($e) AS DOUBLE) ELSE CAST(($e) AS DOUBLE) END)"
 
   def snapSql(x: String, s: Int): String = s"floor(($x)*1e$s+0.5)/1e$s"
 
@@ -188,7 +205,7 @@ object Det {
     s"CAST(floor(($x)*1e$s+0.5) AS BIGINT)"
 
   def sumDSql(x: String, s: Int, over: String = ""): String =
-    s"(CAST(sum(${klSql(x, s)})$over AS DOUBLE) / 1e$s)"
+    s"(${signedDblSql(s"sum(${klSql(x, s)})$over")} / 1e$s)"
 
   def avgDSql(x: String, s: Int, over: String = ""): String =
     s"(${sumDSql(x, s, over)} / (count($x)$over))"
@@ -217,6 +234,6 @@ object Det {
     val dx = s"CAST(($n * ${d(s"sum($kx*$kx)")} - ${d(s"sum($kx)")} * ${d(s"sum($kx)")}) AS DECIMAL(38,0))"
     val dy = s"CAST(($n * ${d(s"sum($ky*$ky)")} - ${d(s"sum($ky)")} * ${d(s"sum($ky)")}) AS DECIMAL(38,0))"
     s"""(CASE WHEN $dx > 0 AND $dy > 0
-      THEN CAST($num AS DOUBLE) / sqrt(CAST($dx AS DOUBLE)) / sqrt(CAST($dy AS DOUBLE)) END)"""
+      THEN ${signedDblSql(num)} / sqrt(CAST($dx AS DOUBLE)) / sqrt(CAST($dy AS DOUBLE)) END)"""
   }
 }

@@ -17,12 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  /** Det grid for session value sums. Scale 4 (not 9): Det.sumD's envelope
-    * needs Σ|value|·10^s < 2^53, and a long inactivity gap can merge an
-    * entire key's history into ONE session — at scale 4 the envelope holds
-    * to Σ|value| < 9e11 (~9e9 rows of price≈100), where scale 9 would
-    * overflow past ~9e4 absolute. The query contract snaps outputs to 6 dp
-    * anyway, so a 1e-4 sum grid loses nothing visible. */
+  /** Det grid for session value sums. Scale 4 (not 9): Det.sumD's
+    * long-grid envelope needs Σ|value|·10^s < 2^63 (Det rule 3; and with
+    * the signedDblSql oracle cast the full range is bit-safe even for
+    * negative-capable sums), and a long inactivity gap can merge an entire
+    * key's history into ONE session — scale 4 holds to Σ|value| < 9e14
+    * (~9e12 rows of price≈100), five orders more headroom than scale 9.
+    * The query contract snaps outputs to 6 dp anyway, so a 1e-4 sum grid
+    * loses nothing visible. */
   val SumScale: Int = 4
 
   /** Per-key sessions over an event-time column: (key, session_start,

@@ -140,7 +140,7 @@ object TextOps {
           sb.toString
         }
         it.map { case (id, text) =>
-          val ws = text.split(' ')
+          val ws = text.split(" ", -1) // limit -1: keep trailing empties like Catalyst split / DuckDB string_split
           var nSh = 0L
           var min: String = null
           var max: String = null
@@ -197,7 +197,7 @@ object Shingles {
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val ws = text.split(' ')
+        val ws = text.split(" ", -1) // limit -1: keep trailing empties like Catalyst split / DuckDB string_split
         if (ws.length < n) Iterator.empty
         else {
           val distinct = new scala.collection.mutable.LinkedHashSet[String]

@@ -86,6 +86,15 @@ object TickQueries {
   private def costs(s: SparkSession, dir: String): DataFrame =
     Positions.costs(Positions.stream(SmaCross.enrich(Normalize(ticks(s, dir)), cfg)), cfg)
 
+  /** One price per (product_id, event_time) — AsofJoin/ASOF's documented
+    * uniqueness precondition (a duplicate timestamp would make Spark's
+    * window-last and DuckDB's ASOF pick nondeterministically). max() is the
+    * deterministic tie-break, mirrored in [[uniqTicksSql]]. */
+  private def uniqTicks(s: SparkSession, dir: String): DataFrame =
+    ticks(s, dir)
+      .groupBy(col("product_id"), col("event_time"))
+      .agg(max(col("price")).as("price"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "normalize" -> ((s, d) => r6(Normalize(ticks(s, d)))),
     "sma_signals" -> ((s, d) =>
@@ -113,7 +122,7 @@ object TickQueries {
       r6(Sessionize(ticks(s, d), "product_id", "event_time", "price", "1 day"))),
     "gapfill" -> ((s, d) =>
       // Resample to an hourly grid with forward-fill (locf) + staleness.
-      r6(GapFill(ticks(s, d).select(col("product_id"), col("event_time"), col("price")),
+      r6(GapFill(uniqTicks(s, d),
         Seq("product_id"), "event_time", "1 hour",
         Seq("price" -> "price", "event_time" -> "src_time"), truncUnit = "hour")
         .withColumn("stale_us",
@@ -125,8 +134,7 @@ object TickQueries {
       // market mean over the gap-filled hourly grid (time-series
       // similarity vs the market factor). mkt is one row per grid hour —
       // broadcast; corr runs on Det grids, engine-exact.
-      val filled = GapFill(
-        ticks(s, d).select(col("product_id"), col("event_time"), col("price")),
+      val filled = GapFill(uniqTicks(s, d),
         Seq("product_id"), "event_time", "1 hour",
         Seq("price" -> "price"), truncUnit = "hour")
         .filter(col("price").isNotNull)
@@ -254,6 +262,11 @@ object TickQueries {
 
   private def p: String = pipelineCtes(liveTicksSql)
 
+  /** Twin of [[uniqTicks]]: unique (product_id, event_time) for ASOF. */
+  private val uniqTicksSql =
+    s"""SELECT product_id, event_time, max(price) AS price
+  FROM ($liveTicksSql) raw_ticks GROUP BY product_id, event_time"""
+
   /** Crossover-signals select over the `enriched` CTE (duck twin of
     * SmaCross.signals minus metadata). */
   private def signalsSelect(c: StrategyConfig): String =
@@ -370,7 +383,7 @@ ORDER BY event_time DESC, sequence DESC LIMIT 200""",
 FROM ($base) sessions_out"""
       },
       "gapfill" ->
-        s"""WITH t AS ($liveTicksSql),
+        s"""WITH t AS ($uniqTicksSql),
 bounds AS (
   SELECT product_id, date_trunc('hour', min(event_time)) AS s, max(event_time) AS e
   FROM t GROUP BY 1),
@@ -388,7 +401,7 @@ FROM g ASOF LEFT JOIN t
         s"""SELECT product_id, n_ticks, ${s6("ewma")} AS ewma FROM ($base) ewma_out"""
       },
       "market_corr" ->
-        s"""WITH t AS ($liveTicksSql),
+        s"""WITH t AS ($uniqTicksSql),
 bounds AS (
   SELECT product_id, date_trunc('hour', min(event_time)) AS s, max(event_time) AS e
   FROM t GROUP BY 1),

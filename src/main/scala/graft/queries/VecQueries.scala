@@ -49,9 +49,11 @@ object VecQueries {
     s"""list_sum([CAST(floor((CAST(($a)[i] AS DOUBLE)-($b)[i])*(CAST(($a)[i] AS DOUBLE)-($b)[i])*1e12+0.5) AS BIGINT)
         for i in range(1, len($a)+1)])"""
 
-  /** Twin of Similarity.cosine finishing arithmetic. */
+  /** Twin of Similarity.cosine finishing arithmetic. The dot product is
+    * sign-capable, so its exact-integer→DOUBLE cast goes through
+    * [[Det.signedDblSql]] (norms are non-negative by construction). */
   private def cosSql(dot: String, nq: String, nv: String): String =
-    s6(s"(CAST($dot AS DOUBLE)/1e12) / sqrt((CAST($nq AS DOUBLE)/1e12)*(CAST($nv AS DOUBLE)/1e12))")
+    s6(s"(${Det.signedDblSql(dot)}/1e12) / sqrt((CAST($nq AS DOUBLE)/1e12)*(CAST($nv AS DOUBLE)/1e12))")
 
   /** Twin of Similarity.srpBucket. */
   private def bucketSql(v: String, planes: Int = 8): String =

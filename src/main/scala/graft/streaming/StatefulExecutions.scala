@@ -33,7 +33,7 @@ object StatefulExecutions {
       transaction_cost: Double, slippage_cost: Double)
 
   final case class KeyState(
-      lastEventMs: Long, lastSeq: Long,
+      lastEventUs: Long, lastSeq: Long,
       mids9: Vector[Long],   // mid·1e9 (SMA sums)
       k4: Vector[Long],      // mid·1e4 (variance grid)
       spreads: Vector[Double],
@@ -72,10 +72,11 @@ object StatefulExecutions {
             KeyState(Long.MinValue, Long.MinValue, Vector.empty, Vector.empty,
               Vector.empty, 0.0))
           val out = Vector.newBuilder[ExecutionOut]
-          val sorted = rows.toVector.sortBy(t => (t.event_time.getTime, t.sequence))
+          // exact micros — getTime truncates sub-ms and would mis-sort vs batch
+          val sorted = rows.toVector.sortBy(t => (EventTime.micros(t.event_time), t.sequence))
           for (t <- sorted) {
-            val ms = t.event_time.getTime
-            if (ms > st.lastEventMs || (ms == st.lastEventMs && t.sequence > st.lastSeq)) {
+            val us = EventTime.micros(t.event_time)
+            if (us > st.lastEventUs || (us == st.lastEventUs && t.sequence > st.lastSeq)) {
               // P1 mid-price (sma_cross.py:67-70)
               val mid =
                 if (t.best_bid != null && t.best_ask != null)
@@ -113,14 +114,16 @@ object StatefulExecutions {
                 val execPrice =
                   if (change > 0) mid * (1.0 + slip)
                   else mid * (1.0 - slip)
+                // batch uses timestampadd(MILLISECOND, ...), which keeps the
+                // event's sub-ms micros — add in micro space, not getTime ms
                 out += ExecutionOut(
                   cfg.strategyRunId, key, t.event_time, t.sequence,
-                  new java.sql.Timestamp(ms + latency),
+                  EventTime.toTimestamp(us + latency * 1000L),
                   change, execPrice, mid,
                   math.abs(change) * mid * cfg.transactionCostRate,
                   math.abs(change) * mid * slip)
               }
-              st = KeyState(ms, t.sequence, mids9, k4s, spreads, position)
+              st = KeyState(us, t.sequence, mids9, k4s, spreads, position)
             }
           }
           state.update(st)

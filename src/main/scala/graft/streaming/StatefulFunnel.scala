@@ -44,9 +44,11 @@ object StatefulFunnel {
           val before = st
           val sorted = rows.toVector
             .filter(e => stepRank.contains(e.event_type))
-            .sortBy(e => (e.ts.getTime, stepRank(e.event_type)))
+            .sortBy(e => (EventTime.micros(e.ts), stepRank(e.event_type)))
           for (e <- sorted) {
-            val us = e.ts.getTime * 1000L
+            // exact micros (batch Funnel runs on unix_micros; getTime would
+            // truncate the sub-millisecond part and diverge)
+            val us = EventTime.micros(e.ts)
             if (us >= st.lastUs) {
               if (e.event_type == s1 && st.t1 == Unset)
                 st = st.copy(t1 = us, lastUs = us)

@@ -39,7 +39,7 @@ object StatefulSignals {
 
   /** Ring-buffer state: last `cap` mids as exact grid Longs. */
   final case class KeyState(
-      lastEventMs: Long, lastSeq: Long,
+      lastEventUs: Long, lastSeq: Long,
       mids9: Vector[Long],      // mid·1e9 (SMA sums)
       k4: Vector[Long],         // mid·1e4 (variance grid, kept for parity/extension)
       spreads: Vector[Double])  // recent spread values for the confirmation lag
@@ -65,10 +65,11 @@ object StatefulSignals {
             KeyState(Long.MinValue, Long.MinValue, Vector.empty, Vector.empty, Vector.empty))
           val out = Vector.newBuilder[SignalOut]
           // micro-batches are unordered: restore event-time order per key
-          val sorted = rows.toVector.sortBy(t => (t.event_time.getTime, t.sequence))
+          // (exact micros — getTime truncates sub-ms and would mis-sort)
+          val sorted = rows.toVector.sortBy(t => (EventTime.micros(t.event_time), t.sequence))
           for (t <- sorted) {
-            val ms = t.event_time.getTime
-            if (ms > st.lastEventMs || (ms == st.lastEventMs && t.sequence > st.lastSeq)) {
+            val us = EventTime.micros(t.event_time)
+            if (us > st.lastEventUs || (us == st.lastEventUs && t.sequence > st.lastSeq)) {
               val mid9 = math.floor(t.mid_price * 1e9 + 0.5).toLong
               val k4 = math.floor(t.mid_price * 1e4 + 0.5).toLong
               val mids9 = (st.mids9 :+ mid9).takeRight(cap)
@@ -86,7 +87,7 @@ object StatefulSignals {
               }
               out += SignalOut(key, t.event_time, t.sequence, t.mid_price,
                 fast, slow, spread, sig, pos)
-              st = KeyState(ms, t.sequence, mids9, k4s, spreads)
+              st = KeyState(us, t.sequence, mids9, k4s, spreads)
             } // else: late beyond state → dropped (watermark semantics)
           }
           state.update(st)

@@ -20,8 +20,8 @@ import org.apache.spark.sql.functions._
   */
 object StreamingAggs {
 
-  /** Hopping count + exact-decimal sum per (window, key). `sumScale`
-    * follows the Det envelope rules (Σ|x|·10^s < 2^53 per window). */
+  /** Hopping count + exact long-grid sum per (window, key) at scale 4
+    * (Det rule 3 envelope: Σ|x|·10^4 < 2^63 per window). */
   def hoppingStats(ticks: DataFrame, keyCol: String, valCol: String,
                    duration: String, slide: String): DataFrame =
     ticks

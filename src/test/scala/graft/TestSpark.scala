@@ -21,6 +21,16 @@ object TestSpark {
 
   def ts(secs: Long): Timestamp = new Timestamp(1700000000000L + secs * 1000L)
 
+  /** Timestamp with full microsecond precision (offset in micros from the
+    * same epoch as [[ts]]) — for fixtures that must exercise sub-ms event
+    * times, which `getTime`-based code paths would silently truncate. */
+  def tsUs(us: Long): Timestamp = {
+    val total = 1700000000000000L + us
+    val t = new Timestamp(Math.floorDiv(total, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(total, 1000000L) * 1000L).toInt)
+    t
+  }
+
   final case class Tick(
       product_id: String, event_time: Timestamp, sequence: Long,
       price: java.lang.Double, best_bid: java.lang.Double,

@@ -45,6 +45,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(0L) != out(2L))
   }
 
+  test("typed shingling matches Catalyst split semantics on trailing spaces") {
+    import org.apache.spark.sql.functions._
+    // "a b c  " splits to ["a","b","c","",""] under Catalyst split / DuckDB
+    // string_split; the typed flatMap path must keep those trailing empties
+    // (round-2 ADVICE: split(' ') silently dropped them).
+    val d = docs(Seq((0L, "a b c  ", "en"), (1L, "x y ", "en")))
+    val catalyst = d
+      .select(col("doc_id"), explode(Shingles.of(col("text"), 3)).as("shingle"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val typed = Shingles.exploded(d, 3)
+      .select(col("doc_id"), col("shingle"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(catalyst == typed)
+    assert(catalyst.contains((0L, "c  "))) // shingle built from trailing empties
+  }
+
   test("shingles: word 3-grams, distinct, empty below 3 words") {
     import org.apache.spark.sql.functions._
     val df = docs(Seq((0L, "a b c d", "en"), (1L, "a b", "en")))

@@ -25,7 +25,9 @@ class StatefulExecutionsSpec extends AnyFunSuite {
       val pr = price(i) + (if (p == "A") 0 else 3)
       // every 11th tick loses its book (error row): mid falls back to price
       val hasBook = i % 11 != 0
-      StatefulExecutions.TickIn(p, ts(i * 7L), i.toLong, pr,
+      // sub-ms micros (i*131 % 1000) — execution_time must add latency in
+      // micro space like batch timestampadd, not truncate to getTime ms
+      StatefulExecutions.TickIn(p, tsUs(i * 7000000L + (i * 131) % 1000), i.toLong, pr,
         if (hasBook) Double.box(pr * 0.999) else null,
         if (hasBook) Double.box(pr * 1.001) else null)
     }
@@ -36,14 +38,14 @@ class StatefulExecutionsSpec extends AnyFunSuite {
       .writeStream.outputMode("append").format("memory")
       .queryName("stateful_exec").start()
     try {
-      val sorted = ins.sortBy(t => (t.event_time.getTime, t.product_id))
+      val sorted = ins.sortBy(t => (EventTime.micros(t.event_time), t.product_id))
       Seq(sorted.slice(0, 100), sorted.slice(100, 230), sorted.slice(230, 320))
         .foreach { c => ms.addData(c); q.processAllAvailable() }
     } finally q.stop()
 
-    val raw = ticks(ins.map(t => (t.product_id,
-      (t.event_time.getTime - ts(0).getTime) / 1000, t.sequence, t.price,
-      Option(t.best_bid).map(Double.unbox), Option(t.best_ask).map(Double.unbox))))
+    // build the batch input from the identical micro-precision timestamps
+    val raw = ins.map(t => Tick(t.product_id, t.event_time, t.sequence,
+      t.price, t.best_bid, t.best_ask)).toDF()
     val batch = Positions.executions(
       Positions.costs(Positions.stream(SmaCross.enrich(Normalize(raw), cfg)), cfg), cfg)
       .drop("metadata")

@@ -14,14 +14,17 @@ class StatefulFunnelSpec extends AnyFunSuite {
   import StatefulFunnel.EventIn
 
   // Deterministic pseudo-random journeys: 40 users × up to 12 events.
+  // Event times carry sub-millisecond micros (h*13 µs) — the real events
+  // table is micro-granular, and the streaming fold must sort/compare on
+  // exact micros, not Timestamp.getTime ms (round-2 ADVICE).
   private val types = Vector("view", "click", "purchase", "signup", "error")
   private val rows: Seq[EventIn] = (for {
     u <- 1L to 40L
     i <- 0 until ((u % 7) + 5).toInt
   } yield {
     val h = (u * 31 + i * 17) % 97
-    EventIn(u, ts(u + i * 20 + (h % 5)), types((h % types.size).toInt))
-  }).sortBy(e => (e.ts.getTime, e.user_id))
+    EventIn(u, tsUs((u + i * 20 + (h % 5)) * 1000000L + h * 13), types((h % types.size).toInt))
+  }).sortBy(e => (EventTime.micros(e.ts), e.user_id))
 
   test("final upserted streaming rows equal the batch funnel") {
     val s = spark

@@ -19,9 +19,11 @@ class StatefulSignalsSpec extends AnyFunSuite {
   test("flatMapGroupsWithState signals equal batch signals bit-for-bit") {
     val s = spark
     import s.implicits._
+    // sub-ms micros (i*131 % 1000): the state fold must sort/compare on
+    // exact micros, not getTime ms (round-2 ADVICE)
     val ins = for {
       p <- Seq("A", "B"); i <- 0 until 150
-    } yield StatefulSignals.TickIn(p, ts(i * 7L), i.toLong,
+    } yield StatefulSignals.TickIn(p, tsUs(i * 7000000L + (i * 131) % 1000), i.toLong,
       price(i) + (if (p == "A") 0 else 3))
 
     implicit val sq = s.sqlContext
@@ -30,7 +32,7 @@ class StatefulSignalsSpec extends AnyFunSuite {
       .writeStream.outputMode("append").format("memory")
       .queryName("stateful_signals").start()
     try {
-      val sorted = ins.sortBy(t => (t.event_time.getTime, t.product_id))
+      val sorted = ins.sortBy(t => (EventTime.micros(t.event_time), t.product_id))
       Seq(sorted.slice(0, 90), sorted.slice(90, 210), sorted.slice(210, 300))
         .foreach { c => ms.addData(c); q.processAllAvailable() }
     } finally q.stop()
@@ -41,10 +43,10 @@ class StatefulSignalsSpec extends AnyFunSuite {
           r.getAs[Double]("spread"), r.getAs[String]("signal_type"),
           r.getAs[Double]("position"))).toMap
 
-    // batch reference: raw ticks (no bid/ask → mid = price) through the ops
-    val raw = ticks(ins.map(t => (t.product_id,
-      (t.event_time.getTime - ts(0).getTime) / 1000, t.sequence,
-      t.mid_price, None, None)))
+    // batch reference: raw ticks (no bid/ask → mid = price) through the
+    // ops, built from the identical micro-precision timestamps
+    val raw = ins.map(t =>
+      Tick(t.product_id, t.event_time, t.sequence, t.mid_price, null, null)).toDF()
     val batch = SmaCross.enrich(Normalize(raw), cfg)
     val isLong = org.apache.spark.sql.functions.expr("spread > 0 AND prev_spread <= 0")
     val isShort = org.apache.spark.sql.functions.expr("spread < 0 AND prev_spread >= 0")
