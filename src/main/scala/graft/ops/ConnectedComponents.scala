@@ -36,8 +36,13 @@ object ConnectedComponents {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // Fuse round 1 into initialization: label₀ = min(id, min neighbor) is
+    // exactly what the first propagation round would compute from lbl=id,
+    // at the cost of one aggregate instead of a join — one fewer
+    // join+checkpoint+count round on the driver-orchestrated loop.
+    var labels = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl"))
       .localCheckpoint(true)
     var changed = 1L
     var it = 0
