@@ -24,7 +24,7 @@ object AnalyticsQueries {
 
   /** events.parquet in its native shape (same TIMESTAMP(NANOS) handling as
     * TickQueries.ticks). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
     val eventTime =

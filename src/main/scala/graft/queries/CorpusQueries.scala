@@ -1,0 +1,213 @@
+package graft.queries
+
+import graft.ops.{Chunker, Det, Sessionize}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 corpus/analytics additions, each with a DuckDB oracle twin:
+  * token-window chunking, TF-IDF-style term ranking, winsorized robust
+  * stats, interval-concurrency analysis, and inverted-index keyword
+  * search. All arithmetic is exact integers or fixed IEEE sequences over
+  * exactly-converted integers (see Det rule 3), so every query
+  * hash-matches bit-exactly.
+  */
+object CorpusQueries {
+
+  import TickQueries.r6
+
+  private def s6(x: String): String = Det.snapSql(x, 6)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  // Chunking profile: 80-token windows, stride 60 (20-token overlap).
+  private val ChunkWindow = 80
+  private val ChunkStride = 60
+
+  // Keyword-search profile (terms exist across the synthetic corpus).
+  private val SearchTerms = Seq("spark", "vector", "stream")
+  private val SearchTopK = 20
+
+  /** TF-IDF-style score without logarithms: tf · n_docs / df as the fixed
+    * IEEE sequence (double)tf · (double)n / (double)df — log() is NOT
+    * correctly rounded across engines, plain ratios are. Rank is over the
+    * 6-dp-snapped score so ties resolve identically everywhere.
+    *
+    * Scale shape: two-level aggregate (doc-level then term-level) instead
+    * of count(DISTINCT) — the same partial/final combine as a 100 TB
+    * inverted-index build; the per-language doc-count side is a broadcast.
+    */
+  private def tfidfTerms(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val words = base.select(col("lang"), col("doc_id"),
+      explode(split(col("text"), " ")).as("word"))
+    val perDoc = words.groupBy(col("lang"), col("word"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val stats = perDoc.groupBy(col("lang"), col("word"))
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
+    val nDocs = base.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("word"))
+    stats.join(broadcast(nDocs), Seq("lang"))
+      .withColumn("score",
+        Det.snap(col("tf").cast("double") * col("n_docs").cast("double") /
+          col("df").cast("double"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 8)
+      .select(col("lang"), col("word"), col("tf"), col("df"),
+        col("n_docs"), col("score"), col("rk"))
+  }
+
+  private val tfidfTermsSql =
+    s"""WITH words AS (
+  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), per_doc AS (
+  SELECT lang, word, doc_id, count(*) AS c FROM words GROUP BY 1, 2, 3
+), stats AS (
+  SELECT lang, word, CAST(sum(c) AS BIGINT) AS tf, count(*) AS df
+  FROM per_doc GROUP BY 1, 2
+), n AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+), scored AS (
+  SELECT s.lang, s.word, s.tf, s.df, n.n_docs,
+         ${s6("CAST(s.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / CAST(s.df AS DOUBLE)")} AS score
+  FROM stats s JOIN n USING (lang))
+SELECT lang, word, tf, df, n_docs, score, rk
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, word) AS BIGINT) AS rk
+      FROM scored)
+WHERE rk <= 8"""
+
+  /** Winsorized per-language length stats: clamp n_chars at the exact
+    * p05/p95 values (percentile_disc semantics — real input values picked
+    * by rank, no interpolation), then compare raw vs clamped means. The
+    * quantile pass reuses the row_number-at-ceil(p·n) trick from
+    * rel_quantiles; the quantile table is tiny → broadcast back. */
+  private def winsorize(s: SparkSession, d: String): DataFrame = {
+    val v = docs(s, d).select(col("lang"), col("doc_id"),
+      col("n_chars").cast("long").as("v"))
+    val byLang = Window.partitionBy(col("lang"))
+    val w = byLang.orderBy(col("v"), col("doc_id"))
+    val qs = v
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .groupBy(col("lang"))
+      .agg(
+        max(when(col("rn") === ceil(lit(0.05) * col("n")), col("v"))).as("p05"),
+        max(when(col("rn") === ceil(lit(0.95) * col("n")), col("v"))).as("p95"))
+    v.join(broadcast(qs), Seq("lang"))
+      .withColumn("wv", least(greatest(col("v"), col("p05")), col("p95")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("p05")).as("p05"),
+        min(col("p95")).as("p95"),
+        Det.snap(sum(col("v")).cast("double") / count(lit(1)), 6).as("avg_raw"),
+        Det.snap(sum(col("wv")).cast("double") / count(lit(1)), 6).as("avg_winsorized"))
+  }
+
+  private val winsorizeSql =
+    s"""WITH v AS (
+  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS v FROM documents
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY v, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM v
+), qs AS (
+  SELECT lang,
+         max(CASE WHEN rn = ceil(0.05 * n) THEN v END) AS p05,
+         max(CASE WHEN rn = ceil(0.95 * n) THEN v END) AS p95
+  FROM ranked GROUP BY lang)
+SELECT v.lang, count(*) AS n_docs, min(p05) AS p05, min(p95) AS p95,
+       ${s6("CAST(sum(v.v) AS DOUBLE) / count(*)")} AS avg_raw,
+       ${s6("CAST(sum(least(greatest(v.v, qs.p05), qs.p95)) AS DOUBLE) / count(*)")} AS avg_winsorized
+FROM v JOIN qs USING (lang)
+GROUP BY v.lang"""
+
+  /** Peak concurrent user sessions per hour — interval overlap analysis
+    * over Sessionize output ([start, end) half-open). Deltas are
+    * pre-aggregated per distinct instant BEFORE the running sum, so the
+    * prefix scan runs over unique ordered keys (no window tie-break
+    * freedom — bit-deterministic) and the single-partition global window
+    * only ever sees session-level (already reduced) data. At 100 TB the
+    * same shape becomes a two-pass range-partitioned prefix sum; the
+    * per-instant aggregate is the part that does the data reduction. */
+  private def sessionConcurrency(s: SparkSession, d: String): DataFrame = {
+    val sess = Sessionize(
+      AnalyticsQueries.events(s, d).select(col("user_id"), col("ts"), col("value")),
+      "user_id", "ts", "value", "30 minutes")
+    val deltas = sess.select(col("session_start").as("t"), lit(1L).as("delta"))
+      .unionByName(sess.select(col("session_end").as("t"), lit(-1L).as("delta")))
+    val perInstant = deltas.groupBy(col("t")).agg(sum(col("delta")).as("net"))
+    val running = sum(col("net")).over(
+      Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    perInstant
+      .withColumn("conc", running)
+      .groupBy(date_trunc("hour", col("t")).as("bucket"))
+      .agg(max(col("conc")).as("max_concurrent"), count(lit(1)).as("n_changes"))
+  }
+
+  private val sessionConcurrencySql = {
+    val sessions = Sessionize.sql("events", "user_id", "ts", "value",
+      "INTERVAL '30 minutes'")
+    s"""WITH sess AS ($sessions),
+deltas AS (
+  SELECT session_start AS t, 1 AS delta FROM sess
+  UNION ALL
+  SELECT session_end AS t, -1 AS delta FROM sess
+), per_instant AS (
+  SELECT t, CAST(sum(delta) AS BIGINT) AS net FROM deltas GROUP BY t)
+SELECT date_trunc('hour', t) AS bucket,
+       CAST(max(conc) AS BIGINT) AS max_concurrent,
+       count(*) AS n_changes
+FROM (SELECT t, CAST(sum(net) OVER (ORDER BY t
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+      FROM per_instant)
+GROUP BY date_trunc('hour', t)"""
+  }
+
+  /** Inverted-index keyword search: documents ranked by how many query
+    * terms they contain, then total term frequency (all integers, ids as
+    * final tie-break). The word explode → filter(term set) is the
+    * map-side index probe; everything after operates on the tiny matched
+    * subset. */
+  private def keywordSearch(s: SparkSession, d: String): DataFrame = {
+    val words = docs(s, d).select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").isin(SearchTerms: _*))
+    val scored = words.groupBy(col("doc_id"), col("lang"))
+      .agg(count_distinct(col("word")).as("n_terms"),
+        count(lit(1)).as("total_tf"))
+    scored
+      .orderBy(col("n_terms").desc, col("total_tf").desc, col("doc_id"))
+      .limit(SearchTopK)
+  }
+
+  private val keywordSearchSql = {
+    val terms = SearchTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""SELECT doc_id, lang,
+       count(DISTINCT word) AS n_terms, count(*) AS total_tf
+FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE word IN $terms
+GROUP BY doc_id, lang
+ORDER BY n_terms DESC, total_tf DESC, doc_id
+LIMIT $SearchTopK"""
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_chunks" -> ((s, d) =>
+      Chunker.chunks(docs(s, d), ChunkWindow, ChunkStride)),
+    "tfidf_terms" -> ((s, d) => tfidfTerms(s, d)),
+    "winsorize_chars" -> ((s, d) => winsorize(s, d)),
+    "session_concurrency" -> ((s, d) => sessionConcurrency(s, d)),
+    "keyword_search" -> ((s, d) => keywordSearch(s, d))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "doc_chunks" -> Chunker.chunksSql("documents", ChunkWindow, ChunkStride),
+    "tfidf_terms" -> tfidfTermsSql,
+    "winsorize_chars" -> winsorizeSql,
+    "session_concurrency" -> sessionConcurrencySql,
+    "keyword_search" -> keywordSearchSql
+  )
+}

@@ -14,7 +14,8 @@ class ContractSpec extends AnyFunSuite {
     "vec" -> VecQueries.queries.keySet,
     "rel" -> RelQueries.queries.keySet,
     "analytics" -> AnalyticsQueries.queries.keySet,
-    "breadth" -> BreadthQueries.queries.keySet)
+    "breadth" -> BreadthQueries.queries.keySet,
+    "corpus" -> CorpusQueries.queries.keySet)
 
   test("no query name collides across groups") {
     val all = queryGroups.flatMap(_._2)
