@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Chunker, Det, Sessionize}
+import graft.ops.{Chunker, Det, Robust, Sessionize}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -194,13 +194,84 @@ ORDER BY n_terms DESC, total_tf DESC, doc_id
 LIMIT $SearchTopK"""
   }
 
+  /** Bigram language-model counts: per language, the top bigrams with
+    * their conditional probability p(w2 | w1) = c(w1,w2) / c(w1,·) — the
+    * count table behind n-gram LMs and collocation mining. Probabilities
+    * are exact-integer ratios (one correctly-rounded division — log-free
+    * for the same reason as tfidf_terms). Bigram generation is a typed
+    * flatMap (per-record hot loop, CLAUDE.md invariant 4); c(w1,·) is a
+    * window sum over the already-aggregated count table, not the raw
+    * pairs. */
+  private def bigramLm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = docs(s, d).select(col("lang"), col("text"))
+      .as[(String, String)]
+      .flatMap { case (lang, text) =>
+        val ws = text.split(" ", -1) // keep trailing empties (Catalyst/DuckDB rule)
+        Iterator.range(0, ws.length - 1).map(i => (lang, ws(i), ws(i + 1)))
+      }
+      .toDF("lang", "w1", "w2")
+    val counts = pairs.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = sum(col("c12")).over(Window.partitionBy(col("lang"), col("w1")))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+    counts
+      .withColumn("c1", c1)
+      .withColumn("p_cond",
+        Det.snap(col("c12").cast("double") / col("c1").cast("double"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("w1"), col("w2"), col("c12"), col("c1"),
+        col("p_cond"), col("rk"))
+  }
+
+  private val bigramLmSql =
+    s"""WITH t AS (
+  SELECT lang, string_split(text, ' ') AS ws FROM documents
+), big AS (
+  SELECT lang, ws[i] AS w1, ws[i + 1] AS w2
+  FROM (SELECT lang, ws, unnest(range(1, len(ws))) AS i FROM t)
+), counts AS (
+  SELECT lang, w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2, 3
+), with_c1 AS (
+  SELECT *, CAST(sum(c12) OVER (PARTITION BY lang, w1) AS BIGINT) AS c1
+  FROM counts)
+SELECT lang, w1, w2, c12, c1,
+       ${s6("CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)")} AS p_cond, rk
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+        ORDER BY c12 DESC, w1, w2) AS BIGINT) AS rk
+      FROM with_c1)
+WHERE rk <= 10"""
+
+  /** Median/MAD robust outliers over tick prices (see [[Robust]]); output
+    * doubles go through the 6-dp contract snap on both sides. */
+  private def madOutliers(s: SparkSession, d: String): DataFrame =
+    r6(Robust.madOutliers(
+      TickQueries.ticks(s, d)
+        .select(col("product_id"), col("event_time"), col("sequence"), col("price")),
+      "product_id", "price", Seq("sequence")))
+
+  private val madOutliersSql = {
+    val base = Robust.madOutliersSql(
+      "(SELECT product_id, event_time, sequence, price FROM " +
+        s"(${TickQueries.liveTicksSql}) lt) tt",
+      "product_id", "price", Seq("sequence"))
+    s"""SELECT product_id, event_time, sequence, ${s6("price")} AS price,
+       ${s6("med")} AS med, ${s6("dev")} AS dev, ${s6("mad")} AS mad,
+       ${s6("z_mad")} AS z_mad
+FROM ($base) mo"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_chunks" -> ((s, d) =>
       Chunker.chunks(docs(s, d), ChunkWindow, ChunkStride)),
     "tfidf_terms" -> ((s, d) => tfidfTerms(s, d)),
     "winsorize_chars" -> ((s, d) => winsorize(s, d)),
     "session_concurrency" -> ((s, d) => sessionConcurrency(s, d)),
-    "keyword_search" -> ((s, d) => keywordSearch(s, d))
+    "keyword_search" -> ((s, d) => keywordSearch(s, d)),
+    "bigram_lm" -> ((s, d) => bigramLm(s, d)),
+    "mad_outliers" -> ((s, d) => madOutliers(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -208,6 +279,8 @@ LIMIT $SearchTopK"""
     "tfidf_terms" -> tfidfTermsSql,
     "winsorize_chars" -> winsorizeSql,
     "session_concurrency" -> sessionConcurrencySql,
-    "keyword_search" -> keywordSearchSql
+    "keyword_search" -> keywordSearchSql,
+    "bigram_lm" -> bigramLmSql,
+    "mad_outliers" -> madOutliersSql
   )
 }

@@ -240,7 +240,7 @@ object TickQueries {
 )"""
   }
 
-  private val liveTicksSql =
+  private[queries] val liveTicksSql =
     """SELECT CAST(user_id AS VARCHAR) AS product_id,
          ts AS event_time,
          event_id AS sequence,
