@@ -25,10 +25,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TickQueries.queries ++ DocQueries.queries ++
       VecQueries.queries ++ RelQueries.queries ++ AnalyticsQueries.queries ++
-      BreadthQueries.queries ++ CorpusQueries.queries
+      BreadthQueries.queries ++ CorpusQueries.queries ++ GraphQueries.queries
 
   def oracleSql: Map[String, String] =
     TickQueries.oracleSql ++ DocQueries.oracleSql ++
       VecQueries.oracleSql ++ RelQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
-      BreadthQueries.oracleSql ++ CorpusQueries.oracleSql
+      BreadthQueries.oracleSql ++ CorpusQueries.oracleSql ++ GraphQueries.oracleSql
 }

@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.ops.Det
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence- and graph-shaped analytics, each with a DuckDB oracle twin:
+  * Markov transition matrices over per-user event paths, exact
+  * autocorrelation (ACF) at multiple lags, and triangle counting /
+  * clustering over a co-occurrence graph. All counts are exact integers;
+  * every compared double is a fixed IEEE sequence over exactly-converted
+  * integers (Det rule 3) or goes through Det.corrD.
+  */
+object GraphQueries {
+
+  private def s6(x: String): String = Det.snapSql(x, 6)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // Autocorrelation profile: lags over the per-user value sequence.
+  private val AcfLags = Seq(1, 2, 3)
+  // Det grid for ACF inputs: |value| ≤ ~1e3 → |k| ≤ 1e7 < 3e9 (corrD
+  // envelope), n·Σ|kxky| ≪ 1e37 at any SF.
+  private val AcfScale = 4
+
+  // Co-occurrence graph: suppliers sharing an order, kept only when the
+  // pair co-occurs in ≥ MinCo orders (noise floor for the random pairs).
+  private val MinCo = 5
+
+  /** First-order Markov transition matrix over per-user event paths:
+    * c(from→to) and p(to | from) = c(from→to) / c(from→·). The path order
+    * is (ts, event_id) — unique per user, so lead() is deterministic in
+    * both engines. Probabilities are exact-integer ratios finished by one
+    * correctly-rounded division (log-free, like tfidf_terms).
+    *
+    * Scale shape: one window pass keyed by user (same Exchange the
+    * sessionize/funnel family uses) followed by a tiny |types|² aggregate
+    * — the classic clickstream-transition job at any data size.
+    */
+  private def markov(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = AnalyticsQueries.events(s, d)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val counts = pairs.groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("c"))
+    val cFrom = sum(col("c")).over(Window.partitionBy(col("from_type")))
+    counts
+      .withColumn("c_from", cFrom)
+      .withColumn("p_cond",
+        Det.snap(col("c").cast("double") / col("c_from").cast("double"), 6))
+  }
+
+  private val markovSql =
+    s"""WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+), counts AS (
+  SELECT event_type AS from_type, to_type, count(*) AS c
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, c,
+       CAST(sum(c) OVER (PARTITION BY from_type) AS BIGINT) AS c_from,
+       ${s6("CAST(c AS DOUBLE) / CAST(sum(c) OVER (PARTITION BY from_type) AS DOUBLE)")} AS p_cond
+FROM counts"""
+
+  /** Per-user autocorrelation of `value` at lags 1..3 — exact Pearson
+    * (Det.corrD) over (value, lag_k(value)) pairs, the stationarity probe
+    * behind seasonality/regime detection. One window pass computes all
+    * three lag columns (single Exchange + Sort on user), a stack unpivot
+    * turns them into (lag_k, pair) rows, and one aggregate finishes — the
+    * shuffled volume is the pair table, never touched twice.
+    */
+  private def autocorr(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val lagCols = AcfLags.map(k => lag(col("value"), k).over(w).as(s"l$k"))
+    val wide = AnalyticsQueries.events(s, d)
+      .select(col("user_id") +: col("value") +: lagCols: _*)
+    val stackArgs = AcfLags.map(k => s"$k, l$k").mkString(", ")
+    wide
+      .selectExpr("user_id", "value",
+        s"stack(${AcfLags.size}, $stackArgs) AS (lag_k, vl)")
+      .filter(col("vl").isNotNull)
+      .groupBy(col("user_id"), col("lag_k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        Det.snap(Det.corrD(col("value"), col("vl"), AcfScale), 6).as("acf"))
+  }
+
+  private val autocorrSql = {
+    val lagSelects = AcfLags.map(k =>
+      s"lag(value, $k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l$k")
+      .mkString(",\n         ")
+    val arms = AcfLags.map(k =>
+      s"SELECT user_id, $k AS lag_k, value, l$k AS vl FROM seq WHERE l$k IS NOT NULL")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH seq AS (
+  SELECT user_id, value,
+         $lagSelects
+  FROM events
+), un AS (
+  $arms)
+SELECT user_id, lag_k, count(*) AS n_pairs,
+       ${s6(Det.corrDSql("value", "vl", AcfScale))} AS acf
+FROM un GROUP BY user_id, lag_k"""
+  }
+
+  /** Triangle counting / clustering over the supplier co-occurrence graph
+    * (edge x<y iff the two suppliers ship the same order ≥ MinCo times):
+    * one summary row with edge / ordered-wedge / triangle counts and the
+    * wedge-closure ratio — the standard cohesion probe on co-occurrence
+    * graphs. All three counts are exact integers; the closure ratio is one
+    * correctly-rounded division of exact ints.
+    *
+    * Scale shape: pair generation shuffles lineitem once on orderkey (the
+    * same Exchange serves both join sides), edge aggregation shuffles the
+    * pair table once on (x,y), and the wedge/closure joins broadcast the
+    * thresholded edge list. At 100 TB the edge list outgrows broadcast:
+    * orient edges from the lower-degree endpoint (the standard
+    * Schank–Wagner trick — caps per-node adjacency fan-out at √m) and
+    * sort-merge the wedge join on the shared endpoint; the plan shape
+    * below survives unchanged.
+    */
+  private def triangles(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .groupBy(col("a.l_suppkey").as("x"), col("b.l_suppkey").as("y"))
+      .agg(count(lit(1)).as("c"))
+    val edges = pairs.filter(col("c") >= MinCo).select(col("x"), col("y"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    // x<y and y<z by construction → each wedge/triangle counted once.
+    val wedges = edges.as("e1").join(broadcast(edges).as("e2"),
+        col("e1.y") === col("e2.x"))
+      .select(col("e1.x").as("x"), col("e1.y").as("y"), col("e2.y").as("z"))
+    val closed = wedges.as("w").join(broadcast(edges).as("e3"),
+        col("w.x") === col("e3.x") && col("w.z") === col("e3.y"), "left")
+      .agg(count(lit(1)).as("n_wedges"), count(col("e3.x")).as("n_triangles"))
+    nEdges.crossJoin(closed)
+      .withColumn("wedge_closure",
+        when(col("n_wedges") > 0, Det.snap(
+          col("n_triangles").cast("double") / col("n_wedges").cast("double"), 6)))
+  }
+
+  private val trianglesSql =
+    s"""WITH pairs AS (
+  SELECT a.l_suppkey AS x, b.l_suppkey AS y, count(*) AS c
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+), edges AS (
+  SELECT x, y FROM pairs WHERE c >= $MinCo
+), closed AS (
+  SELECT count(*) AS n_wedges, count(e3.x) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.y = e2.x
+  LEFT JOIN edges e3 ON e3.x = e1.x AND e3.y = e2.y)
+SELECT (SELECT count(*) FROM edges) AS n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN ${s6("CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)")}
+       END AS wedge_closure
+FROM closed"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "markov_transitions" -> ((s, d) => markov(s, d)),
+    "autocorr" -> ((s, d) => autocorr(s, d)),
+    "triangle_count" -> ((s, d) => triangles(s, d))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "markov_transitions" -> markovSql,
+    "autocorr" -> autocorrSql,
+    "triangle_count" -> trianglesSql
+  )
+}

@@ -15,7 +15,8 @@ class ContractSpec extends AnyFunSuite {
     "rel" -> RelQueries.queries.keySet,
     "analytics" -> AnalyticsQueries.queries.keySet,
     "breadth" -> BreadthQueries.queries.keySet,
-    "corpus" -> CorpusQueries.queries.keySet)
+    "corpus" -> CorpusQueries.queries.keySet,
+    "graph" -> GraphQueries.queries.keySet)
 
   test("no query name collides across groups") {
     val all = queryGroups.flatMap(_._2)
