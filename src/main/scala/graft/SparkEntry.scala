@@ -25,10 +25,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TickQueries.queries ++ DocQueries.queries ++
       VecQueries.queries ++ RelQueries.queries ++ AnalyticsQueries.queries ++
-      BreadthQueries.queries ++ CorpusQueries.queries ++ GraphQueries.queries
+      BreadthQueries.queries ++ CorpusQueries.queries ++ GraphQueries.queries ++
+      BarQueries.queries ++ StatQueries.queries
 
   def oracleSql: Map[String, String] =
     TickQueries.oracleSql ++ DocQueries.oracleSql ++
       VecQueries.oracleSql ++ RelQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
-      BreadthQueries.oracleSql ++ CorpusQueries.oracleSql ++ GraphQueries.oracleSql
+      BreadthQueries.oracleSql ++ CorpusQueries.oracleSql ++ GraphQueries.oracleSql ++
+      BarQueries.oracleSql ++ StatQueries.oracleSql
 }

@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.ops.Det
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Market-bar analytics over the tick stream, each with a DuckDB oracle
+  * twin: OHLC candle bars, time-weighted average price (TWAP), and a
+  * trailing rolling median. Prices reaching compared columns follow the
+  * Det rules (exact-integer grids, fixed IEEE finishing, 6-dp snap).
+  */
+object BarQueries {
+
+  import TickQueries.r6
+
+  private def s6(x: String): String = Det.snapSql(x, 6)
+
+  // TWAP price grid: scale 2 keeps every per-product Σ(k·dur_us) below
+  // 2^63 (k ≤ ~6.6e4 for price ≤ 660, Σdur ≤ the full span in µs ~2.6e12
+  // → Σ ≤ ~1.7e17), so the sums stay primitive longs (Det rule 1) and the
+  // long→double finish is correctly rounded in both engines (rule 3).
+  private val TwapScale = 2
+  // Rolling-median trailing window (rows, inclusive of current).
+  private val MedianWindow = 25
+
+  /** Hourly OHLC bars — open/close picked by `min_by`/`max_by` over the
+    * (event_time, sequence) struct order, high/low/count as plain
+    * aggregates. This is a pure hash aggregate: partial min_by/max_by
+    * combine map-side and merge associatively, so NO window sort and no
+    * whole-partition shuffle — at 100 TB the only movement is the 1-row-
+    * per-(key,hour) partial states. (The oracle picks the same rows via
+    * ranked windows; same values, engine-friendly form each side.)
+    */
+  private def ohlc(s: SparkSession, d: String): DataFrame =
+    TickQueries.ticks(s, d)
+      .groupBy(col("product_id"),
+        date_trunc("hour", col("event_time")).as("bar_ts"))
+      .agg(
+        min_by(col("price"), struct(col("event_time"), col("sequence"))).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), struct(col("event_time"), col("sequence"))).as("close"),
+        count(lit(1)).as("n_ticks"))
+
+  private val ohlcSql =
+    s"""WITH t AS (
+  SELECT product_id, date_trunc('hour', event_time) AS bar_ts,
+         event_time, sequence, price,
+         row_number() OVER (PARTITION BY product_id, date_trunc('hour', event_time)
+                            ORDER BY event_time, sequence) AS rn_a,
+         row_number() OVER (PARTITION BY product_id, date_trunc('hour', event_time)
+                            ORDER BY event_time DESC, sequence DESC) AS rn_d
+  FROM (${TickQueries.liveTicksSql}) lt)
+SELECT product_id, bar_ts,
+       ${s6("max(CASE WHEN rn_a = 1 THEN price END)")} AS open,
+       ${s6("max(price)")} AS high,
+       ${s6("min(price)")} AS low,
+       ${s6("max(CASE WHEN rn_d = 1 THEN price END)")} AS close,
+       count(*) AS n_ticks
+FROM t GROUP BY product_id, bar_ts"""
+
+  /** Per-product time-weighted average price: Σ price_i·(t_{i+1}−t_i) /
+    * Σ(t_{i+1}−t_i) over consecutive-tick segments (the last tick has no
+    * duration and drops out). Prices ride the 10^-2 grid so the weighted
+    * sum is an exact long (see [[TwapScale]]); the finish is the fixed
+    * sequence `(double)Σ(k·d) / 10² / (double)Σd` — three correctly-
+    * rounded ops, engine-identical. One window pass for the segment
+    * durations (the usual per-key Exchange+Sort), then a hash aggregate.
+    */
+  private def twap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("product_id"))
+      .orderBy(col("event_time"), col("sequence"))
+    val seg = TickQueries.ticks(s, d)
+      .withColumn("us", unix_micros(col("event_time")))
+      .withColumn("dur_us", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("dur_us").isNotNull)
+    seg
+      .groupBy(col("product_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(col("dur_us")).as("total_dur_us"),
+        ((sum(Det.kl(col("price"), TwapScale) * col("dur_us")).cast("double") /
+          lit(math.pow(10, TwapScale))) / sum(col("dur_us")).cast("double")).as("twap"))
+  }
+
+  private val twapSql = {
+    val k = Det.klSql("price", TwapScale)
+    s"""WITH seg AS (
+  SELECT product_id, price,
+         lead(epoch_us(event_time)) OVER (PARTITION BY product_id
+             ORDER BY event_time, sequence) - epoch_us(event_time) AS dur_us
+  FROM (${TickQueries.liveTicksSql}) lt)
+SELECT product_id, count(*) AS n_segments,
+       CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+       ${s6(s"(CAST(sum($k * dur_us) AS DOUBLE) / 1e$TwapScale) / CAST(sum(dur_us) AS DOUBLE)")} AS twap
+FROM seg WHERE dur_us IS NOT NULL
+GROUP BY product_id"""
+  }
+
+  /** Trailing rolling median of price over the last [[MedianWindow]] rows
+    * per product — the percentile_disc pick at rank ceil(n/2) of the
+    * frame's sorted values, so a REAL input value with no interpolation
+    * (engine-exact like rel_quantiles/mad_outliers). The frame is
+    * materialized per row (collect_list → sort_array → element_at, all
+    * native codegen'd expressions — O(n·w log w)); at 100 TB swap the
+    * per-row rebuild for a typed two-heap fold per key, same output.
+    */
+  private def rollingMedian(s: SparkSession, d: String): DataFrame = {
+    val frame = Window.partitionBy(col("product_id"))
+      .orderBy(col("event_time"), col("sequence"))
+      .rowsBetween(-(MedianWindow - 1), Window.currentRow)
+    r6(TickQueries.ticks(s, d)
+      .withColumn("arr", sort_array(collect_list(col("price")).over(frame)))
+      .select(col("product_id"), col("event_time"), col("sequence"), col("price"),
+        element_at(col("arr"), ((size(col("arr")) + 1) / 2).cast("int")).as("roll_med")))
+  }
+
+  private val rollingMedianSql =
+    s"""SELECT product_id, event_time, sequence, ${s6("price")} AS price,
+       ${s6("l[CAST((len(l) + 1) // 2 AS INT)]")} AS roll_med
+FROM (SELECT product_id, event_time, sequence, price,
+        list_sort(list(price) OVER (PARTITION BY product_id
+            ORDER BY event_time, sequence
+            ROWS BETWEEN ${MedianWindow - 1} PRECEDING AND CURRENT ROW)) AS l
+      FROM (${TickQueries.liveTicksSql}) lt)"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ohlc_bars" -> ((s, d) => r6(ohlc(s, d))),
+    "twap" -> ((s, d) => r6(twap(s, d))),
+    "rolling_median" -> ((s, d) => rollingMedian(s, d))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ohlc_bars" -> ohlcSql,
+    "twap" -> twapSql,
+    "rolling_median" -> rollingMedianSql
+  )
+}

@@ -107,29 +107,38 @@ FROM un GROUP BY user_id, lag_k"""
   }
 
   /** Triangle counting / clustering over the supplier co-occurrence graph
-    * (edge x<y iff the two suppliers ship the same order ≥ MinCo times):
+    * (edge x<y iff the two suppliers appear in ≥ MinCo common orders):
     * one summary row with edge / ordered-wedge / triangle counts and the
     * wedge-closure ratio — the standard cohesion probe on co-occurrence
     * graphs. All three counts are exact integers; the closure ratio is one
     * correctly-rounded division of exact ints.
     *
-    * Scale shape: pair generation shuffles lineitem once on orderkey (the
-    * same Exchange serves both join sides), edge aggregation shuffles the
-    * pair table once on (x,y), and the wedge/closure joins broadcast the
-    * thresholded edge list. At 100 TB the edge list outgrows broadcast:
+    * Scale shape: pair generation is ONE shuffle on orderkey — a typed
+    * flatMapGroups dedupes each order's supplier set and emits its O(k²)
+    * pairs (k is bounded by order size; a per-record hot loop, CLAUDE.md
+    * invariant 4 — higher-order array lambdas would run interpreted). Edge
+    * aggregation shuffles the pair table once on (x,y); the thresholded
+    * edge list is cached (four consumers) and broadcast into the
+    * wedge/closure joins. At 100 TB the edge list outgrows broadcast:
     * orient edges from the lower-degree endpoint (the standard
     * Schank–Wagner trick — caps per-node adjacency fan-out at √m) and
     * sort-merge the wedge join on the shared endpoint; the plan shape
-    * below survives unchanged.
+    * survives unchanged.
     */
   private def triangles(s: SparkSession, d: String): DataFrame = {
-    val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val pairs = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_suppkey") < col("b.l_suppkey"))
-      .groupBy(col("a.l_suppkey").as("x"), col("b.l_suppkey").as("y"))
+    import s.implicits._
+    val pairs = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val supp = it.map(_._2).toArray.distinct.sorted
+        for { i <- supp.indices.iterator; j <- (i + 1 until supp.length).iterator }
+          yield (supp(i), supp(j))
+      }
+      .toDF("x", "y")
+      .groupBy(col("x"), col("y"))
       .agg(count(lit(1)).as("c"))
-    val edges = pairs.filter(col("c") >= MinCo).select(col("x"), col("y"))
+    val edges = pairs.filter(col("c") >= MinCo).select(col("x"), col("y")).cache()
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))
     // x<y and y<z by construction → each wedge/triangle counted once.
     val wedges = edges.as("e1").join(broadcast(edges).as("e2"),
@@ -145,9 +154,11 @@ FROM un GROUP BY user_id, lag_k"""
   }
 
   private val trianglesSql =
-    s"""WITH pairs AS (
+    s"""WITH os AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), pairs AS (
   SELECT a.l_suppkey AS x, b.l_suppkey AS y, count(*) AS c
-  FROM lineitem a JOIN lineitem b
+  FROM os a JOIN os b
     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
   GROUP BY 1, 2
 ), edges AS (

@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.ops.Det
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical and curation operators, each with a DuckDB oracle twin:
+  * chi-square contingency analysis, deterministic balanced class
+  * sampling, and session path mining. Counts are exact integers; derived
+  * doubles are fixed IEEE sequences over exactly-converted integers.
+  */
+object StatQueries {
+
+  private def s6(x: String): String = Det.snapSql(x, 6)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // Balanced sampling: per-class quota.
+  private val BalanceN = 40
+  // Session path mining: inactivity gap + result size.
+  private val PathGapUs = 1800L * 1000000L
+  private val PathTopK = 15
+
+  /** Chi-square contingency table over (o_orderpriority, o_orderstatus):
+    * observed counts, independence-expected counts e = r·c/n, and the
+    * per-cell chi² term (o−e)²/e. r·c stays an exact long < 2^53, so its
+    * double conversion is exact and the remaining three IEEE ops are
+    * correctly rounded — engine-identical without any Det grid. The
+    * global total is NOT emitted: a float Σ over cells would reintroduce
+    * order-dependence; consumers sum the (snapped) terms themselves.
+    *
+    * Scale shape: one hash aggregate over the fact table, then window
+    * sums over the |prio|×|status| cell table (tiny at any data size).
+    */
+  private def chi2(s: SparkSession, d: String): DataFrame = {
+    val cells = t(s, d, "orders")
+      .groupBy(col("o_orderpriority").as("prio"), col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_obs"))
+    val r = sum(col("n_obs")).over(Window.partitionBy(col("prio")))
+    val c = sum(col("n_obs")).over(Window.partitionBy(col("status")))
+    val n = sum(col("n_obs")).over(Window.partitionBy())
+    val expected = (r * c).cast("double") / n.cast("double")
+    val obs = col("n_obs").cast("double")
+    cells
+      .withColumn("expected", Det.snap(expected, 6))
+      .withColumn("chi2_term",
+        Det.snap((obs - expected) * (obs - expected) / expected, 6))
+  }
+
+  private val chi2Sql =
+    s"""WITH cells AS (
+  SELECT o_orderpriority AS prio, o_orderstatus AS status, count(*) AS n_obs
+  FROM orders GROUP BY 1, 2
+), tot AS (
+  SELECT *,
+         CAST(sum(n_obs) OVER (PARTITION BY prio) AS BIGINT) AS r,
+         CAST(sum(n_obs) OVER (PARTITION BY status) AS BIGINT) AS c,
+         CAST(sum(n_obs) OVER () AS BIGINT) AS n
+  FROM cells)
+SELECT prio, status, n_obs,
+       ${s6("CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)")} AS expected,
+       ${s6(
+        "(CAST(n_obs AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(n_obs AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+        "(CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))")} AS chi2_term
+FROM tot"""
+
+  /** Deterministic balanced class sample: exactly min(|class|, N) docs per
+    * language, ranked by md5 of a salted key — the class-balancing step of
+    * a training-data pipeline, reproducible across engines and runs (same
+    * md5 everywhere; no RNG). One ranked window per class partition; at
+    * 100 TB the rank-limit pushes into each partition (no global sort).
+    */
+  private def balanced(s: SparkSession, d: String): DataFrame = {
+    val rk = row_number().over(Window.partitionBy(col("lang"))
+      .orderBy(md5(concat(lit("bal:"), col("doc_id").cast("string")).cast("binary")),
+        col("doc_id")))
+    t(s, d, "documents")
+      .withColumn("rk", rk)
+      .filter(col("rk") <= BalanceN)
+      .select(col("lang"), col("rk"), col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  private val balancedSql =
+    s"""SELECT lang, rk, doc_id, source, n_chars
+FROM (SELECT lang, doc_id, source, n_chars,
+        CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY md5('bal:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+      FROM documents)
+WHERE rk <= $BalanceN"""
+
+  /** Session path mining: the most common event-type journeys, where a
+    * journey is the '>'-joined event sequence of one user session
+    * (30-minute inactivity gap, same boundary rule as Sessionize). Path
+    * assembly sorts each session's (ts, event_id, type) structs — a
+    * deterministic total order — and joins the types; the per-session
+    * transform lambda runs interpreted but over session-sized arrays
+    * (dozens of elements), not the per-event hot path (CLAUDE.md
+    * invariant 4 applies to the latter).
+    *
+    * Scale shape: one keyed window pass (gaps-and-islands sid), one
+    * (user, sid) aggregate, one path aggregate, then a global top-k —
+    * rank-limited, no global sort of the path table.
+    */
+  private def sessionPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val marked = AnalyticsQueries.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_s",
+        when(col("us") - lag(col("us"), 1).over(w) < PathGapUs, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = marked
+      .groupBy(col("user_id"), col("sid"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(concat_ws(">",
+        expr("transform(evs, e -> e.event_type)")).as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path"))))
+      .filter(col("rk") <= PathTopK)
+  }
+
+  private val sessionPathsSql =
+    s"""WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) < $PathGapUs
+              THEN 0 ELSE 1 END AS new_s
+  FROM events
+), sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+), paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY user_id, sid)
+SELECT path, n_sessions, rk
+FROM (SELECT path, count(*) AS n_sessions,
+        CAST(row_number() OVER (ORDER BY count(*) DESC, path) AS BIGINT) AS rk
+      FROM paths GROUP BY path)
+WHERE rk <= $PathTopK"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chi2_contingency" -> ((s, d) => chi2(s, d)),
+    "corpus_balance" -> ((s, d) => balanced(s, d)),
+    "session_paths" -> ((s, d) => sessionPaths(s, d))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "chi2_contingency" -> chi2Sql,
+    "corpus_balance" -> balancedSql,
+    "session_paths" -> sessionPathsSql
+  )
+}

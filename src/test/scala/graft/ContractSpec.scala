@@ -16,7 +16,9 @@ class ContractSpec extends AnyFunSuite {
     "analytics" -> AnalyticsQueries.queries.keySet,
     "breadth" -> BreadthQueries.queries.keySet,
     "corpus" -> CorpusQueries.queries.keySet,
-    "graph" -> GraphQueries.queries.keySet)
+    "graph" -> GraphQueries.queries.keySet,
+    "bar" -> BarQueries.queries.keySet,
+    "stat" -> StatQueries.queries.keySet)
 
   test("no query name collides across groups") {
     val all = queryGroups.flatMap(_._2)
