@@ -125,15 +125,159 @@ FROM (SELECT product_id, event_time, sequence, price,
             ROWS BETWEEN ${MedianWindow - 1} PRECEDING AND CURRENT ROW)) AS l
       FROM (${TickQueries.liveTicksSql}) lt)"""
 
+  // CUSUM profile: price grid scale 4, drift 0.05 price units, alarm
+  // threshold 5.0 price units — all carried as exact grid-integer longs.
+  private val CusumScale = 4
+  private val CusumDriftK = 500L   // 0.05 · 10^4
+  private val CusumThreshK = 50000L // 5.0 · 10^4
+
+  /** Per-key CUSUM change-point statistic — upward-shift detector
+    * S_t = max(0, S_{t-1} + (k_t − k_ref − drift)) with k_ref the key's
+    * first grid price. The recurrence is NOT folded sequentially: it has
+    * the exact prefix form S_t = P_t − min(0, min_{j≤t} P_j) over prefix
+    * sums P of the drift-adjusted deltas, so two running windows over ONE
+    * Exchange+Sort compute it — every quantity an exact long, so any
+    * engine agrees bit-for-bit with no Det finishing beyond the final
+    * /10^4 display conversion. Emits one row per key: alarm count
+    * (S > threshold), max and final S.
+    */
+  private def cusum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("product_id"))
+      .orderBy(col("event_time"), col("sequence"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val k = Det.kl(col("price"), CusumScale)
+    val scale = lit(math.pow(10, CusumScale))
+    TickQueries.ticks(s, d)
+      .withColumn("d", k - first(k).over(run) - lit(CusumDriftK))
+      .withColumn("p", sum(col("d")).over(run))
+      .withColumn("s_k", col("p") - least(min(col("p")).over(run), lit(0L)))
+      .groupBy(col("product_id"))
+      .agg(
+        count(lit(1)).as("n_ticks"),
+        sum(when(col("s_k") > CusumThreshK, 1L).otherwise(0L)).as("n_alarms"),
+        (max(col("s_k")).cast("double") / scale).as("max_s"),
+        (max_by(col("s_k"), struct(col("event_time"), col("sequence")))
+          .cast("double") / scale).as("final_s"))
+  }
+
+  private val cusumSql = {
+    val k = Det.klSql("price", CusumScale)
+    val ord = "PARTITION BY product_id ORDER BY event_time, sequence"
+    val run = s"OVER ($ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    s"""WITH base AS (
+  SELECT product_id, event_time, sequence,
+         $k - first_value($k) $run - $CusumDriftK AS d
+  FROM (${TickQueries.liveTicksSql}) lt
+), pre AS (
+  SELECT *, CAST(sum(d) $run AS BIGINT) AS p FROM base
+), st AS (
+  SELECT *, p - least(CAST(min(p) $run AS BIGINT), 0) AS s_k,
+         row_number() OVER (PARTITION BY product_id
+             ORDER BY event_time DESC, sequence DESC) AS rn_d
+  FROM pre)
+SELECT product_id, count(*) AS n_ticks,
+       CAST(sum(CASE WHEN s_k > $CusumThreshK THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+       ${s6(s"CAST(max(s_k) AS DOUBLE) / 1e$CusumScale")} AS max_s,
+       ${s6(s"CAST(max(CASE WHEN rn_d = 1 THEN s_k END) AS DOUBLE) / 1e$CusumScale")} AS final_s
+FROM st GROUP BY product_id"""
+  }
+
+  /** Per-product maximum drawdown: peak-to-trough drop of the price path
+    * (running max minus current, on exact grid longs) plus the worst
+    * relative drop. The integer drawdown is engine-exact; the relative
+    * form divides the two exact ints per row (one correctly-rounded op)
+    * and takes MAX — which, unlike SUM, is order-independent over
+    * doubles, so no grid tricks are needed. One Exchange+Sort, then a
+    * hash aggregate.
+    */
+  private def drawdown(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("product_id"))
+      .orderBy(col("event_time"), col("sequence"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val k = Det.kl(col("price"), CusumScale)
+    val scale = lit(math.pow(10, CusumScale))
+    TickQueries.ticks(s, d)
+      .withColumn("runmax", max(k).over(w))
+      .withColumn("dd", col("runmax") - k)
+      .groupBy(col("product_id"))
+      .agg(
+        count(lit(1)).as("n_ticks"),
+        (max(col("runmax")).cast("double") / scale).as("peak_price"),
+        (max(col("dd")).cast("double") / scale).as("max_drawdown"),
+        max(col("dd").cast("double") / col("runmax").cast("double")).as("max_dd_frac"))
+  }
+
+  private val drawdownSql = {
+    val k = Det.klSql("price", CusumScale)
+    val run = "OVER (PARTITION BY product_id ORDER BY event_time, sequence " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    s"""WITH base AS (
+  SELECT product_id, CAST(max($k) $run AS BIGINT) AS runmax,
+         CAST(max($k) $run AS BIGINT) - $k AS dd
+  FROM (${TickQueries.liveTicksSql}) lt)
+SELECT product_id, count(*) AS n_ticks,
+       ${s6(s"CAST(max(runmax) AS DOUBLE) / 1e$CusumScale")} AS peak_price,
+       ${s6(s"CAST(max(dd) AS DOUBLE) / 1e$CusumScale")} AS max_drawdown,
+       ${s6("max(CAST(dd AS DOUBLE) / CAST(runmax AS DOUBLE))")} AS max_dd_frac
+FROM base GROUP BY product_id"""
+  }
+
+  // Bollinger profile: 20-row trailing SMA ± 2σ.
+  private val BollWindow = 20
+
+  /** Bollinger-band breaches: ticks outside SMA ± 2·σ over the trailing
+    * 20 rows — a composition of the O(n) exact trailing helpers
+    * (Det.avgDTrailing / stddevPopDTrailing: prefix-sum rewrites that are
+    * only sound because grid sums never round). Single Exchange+Sort;
+    * emits breach rows only.
+    */
+  private def bollinger(s: SparkSession, d: String): DataFrame = {
+    val base = Window.partitionBy(col("product_id"))
+      .orderBy(col("event_time"), col("sequence"))
+    val sma = Det.avgDTrailing(col("price"), 9, BollWindow, base)
+    val sd = Det.stddevPopDTrailing(col("price"), 4, BollWindow, base)
+    TickQueries.ticks(s, d)
+      .withColumn("sma", sma)
+      .withColumn("upper", col("sma") + lit(2.0) * sd)
+      .withColumn("lower", col("sma") - lit(2.0) * sd)
+      .withColumn("side",
+        when(col("price") > col("upper"), lit("above"))
+          .when(col("price") < col("lower"), lit("below")))
+      .filter(col("side").isNotNull)
+      .select(col("product_id"), col("event_time"), col("sequence"),
+        col("price"), col("sma"), col("upper"), col("lower"), col("side"))
+  }
+
+  private val bollingerSql = {
+    val ord = "PARTITION BY product_id ORDER BY event_time, sequence"
+    val frame = s" OVER ($ord ROWS BETWEEN ${BollWindow - 1} PRECEDING AND CURRENT ROW)"
+    val sma = Det.avgDSql("price", 9, frame)
+    val sd = Det.stddevPopDSql("price", 4, frame)
+    s"""WITH b AS (
+  SELECT product_id, event_time, sequence, price,
+         $sma AS sma, $sma + 2.0 * $sd AS upper, $sma - 2.0 * $sd AS lower
+  FROM (${TickQueries.liveTicksSql}) lt)
+SELECT product_id, event_time, sequence, ${s6("price")} AS price,
+       ${s6("sma")} AS sma, ${s6("upper")} AS upper, ${s6("lower")} AS lower,
+       CASE WHEN price > upper THEN 'above' ELSE 'below' END AS side
+FROM b WHERE price > upper OR price < lower"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ohlc_bars" -> ((s, d) => r6(ohlc(s, d))),
     "twap" -> ((s, d) => r6(twap(s, d))),
-    "rolling_median" -> ((s, d) => rollingMedian(s, d))
+    "rolling_median" -> ((s, d) => rollingMedian(s, d)),
+    "cusum" -> ((s, d) => r6(cusum(s, d))),
+    "drawdown" -> ((s, d) => r6(drawdown(s, d))),
+    "bollinger_breaches" -> ((s, d) => r6(bollinger(s, d)))
   )
 
   def oracleSql: Map[String, String] = Map(
     "ohlc_bars" -> ohlcSql,
     "twap" -> twapSql,
-    "rolling_median" -> rollingMedianSql
+    "rolling_median" -> rollingMedianSql,
+    "cusum" -> cusumSql,
+    "drawdown" -> drawdownSql,
+    "bollinger_breaches" -> bollingerSql
   )
 }
