@@ -123,6 +123,50 @@ object AnalyticsQueries {
         pick(0.50).as("p50"), pick(0.90).as("p90"), pick(0.99).as("p99"))
   }
 
+  /** Interpolated (percentile_cont) quartiles — the continuous sibling of
+    * [[quantiles]]. Interpolation is normally float-hazardous across
+    * engines, but the quartile fractions are exact binary fractions
+    * (0.25/0.5/0.75), so pos = 1 + (n−1)·p, floor(pos) and
+    * frac = pos − floor(pos) are all EXACT double arithmetic, and the
+    * finish lo + (hi−lo)·frac is three correctly-rounded IEEE ops —
+    * engine-identical with no Det grid. Same single Exchange+Sort shape
+    * as the disc version. */
+  private def quantilesCont(s: SparkSession, d: String): DataFrame = {
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val w = byFlag.orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    def pick(p: Double): org.apache.spark.sql.Column = {
+      val pos = lit(1.0) + (col("n") - 1).cast("double") * lit(p)
+      val lo = max(when(col("rn") === floor(pos).cast("long"), col("l_extendedprice")))
+      val hi = max(when(col("rn") === floor(pos).cast("long") + 1, col("l_extendedprice")))
+      val frac = max(pos - floor(pos)) // per-group constant
+      when(frac === 0d, lo).otherwise(lo + (hi - lo) * frac)
+    }
+    t(s, d, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byFlag))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        pick(0.25).as("q1"), pick(0.50).as("q2"), pick(0.75).as("q3"))
+  }
+
+  private val quantilesContSql = {
+    def pick(p: String): String = {
+      val pos = s"(1.0 + CAST(n - 1 AS DOUBLE) * $p)"
+      val lo = s"max(CASE WHEN rn = CAST(floor($pos) AS BIGINT) THEN l_extendedprice END)"
+      val hi = s"max(CASE WHEN rn = CAST(floor($pos) AS BIGINT) + 1 THEN l_extendedprice END)"
+      val frac = s"max($pos - floor($pos))"
+      s"(CASE WHEN $frac = 0 THEN $lo ELSE $lo + ($hi - $lo) * $frac END)"
+    }
+    s"""SELECT l_returnflag, count(*) AS n_rows,
+       ${s6(pick("0.25"))} AS q1, ${s6(pick("0.5"))} AS q2, ${s6(pick("0.75"))} AS q3
+FROM (SELECT l_returnflag, l_extendedprice,
+        row_number() OVER (PARTITION BY l_returnflag
+                           ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem)
+GROUP BY l_returnflag"""
+  }
+
   /** Conversion funnel view → click → purchase within 24 h. */
   private def funnel(s: SparkSession, d: String): DataFrame =
     Funnel.threeStep(events(s, d).drop("value"), "user_id", "ts", "event_type",
@@ -137,7 +181,8 @@ object AnalyticsQueries {
     "rel_set_ops" -> ((s, d) => setOps(s, d)),
     "corpus_sample" -> ((s, d) => corpusSample(s, d)),
     "rel_topk_per_group" -> ((s, d) => r6(topkPerGroup(s, d))),
-    "rel_quantiles" -> ((s, d) => r6(quantiles(s, d)))
+    "rel_quantiles" -> ((s, d) => r6(quantiles(s, d))),
+    "rel_quantiles_cont" -> ((s, d) => r6(quantilesCont(s, d)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -201,6 +246,7 @@ FROM (SELECT l_returnflag, l_extendedprice,
                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
         count(*) OVER (PARTITION BY l_returnflag) AS n
       FROM lineitem)
-GROUP BY l_returnflag"""
+GROUP BY l_returnflag""",
+    "rel_quantiles_cont" -> quantilesContSql
   )
 }

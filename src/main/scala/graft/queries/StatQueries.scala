@@ -146,15 +146,73 @@ FROM (SELECT path, count(*) AS n_sessions,
       FROM paths GROUP BY path)
 WHERE rk <= $PathTopK"""
 
+  // Equal-frequency binning: deciles per language.
+  private val NtileBins = 10
+
+  /** Quantile (equal-frequency) binning — the feature-engineering
+    * bucketizer: per language, documents split into NTILE(10) deciles by
+    * (n_chars, doc_id), each bin reported with its count and exact value
+    * range. NTILE's fill rule (first `n mod bins` bins get the extra row)
+    * is standard SQL, deterministic under the fully tie-broken order.
+    * Partitioned by language → each ranking sorts in parallel; at 100 TB
+    * an un-partitioned NTILE would need a range-partitioned two-pass rank
+    * instead (note, not needed here).
+    */
+  private def ntileBins(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    t(s, d, "documents")
+      .withColumn("bin", ntile(NtileBins).over(w))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("lo_chars"),
+        max(col("n_chars")).as("hi_chars"))
+  }
+
+  private val ntileBinsSql =
+    s"""SELECT lang, bin, count(*) AS n_docs,
+       min(n_chars) AS lo_chars, max(n_chars) AS hi_chars
+FROM (SELECT lang, n_chars, doc_id,
+        CAST(ntile($NtileBins) OVER (PARTITION BY lang
+            ORDER BY n_chars, doc_id) AS INT) AS bin
+      FROM documents)
+GROUP BY lang, bin"""
+
+  /** Skew-safe salted aggregation as a live contract query: per-type Det
+    * sums of event value computed through [[graft.ops.Salt]]'s two-phase
+    * (salt → partial → combine) plan. event_type has 5 heavy keys — the
+    * worst-case shape for single-phase grouping at 100 TB. Because the
+    * partials are exact grid longs, the salted combine tree produces the
+    * SAME bits as the direct aggregate the oracle runs (the whole point:
+    * skew mitigation with zero numeric drift).
+    */
+  private def saltedAgg(s: SparkSession, d: String): DataFrame =
+    graft.ops.Salt.saltedSumD(
+      AnalyticsQueries.events(s, d).select(col("event_type"), col("value")),
+      Seq("event_type"), col("value"), 4)
+      .select(col("event_type"), col("sum").as("total_value"),
+        col("count").as("n_events"))
+
+  private val saltedAggSql =
+    s"""SELECT event_type, ${s6(Det.sumDSql("value", 4))} AS total_value,
+       count(*) AS n_events
+FROM events GROUP BY event_type"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "chi2_contingency" -> ((s, d) => chi2(s, d)),
     "corpus_balance" -> ((s, d) => balanced(s, d)),
-    "session_paths" -> ((s, d) => sessionPaths(s, d))
+    "session_paths" -> ((s, d) => sessionPaths(s, d)),
+    "ntile_bins" -> ((s, d) => ntileBins(s, d)),
+    "salted_agg" -> ((s, d) => {
+      import TickQueries.r6
+      r6(saltedAgg(s, d))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
     "chi2_contingency" -> chi2Sql,
     "corpus_balance" -> balancedSql,
-    "session_paths" -> sessionPathsSql
+    "session_paths" -> sessionPathsSql,
+    "ntile_bins" -> ntileBinsSql,
+    "salted_agg" -> saltedAggSql
   )
 }
