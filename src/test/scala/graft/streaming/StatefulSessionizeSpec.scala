@@ -71,6 +71,51 @@ class StatefulSessionizeSpec extends AnyFunSuite {
     assert(streaming == batch, "streaming sessions must equal batch sessionize bit-for-bit")
   }
 
+  test("restart from checkpoint: open-session state survives a process restart") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-sess-restart").toString
+    val srcDir = base + "/src"
+    val ckpt = base + "/ckpt"
+    val schema = rows.toDF().schema
+
+    val emitted = mutable.ArrayBuffer[(Long, Long, Long, Long, Double)]()
+    // Each call is a fresh "process": new query instance, same checkpoint.
+    // The file source resumes from committed offsets; the state store
+    // reloads every open session, so sessions spanning the restart close
+    // with their pre-restart events included.
+    def runProcess(chunk: Seq[EventIn]): Unit = {
+      chunk.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+      val q = StatefulSessionize.sessions(
+          s.readStream.schema(schema).parquet(srcDir)
+            .withWatermark("ts", "0 seconds").as[EventIn], GapSec)
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[StatefulSessionize.SessionOut], _: Long) =>
+          df.collect().foreach { o =>
+            emitted += ((o.user_id, EventTime.micros(o.session_start),
+              EventTime.micros(o.session_end), o.n_events, o.total_value))
+          }
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    val (chunk1, chunk2) = rows.splitAt(rows.size / 2)
+    runProcess(chunk1)
+    runProcess(chunk2 :+ EventIn(Sentinel, tsUs(86400L * 1000000L), 0.0))
+    runProcess(Seq(EventIn(Sentinel, tsUs(2 * 86400L * 1000000L), 0.0)))
+
+    val streaming = emitted.filter(_._1 != Sentinel).toSet
+    val batch = Sessionize(rows.toDF(), "user_id", "ts", "value", s"$GapSec seconds")
+      .select(col("user_id"), unix_micros(col("session_start")),
+        unix_micros(col("session_end")), col("n_events"), col("total_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(streaming == batch,
+      "sessions across a checkpointed restart must equal batch sessionize")
+  }
+
   test("mid-stream gap event closes the session on the data path (no watermark wait)") {
     val s = spark
     import s.implicits._
