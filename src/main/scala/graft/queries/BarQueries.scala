@@ -131,34 +131,13 @@ FROM (SELECT product_id, event_time, sequence, price,
   private val CusumDriftK = 500L   // 0.05 · 10^4
   private val CusumThreshK = 50000L // 5.0 · 10^4
 
-  /** Per-key CUSUM change-point statistic — upward-shift detector
-    * S_t = max(0, S_{t-1} + (k_t − k_ref − drift)) with k_ref the key's
-    * first grid price. The recurrence is NOT folded sequentially: it has
-    * the exact prefix form S_t = P_t − min(0, min_{j≤t} P_j) over prefix
-    * sums P of the drift-adjusted deltas, so two running windows over ONE
-    * Exchange+Sort compute it — every quantity an exact long, so any
-    * engine agrees bit-for-bit with no Det finishing beyond the final
-    * /10^4 display conversion. Emits one row per key: alarm count
-    * (S > threshold), max and final S.
-    */
-  private def cusum(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("product_id"))
-      .orderBy(col("event_time"), col("sequence"))
-    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val k = Det.kl(col("price"), CusumScale)
-    val scale = lit(math.pow(10, CusumScale))
-    TickQueries.ticks(s, d)
-      .withColumn("d", k - first(k).over(run) - lit(CusumDriftK))
-      .withColumn("p", sum(col("d")).over(run))
-      .withColumn("s_k", col("p") - least(min(col("p")).over(run), lit(0L)))
-      .groupBy(col("product_id"))
-      .agg(
-        count(lit(1)).as("n_ticks"),
-        sum(when(col("s_k") > CusumThreshK, 1L).otherwise(0L)).as("n_alarms"),
-        (max(col("s_k")).cast("double") / scale).as("max_s"),
-        (max_by(col("s_k"), struct(col("event_time"), col("sequence")))
-          .cast("double") / scale).as("final_s"))
-  }
+  /** Per-key CUSUM change-point summary — see [[graft.ops.Cusum]] for
+    * the prefix-min window formulation and
+    * [[graft.streaming.StatefulCusum]] for the O(1)-state streaming
+    * twin (bit-equality proved in StatefulCusumSpec). */
+  private def cusum(s: SparkSession, d: String): DataFrame =
+    graft.ops.Cusum.perKey(TickQueries.ticks(s, d), "product_id",
+      "event_time", "sequence", "price", CusumScale, CusumDriftK, CusumThreshK)
 
   private val cusumSql = {
     val k = Det.klSql("price", CusumScale)

@@ -152,6 +152,73 @@ object BreadthQueries {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** FULL OUTER join: per-user purchase totals vs error counts — users
+    * exist on either side alone, so both null-extension directions are
+    * exercised. Both inputs are pre-aggregated (one row per user) BEFORE
+    * the join: at 100 TB you full-outer-join the small aggregated
+    * keyspaces, never the raw fact streams. */
+  private def fullOuter(s: SparkSession, d: String): DataFrame = {
+    val ev = AnalyticsQueries.events(s, d)
+    val buys = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(Det.sumD(col("value"), 4).as("total_purchase"),
+        count(lit(1)).as("n_purchases"))
+    val errs = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_errors"))
+    buys.join(errs, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("total_purchase"), lit(0.0)).as("total_purchase"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("n_errors"), lit(0L)).as("n_errors"),
+        when(col("n_purchases").isNull, lit("errors_only"))
+          .when(col("n_errors").isNull, lit("purchases_only"))
+          .otherwise(lit("both")).as("tag"))
+  }
+
+  private val fullOuterSql =
+    s"""WITH buys AS (
+  SELECT user_id, ${Det.sumDSql("value", 4)} AS total_purchase,
+         count(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), errs AS (
+  SELECT user_id, count(*) AS n_errors
+  FROM events WHERE event_type = 'error' GROUP BY user_id)
+SELECT coalesce(b.user_id, e.user_id) AS user_id,
+       ${s6("coalesce(b.total_purchase, 0.0)")} AS total_purchase,
+       coalesce(b.n_purchases, 0) AS n_purchases,
+       coalesce(e.n_errors, 0) AS n_errors,
+       CASE WHEN b.n_purchases IS NULL THEN 'errors_only'
+            WHEN e.n_errors IS NULL THEN 'purchases_only'
+            ELSE 'both' END AS tag
+FROM buys b FULL OUTER JOIN errs e ON b.user_id = e.user_id"""
+
+  /** Sliding-window DISTINCT cardinality: unique active users per
+    * 1-hour window hopping every 30 minutes. The map-side window
+    * expansion (each row → its exactly-2 windows) happens BEFORE the
+    * distinct aggregate, so Spark's two-phase distinct (partial dedup on
+    * (window, user), then count) bounds the shuffle at unique pairs. At
+    * 100 TB swap count_distinct for the HLL sketch in ops/Approx when
+    * exactness isn't contractual. */
+  private def slidingDistinct(s: SparkSession, d: String): DataFrame =
+    AnalyticsQueries.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("n_users"), col("n_events"))
+
+  private val slidingDistinctSql =
+    s"""WITH expanded AS (
+  SELECT make_timestamp(ws_us) AS w_start,
+         make_timestamp(ws_us + 3600000000) AS w_end,
+         user_id
+  FROM (SELECT unnest([(epoch_us(ts) // 1800000000) * 1800000000,
+                       (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000]) AS ws_us,
+               user_id
+        FROM events))
+SELECT w_start, w_end, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM expanded GROUP BY 1, 2"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_cube" -> ((s, d) => r6(cube2(s, d))),
     "rel_pivot" -> ((s, d) => r6(pivotOrders(s, d))),
@@ -160,7 +227,9 @@ object BreadthQueries {
     "rel_semi_anti" -> ((s, d) => semiAnti(s, d)),
     "range_frame" -> ((s, d) => r6(rangeFrame(s, d))),
     "json_extract" -> ((s, d) => jsonExtract(s, d)),
-    "sliding_windows" -> ((s, d) => r6(slidingWindows(s, d)))
+    "sliding_windows" -> ((s, d) => r6(slidingWindows(s, d))),
+    "rel_full_outer" -> ((s, d) => r6(fullOuter(s, d))),
+    "sliding_distinct" -> ((s, d) => slidingDistinct(s, d))
   )
 
   private def pivotCols: String = priorities.map { p =>
@@ -228,6 +297,8 @@ GROUP BY event_type""",
         FROM events))
 SELECT w_start, w_end, event_type, count(*) AS n,
        ${s6(Det.sumDSql("value", 4))} AS sum_value
-FROM expanded GROUP BY 1, 2, 3"""
+FROM expanded GROUP BY 1, 2, 3""",
+    "rel_full_outer" -> fullOuterSql,
+    "sliding_distinct" -> slidingDistinctSql
   )
 }
