@@ -26,11 +26,13 @@ object BarQueries {
 
   /** Hourly OHLC bars — open/close picked by `min_by`/`max_by` over the
     * (event_time, sequence) struct order, high/low/count as plain
-    * aggregates. This is a pure hash aggregate: partial min_by/max_by
-    * combine map-side and merge associatively, so NO window sort and no
-    * whole-partition shuffle — at 100 TB the only movement is the 1-row-
-    * per-(key,hour) partial states. (The oracle picks the same rows via
-    * ranked windows; same values, engine-friendly form each side.)
+    * aggregates. No window pass: partial min_by/max_by combine map-side
+    * and merge associatively, so the shuffle moves ONE partial state per
+    * (instrument, hour), never the ticks (the struct ordering buffer
+    * makes Spark pick SortAggregate over HashAggregate — the sorts are
+    * per input partition, the shuffle volume story is unchanged;
+    * PlanShapeSpec pins this shape). The oracle picks the same rows via
+    * ranked windows — same values, engine-friendly form each side.
     */
   private def ohlc(s: SparkSession, d: String): DataFrame =
     TickQueries.ticks(s, d)

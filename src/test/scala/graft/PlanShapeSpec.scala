@@ -1,0 +1,60 @@
+package graft
+
+import graft.queries._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape guards for the scale claims in docs/SCALE.md —
+  * these assert the PLAN, not the output, so a regression that keeps
+  * results correct but degrades the 100 TB story (an extra shuffle, a
+  * window sort where a hash aggregate should be, a sort-merge join where
+  * a broadcast belongs) fails loudly. Runs against the sf0.001 fixtures.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("ohlc_bars aggregates with map-side partials and no Window pass") {
+    val p = plan("ohlc_bars")
+    assert(!p.contains("Window"), "OHLC must not use a window sort")
+    assert(p.contains("partial_min_by"),
+      "OHLC must partial-aggregate map-side (shuffle carries partial states, not ticks)")
+  }
+
+  test("triangle_count joins stay broadcast (no sort-merge join)") {
+    val p = plan("triangle_count")
+    assert(!p.contains("SortMergeJoin"),
+      "wedge/closure joins must broadcast the thresholded edge list")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast wedge joins")
+  }
+
+  test("salted_agg runs the two-phase combine (exactly 2 shuffles)") {
+    val p = plan("salted_agg")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"salted aggregation must shuffle exactly twice, saw $exchanges:\n$p")
+  }
+
+  test("the tick pipeline shares one Exchange across all its windows") {
+    val p = plan("sma_signals")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"all rolling windows must share one shuffle, saw $exchanges")
+  }
+
+  test("rel_star_join broadcasts every dimension (single fact shuffle at most)") {
+    val p = plan("rel_star_join")
+    assert(!p.contains("SortMergeJoin"), "dimensions must broadcast")
+  }
+
+  test("parquet scans prune columns: the lineitem quantile scan reads only what it needs") {
+    val df = SparkEntry.queries("rel_quantiles")(spark, dir)
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val li = scans.find(_.contains("lineitem")).getOrElse(fail("no lineitem scan"))
+    assert(li.contains("l_returnflag") && li.contains("l_extendedprice"))
+    assert(!li.contains("l_comment") && !li.contains("l_shipdate"),
+      "unused wide columns must be pruned from the scan")
+  }
+}
