@@ -146,6 +146,29 @@ object TickQueries {
       r6(withMkt.groupBy(col("product_id"))
         .agg(count(lit(1)).as("n_obs"), Det.corrD(col("price"), col("mkt"), 4).as("mkt_corr")))
     }),
+    "momentum_ranks" -> ((s, d) => {
+      // Cross-sectional momentum ranking: per grid hour, instruments
+      // ranked by 24h price momentum — the classic signal-ranking shape
+      // (per-key lag along time, then a rank ACROSS keys per timestamp:
+      // two window passes on orthogonal partitionings). Momentum divides
+      // two raw picked prices (identical bits in both engines), so the
+      // DESC rank order matches everywhere; ties break on product_id.
+      val filled = GapFill(uniqTicks(s, d),
+        Seq("product_id"), "event_time", "1 hour",
+        Seq("price" -> "price"), truncUnit = "hour")
+        .filter(col("price").isNotNull)
+      val wk = Window.partitionBy(col("product_id")).orderBy(col("grid_ts"))
+      val byTs = Window.partitionBy(col("grid_ts"))
+      r6(filled
+        .withColumn("mom", col("price") / lag(col("price"), 24).over(wk) - lit(1.0))
+        .filter(col("mom").isNotNull)
+        .withColumn("rk", row_number().over(
+          byTs.orderBy(col("mom").desc, col("product_id"))))
+        .withColumn("n_products", count(lit(1)).over(byTs))
+        .filter(col("rk") <= 10)
+        .select(col("grid_ts"), col("rk"), col("product_id"), col("mom"),
+          col("n_products")))
+    }),
     "outliers" -> ((s, d) => {
       // Anomaly detection: |z| > 2 ticks vs the key's own Det-exact
       // mean/stddev — one whole-partition window (single Exchange).
@@ -400,6 +423,30 @@ FROM g ASOF LEFT JOIN t
           "event_time", "sequence", "price")
         s"""SELECT product_id, n_ticks, ${s6("ewma")} AS ewma FROM ($base) ewma_out"""
       },
+      "momentum_ranks" ->
+        s"""WITH t AS ($uniqTicksSql),
+bounds AS (
+  SELECT product_id, date_trunc('hour', min(event_time)) AS s, max(event_time) AS e
+  FROM t GROUP BY 1),
+g AS (
+  SELECT product_id, unnest(generate_series(s, e, INTERVAL '1 hour')) AS grid_ts
+  FROM bounds),
+filled AS (
+  SELECT g.product_id, g.grid_ts, t.price
+  FROM g ASOF LEFT JOIN t
+    ON g.product_id = t.product_id AND g.grid_ts >= t.event_time
+  WHERE t.price IS NOT NULL),
+mom AS (
+  SELECT product_id, grid_ts,
+         price / lag(price, 24) OVER (PARTITION BY product_id ORDER BY grid_ts) - 1.0 AS mom
+  FROM filled)
+SELECT grid_ts, rk, product_id, ${s6("mom")} AS mom, n_products
+FROM (SELECT grid_ts, product_id, mom,
+        CAST(row_number() OVER (PARTITION BY grid_ts
+            ORDER BY mom DESC, product_id) AS BIGINT) AS rk,
+        count(*) OVER (PARTITION BY grid_ts) AS n_products
+      FROM mom WHERE mom IS NOT NULL)
+WHERE rk <= 10""",
       "market_corr" ->
         s"""WITH t AS ($uniqTicksSql),
 bounds AS (
