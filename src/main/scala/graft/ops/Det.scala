@@ -200,6 +200,14 @@ object Det {
 
   def snapSql(x: String, s: Int): String = s"floor(($x)*1e$s+0.5)/1e$s"
 
+  /** A Scala Double as a bit-exact DuckDB DOUBLE literal. A bare numeric
+    * literal in DuckDB types as DECIMAL and the DECIMAL→DOUBLE cast is
+    * not always correctly rounded (e.g. 2.0/27 mis-rounds one ulp); the
+    * VARCHAR→DOUBLE parse IS correctly rounded, and `Double.toString`
+    * emits the shortest round-tripping decimal — so quote-then-cast
+    * reproduces the exact JVM bits for any finite double. */
+  def dblLit(v: Double): String = s"CAST('$v' AS DOUBLE)"
+
   /** Twin of [[kl]]. */
   def klSql(x: String, s: Int): String =
     s"CAST(floor(($x)*1e$s+0.5) AS BIGINT)"

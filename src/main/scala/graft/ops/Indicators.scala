@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Classic technical-indicator folds (RSI, MACD) — per-key sequential
+  * recurrences in event-time order, distributed with the same
+  * secondary-sort pattern as [[Ewma]]: repartition by key, external sort
+  * within partitions by (key, time, seq), ONE streaming pass with O(1)
+  * state per key. At 100 TB a key's full history flows through the sort
+  * spill, never through executor memory.
+  *
+  * Determinism story (same as Ewma): the recurrences are genuinely
+  * order-dependent, so instead of an associativity grid the contract is
+  * an IDENTICAL IEEE expression sequence in an identical total order on
+  * both engines. Smoothing constants cross into the DuckDB twin via
+  * [[Det.dblLit]] (quote-then-cast — bare DECIMAL literals mis-round).
+  * The reference platform computes none of these; they are the standard
+  * quant-signal extensions of its SMA/EWMA family (SURVEY §2.5).
+  */
+object Indicators {
+
+  /** Wilder RSI, final value per key. Deltas d_i = x_i − x_{i−1}; gains
+    * `d>0 ? d : 0`, losses `d<0 ? −d : 0` (strict comparisons so no −0.0
+    * can enter the fold); both averages are independent Wilder smoothings
+    * `s ← x·α + s·(1−α)` (α = 1/period) seeded with the first
+    * gain/loss. RSI = 100 − 100/(1 + G/L), 100 when L = 0. Keys with a
+    * single tick (no delta) drop out.
+    *
+    * Emits (key, n_deltas, avg_gain, avg_loss, rsi).
+    */
+  def rsiPerKey(ticks: DataFrame, key: String, time: String, seq: String,
+                value: String, period: Int = 14): DataFrame = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val a = 1.0 / period
+    val b = 1.0 - a
+    ticks
+      .select(col(key).cast("string"), col(time), col(seq).cast("long"),
+        col(value).cast("double"))
+      .as[(String, java.sql.Timestamp, Long, Double)]
+      .repartition(col(key))
+      .sortWithinPartitions(col(key), col(time), col(seq))
+      .mapPartitions { it =>
+        new Iterator[(String, Long, Double, Double, Double)] {
+          private var cur: String = null
+          private var prev = 0.0
+          private var g = 0.0
+          private var l = 0.0
+          private var nd = 0L
+          private var pending: Option[(String, Long, Double, Double, Double)] = None
+          private var done = false
+          private def out: Option[(String, Long, Double, Double, Double)] =
+            if (nd == 0L) None
+            else {
+              val rsi = if (l == 0.0) 100.0 else 100.0 - 100.0 / (1.0 + g / l)
+              Some((cur, nd, g, l, rsi))
+            }
+          private def roll(): Unit = {
+            while (pending.isEmpty && it.hasNext) {
+              val (k, _, _, x) = it.next()
+              if (cur == null) { cur = k; prev = x; nd = 0L }
+              else if (k == cur) {
+                val d = x - prev; prev = x
+                val gn = if (d > 0) d else 0.0
+                val ln = if (d < 0) -d else 0.0
+                if (nd == 0L) { g = gn; l = ln }
+                else { g = gn * a + g * b; l = ln * a + l * b }
+                nd += 1L
+              } else { pending = out; cur = k; prev = x; nd = 0L }
+            }
+            if (pending.isEmpty && !it.hasNext && cur != null && !done) {
+              pending = out; done = true
+            }
+          }
+          def hasNext: Boolean = { roll(); pending.nonEmpty }
+          def next(): (String, Long, Double, Double, Double) = {
+            roll(); val r = pending.get; pending = None; r
+          }
+        }
+      }
+      .toDF(key, "n_deltas", "avg_gain", "avg_loss", "rsi")
+  }
+
+  /** MACD, final state per key: fast/slow EMAs (α = 2/(n+1)) seeded with
+    * the first observation, signal line = EMA of the macd series seeded
+    * with the first macd (≡ 0.0), all three recurrences advanced in
+    * lockstep per tick — the signal update reads the CURRENT tick's new
+    * EMAs, mirrored operand-for-operand in the oracle's struct-
+    * accumulator `list_reduce`.
+    *
+    * Emits (key, n_ticks, ema_fast, ema_slow, macd, signal, histogram).
+    */
+  def macdPerKey(ticks: DataFrame, key: String, time: String, seq: String,
+                 value: String, fast: Int = 12, slow: Int = 26,
+                 signal: Int = 9): DataFrame = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val af = 2.0 / (fast + 1); val bf = 1.0 - af
+    val as = 2.0 / (slow + 1); val bs = 1.0 - as
+    val ag = 2.0 / (signal + 1); val bg = 1.0 - ag
+    ticks
+      .select(col(key).cast("string"), col(time), col(seq).cast("long"),
+        col(value).cast("double"))
+      .as[(String, java.sql.Timestamp, Long, Double)]
+      .repartition(col(key))
+      .sortWithinPartitions(col(key), col(time), col(seq))
+      .mapPartitions { it =>
+        new Iterator[(String, Long, Double, Double, Double, Double, Double)] {
+          private var cur: String = null
+          private var ef = 0.0
+          private var es = 0.0
+          private var sg = 0.0
+          private var n = 0L
+          private var pending: Option[(String, Long, Double, Double, Double, Double, Double)] = None
+          private var done = false
+          private def out = {
+            val macd = ef - es
+            Some((cur, n, ef, es, macd, sg, macd - sg))
+          }
+          private def roll(): Unit = {
+            while (pending.isEmpty && it.hasNext) {
+              val (k, _, _, x) = it.next()
+              if (cur == null) { cur = k; ef = x; es = x; sg = 0.0; n = 1L }
+              else if (k == cur) {
+                val nf = x * af + ef * bf
+                val ns = x * as + es * bs
+                sg = (nf - ns) * ag + sg * bg
+                ef = nf; es = ns; n += 1L
+              } else { pending = out; cur = k; ef = x; es = x; sg = 0.0; n = 1L }
+            }
+            if (pending.isEmpty && !it.hasNext && cur != null && !done) {
+              pending = out; done = true
+            }
+          }
+          def hasNext: Boolean = { roll(); pending.nonEmpty }
+          def next(): (String, Long, Double, Double, Double, Double, Double) = {
+            roll(); val r = pending.get; pending = None; r
+          }
+        }
+      }
+      .toDF(key, "n_ticks", "ema_fast", "ema_slow", "macd", "signal", "histogram")
+  }
+}

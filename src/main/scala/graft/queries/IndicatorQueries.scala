@@ -1,0 +1,222 @@
+package graft.queries
+
+import graft.ops.{Det, Ewma, Indicators}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Technical-indicator contract queries over the tick stream — RSI,
+  * MACD, stochastic oscillator, ATR — the standard quant-signal toolkit
+  * beyond the reference's SMA/EWMA family (SURVEY §2.5 ends at moving
+  * averages). Each has a bit-exact DuckDB oracle twin:
+  *
+  *   - sequential recurrences (RSI/MACD/ATR's Wilder & EMA smoothings)
+  *     replay the IDENTICAL IEEE expression sequence in the identical
+  *     (event_time, sequence) total order on both engines —
+  *     `list_reduce` twins with [[Det.dblLit]] constants (a bare DECIMAL
+  *     literal mis-rounds; quote-then-cast reproduces JVM bits);
+  *   - window shapes (stochastic's rolling min/max, ATR's bar lag) are
+  *     exact picks / per-row IEEE arithmetic on identical operand bits.
+  *
+  * Scale: RSI/MACD ride the [[Indicators]] secondary-sort fold (one
+  * Exchange, O(1) state/key); stochastic is one Exchange+Sort with all
+  * windows on the same partitioning; ATR folds over ALREADY-REDUCED
+  * hourly bars (|keys|·|hours| rows), so its fold input is tiny by
+  * construction.
+  */
+object IndicatorQueries {
+
+  import TickQueries.r6
+
+  private def s6(x: String): String = Det.snapSql(x, 6)
+
+  private val RsiPeriod = 14
+  private val StochPeriod = 14
+  private val AtrAlpha = 1.0 / 14
+  private val MacdFast = 12
+  private val MacdSlow = 26
+  private val MacdSignal = 9
+
+  private def ticksSql = TickQueries.liveTicksSql
+
+  // ---------------------------------------------------------------- RSI
+
+  private def rsi(s: SparkSession, d: String): DataFrame =
+    Indicators.rsiPerKey(TickQueries.ticks(s, d),
+      "product_id", "event_time", "sequence", "price", RsiPeriod)
+
+  private val rsiSql = {
+    val a = 1.0 / RsiPeriod
+    val A = Det.dblLit(a)
+    val B = Det.dblLit(1.0 - a)
+    s"""WITH per AS (
+  SELECT product_id, list(price ORDER BY event_time, sequence) AS xs
+  FROM ($ticksSql) t GROUP BY product_id),
+d AS (
+  SELECT product_id,
+         list_transform(generate_series(2, len(xs)), i -> xs[i] - xs[i-1]) AS ds
+  FROM per WHERE len(xs) >= 2),
+f AS (
+  SELECT product_id, CAST(len(ds) AS BIGINT) AS n_deltas,
+         list_reduce([CASE WHEN x > 0 THEN x ELSE CAST(0 AS DOUBLE) END for x in ds],
+                     (s, x) -> x * $A + s * $B) AS avg_gain,
+         list_reduce([CASE WHEN x < 0 THEN -x ELSE CAST(0 AS DOUBLE) END for x in ds],
+                     (s, x) -> x * $A + s * $B) AS avg_loss
+  FROM d)
+SELECT product_id, n_deltas, ${s6("avg_gain")} AS avg_gain,
+       ${s6("avg_loss")} AS avg_loss,
+       ${s6("""CASE WHEN avg_loss = CAST(0 AS DOUBLE) THEN CAST(100 AS DOUBLE)
+            ELSE CAST(100 AS DOUBLE) - CAST(100 AS DOUBLE) /
+                 (CAST(1 AS DOUBLE) + avg_gain / avg_loss) END""")} AS rsi
+FROM f"""
+  }
+
+  // --------------------------------------------------------------- MACD
+
+  private def macd(s: SparkSession, d: String): DataFrame =
+    Indicators.macdPerKey(TickQueries.ticks(s, d),
+      "product_id", "event_time", "sequence", "price",
+      MacdFast, MacdSlow, MacdSignal)
+
+  private val macdSql = {
+    val af = 2.0 / (MacdFast + 1); val AF = Det.dblLit(af); val BF = Det.dblLit(1.0 - af)
+    val as_ = 2.0 / (MacdSlow + 1); val AS_ = Det.dblLit(as_); val BS = Det.dblLit(1.0 - as_)
+    val ag = 2.0 / (MacdSignal + 1); val AG = Det.dblLit(ag); val BG = Det.dblLit(1.0 - ag)
+    // The signal update reads the tick's NEW fast/slow EMAs — recomputed
+    // inline from the same operand bits the ef/es fields use. Field order
+    // matters: DuckDB evaluates struct_pack fields SEQUENTIALLY into the
+    // accumulator in place (a later field's `a.ef` sees the already-
+    // updated value — verified against 1.0.0), so every expression may
+    // only read fields written AFTER it: sg first (reads old ef/es/sg),
+    // then ef, es. This ordering is also correct under snapshot
+    // semantics, so it cannot break on a DuckDB upgrade.
+    s"""WITH per AS (
+  SELECT product_id, list(price ORDER BY event_time, sequence) AS xs
+  FROM ($ticksSql) t GROUP BY product_id),
+m AS (
+  SELECT product_id, CAST(len(xs) AS BIGINT) AS n_ticks,
+         list_reduce(
+           [struct_pack(sg := CAST(0 AS DOUBLE), ef := x, es := x, x := x) for x in xs],
+           (a, c) -> struct_pack(
+              sg := ((c.x * $AF + a.ef * $BF) - (c.x * $AS_ + a.es * $BS)) * $AG + a.sg * $BG,
+              ef := c.x * $AF + a.ef * $BF,
+              es := c.x * $AS_ + a.es * $BS,
+              x := c.x)) AS st
+  FROM per)
+SELECT product_id, n_ticks,
+       ${s6("st.ef")} AS ema_fast, ${s6("st.es")} AS ema_slow,
+       ${s6("st.ef - st.es")} AS macd, ${s6("st.sg")} AS "signal",
+       ${s6("(st.ef - st.es) - st.sg")} AS histogram
+FROM m"""
+  }
+
+  // --------------------------------------------------- Stochastic %K/%D
+
+  /** %K = (close − min14)/(max14 − min14)·100 (50 on a flat frame),
+    * %D = ((K + K₋₁) + K₋₂)/3 with explicit association. Rows emitted
+    * only once every window input is full (rn ≥ period + 2). */
+  private def stochastic(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("product_id"))
+      .orderBy(col("event_time"), col("sequence"))
+    val f = w.rowsBetween(-(StochPeriod - 1), Window.currentRow)
+    TickQueries.ticks(s, d)
+      .withColumn("lo", min(col("price")).over(f))
+      .withColumn("hi", max(col("price")).over(f))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("pct_k",
+        when(col("hi") === col("lo"), lit(50.0))
+          .otherwise(((col("price") - col("lo")) / (col("hi") - col("lo"))) * lit(100.0)))
+      .withColumn("k1", lag(col("pct_k"), 1).over(w))
+      .withColumn("k2", lag(col("pct_k"), 2).over(w))
+      .filter(col("rn") >= StochPeriod + 2)
+      .select(col("product_id"), col("event_time"), col("sequence"), col("pct_k"),
+        (((col("pct_k") + col("k1")) + col("k2")) / lit(3.0)).as("pct_d"))
+  }
+
+  private val stochasticSql =
+    s"""WITH base AS (
+  SELECT product_id, event_time, sequence, price,
+         min(price) OVER wf AS lo, max(price) OVER wf AS hi,
+         row_number() OVER wo AS rn
+  FROM ($ticksSql) t
+  WINDOW wo AS (PARTITION BY product_id ORDER BY event_time, sequence),
+         wf AS (PARTITION BY product_id ORDER BY event_time, sequence
+                ROWS BETWEEN ${StochPeriod - 1} PRECEDING AND CURRENT ROW)),
+k AS (
+  SELECT product_id, event_time, sequence, rn,
+         CASE WHEN hi = lo THEN CAST(50 AS DOUBLE)
+              ELSE ((price - lo) / (hi - lo)) * CAST(100 AS DOUBLE) END AS pct_k
+  FROM base),
+d AS (
+  SELECT product_id, event_time, sequence, rn, pct_k,
+         lag(pct_k, 1) OVER wo AS k1, lag(pct_k, 2) OVER wo AS k2
+  FROM k
+  WINDOW wo AS (PARTITION BY product_id ORDER BY event_time, sequence))
+SELECT product_id, event_time, sequence, ${s6("pct_k")} AS pct_k,
+       ${s6("((pct_k + k1) + k2) / CAST(3 AS DOUBLE)")} AS pct_d
+FROM d WHERE rn >= ${StochPeriod + 2}"""
+
+  // ---------------------------------------------------------------- ATR
+
+  /** True range per hourly OHLC bar (TR₁ = high−low; then
+    * max(h−l, |h−prevClose|, |l−prevClose|)), Wilder-smoothed per key via
+    * the [[Ewma]] fold (α = 1/14, seed = first TR). Bar values are exact
+    * min/max/max_by picks, so TR operand bits match engine-to-engine. */
+  private def atr(s: SparkSession, d: String): DataFrame = {
+    val bars = TickQueries.ticks(s, d)
+      .groupBy(col("product_id"),
+        date_trunc("hour", col("event_time")).as("bar_ts"))
+      .agg(max(col("price")).as("high"), min(col("price")).as("low"),
+        max_by(col("price"), struct(col("event_time"), col("sequence"))).as("close"))
+    val wb = Window.partitionBy(col("product_id")).orderBy(col("bar_ts"))
+    val tr = bars
+      .withColumn("pc", lag(col("close"), 1).over(wb))
+      .withColumn("tr",
+        when(col("pc").isNull, col("high") - col("low"))
+          .otherwise(greatest(col("high") - col("low"),
+            abs(col("high") - col("pc")), abs(col("low") - col("pc")))))
+      .withColumn("z", lit(0L))
+    Ewma.finalPerKey(tr, "product_id", "bar_ts", "z", "tr", AtrAlpha)
+      .withColumnRenamed("n_ticks", "n_bars")
+      .withColumnRenamed("ewma", "atr")
+  }
+
+  private val atrSql = {
+    val A = Det.dblLit(AtrAlpha)
+    val B = Det.dblLit(1.0 - AtrAlpha)
+    s"""WITH t AS (
+  SELECT product_id, date_trunc('hour', event_time) AS bar_ts, price,
+         row_number() OVER (PARTITION BY product_id, date_trunc('hour', event_time)
+                            ORDER BY event_time DESC, sequence DESC) AS rn_d
+  FROM ($ticksSql) lt),
+bars AS (
+  SELECT product_id, bar_ts, max(price) AS high, min(price) AS low,
+         max(CASE WHEN rn_d = 1 THEN price END) AS close
+  FROM t GROUP BY product_id, bar_ts),
+tr AS (
+  SELECT product_id, bar_ts,
+         CASE WHEN pc IS NULL THEN high - low
+              ELSE greatest(high - low, abs(high - pc), abs(low - pc)) END AS tr
+  FROM (SELECT *, lag(close) OVER (PARTITION BY product_id ORDER BY bar_ts) AS pc
+        FROM bars) b),
+per AS (
+  SELECT product_id, list(tr ORDER BY bar_ts) AS xs FROM tr GROUP BY product_id)
+SELECT product_id, CAST(len(xs) AS BIGINT) AS n_bars,
+       ${s6(s"list_reduce(xs, (s, x) -> x * $A + s * $B)")} AS atr
+FROM per"""
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rsi" -> ((s, d) => r6(rsi(s, d))),
+    "macd" -> ((s, d) => r6(macd(s, d))),
+    "stochastic" -> ((s, d) => r6(stochastic(s, d))),
+    "atr" -> ((s, d) => r6(atr(s, d)))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "rsi" -> rsiSql,
+    "macd" -> macdSql,
+    "stochastic" -> stochasticSql,
+    "atr" -> atrSql
+  )
+}

@@ -18,7 +18,8 @@ class ContractSpec extends AnyFunSuite {
     "corpus" -> CorpusQueries.queries.keySet,
     "graph" -> GraphQueries.queries.keySet,
     "bar" -> BarQueries.queries.keySet,
-    "stat" -> StatQueries.queries.keySet)
+    "stat" -> StatQueries.queries.keySet,
+    "indicator" -> IndicatorQueries.queries.keySet)
 
   test("no query name collides across groups") {
     val all = queryGroups.flatMap(_._2)
