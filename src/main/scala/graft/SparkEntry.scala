@@ -26,11 +26,13 @@ object SparkEntry {
     TickQueries.queries ++ DocQueries.queries ++
       VecQueries.queries ++ RelQueries.queries ++ AnalyticsQueries.queries ++
       BreadthQueries.queries ++ CorpusQueries.queries ++ GraphQueries.queries ++
-      BarQueries.queries ++ StatQueries.queries ++ IndicatorQueries.queries
+      BarQueries.queries ++ StatQueries.queries ++ IndicatorQueries.queries ++
+      MatchQueries.queries
 
   def oracleSql: Map[String, String] =
     TickQueries.oracleSql ++ DocQueries.oracleSql ++
       VecQueries.oracleSql ++ RelQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
       BreadthQueries.oracleSql ++ CorpusQueries.oracleSql ++ GraphQueries.oracleSql ++
-      BarQueries.oracleSql ++ StatQueries.oracleSql ++ IndicatorQueries.oracleSql
+      BarQueries.oracleSql ++ StatQueries.oracleSql ++ IndicatorQueries.oracleSql ++
+      MatchQueries.oracleSql
 }

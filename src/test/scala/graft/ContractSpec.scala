@@ -19,7 +19,8 @@ class ContractSpec extends AnyFunSuite {
     "graph" -> GraphQueries.queries.keySet,
     "bar" -> BarQueries.queries.keySet,
     "stat" -> StatQueries.queries.keySet,
-    "indicator" -> IndicatorQueries.queries.keySet)
+    "indicator" -> IndicatorQueries.queries.keySet,
+    "match" -> MatchQueries.queries.keySet)
 
   test("no query name collides across groups") {
     val all = queryGroups.flatMap(_._2)
