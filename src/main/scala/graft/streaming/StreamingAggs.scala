@@ -31,6 +31,27 @@ object StreamingAggs {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col(keyCol), col("n"), col("sum_value"))
 
+  /** Tumbling OHLC candle bars — the streaming twin of the `ohlc_bars`
+    * contract query's no-window aggregate shape: open/close are
+    * `min_by`/`max_by` picks over the (event_time, sequence) struct
+    * order, high/low/count plain aggregates. All five partial states
+    * combine associatively, so micro-batch boundaries cannot change the
+    * result (exact picks, no float accumulation) and streaming state is
+    * one partial bar per open (window, key). Requires `event_time` and
+    * `sequence` columns on the input frame. */
+  def ohlcBars(ticks: DataFrame, keyCol: String, priceCol: String,
+               duration: String): DataFrame =
+    ticks
+      .groupBy(window(col("event_time"), duration), col(keyCol))
+      .agg(
+        min_by(col(priceCol), struct(col("event_time"), col("sequence"))).as("open"),
+        max(col(priceCol)).as("high"),
+        min(col(priceCol)).as("low"),
+        max_by(col(priceCol), struct(col("event_time"), col("sequence"))).as("close"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("window.start").as("bar_ts"), col(keyCol),
+        col("open"), col("high"), col("low"), col("close"), col("n_ticks"))
+
   /** Exactly-once tick dedup on (key, sequence). Streaming keeps
     * watermark-bounded state (evicted as event time advances — a plain
     * streaming dropDuplicates would grow forever); batch is plain

@@ -81,4 +81,34 @@ class StreamingAggsSpec extends AnyFunSuite {
           r.getAs[Long]("sequence")))))
     } finally q.stop()
   }
+
+  test("ohlc bars: streaming min_by/max_by picks equal one-shot batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+
+    val ms = MemoryStream[Tick]
+    val streamed = StreamingAggs.ohlcBars(
+      ms.toDF().withWatermark("event_time", "10 minutes"),
+      "product_id", "price", "15 minutes")
+    val q = streamed.writeStream.format("memory").queryName("ohlc")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // deliberately NOT time-ordered chunks: the open/close picks must
+      // come out identical because min_by/max_by merge associatively
+      val shuffled = rows.sortBy(t => (t.sequence % 7, t.product_id, t.sequence))
+      Seq(shuffled.slice(0, 111), shuffled.slice(111, 333), shuffled.slice(333, 480))
+        .foreach { c => ms.addData(c); q.processAllAvailable() }
+      val streamOut = s.table("ohlc").collect().toSeq
+
+      val batchOut = StreamingAggs.ohlcBars(
+        ticks(rows.map(t => (t.product_id,
+          (t.event_time.getTime - ts(0).getTime) / 1000, t.sequence,
+          t.price: Double, None, None))),
+        "product_id", "price", "15 minutes").collect().toSeq
+
+      assert(streamOut.nonEmpty)
+      assert(canon(streamOut) == canon(batchOut))
+    } finally q.stop()
+  }
 }
