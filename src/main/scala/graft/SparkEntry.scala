@@ -27,12 +27,12 @@ object SparkEntry {
       VecQueries.queries ++ RelQueries.queries ++ AnalyticsQueries.queries ++
       BreadthQueries.queries ++ CorpusQueries.queries ++ GraphQueries.queries ++
       BarQueries.queries ++ StatQueries.queries ++ IndicatorQueries.queries ++
-      MatchQueries.queries
+      MatchQueries.queries ++ BasketQueries.queries
 
   def oracleSql: Map[String, String] =
     TickQueries.oracleSql ++ DocQueries.oracleSql ++
       VecQueries.oracleSql ++ RelQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
       BreadthQueries.oracleSql ++ CorpusQueries.oracleSql ++ GraphQueries.oracleSql ++
       BarQueries.oracleSql ++ StatQueries.oracleSql ++ IndicatorQueries.oracleSql ++
-      MatchQueries.oracleSql
+      MatchQueries.oracleSql ++ BasketQueries.oracleSql
 }

@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.ops.Det
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retail-analytics operators: association-rule mining over order
+  * baskets and RFM customer segmentation — standard product-analytics
+  * families absent from the reference's SQL surface.
+  *
+  * - `market_basket`: frequent part PAIRS with support / confidence /
+  *   lift. Pair generation is a co-partitioned self-join on the basket
+  *   key (one shuffle; baskets are small — ≤13 items here — so the
+  *   per-basket quadratic is bounded), pair support one hash aggregate,
+  *   and the item-frequency dictionary joins back by BROADCAST (it is
+  *   item-dimension-sized, never fact-sized). Confidence and lift are
+  *   single divisions of exact longs (< 2^53), bit-identical in every
+  *   engine.
+  * - `rfm_segments`: per-customer recency/frequency/monetary quintile
+  *   scores. The aggregate is fact-side (one shuffle on customer);
+  *   the three NTILE(5)s run over the aggregated CUSTOMER DIMENSION, so
+  *   the un-partitioned window sorts dimension-sized data only — at
+  *   100 TB swap for a range-partitioned two-pass rank (same note as
+  *   ntile_bins). Monetary rides Det's exact grid; every rank order has
+  *   a custkey tie-break so both engines bucket identically.
+  */
+object BasketQueries {
+
+  import TickQueries.r6
+
+  private def s6(x: String): String = Det.snapSql(x, 6)
+
+  private val MinSupport = 2
+  private val MonetaryScale = 2
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ------------------------------------------------------ market_basket
+
+  private def marketBasket(s: SparkSession, d: String): DataFrame = {
+    val baskets = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = baskets.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val itemCounts = baskets.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_item"))
+    val a = baskets.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = baskets.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    val pairs = a.join(b, "l_orderkey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= MinSupport)
+    pairs
+      .join(broadcast(itemCounts.select(col("l_partkey").as("part_a"),
+        col("n_item").as("n_a"))), "part_a")
+      .join(broadcast(itemCounts.select(col("l_partkey").as("part_b"),
+        col("n_item").as("n_b"))), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_both"), col("n_a"), col("n_b"),
+        (col("n_both").cast("double") / col("n_a").cast("double")).as("confidence_ab"),
+        ((col("n_orders") * col("n_both")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+
+  private val marketBasketSql =
+    s"""WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+ic AS (SELECT l_partkey, count(*) AS n_item FROM b GROUP BY 1),
+p AS (
+  SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b, count(*) AS n_both
+  FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+                    AND a.l_partkey < b2.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= $MinSupport)
+SELECT part_a, part_b, n_both, ia.n_item AS n_a, ib.n_item AS n_b,
+       ${s6("CAST(n_both AS DOUBLE) / CAST(ia.n_item AS DOUBLE)")} AS confidence_ab,
+       ${s6("CAST(n.n_orders * n_both AS DOUBLE) / CAST(ia.n_item * ib.n_item AS DOUBLE)")} AS lift
+FROM p JOIN ic ia ON p.part_a = ia.l_partkey
+       JOIN ic ib ON p.part_b = ib.l_partkey
+       CROSS JOIN n"""
+
+  // ------------------------------------------------------- rfm_segments
+
+  private def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders")
+    val anchor = orders.agg(max(col("o_orderdate")).as("anchor"))
+    val perCust = orders
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        Det.sumD(col("o_totalprice"), MonetaryScale).as("monetary"))
+      .crossJoin(broadcast(anchor))
+      .select(col("o_custkey"),
+        datediff(col("anchor"), col("last_order")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary"))
+    val rW = Window.orderBy(col("recency_days").desc, col("o_custkey"))
+    val fW = Window.orderBy(col("frequency"), col("o_custkey"))
+    val mW = Window.orderBy(col("monetary"), col("o_custkey"))
+    perCust
+      .withColumn("r_score", ntile(5).over(rW).cast("long"))
+      .withColumn("f_score", ntile(5).over(fW).cast("long"))
+      .withColumn("m_score", ntile(5).over(mW).cast("long"))
+      .withColumn("segment",
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")))
+  }
+
+  private val rfmSegmentsSql =
+    s"""WITH per AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', max(o_orderdate),
+              (SELECT max(o_orderdate) FROM orders)) AS BIGINT) AS recency_days,
+         count(*) AS frequency,
+         ${Det.sumDSql("o_totalprice", MonetaryScale)} AS monetary
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS BIGINT) AS r_score,
+         CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_score,
+         CAST(ntile(5) OVER (ORDER BY monetary, o_custkey) AS BIGINT) AS m_score
+  FROM per)
+SELECT o_custkey, recency_days, frequency, ${s6("monetary")} AS monetary,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+         CAST(m_score AS VARCHAR) AS segment
+FROM scored"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "market_basket" -> ((s, d) => r6(marketBasket(s, d))),
+    "rfm_segments" -> ((s, d) => r6(rfmSegments(s, d)))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "market_basket" -> marketBasketSql,
+    "rfm_segments" -> rfmSegmentsSql
+  )
+}

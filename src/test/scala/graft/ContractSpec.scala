@@ -20,7 +20,8 @@ class ContractSpec extends AnyFunSuite {
     "bar" -> BarQueries.queries.keySet,
     "stat" -> StatQueries.queries.keySet,
     "indicator" -> IndicatorQueries.queries.keySet,
-    "match" -> MatchQueries.queries.keySet)
+    "match" -> MatchQueries.queries.keySet,
+    "basket" -> BasketQueries.queries.keySet)
 
   test("no query name collides across groups") {
     val all = queryGroups.flatMap(_._2)
