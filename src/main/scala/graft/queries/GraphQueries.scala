@@ -174,15 +174,110 @@ SELECT (SELECT count(*) FROM edges) AS n_edges, n_wedges, n_triangles,
        END AS wedge_closure
 FROM closed"""
 
+  // PageRank damping 17/20 (= 0.85 exactly, as a rational) and rank
+  // grid 10^12: every quantity in the iteration is an exact LONG —
+  // contributions are floor divisions `k div deg`, the damped update is
+  // `base + (17·Σ) div 20` — so the sums are associative integers and
+  // the K-step result is bit-identical on any cluster, any engine.
+  private val PrIters = 3
+  private val PrGrid = 1000000000000L
+
+  /** Fixed-iteration PageRank over the supplier co-occurrence graph
+    * (same thresholded edge set as [[triangles]], symmetrized). The
+    * float-free formulation above is the point: classic double-valued
+    * PageRank drifts across partitionings because + isn't associative;
+    * the long-grid walk cannot. Scale shape per iteration: one shuffle
+    * (groupBy dst) against a degree-annotated edge list that itself
+    * shuffles once at build; K is a constant. At 100 TB checkpoint the
+    * rank frame every few iterations to truncate lineage (see
+    * ConnectedComponents).
+    *
+    * Emits (v, degree, pr) — pr = k/10^12, two exact casts + one
+    * correctly-rounded division.
+    */
+  private def pagerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val supp = it.map(_._2).toArray.distinct.sorted
+        for { i <- supp.indices.iterator; j <- (i + 1 until supp.length).iterator }
+          yield (supp(i), supp(j))
+      }
+      .toDF("x", "y")
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= MinCo)
+      .select(col("x"), col("y"))
+    val directed = pairs.unionByName(
+      pairs.select(col("y").as("x"), col("x").as("y")))
+    val degrees = directed.groupBy(col("x").as("v"))
+      .agg(count(lit(1)).as("degree"))
+    val withDeg = directed.join(degrees, col("x") === col("v"))
+      .select(col("x").as("src"), col("y").as("dst"), col("degree")).cache()
+    val n = degrees.agg(count(lit(1)).as("n_nodes"))
+    var ranks = degrees.crossJoin(broadcast(n))
+      .select(col("v"), expr(s"${PrGrid}L div n_nodes").as("k"), col("n_nodes"))
+    for (_ <- 1 to PrIters) {
+      ranks = ranks
+        .join(withDeg, col("v") === col("src"))
+        .select(col("dst"), expr("k div degree").as("contrib"), col("n_nodes"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"),
+          max(col("n_nodes")).as("n_nodes"))
+        .select(col("dst").as("v"),
+          (expr(s"(3L * ${PrGrid}L div 20) div n_nodes") +
+            expr("(17 * s) div 20")).as("k"), col("n_nodes"))
+    }
+    ranks.join(degrees, "v")
+      .select(col("v"), col("degree"),
+        (col("k").cast("double") / lit(PrGrid.toDouble)).as("pr"))
+  }
+
+  private val pagerankSql = {
+    val iterBody = (prev: String, out: String) =>
+      s"""$out AS (
+  SELECT w.dst AS v,
+         ((3 * $PrGrid // 20) // nn.n_nodes) + ((17 * sum(p.k // w.degree)) // 20) AS k
+  FROM $prev p JOIN withdeg w ON p.v = w.src CROSS JOIN nn
+  GROUP BY w.dst, nn.n_nodes)"""
+    s"""WITH os AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), pairs AS (
+  SELECT a.l_suppkey AS x, b.l_suppkey AS y
+  FROM os a JOIN os b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING count(*) >= $MinCo
+), dir AS (
+  SELECT x, y FROM pairs UNION ALL SELECT y AS x, x AS y FROM pairs
+), deg AS (
+  SELECT x AS v, count(*) AS degree FROM dir GROUP BY 1
+), withdeg AS (
+  SELECT d.x AS src, d.y AS dst, g.degree FROM dir d JOIN deg g ON d.x = g.v
+), nn AS (SELECT count(*) AS n_nodes FROM deg),
+r0 AS (
+  SELECT v, $PrGrid // n_nodes AS k FROM deg CROSS JOIN nn),
+${iterBody("r0", "r1")},
+${iterBody("r1", "r2")},
+${iterBody("r2", "r3")}
+SELECT r3.v, g.degree, ${s6(s"CAST(r3.k AS DOUBLE) / CAST($PrGrid AS DOUBLE)")} AS pr
+FROM r3 JOIN deg g ON r3.v = g.v"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "markov_transitions" -> ((s, d) => markov(s, d)),
     "autocorr" -> ((s, d) => autocorr(s, d)),
-    "triangle_count" -> ((s, d) => triangles(s, d))
+    "triangle_count" -> ((s, d) => triangles(s, d)),
+    "pagerank" -> ((s, d) => {
+      import TickQueries.r6
+      r6(pagerank(s, d))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
     "markov_transitions" -> markovSql,
     "autocorr" -> autocorrSql,
-    "triangle_count" -> trianglesSql
+    "triangle_count" -> trianglesSql,
+    "pagerank" -> pagerankSql
   )
 }
