@@ -210,6 +210,9 @@ FROM closed"""
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= MinCo)
       .select(col("x"), col("y"))
+      // cache: the union below and the degree/init/final consumers would
+      // otherwise re-run the whole pair-generation scan per branch
+      .cache()
     val directed = pairs.unionByName(
       pairs.select(col("y").as("x"), col("x").as("y")))
     val degrees = directed.groupBy(col("x").as("v"))
