@@ -244,7 +244,43 @@ SELECT product_id, event_time, sequence, ${s6("price")} AS price,
 FROM b WHERE price > upper OR price < lower"""
   }
 
+  /** Market-microstructure quote stats per instrument — the only query
+    * family exercising best_bid/best_ask end-to-end: quoted share
+    * (non-error rows carry a two-sided quote), Det-exact mean absolute
+    * spread, exact max-spread pick, and mean relative spread in bps
+    * ((ask−bid)/mid·10⁴ — per-row IEEE on identical operand bits, then
+    * a scale-6 grid mean). One hash aggregate over a pruned scan; the
+    * spread grid envelope is tiny (spread ≈ 0.2 → k ≈ 2·10⁵/row). */
+  private def spreadStats(s: SparkSession, d: String): DataFrame = {
+    val spread = col("best_ask") - col("best_bid")
+    val mid = (col("best_bid") + col("best_ask")) / lit(2.0)
+    val relBps = spread / mid * lit(10000.0)
+    TickQueries.ticks(s, d)
+      .groupBy(col("product_id"))
+      .agg(count(lit(1)).as("n_ticks"),
+        count(col("best_bid")).as("n_quoted"),
+        (count(col("best_bid")).cast("double") /
+          count(lit(1)).cast("double")).as("quoted_share"),
+        Det.avgD(spread, 6).as("mean_spread"),
+        max(spread).as("max_spread"),
+        Det.avgD(relBps, 6).as("mean_rel_bps"))
+  }
+
+  private val spreadStatsSql = {
+    val spread = "(best_ask - best_bid)"
+    val relBps = s"($spread / ((best_bid + best_ask) / CAST(2 AS DOUBLE)) * CAST(10000 AS DOUBLE))"
+    s"""SELECT product_id, count(*) AS n_ticks,
+       count(best_bid) AS n_quoted,
+       ${s6("CAST(count(best_bid) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS quoted_share,
+       ${s6(Det.avgDSql(spread, 6))} AS mean_spread,
+       ${s6(s"max$spread")} AS max_spread,
+       ${s6(Det.avgDSql(relBps, 6))} AS mean_rel_bps
+FROM (${TickQueries.liveTicksSql}) lt
+GROUP BY product_id"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "spread_stats" -> ((s, d) => r6(spreadStats(s, d))),
     "ohlc_bars" -> ((s, d) => r6(ohlc(s, d))),
     "twap" -> ((s, d) => r6(twap(s, d))),
     "rolling_median" -> ((s, d) => rollingMedian(s, d)),
@@ -254,6 +290,7 @@ FROM b WHERE price > upper OR price < lower"""
   )
 
   def oracleSql: Map[String, String] = Map(
+    "spread_stats" -> spreadStatsSql,
     "ohlc_bars" -> ohlcSql,
     "twap" -> twapSql,
     "rolling_median" -> rollingMedianSql,

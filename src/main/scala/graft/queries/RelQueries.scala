@@ -100,7 +100,44 @@ object RelQueries {
       .agg(count(lit(1)).as("n_items"),
         Det.sumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
 
+  /** Correlated-scalar-subquery shape, decorrelated: orders strictly
+    * above their OWN customer's Det-exact average price. The correlated
+    * `o_totalprice > (SELECT avg(...) WHERE same customer)` becomes one
+    * per-customer aggregate BROADCAST back onto the fact scan — the
+    * fact table never shuffles, which is the only formulation that
+    * survives 100 TB (Catalyst's subquery decorrelation produces the
+    * same join; spelling it out keeps the broadcast explicit). The
+    * comparison is raw-double vs Det-exact average — identical operand
+    * bits in both engines, so the row set matches exactly. */
+  private def aboveAvgOrders(s: SparkSession, d: String): DataFrame = {
+    val perCust = t(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(Det.avgD(col("o_totalprice"), 2).as("cust_avg"),
+        count(lit(1)).as("n_orders"))
+    t(s, d, "orders")
+      .join(broadcast(perCust), "o_custkey")
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .groupBy(col("o_custkey"), col("cust_avg"), col("n_orders"))
+      .agg(count(lit(1)).as("n_above"),
+        Det.sumD(col("o_totalprice"), 2).as("sum_above"))
+      .select(col("o_custkey"), col("n_orders"), col("cust_avg"),
+        col("n_above"), col("sum_above"))
+  }
+
+  private val aboveAvgOrdersSql =
+    s"""WITH per AS (
+  SELECT o_custkey, ${Det.avgDSql("o_totalprice", 2)} AS cust_avg,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey)
+SELECT o.o_custkey, p.n_orders, ${s6("p.cust_avg")} AS cust_avg,
+       count(*) AS n_above,
+       ${s6(Det.sumDSql("o.o_totalprice", 2))} AS sum_above
+FROM orders o JOIN per p ON o.o_custkey = p.o_custkey
+WHERE o.o_totalprice > p.cust_avg
+GROUP BY o.o_custkey, p.n_orders, p.cust_avg"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_above_avg" -> ((s, d) => r6(aboveAvgOrders(s, d))),
     "rel_star_join" -> ((s, d) => r6(starJoin(s, d))),
     "rel_revenue_by_segment" -> ((s, d) => r6(revenueBySegment(s, d))),
     "rel_runs_join" -> ((s, d) => r6(runsJoin(s, d))),
@@ -110,6 +147,7 @@ object RelQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "rel_above_avg" -> aboveAvgOrdersSql,
     "rel_star_join" ->
       s"""SELECT r_name, CAST(year(o_orderdate) AS INT) AS order_year,
        count(*) AS n_items,
