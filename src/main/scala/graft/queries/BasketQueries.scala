@@ -40,8 +40,11 @@ object BasketQueries {
   // ------------------------------------------------------ market_basket
 
   private def marketBasket(s: SparkSession, d: String): DataFrame = {
+    // cache: four consumers (order count, item dictionary, both join
+    // sides) would each re-run the scan + distinct — the rename-divergent
+    // branches defeat ReusedExchange
     val baskets = t(s, d, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .select(col("l_orderkey"), col("l_partkey")).distinct().cache()
     val nOrders = baskets.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val itemCounts = baskets.groupBy(col("l_partkey"))

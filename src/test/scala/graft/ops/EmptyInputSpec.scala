@@ -59,4 +59,19 @@ class EmptyInputSpec extends AnyFunSuite {
       Similarity.centroidArrays(Similarity.centroids(noVecs))).count() == 0)
     assert(Multimodal.decodeFrames(Multimodal.toBlobTable(noDocs)).count() == 0)
   }
+
+  test("round-3 indicator folds on empty input") {
+    assert(Indicators.rsiPerKey(noTicks, "product_id", "event_time",
+      "sequence", "price").count() == 0)
+    assert(Indicators.macdPerKey(noTicks, "product_id", "event_time",
+      "sequence", "price").count() == 0)
+    // single tick: RSI has no delta (drops out); MACD emits the seed row
+    val one = ticks(Seq(("A", 0, 0, 100.0, None, None)))
+    assert(Indicators.rsiPerKey(one, "product_id", "event_time",
+      "sequence", "price").count() == 0)
+    val m = Indicators.macdPerKey(one, "product_id", "event_time",
+      "sequence", "price").collect()
+    assert(m.length == 1 && m(0).getAs[Double]("macd") == 0.0 &&
+      m(0).getAs[Double]("signal") == 0.0)
+  }
 }

@@ -41,4 +41,35 @@ class RollupSpec extends AnyFunSuite {
     val firstHour = out.minBy(_.getAs[Timestamp]("bucket").getTime)
     assert(firstHour.getAs[Double]("avg_sharpe") > 1.0)
   }
+
+  test("incremental maintenance: merged partials finalize to the full-recompute bits") {
+    val s = spark
+    import s.implicits._
+    // two days of metrics; the second slice also lands INSIDE buckets the
+    // first slice already covers (the hard case: partial-bucket merge)
+    val cols = Seq("strategy_run_id", "metric_time", "sharpe_ratio",
+      "sortino_ratio", "cumulative_return", "drawdown", "trades_executed")
+    def rowsOf(ms: Seq[Metric]) = ms.map(m => (m.strategy_run_id,
+      m.metric_time, m.sharpe_ratio.doubleValue, m.sortino_ratio.doubleValue,
+      m.cumulative_return, m.drawdown, m.trades_executed))
+    val day1 = (0 until 40).map(i => metric(i * 5, 1.0 + (i % 7) * 0.31))
+    val day2 = (37 until 90).map(i => metric(i * 5, 2.0 + (i % 5) * 0.17))
+    val d1 = rowsOf(day1).toDF(cols: _*)
+    val d2 = rowsOf(day2).toDF(cols: _*)
+    val full = rowsOf(day1 ++ day2).toDF(cols: _*)
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+    val incremental = Rollup.finalizeHourly(
+      Rollup.mergeHourly(Rollup.hourlyPartials(d1), Rollup.hourlyPartials(d2)))
+    assert(canon(incremental) == canon(Rollup.hourly(full)),
+      "incremental refresh must equal full recompute bit-for-bit")
+
+    // merging an empty delta is the identity
+    val empty = Rollup.hourlyPartials(full.filter($"trades_executed" < 0))
+    assert(canon(Rollup.finalizeHourly(
+      Rollup.mergeHourly(Rollup.hourlyPartials(d1), empty))) ==
+      canon(Rollup.hourly(d1)))
+  }
 }
