@@ -49,6 +49,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "dimensions must broadcast")
   }
 
+  test("fuzzy_match broadcasts the name dictionary and prunes the part scan to p_name") {
+    val df = SparkEntry.queries("fuzzy_match")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), "the distinct-name dictionary must broadcast")
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val part = scans.find(_.contains("part.parquet")).getOrElse(fail("no part scan"))
+    assert(part.contains("p_name") && !part.contains("p_retailprice"),
+      "the linkage scan must read only the name column")
+  }
+
+  test("rel_above_avg broadcasts the per-customer aggregate (fact never shuffles for the join)") {
+    val p = plan("rel_above_avg")
+    assert(!p.contains("SortMergeJoin"),
+      "the decorrelated per-key aggregate must broadcast onto the fact scan")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("spread_stats is a single hash aggregate (one shuffle, no window, no join)") {
+    val p = plan("spread_stats")
+    assert(!p.contains("Window") && !p.contains("Join"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one aggregate shuffle, saw $exchanges")
+  }
+
+  test("indicator folds shuffle once (repartition + in-partition sort, no extra Exchange)") {
+    val p = plan("rsi")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"the secondary-sort fold must shuffle exactly once, saw $exchanges:\n$p")
+  }
+
   test("parquet scans prune columns: the lineitem quantile scan reads only what it needs") {
     val df = SparkEntry.queries("rel_quantiles")(spark, dir)
     val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
