@@ -73,4 +73,52 @@ class StatefulAttributionSpec extends AnyFunSuite {
     assert(got.size == got.toSet.size, "each purchase attributed exactly once")
     assert(got.toSet == batch)
   }
+
+  test("restart from checkpoint: the last-touch state survives a process restart") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-attr-restart").toString
+    val srcDir = base + "/src"
+    val ckpt = base + "/ckpt"
+    val schema = rows.toDF().schema
+
+    val emitted = mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    // Each call is a fresh "process": new query instance, same checkpoint —
+    // purchases in chunk 2 must still credit touches seen only by chunk 1.
+    def runProcess(chunk: Seq[EventIn]): Unit = {
+      chunk.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+      val q = StatefulAttribution.attribute(
+          s.readStream.schema(schema).parquet(srcDir).as[EventIn], HorizonUs)
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[StatefulAttribution.AttributionOut], _: Long) =>
+          df.collect().foreach { o =>
+            emitted += ((o.user_id, o.purchase_id, o.touch_id, o.gap_us))
+          }
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    val (chunk1, chunk2) = rows.splitAt(rows.size / 2)
+    runProcess(chunk1)
+    runProcess(chunk2)
+
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isTouch = col("event_type").isin("click", "view")
+    val batch = rows.toDF()
+      .withColumn("touch_id", last(when(isTouch, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("touch_us", last(when(isTouch, unix_micros(col("ts"))), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("gap_us", unix_micros(col("ts")) - col("touch_us"))
+      .filter(col("touch_id").isNotNull && col("gap_us") <= lit(HorizonUs))
+      .select(col("user_id"), col("event_id"), col("touch_id"), col("gap_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    assert(emitted.toSet == batch,
+      "attributions across a checkpointed restart must equal the batch window")
+  }
 }
