@@ -244,6 +244,57 @@ FROM (SELECT *, CAST(row_number() OVER (PARTITION BY lang
       FROM with_c1)
 WHERE rk <= 10"""
 
+  /** Per-document LM fluency score against the corpus bigram model — a
+    * perplexity proxy with NO logarithm: surprise of a bigram is the
+    * inverse conditional probability c(w1,·)/c(w1,w2) (an exact-long
+    * ratio, one correctly-rounded division — libm `log` bits differ
+    * across engines, exact ratios never do), and the doc score is the
+    * Det-exact grid mean of its bigram surprises. Low = typical
+    * phrasing, high = rare continuations — the ranking a true
+    * perplexity would give, deterministically.
+    *
+    * Scale: bigram generation is the typed flatMap (invariant 4),
+    * cached once for its two consumers (model + per-doc join); the
+    * model is vocabulary²-bounded — dictionary-sized, so the join back
+    * onto per-doc bigrams broadcasts. One fact shuffle (per-doc agg). */
+  private def lmFluency(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bigrams = docs(s, d).select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, lang, text) =>
+        val ws = text.split(" ", -1) // keep trailing empties (Catalyst/DuckDB rule)
+        Iterator.range(0, ws.length - 1).map(i => (id, lang, ws(i), ws(i + 1)))
+      }
+      .toDF("doc_id", "lang", "w1", "w2").cache()
+    val model = bigrams.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .withColumn("c1", sum(col("c12")).over(
+        Window.partitionBy(col("lang"), col("w1"))))
+    val surprise = col("c1").cast("double") / col("c12").cast("double")
+    bigrams
+      .join(broadcast(model), Seq("lang", "w1", "w2"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        Det.avgD(surprise, 4).as("fluency"),
+        max(surprise).as("max_surprise"))
+  }
+
+  private val lmFluencySql =
+    s"""WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+), big AS (
+  SELECT doc_id, lang, ws[i] AS w1, ws[i + 1] AS w2
+  FROM (SELECT doc_id, lang, ws, unnest(range(1, len(ws))) AS i FROM t)
+), model AS (
+  SELECT lang, w1, w2, count(*) AS c12,
+         CAST(sum(count(*)) OVER (PARTITION BY lang, w1) AS BIGINT) AS c1
+  FROM big GROUP BY 1, 2, 3)
+SELECT b.doc_id, b.lang, count(*) AS n_bigrams,
+       ${s6(Det.avgDSql("(CAST(m.c1 AS DOUBLE) / CAST(m.c12 AS DOUBLE))", 4))} AS fluency,
+       ${s6("max(CAST(m.c1 AS DOUBLE) / CAST(m.c12 AS DOUBLE))")} AS max_surprise
+FROM big b JOIN model m ON b.lang = m.lang AND b.w1 = m.w1 AND b.w2 = m.w2
+GROUP BY b.doc_id, b.lang"""
+
   /** Median/MAD robust outliers over tick prices (see [[Robust]]); output
     * doubles go through the 6-dp contract snap on both sides. */
   private def madOutliers(s: SparkSession, d: String): DataFrame =
@@ -271,6 +322,7 @@ FROM ($base) mo"""
     "session_concurrency" -> ((s, d) => sessionConcurrency(s, d)),
     "keyword_search" -> ((s, d) => keywordSearch(s, d)),
     "bigram_lm" -> ((s, d) => bigramLm(s, d)),
+    "lm_fluency" -> ((s, d) => r6(lmFluency(s, d))),
     "mad_outliers" -> ((s, d) => madOutliers(s, d))
   )
 
@@ -281,6 +333,7 @@ FROM ($base) mo"""
     "session_concurrency" -> sessionConcurrencySql,
     "keyword_search" -> keywordSearchSql,
     "bigram_lm" -> bigramLmSql,
+    "lm_fluency" -> lmFluencySql,
     "mad_outliers" -> madOutliersSql
   )
 }
