@@ -79,6 +79,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges == 1, s"the secondary-sort fold must shuffle exactly once, saw $exchanges:\n$p")
   }
 
+  test("rel_topk_per_group pushes the rank limit below the shuffle (WindowGroupLimit × 2)") {
+    val p = plan("rel_topk_per_group")
+    val limits = "WindowGroupLimit".r.findAllIn(p).size
+    assert(limits == 2,
+      s"expected partial+final rank pushdown (shuffle carries ≤k rows/group), saw $limits:\n$p")
+  }
+
   test("parquet scans prune columns: the lineitem quantile scan reads only what it needs") {
     val df = SparkEntry.queries("rel_quantiles")(spark, dir)
     val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
