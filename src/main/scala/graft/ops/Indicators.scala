@@ -141,4 +141,63 @@ object Indicators {
       }
       .toDF(key, "n_ticks", "ema_fast", "ema_slow", "macd", "signal", "histogram")
   }
+
+  /** Holt linear-trend smoothing with an h-step forecast, final state per
+    * key: level `l ← α·x + (1−α)·(l + b)`, trend `b ← β·(l_new − l) +
+    * (1−β)·b`, seeded l = x₀, b = 0. Forecast = l + h·b.
+    *
+    * Spec-bound only (IndicatorsSpec), NO oracle twin — deliberately:
+    * the level/trend recurrences are MUTUALLY dependent, and DuckDB's
+    * in-place sequential struct_pack evaluation (see
+    * IndicatorQueries.macdSql) cannot express a two-field update where
+    * each field needs the other's OLD value without version-fragile
+    * tricks. Same tier as ops/Approx and io/Bucketing: a scale-path
+    * capability whose correctness is proven in-engine (naive-model
+    * bit-equality + order-insensitivity), not cross-engine.
+    */
+  def holtPerKey(ticks: DataFrame, key: String, time: String, seq: String,
+                 value: String, alpha: Double = 0.2, beta: Double = 0.1,
+                 horizon: Int = 5): DataFrame = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val a = alpha; val na = 1.0 - alpha
+    val b = beta; val nb = 1.0 - beta
+    val h = horizon.toDouble
+    ticks
+      .select(col(key).cast("string"), col(time), col(seq).cast("long"),
+        col(value).cast("double"))
+      .as[(String, java.sql.Timestamp, Long, Double)]
+      .repartition(col(key))
+      .sortWithinPartitions(col(key), col(time), col(seq))
+      .mapPartitions { it =>
+        new Iterator[(String, Long, Double, Double, Double)] {
+          private var cur: String = null
+          private var lv = 0.0
+          private var tr = 0.0
+          private var n = 0L
+          private var pending: Option[(String, Long, Double, Double, Double)] = None
+          private var done = false
+          private def out = Some((cur, n, lv, tr, lv + h * tr))
+          private def roll(): Unit = {
+            while (pending.isEmpty && it.hasNext) {
+              val (k, _, _, x) = it.next()
+              if (cur == null) { cur = k; lv = x; tr = 0.0; n = 1L }
+              else if (k == cur) {
+                val nl = x * a + (lv + tr) * na
+                tr = (nl - lv) * b + tr * nb
+                lv = nl; n += 1L
+              } else { pending = out; cur = k; lv = x; tr = 0.0; n = 1L }
+            }
+            if (pending.isEmpty && !it.hasNext && cur != null && !done) {
+              pending = out; done = true
+            }
+          }
+          def hasNext: Boolean = { roll(); pending.nonEmpty }
+          def next(): (String, Long, Double, Double, Double) = {
+            roll(); val r = pending.get; pending = None; r
+          }
+        }
+      }
+      .toDF(key, "n_ticks", "level", "trend", "forecast")
+  }
 }

@@ -279,7 +279,44 @@ FROM (${TickQueries.liveTicksSql}) lt
 GROUP BY product_id"""
   }
 
+  /** Intraday seasonality profile: per (instrument, hour-of-day), the
+    * Det-exact mean price and its deviation from the instrument's
+    * overall mean. Two-level exact arithmetic: grid-long sums aggregate
+    * once per (instrument, hour) — 24 rows per key — and the overall
+    * mean is a window SUM of those partial longs (associative), so both
+    * means and their difference are fixed IEEE sequences over exact
+    * integers. One fact shuffle; the window pass runs over the tiny
+    * aggregated table. */
+  private def seasonality(s: SparkSession, d: String): DataFrame = {
+    val byProd = Window.partitionBy(col("product_id"))
+    val base = TickQueries.ticks(s, d)
+      .groupBy(col("product_id"), hour(col("event_time")).as("hour_of_day"))
+      .agg(count(lit(1)).as("n_ticks"),
+        sum(Det.kl(col("price"), 4)).as("sk"))
+    val hourMean = (col("sk").cast("double") / lit(1e4)) / col("n_ticks").cast("double")
+    val overallMean = (sum(col("sk")).over(byProd).cast("double") / lit(1e4)) /
+      sum(col("n_ticks")).over(byProd).cast("double")
+    base.select(col("product_id"), col("hour_of_day"), col("n_ticks"),
+      hourMean.as("hour_mean"), (hourMean - overallMean).as("deviation"))
+  }
+
+  private val seasonalitySql = {
+    val k = Det.klSql("price", 4)
+    s"""WITH per AS (
+  SELECT product_id, hour(event_time) AS hour_of_day, count(*) AS n_ticks,
+         CAST(sum($k) AS BIGINT) AS sk
+  FROM (${TickQueries.liveTicksSql}) lt
+  GROUP BY product_id, hour(event_time))
+SELECT product_id, hour_of_day, n_ticks,
+       ${s6("(CAST(sk AS DOUBLE) / 1e4) / CAST(n_ticks AS DOUBLE)")} AS hour_mean,
+       ${s6("""((CAST(sk AS DOUBLE) / 1e4) / CAST(n_ticks AS DOUBLE)) -
+          ((CAST(sum(sk) OVER w AS DOUBLE) / 1e4) / CAST(sum(n_ticks) OVER w AS DOUBLE))""")} AS deviation
+FROM per
+WINDOW w AS (PARTITION BY product_id)"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "seasonality" -> ((s, d) => r6(seasonality(s, d))),
     "spread_stats" -> ((s, d) => r6(spreadStats(s, d))),
     "ohlc_bars" -> ((s, d) => r6(ohlc(s, d))),
     "twap" -> ((s, d) => r6(twap(s, d))),
@@ -290,6 +327,7 @@ GROUP BY product_id"""
   )
 
   def oracleSql: Map[String, String] = Map(
+    "seasonality" -> seasonalitySql,
     "spread_stats" -> spreadStatsSql,
     "ohlc_bars" -> ohlcSql,
     "twap" -> twapSql,

@@ -74,6 +74,34 @@ class IndicatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("holtPerKey equals the naive level/trend model bit-for-bit") {
+    val out = Indicators.holtPerKey(ticks(fixture),
+        "product_id", "event_time", "sequence", "price", 0.2, 0.1, 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val a = 0.2; val na = 0.8; val b = 0.1; val nb = 0.9
+    for (p <- Seq("A", "B", "C")) {
+      val xs = series(p)
+      var lv = xs.head; var tr = 0.0
+      xs.tail.foreach { x =>
+        val nl = x * a + (lv + tr) * na
+        tr = (nl - lv) * b + tr * nb
+        lv = nl
+      }
+      assert(out(p) == ((xs.size.toLong, lv, tr, lv + 5.0 * tr)), s"key $p")
+    }
+  }
+
+  test("holt trend tracks a linear ramp") {
+    // perfectly linear series: the trend must converge toward the slope
+    val ramp = (0 until 200).map(i => ("R", i.toLong, i.toLong, 100.0 + 2.0 * i, None, None))
+    val r = Indicators.holtPerKey(ticks(ramp),
+      "product_id", "event_time", "sequence", "price").collect().head
+    val trend = r.getAs[Double]("trend")
+    assert(trend > 1.5 && trend < 2.5, s"trend $trend should approach slope 2")
+    assert(r.getAs[Double]("forecast") > r.getAs[Double]("level"))
+  }
+
   test("indicator folds are insensitive to input row order") {
     val r1 = Indicators.macdPerKey(ticks(fixture),
       "product_id", "event_time", "sequence", "price").collect().toSet
