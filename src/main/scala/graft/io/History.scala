@@ -38,4 +38,34 @@ object History {
     read(spark, path)
       .filter(col("event_date") === to_date(lit(date)) &&
         col("product_id") === productId)
+
+  /** Compact a day partition's small files in place. Streaming appends
+    * (one file per micro-batch per instrument) accrete thousands of tiny
+    * files per day; at 100 TB the NameNode/listing cost and per-file
+    * open overhead dominate reads long before data volume does. This
+    * rewrites ONE day to ⌈bytes / targetBytes⌉ files, restoring the
+    * (product_id, event_time) sort so row-group min/max skipping works
+    * again, then swaps the directory atomically-enough for a
+    * single-writer warehouse (write new → delete old → rename).
+    * Returns (files_before, files_after). */
+  def compactDay(spark: SparkSession, path: String, date: String,
+                 targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val dayDir = new org.apache.hadoop.fs.Path(s"$path/event_date=$date")
+    val fs = dayDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dayDir)) return (0, 0)
+    val parts = fs.listStatus(dayDir).filter(_.getPath.getName.endsWith(".parquet"))
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (parts.length <= nOut) return (parts.length, parts.length)
+
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.compact-event_date=$date")
+    spark.read.parquet(dayDir.toString)
+      .repartition(nOut, col("product_id"))
+      .sortWithinPartitions(col("product_id"), col("event_time"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(dayDir, true)
+    fs.rename(tmp, dayDir)
+    val after = fs.listStatus(dayDir).count(_.getPath.getName.endsWith(".parquet"))
+    (parts.length, after)
+  }
 }

@@ -31,6 +31,29 @@ class HistorySpec extends AnyFunSuite {
     assert(dirs.count(_.startsWith("event_date=")) == 2)
   }
 
+  test("compactDay collapses micro-batch file accretion and preserves content + pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/ticks"
+    // simulate 12 micro-batch appends into the same day
+    for (batch <- 0 until 12) {
+      val rows = (0 until 20).map(i => ("A", batch * 600L + i, (batch * 100 + i).toLong,
+        100.0 + i, Option(99.0), Option(101.0)))
+      History.write(ticks(rows), dir)
+    }
+    val day = new java.io.File(dir).listFiles()
+      .find(_.getName.startsWith("event_date=")).get
+    val date = day.getName.stripPrefix("event_date=")
+    val before = History.read(spark, dir).orderBy("sequence").collect().toSeq
+
+    val (nBefore, nAfter) = History.compactDay(spark, dir, date)
+    assert(nBefore >= 10, s"expected accreted small files, saw $nBefore")
+    assert(nAfter == 1, s"tiny day must compact to one file, saw $nAfter")
+
+    val after = History.read(spark, dir).orderBy("sequence").collect().toSeq
+    assert(after == before, "compaction must preserve every row bit-for-bit")
+    // idempotent: already-compact day is left alone
+    assert(History.compactDay(spark, dir, date) == ((1, 1)))
+  }
+
   test("backtest over a warehouse slice equals the strategy on the same ticks (T8)") {
     import graft.{Backtest, TestSpark}
     import graft.config.StrategyConfig
