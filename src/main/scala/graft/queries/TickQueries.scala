@@ -146,6 +146,21 @@ object TickQueries {
       r6(withMkt.groupBy(col("product_id"))
         .agg(count(lit(1)).as("n_obs"), Det.corrD(col("price"), col("mkt"), 4).as("mkt_corr")))
     }),
+    "seq_gaps" -> ((s, d) => {
+      // Ingest-integrity audit: per instrument, gaps in the sequence-id
+      // stream (the engine-side analog of the reference's Kafka consumer
+      // lag healthcheck — a gap is a dropped/unreplayed message). Pure
+      // integer arithmetic over one keyed window pass: lag along the
+      // sequence order, then a hash aggregate of the deficits.
+      val w = Window.partitionBy(col("product_id")).orderBy(col("sequence"))
+      ticks(s, d)
+        .withColumn("gap", col("sequence") - lag(col("sequence"), 1).over(w) - lit(1L))
+        .groupBy(col("product_id"))
+        .agg(count(lit(1)).as("n_ticks"),
+          count(when(col("gap") > 0, 1)).as("n_gaps"),
+          coalesce(sum(when(col("gap") > 0, col("gap"))), lit(0L)).as("missing_total"),
+          coalesce(max(when(col("gap") > 0, col("gap"))), lit(0L)).as("max_gap"))
+    }),
     "momentum_ranks" -> ((s, d) => {
       // Cross-sectional momentum ranking: per grid hour, instruments
       // ranked by 24h price momentum — the classic signal-ranking shape
@@ -423,6 +438,16 @@ FROM g ASOF LEFT JOIN t
           "event_time", "sequence", "price")
         s"""SELECT product_id, n_ticks, ${s6("ewma")} AS ewma FROM ($base) ewma_out"""
       },
+      "seq_gaps" ->
+        s"""WITH g AS (
+  SELECT product_id,
+         sequence - lag(sequence, 1) OVER (PARTITION BY product_id ORDER BY sequence) - 1 AS gap
+  FROM ($liveTicksSql) lt)
+SELECT product_id, count(*) AS n_ticks,
+       count(CASE WHEN gap > 0 THEN 1 END) AS n_gaps,
+       CAST(coalesce(sum(CASE WHEN gap > 0 THEN gap END), 0) AS BIGINT) AS missing_total,
+       CAST(coalesce(max(CASE WHEN gap > 0 THEN gap END), 0) AS BIGINT) AS max_gap
+FROM g GROUP BY product_id""",
       "momentum_ranks" ->
         s"""WITH t AS ($uniqTicksSql),
 bounds AS (
