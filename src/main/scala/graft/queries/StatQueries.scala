@@ -197,7 +197,82 @@ GROUP BY lang, bin"""
        count(*) AS n_events
 FROM events GROUP BY event_type"""
 
+  /** Exact higher moments per instrument — skewness and excess kurtosis
+    * from integer POWER SUMS on the price grid (scale 2): Σk, Σk², Σk³,
+    * Σk⁴ are exact integers. k ≤ ~6.7·10⁴ here (price ≤ 660), so k²
+    * squares in longs and the cube/quartic promote to DECIMAL(38,0) /
+    * HUGEINT BEFORE multiplying (k⁴ ≈ 2·10¹⁹ overflows a per-row long);
+    * the wide sums stay exact to ~10³⁸ — room for >10¹⁸ rows per key.
+    * Every power sum is positive, so each exact→double cast is
+    * correctly rounded in BOTH engines with no signed-cast guard; the
+    * central-moment finishing (m₂/m₃/m₄ from raw moments, skew =
+    * m₃/(m₂·√m₂), kurt = m₄/m₂² − 3) is the identical IEEE sequence on
+    * identical operand bits. One hash aggregate, map-side combined —
+    * the Det story extended past variance. */
+  private def priceMoments(s: SparkSession, d: String): DataFrame = {
+    val k = Det.kl(col("price"), 2)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val base = TickQueries.ticks(s, d)
+      .select(col("product_id"), k.as("k"))
+      .groupBy(col("product_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("s1"),
+        sum(col("k") * col("k")).as("s2"),
+        // promote BEFORE the cube/quartic multiply: k ≈ 10⁵ makes k⁴
+        // overflow a per-row long; k² always fits, so square in longs
+        // and finish the powers in exact decimal
+        sum((col("k") * col("k")).cast(dec) * col("k")).as("s3"),
+        sum((col("k") * col("k")).cast(dec) * (col("k") * col("k"))).as("s4"))
+    val nD = col("n").cast("double")
+    val g = lit(100.0) // grid divisor 10^2
+    // s3/s4 exceed 2^53: JVM Decimal→Double (BigDecimal.doubleValue) is
+    // NOT guaranteed correctly rounded there, so route via an exact
+    // decimal STRING — string→double parsing IS correctly rounded in
+    // both engines at any magnitude (oracle mirrors with VARCHAR).
+    def viaString(c: org.apache.spark.sql.Column) =
+      c.cast("string").cast("double")
+    val mean = col("s1").cast("double") / g / nD
+    val r2 = col("s2").cast("double") / (g * g) / nD
+    val r3 = viaString(col("s3")) / (g * g * g) / nD
+    val r4 = viaString(col("s4")) / (g * g * g * g) / nD
+    val m2 = r2 - mean * mean
+    val m3 = r3 - lit(3.0) * mean * r2 + lit(2.0) * mean * mean * mean
+    val m4 = r4 - lit(4.0) * mean * r3 + lit(6.0) * mean * mean * r2 -
+      lit(3.0) * mean * mean * mean * mean
+    base.select(col("product_id"), col("n").as("n_ticks"),
+      mean.as("mean_price"),
+      when(m2 > 0, m3 / (m2 * sqrt(m2))).as("skewness"),
+      when(m2 > 0, m4 / (m2 * m2) - lit(3.0)).as("excess_kurtosis"))
+  }
+
+  private val priceMomentsSql = {
+    val k = Det.klSql("price", 2)
+    val pre =
+      s"""SELECT product_id, count(*) AS n,
+         sum(kk) AS s1, sum(kk * kk) AS s2,
+         sum(CAST(kk * kk AS HUGEINT) * kk) AS s3,
+         sum(CAST(kk * kk AS HUGEINT) * (kk * kk)) AS s4
+  FROM (SELECT product_id, $k AS kk FROM (${TickQueries.liveTicksSql}) lt) t
+  GROUP BY product_id"""
+    val nD = "CAST(n AS DOUBLE)"
+    val mean = s"(CAST(s1 AS DOUBLE) / 100.0 / $nD)"
+    val r2 = s"(CAST(s2 AS DOUBLE) / (100.0 * 100.0) / $nD)"
+    val r3 = s"(CAST(CAST(s3 AS VARCHAR) AS DOUBLE) / (100.0 * 100.0 * 100.0) / $nD)"
+    val r4 = s"(CAST(CAST(s4 AS VARCHAR) AS DOUBLE) / (100.0 * 100.0 * 100.0 * 100.0) / $nD)"
+    val m2 = s"($r2 - $mean * $mean)"
+    val m3 = s"($r3 - 3.0 * $mean * $r2 + 2.0 * $mean * $mean * $mean)"
+    val m4 = s"($r4 - 4.0 * $mean * $r3 + 6.0 * $mean * $mean * $r2 - 3.0 * $mean * $mean * $mean * $mean)"
+    s"""SELECT product_id, n AS n_ticks, ${s6(mean)} AS mean_price,
+       ${s6(s"CASE WHEN $m2 > 0 THEN $m3 / ($m2 * sqrt($m2)) END")} AS skewness,
+       ${s6(s"CASE WHEN $m2 > 0 THEN $m4 / ($m2 * $m2) - 3.0 END")} AS excess_kurtosis
+FROM ($pre) agg"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "price_moments" -> ((s, d) => {
+      import TickQueries.r6
+      r6(priceMoments(s, d))
+    }),
     "chi2_contingency" -> ((s, d) => chi2(s, d)),
     "corpus_balance" -> ((s, d) => balanced(s, d)),
     "session_paths" -> ((s, d) => sessionPaths(s, d)),
@@ -209,6 +284,7 @@ FROM events GROUP BY event_type"""
   )
 
   def oracleSql: Map[String, String] = Map(
+    "price_moments" -> priceMomentsSql,
     "chi2_contingency" -> chi2Sql,
     "corpus_balance" -> balancedSql,
     "session_paths" -> sessionPathsSql,
