@@ -315,7 +315,87 @@ FROM per
 WINDOW w AS (PARTITION BY product_id)"""
   }
 
+  /** Donchian channel breakouts: price vs the rolling high/low of the
+    * PREVIOUS 20 rows (frame excludes the current row, the standard
+    * breakout definition — a new extreme IS the breakout). Exact picks
+    * and integer comparisons only; one Exchange+Sort shared by both
+    * frames. Emits breakout rows with the channel they pierced. */
+  private def donchian(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("product_id"))
+      .orderBy(col("event_time"), col("sequence"))
+    val prev = w.rowsBetween(-20, -1)
+    TickQueries.ticks(s, d)
+      .withColumn("ch_high", max(col("price")).over(prev))
+      .withColumn("ch_low", min(col("price")).over(prev))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 20 &&
+        (col("price") > col("ch_high") || col("price") < col("ch_low")))
+      .select(col("product_id"), col("event_time"), col("sequence"),
+        col("price"), col("ch_high"), col("ch_low"),
+        when(col("price") > col("ch_high"), "up").otherwise("down").as("direction"))
+  }
+
+  private val donchianSql =
+    s"""WITH b AS (
+  SELECT product_id, event_time, sequence, price,
+         max(price) OVER wp AS ch_high, min(price) OVER wp AS ch_low,
+         row_number() OVER wo AS rn
+  FROM (${TickQueries.liveTicksSql}) lt
+  WINDOW wo AS (PARTITION BY product_id ORDER BY event_time, sequence),
+         wp AS (PARTITION BY product_id ORDER BY event_time, sequence
+                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+SELECT product_id, event_time, sequence, ${s6("price")} AS price,
+       ${s6("ch_high")} AS ch_high, ${s6("ch_low")} AS ch_low,
+       CASE WHEN price > ch_high THEN 'up' ELSE 'down' END AS direction
+FROM b WHERE rn > 20 AND (price > ch_high OR price < ch_low)"""
+
+  /** Tick-rule order-flow imbalance: classify each tick buy/sell by the
+    * sign of the price change vs the previous DIFFERENT price (zero
+    * changes inherit the last direction — the classic Lee–Ready tick
+    * test without quotes), then aggregate hourly signed counts and an
+    * imbalance ratio. All integer state: direction is a keyed window
+    * chain (last non-zero sign via IGNORE-NULLS running last), counts
+    * are exact, the ratio is one division of exact longs. */
+  private def tickImbalance(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("product_id"))
+      .orderBy(col("event_time"), col("sequence"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val diff = col("price") - lag(col("price"), 1).over(w)
+    TickQueries.ticks(s, d)
+      .withColumn("raw_sign",
+        when(diff > 0, 1L).when(diff < 0, -1L))
+      .withColumn("dir", last(col("raw_sign"), ignoreNulls = true).over(run))
+      .filter(col("dir").isNotNull)
+      .groupBy(col("product_id"),
+        date_trunc("hour", col("event_time")).as("bucket"))
+      .agg(count(when(col("dir") === 1L, 1)).as("n_buy"),
+        count(when(col("dir") === -1L, 1)).as("n_sell"),
+        ((count(when(col("dir") === 1L, 1)) - count(when(col("dir") === -1L, 1))).cast("double") /
+          count(lit(1)).cast("double")).as("imbalance"))
+  }
+
+  private val tickImbalanceSql =
+    s"""WITH b AS (
+  SELECT product_id, event_time,
+         last_value(CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 END IGNORE NULLS)
+           OVER (PARTITION BY product_id ORDER BY event_time, sequence
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dir
+  FROM (SELECT product_id, event_time, sequence, price,
+               price - lag(price, 1) OVER (PARTITION BY product_id
+                   ORDER BY event_time, sequence) AS d
+        FROM (${TickQueries.liveTicksSql}) lt) t)
+SELECT product_id, date_trunc('hour', event_time) AS bucket,
+       count(CASE WHEN dir = 1 THEN 1 END) AS n_buy,
+       count(CASE WHEN dir = -1 THEN 1 END) AS n_sell,
+       ${s6("""CAST(count(CASE WHEN dir = 1 THEN 1 END) -
+             count(CASE WHEN dir = -1 THEN 1 END) AS DOUBLE) /
+           CAST(count(*) AS DOUBLE)""")} AS imbalance
+FROM b WHERE dir IS NOT NULL
+GROUP BY product_id, date_trunc('hour', event_time)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "donchian_breakouts" -> ((s, d) => r6(donchian(s, d))),
+    "tick_imbalance" -> ((s, d) => r6(tickImbalance(s, d))),
     "seasonality" -> ((s, d) => r6(seasonality(s, d))),
     "spread_stats" -> ((s, d) => r6(spreadStats(s, d))),
     "ohlc_bars" -> ((s, d) => r6(ohlc(s, d))),
@@ -327,6 +407,8 @@ WINDOW w AS (PARTITION BY product_id)"""
   )
 
   def oracleSql: Map[String, String] = Map(
+    "donchian_breakouts" -> donchianSql,
+    "tick_imbalance" -> tickImbalanceSql,
     "seasonality" -> seasonalitySql,
     "spread_stats" -> spreadStatsSql,
     "ohlc_bars" -> ohlcSql,
