@@ -146,6 +146,34 @@ object TickQueries {
       r6(withMkt.groupBy(col("product_id"))
         .agg(count(lit(1)).as("n_obs"), Det.corrD(col("price"), col("mkt"), 4).as("mkt_corr")))
     }),
+    "corr_matrix" -> ((s, d) => {
+      // Pairwise Pearson correlation matrix over the gap-filled hourly
+      // grid, bounded to the top-15 instruments by filled-grid length
+      // (deterministic pick: count DESC, product_id) — the classic
+      // pairs-trading screen. The quadratic is contained by design:
+      // 15 instruments → 105 pairs, and the time-align join fans out
+      // |top|² rows PER GRID HOUR, never |table|². The filled grid is
+      // cached (three consumers); the top set broadcasts; corrD runs on
+      // exact Det grids so the matrix is engine-identical.
+      val filled = GapFill(uniqTicks(s, d),
+        Seq("product_id"), "event_time", "1 hour",
+        Seq("price" -> "price"), truncUnit = "hour")
+        .filter(col("price").isNotNull).cache()
+      val top = filled.groupBy(col("product_id"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n").desc, col("product_id"))))
+        .filter(col("rk") <= 15).select(col("product_id"))
+      val f = filled.join(broadcast(top), "product_id")
+      val pairs = f.select(col("product_id").as("pa"), col("grid_ts"),
+          col("price").as("xa"))
+        .join(f.select(col("product_id").as("pb"), col("grid_ts"),
+          col("price").as("xb")), "grid_ts")
+        .filter(col("pa") < col("pb"))
+      r6(pairs.groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("n_obs"),
+          Det.corrD(col("xa"), col("xb"), 4).as("pair_corr")))
+    }),
     "seq_gaps" -> ((s, d) => {
       // Ingest-integrity audit: per instrument, gaps in the sequence-id
       // stream (the engine-side analog of the reference's Kafka consumer
@@ -438,6 +466,31 @@ FROM g ASOF LEFT JOIN t
           "event_time", "sequence", "price")
         s"""SELECT product_id, n_ticks, ${s6("ewma")} AS ewma FROM ($base) ewma_out"""
       },
+      "corr_matrix" ->
+        s"""WITH t AS ($uniqTicksSql),
+bounds AS (
+  SELECT product_id, date_trunc('hour', min(event_time)) AS s, max(event_time) AS e
+  FROM t GROUP BY 1),
+g AS (
+  SELECT product_id, unnest(generate_series(s, e, INTERVAL '1 hour')) AS grid_ts
+  FROM bounds),
+filled AS (
+  SELECT g.product_id, g.grid_ts, t.price
+  FROM g ASOF LEFT JOIN t
+    ON g.product_id = t.product_id AND g.grid_ts >= t.event_time
+  WHERE t.price IS NOT NULL),
+topn AS (
+  SELECT product_id FROM (
+    SELECT product_id, row_number() OVER (ORDER BY count(*) DESC, product_id) AS rk
+    FROM filled GROUP BY product_id) r
+  WHERE rk <= 15),
+f AS (
+  SELECT product_id, grid_ts, price FROM filled JOIN topn USING (product_id)),
+pairs AS (
+  SELECT a.product_id AS pa, b.product_id AS pb, a.price AS xa, b.price AS xb
+  FROM f a JOIN f b ON a.grid_ts = b.grid_ts AND a.product_id < b.product_id)
+SELECT pa, pb, count(*) AS n_obs, ${s6(Det.corrDSql("xa", "xb", 4))} AS pair_corr
+FROM pairs GROUP BY pa, pb""",
       "seq_gaps" ->
         s"""WITH g AS (
   SELECT product_id,
