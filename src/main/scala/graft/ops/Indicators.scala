@@ -142,6 +142,53 @@ object Indicators {
       .toDF(key, "n_ticks", "ema_fast", "ema_slow", "macd", "signal", "histogram")
   }
 
+  /** Adaptive EWMA — the generalized fold `s ← s + sc_t·(x_t − s)` where
+    * the smoothing coefficient `sc` is a PRECOMPUTED per-row column
+    * (KAMA's efficiency-ratio schedule, volatility-scaled alphas, …),
+    * seeded with the first observation. Single-state, so the DuckDB
+    * struct-fold oracle is robust under both in-place and snapshot
+    * field-evaluation semantics (unlike Holt's mutually-dependent
+    * pair). Same secondary-sort distribution as [[Ewma]].
+    *
+    * Emits (key, n_ticks, adaptive).
+    */
+  def adaptiveEwmaPerKey(ticks: DataFrame, key: String, time: String,
+                         seq: String, value: String, scCol: String): DataFrame = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .select(col(key).cast("string"), col(time), col(seq).cast("long"),
+        col(value).cast("double"), col(scCol).cast("double"))
+      .as[(String, java.sql.Timestamp, Long, Double, Double)]
+      .repartition(col(key))
+      .sortWithinPartitions(col(key), col(time), col(seq))
+      .mapPartitions { it =>
+        new Iterator[(String, Long, Double)] {
+          private var cur: String = null
+          private var s = 0.0
+          private var n = 0L
+          private var pending: Option[(String, Long, Double)] = None
+          private var done = false
+          private def roll(): Unit = {
+            while (pending.isEmpty && it.hasNext) {
+              val (k, _, _, x, sc) = it.next()
+              if (cur == null) { cur = k; s = x; n = 1L }
+              else if (k == cur) { s = s + sc * (x - s); n += 1L }
+              else { pending = Some((cur, n, s)); cur = k; s = x; n = 1L }
+            }
+            if (pending.isEmpty && !it.hasNext && cur != null && !done) {
+              pending = Some((cur, n, s)); done = true
+            }
+          }
+          def hasNext: Boolean = { roll(); pending.nonEmpty }
+          def next(): (String, Long, Double) = {
+            roll(); val r = pending.get; pending = None; r
+          }
+        }
+      }
+      .toDF(key, "n_ticks", "adaptive")
+  }
+
   /** Holt linear-trend smoothing with an h-step forecast, final state per
     * key: level `l ← α·x + (1−α)·(l + b)`, trend `b ← β·(l_new − l) +
     * (1−β)·b`, seeded l = x₀, b = 0. Forecast = l + h·b.

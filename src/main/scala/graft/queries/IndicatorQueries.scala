@@ -110,6 +110,79 @@ SELECT product_id, n_ticks,
 FROM m"""
   }
 
+  // ---------------------------------------------------------------- KAMA
+
+  private val KamaEr = 10
+  private val KamaFastSc = 2.0 / 3   // 2/(2+1)
+  private val KamaSlowSc = 2.0 / 31  // 2/(30+1)
+
+  /** Kaufman adaptive moving average: smoothing constant
+    * sc = (er·(fast−slow)+slow)² from the 10-row efficiency ratio
+    * er = |Δ₁₀ price| / Σ|Δ₁ price| — BOTH measured on the 10⁻²
+    * price grid, so numerator and denominator are exact longs and er is
+    * one exact-integer division (identical bits in both engines). Rows
+    * before a full ER window get sc = 0 (the fold holds its seed).
+    * The fold itself is the single-state [[Indicators.adaptiveEwmaPerKey]]
+    * — robust to either struct-evaluation semantics in the oracle. */
+  private def kama(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("product_id"))
+      .orderBy(col("event_time"), col("sequence"))
+    val k = graft.ops.Det.kl(col("price"), 2)
+    val dk = abs(k - lag(k, 1).over(w))
+    // explicit v*v, not pow(v, 2): pow is a libm call with no cross-
+    // engine bit guarantee, multiplication is IEEE-exact rounding
+    val v = col("er") * (lit(KamaFastSc) - lit(KamaSlowSc)) + lit(KamaSlowSc)
+    val base = TickQueries.ticks(s, d)
+      .withColumn("num_k", abs(k - lag(k, KamaEr).over(w)))
+      .withColumn("den_k", sum(dk).over(w.rowsBetween(-(KamaEr - 1), 0)))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("er",
+        when(col("rn") <= KamaEr, lit(null))
+          .when(col("den_k") === 0L, lit(1.0))
+          .otherwise(col("num_k").cast("double") / col("den_k").cast("double")))
+      .withColumn("sc",
+        when(col("er").isNull, lit(0.0)).otherwise(v * v))
+    Indicators.adaptiveEwmaPerKey(base,
+      "product_id", "event_time", "sequence", "price", "sc")
+      .withColumnRenamed("adaptive", "kama")
+  }
+
+  private val kamaSql = {
+    val fs = Det.dblLit(KamaFastSc); val ss = Det.dblLit(KamaSlowSc)
+    val k = Det.klSql("price", 2)
+    s"""WITH b0 AS (
+  SELECT product_id, event_time, sequence, price, $k AS kk,
+         lag($k, 1) OVER wo AS kk1, lag($k, $KamaEr) OVER wo AS kk10,
+         row_number() OVER wo AS rn
+  FROM ($ticksSql) lt
+  WINDOW wo AS (PARTITION BY product_id ORDER BY event_time, sequence)),
+b AS (
+  SELECT product_id, event_time, sequence, price, rn,
+         abs(kk - kk10) AS num_k,
+         sum(abs(kk - kk1)) OVER wf AS den_k
+  FROM b0
+  WINDOW wf AS (PARTITION BY product_id ORDER BY event_time, sequence
+                ROWS BETWEEN ${KamaEr - 1} PRECEDING AND CURRENT ROW)),
+sc AS (
+  SELECT product_id, event_time, sequence, price,
+         CASE WHEN er IS NULL THEN CAST(0 AS DOUBLE)
+              ELSE (er * ($fs - $ss) + $ss) * (er * ($fs - $ss) + $ss) END AS sc
+  FROM (SELECT *,
+          CASE WHEN rn <= $KamaEr THEN NULL
+               WHEN den_k = 0 THEN CAST(1 AS DOUBLE)
+               ELSE CAST(num_k AS DOUBLE) / CAST(den_k AS DOUBLE) END AS er
+        FROM b) e),
+per AS (
+  SELECT product_id,
+         list(struct_pack(s := price, x := price, c := sc)
+              ORDER BY event_time, sequence) AS xs
+  FROM sc GROUP BY product_id)
+SELECT product_id, CAST(len(xs) AS BIGINT) AS n_ticks,
+       ${s6("""list_reduce(xs,
+         (a, c) -> struct_pack(s := a.s + c.c * (c.x - a.s), x := c.x, c := c.c)).s""")} AS kama
+FROM per"""
+  }
+
   // --------------------------------------------------- Stochastic %K/%D
 
   /** %K = (close − min14)/(max14 − min14)·100 (50 on a flat frame),
@@ -207,6 +280,7 @@ FROM per"""
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kama" -> ((s, d) => r6(kama(s, d))),
     "rsi" -> ((s, d) => r6(rsi(s, d))),
     "macd" -> ((s, d) => r6(macd(s, d))),
     "stochastic" -> ((s, d) => r6(stochastic(s, d))),
@@ -214,6 +288,7 @@ FROM per"""
   )
 
   def oracleSql: Map[String, String] = Map(
+    "kama" -> kamaSql,
     "rsi" -> rsiSql,
     "macd" -> macdSql,
     "stochastic" -> stochasticSql,
