@@ -61,10 +61,15 @@ class EmptyInputSpec extends AnyFunSuite {
   }
 
   test("round-3 indicator folds on empty input") {
+    import org.apache.spark.sql.functions.lit
     assert(Indicators.rsiPerKey(noTicks, "product_id", "event_time",
       "sequence", "price").count() == 0)
     assert(Indicators.macdPerKey(noTicks, "product_id", "event_time",
       "sequence", "price").count() == 0)
+    assert(Indicators.holtPerKey(noTicks, "product_id", "event_time",
+      "sequence", "price").count() == 0)
+    assert(Indicators.adaptiveEwmaPerKey(noTicks.withColumn("sc", lit(0.5)),
+      "product_id", "event_time", "sequence", "price", "sc").count() == 0)
     // single tick: RSI has no delta (drops out); MACD emits the seed row
     val one = ticks(Seq(("A", 0, 0, 100.0, None, None)))
     assert(Indicators.rsiPerKey(one, "product_id", "event_time",

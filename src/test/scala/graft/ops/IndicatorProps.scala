@@ -46,6 +46,21 @@ object IndicatorProps extends Properties("Indicators") {
         Prop(rsi >= 0.0 && rsi <= 100.0) :| s"rsi out of range: $rsi"
     }
 
+  property("adaptiveEwmaPerKey = naive adaptive fold for any coefficient schedule") =
+    Prop.forAll(seriesGen, Gen.listOfN(80, Gen.chooseNum(0.0, 1.0))) { (xs, scs) =>
+      import spark.implicits._
+      val rows = xs.zip(scs).zipWithIndex.map { case ((v, sc), i) =>
+        ("k", TestSpark.ts(i.toLong), i.toLong, v, sc)
+      }
+      val df = rows.toDF("key", "t", "seq", "x", "sc")
+      val row = Indicators.adaptiveEwmaPerKey(df, "key", "t", "seq", "x", "sc")
+        .collect().head
+      var s = xs.head
+      xs.zip(scs).tail.foreach { case (x, sc) => s = s + sc * (x - s) }
+      val got = (row.getAs[Long]("n_ticks"), row.getAs[Double]("adaptive"))
+      Prop(got == ((xs.size.toLong, s))) :| s"got $got, want (${xs.size}, $s)"
+    }
+
   property("macdPerKey = naive lockstep EMA fold") =
     Prop.forAll(seriesGen) { xs =>
       val row = Indicators.macdPerKey(df(xs), "key", "t", "seq", "x", 12, 26, 9)
