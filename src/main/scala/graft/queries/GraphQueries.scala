@@ -267,7 +267,60 @@ SELECT r3.v, g.degree, ${s6(s"CAST(r3.k AS DOUBLE) / CAST($PrGrid AS DOUBLE)")} 
 FROM r3 JOIN deg g ON r3.v = g.v"""
   }
 
+  /** Degree distribution of the co-occurrence graph: per degree value,
+    * node count and share — the first diagnostic on any graph (skew
+    * here predicts hot keys in every downstream graph op). Exact
+    * integers + one exact-long-ratio share; the distribution table is
+    * degree-cardinality-sized (tiny), aggregated from the same
+    * thresholded edge set as [[triangles]]/[[pagerank]]. */
+  private def degreeDist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val supp = it.map(_._2).toArray.distinct.sorted
+        for { i <- supp.indices.iterator; j <- (i + 1 until supp.length).iterator }
+          yield (supp(i), supp(j))
+      }
+      .toDF("x", "y")
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= MinCo)
+      .select(col("x"), col("y"))
+    val degrees = pairs.unionByName(
+        pairs.select(col("y").as("x"), col("x").as("y")))
+      .groupBy(col("x")).agg(count(lit(1)).as("degree"))
+    val n = degrees.agg(count(lit(1)).as("n_nodes"))
+    degrees.groupBy(col("degree")).agg(count(lit(1)).as("n_at_degree"))
+      .crossJoin(broadcast(n))
+      .select(col("degree"), col("n_at_degree"),
+        (col("n_at_degree").cast("double") / col("n_nodes").cast("double")).as("share"))
+  }
+
+  private val degreeDistSql =
+    s"""WITH os AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), pairs AS (
+  SELECT a.l_suppkey AS x, b.l_suppkey AS y
+  FROM os a JOIN os b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING count(*) >= $MinCo
+), dir AS (
+  SELECT x, y FROM pairs UNION ALL SELECT y AS x, x AS y FROM pairs
+), deg AS (
+  SELECT x, count(*) AS degree FROM dir GROUP BY 1
+), n AS (SELECT count(*) AS n_nodes FROM deg)
+SELECT degree, count(*) AS n_at_degree,
+       ${s6("CAST(count(*) AS DOUBLE) / CAST(n.n_nodes AS DOUBLE)")} AS share
+FROM deg CROSS JOIN n
+GROUP BY degree, n.n_nodes"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "degree_dist" -> ((s, d) => {
+      import TickQueries.r6
+      r6(degreeDist(s, d))
+    }),
     "markov_transitions" -> ((s, d) => markov(s, d)),
     "autocorr" -> ((s, d) => autocorr(s, d)),
     "triangle_count" -> ((s, d) => triangles(s, d)),
@@ -278,6 +331,7 @@ FROM r3 JOIN deg g ON r3.v = g.v"""
   )
 
   def oracleSql: Map[String, String] = Map(
+    "degree_dist" -> degreeDistSql,
     "markov_transitions" -> markovSql,
     "autocorr" -> autocorrSql,
     "triangle_count" -> trianglesSql,

@@ -146,6 +146,39 @@ object TickQueries {
       r6(withMkt.groupBy(col("product_id"))
         .agg(count(lit(1)).as("n_obs"), Det.corrD(col("price"), col("mkt"), 4).as("mkt_corr")))
     }),
+    "pairs_spread" -> ((s, d) => {
+      // Pairs-trading spread signal: align the TWO longest-history
+      // instruments (deterministic pick: filled-grid length DESC,
+      // product_id) on the hourly grid, z-score their price spread with
+      // Det-exact whole-series moments, and emit |z| > 2 dislocations —
+      // the entry/exit signal of a pairs strategy. The spread is a
+      // per-row double subtraction on identical operand bits; mean and
+      // stddev ride Det grids; the whole-series window sees one
+      // instrument-pair's aligned grid (time-bounded, not data-bounded).
+      val filled = GapFill(uniqTicks(s, d),
+        Seq("product_id"), "event_time", "1 hour",
+        Seq("price" -> "price"), truncUnit = "hour")
+        .filter(col("price").isNotNull).cache()
+      val top2 = filled.groupBy(col("product_id"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n").desc, col("product_id"))))
+        .filter(col("rk") <= 2)
+        .select(col("product_id"), col("rk"))
+      val f = filled.join(broadcast(top2), "product_id")
+      val aligned = f.filter(col("rk") === 1)
+        .select(col("grid_ts"), col("price").as("xa"))
+        .join(f.filter(col("rk") === 2)
+          .select(col("grid_ts"), col("price").as("xb")), "grid_ts")
+        .withColumn("spread", col("xa") - col("xb"))
+      val all = Window.partitionBy(lit(1))
+      val mu = Det.avgD(col("spread"), 9, all)
+      val sd = Det.stddevPopD(col("spread"), 4, all)
+      r6(aligned
+        .withColumn("z", when(sd > 0, (col("spread") - mu) / sd))
+        .filter(abs(col("z")) > 2.0)
+        .select(col("grid_ts"), col("xa"), col("xb"), col("spread"), col("z")))
+    }),
     "corr_matrix" -> ((s, d) => {
       // Pairwise Pearson correlation matrix over the gap-filled hourly
       // grid, bounded to the top-15 instruments by filled-grid length
@@ -466,6 +499,38 @@ FROM g ASOF LEFT JOIN t
           "event_time", "sequence", "price")
         s"""SELECT product_id, n_ticks, ${s6("ewma")} AS ewma FROM ($base) ewma_out"""
       },
+      "pairs_spread" ->
+        s"""WITH t AS ($uniqTicksSql),
+bounds AS (
+  SELECT product_id, date_trunc('hour', min(event_time)) AS s, max(event_time) AS e
+  FROM t GROUP BY 1),
+g AS (
+  SELECT product_id, unnest(generate_series(s, e, INTERVAL '1 hour')) AS grid_ts
+  FROM bounds),
+filled AS (
+  SELECT g.product_id, g.grid_ts, t.price
+  FROM g ASOF LEFT JOIN t
+    ON g.product_id = t.product_id AND g.grid_ts >= t.event_time
+  WHERE t.price IS NOT NULL),
+top2 AS (
+  SELECT product_id, rk FROM (
+    SELECT product_id, row_number() OVER (ORDER BY count(*) DESC, product_id) AS rk
+    FROM filled GROUP BY product_id) r
+  WHERE rk <= 2),
+aligned AS (
+  SELECT a.grid_ts, a.price AS xa, b.price AS xb, a.price - b.price AS spread
+  FROM (SELECT f.grid_ts, f.price FROM filled f JOIN top2 ON f.product_id = top2.product_id AND top2.rk = 1) a
+  JOIN (SELECT f.grid_ts, f.price FROM filled f JOIN top2 ON f.product_id = top2.product_id AND top2.rk = 2) b
+    ON a.grid_ts = b.grid_ts),
+z AS (
+  SELECT grid_ts, xa, xb, spread,
+         CASE WHEN ${Det.stddevPopDSql("spread", 4, " OVER ()")} > 0
+              THEN (spread - ${Det.avgDSql("spread", 9, " OVER ()")})
+                   / ${Det.stddevPopDSql("spread", 4, " OVER ()")} END AS z
+  FROM aligned)
+SELECT grid_ts, ${s6("xa")} AS xa, ${s6("xb")} AS xb,
+       ${s6("spread")} AS spread, ${s6("z")} AS z
+FROM z WHERE abs(z) > 2.0""",
       "corr_matrix" ->
         s"""WITH t AS ($uniqTicksSql),
 bounds AS (
