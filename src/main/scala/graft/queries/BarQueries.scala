@@ -393,7 +393,128 @@ SELECT product_id, date_trunc('hour', event_time) AS bucket,
 FROM b WHERE dir IS NOT NULL
 GROUP BY product_id, date_trunc('hour', event_time)"""
 
+  /** Candlestick pattern detection on the hourly OHLC bars: doji
+    * (body ≤ 10% of range), hammer (long lower shadow), bullish/bearish
+    * engulfing (current body swallows the previous bar's body). Every
+    * predicate is a comparison over exact bar picks — the pattern label
+    * is engine-identical by construction. The bar table is already
+    * reduced (|keys|·|hours|), so the lag window and filters are
+    * dimension-cheap. */
+  private def candlePatterns(s: SparkSession, d: String): DataFrame = {
+    val bars = TickQueries.ticks(s, d)
+      .groupBy(col("product_id"),
+        date_trunc("hour", col("event_time")).as("bar_ts"))
+      .agg(
+        min_by(col("price"), struct(col("event_time"), col("sequence"))).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), struct(col("event_time"), col("sequence"))).as("close"))
+    val w = Window.partitionBy(col("product_id")).orderBy(col("bar_ts"))
+    val body = abs(col("close") - col("open"))
+    val range = col("high") - col("low")
+    val lowerShadow = least(col("open"), col("close")) - col("low")
+    val upperShadow = col("high") - greatest(col("open"), col("close"))
+    val po = lag(col("open"), 1).over(w)
+    val pc = lag(col("close"), 1).over(w)
+    val pattern =
+      when(po.isNotNull && pc < po && col("close") > col("open") &&
+        col("open") <= pc && col("close") >= po, "bull_engulfing")
+      .when(po.isNotNull && pc > po && col("close") < col("open") &&
+        col("open") >= pc && col("close") <= po, "bear_engulfing")
+      .when(range > 0 && body * lit(10.0) <= range, "doji")
+      .when(body > 0 && lowerShadow >= body * lit(2.0) && upperShadow <= body, "hammer")
+    bars
+      .withColumn("prev_open", po).withColumn("prev_close", pc)
+      .withColumn("pattern", pattern)
+      .filter(col("pattern").isNotNull)
+      .select(col("product_id"), col("bar_ts"), col("open"), col("high"),
+        col("low"), col("close"), col("pattern"))
+  }
+
+  private val candlePatternsSql =
+    s"""WITH t AS (
+  SELECT product_id, date_trunc('hour', event_time) AS bar_ts, price,
+         row_number() OVER (PARTITION BY product_id, date_trunc('hour', event_time)
+                            ORDER BY event_time, sequence) AS rn_a,
+         row_number() OVER (PARTITION BY product_id, date_trunc('hour', event_time)
+                            ORDER BY event_time DESC, sequence DESC) AS rn_d
+  FROM (${TickQueries.liveTicksSql}) lt),
+bars AS (
+  SELECT product_id, bar_ts,
+         max(CASE WHEN rn_a = 1 THEN price END) AS open,
+         max(price) AS high, min(price) AS low,
+         max(CASE WHEN rn_d = 1 THEN price END) AS close
+  FROM t GROUP BY product_id, bar_ts),
+b AS (
+  SELECT *, lag(open) OVER w AS po, lag(close) OVER w AS pc,
+         abs(close - open) AS body, high - low AS rng,
+         least(open, close) - low AS ls, high - greatest(open, close) AS us
+  FROM bars WINDOW w AS (PARTITION BY product_id ORDER BY bar_ts))
+SELECT product_id, bar_ts, ${s6("open")} AS open, ${s6("high")} AS high,
+       ${s6("low")} AS low, ${s6("close")} AS close,
+       CASE WHEN po IS NOT NULL AND pc < po AND close > open
+                 AND open <= pc AND close >= po THEN 'bull_engulfing'
+            WHEN po IS NOT NULL AND pc > po AND close < open
+                 AND open >= pc AND close <= po THEN 'bear_engulfing'
+            WHEN rng > 0 AND body * CAST(10 AS DOUBLE) <= rng THEN 'doji'
+            WHEN body > 0 AND ls >= body * CAST(2 AS DOUBLE) AND us <= body THEN 'hammer'
+       END AS pattern
+FROM b
+WHERE (po IS NOT NULL AND pc < po AND close > open AND open <= pc AND close >= po)
+   OR (po IS NOT NULL AND pc > po AND close < open AND open >= pc AND close <= po)
+   OR (rng > 0 AND body * CAST(10 AS DOUBLE) <= rng)
+   OR (body > 0 AND ls >= body * CAST(2 AS DOUBLE) AND us <= body)"""
+
+  /** Direction-run analysis (gaps-and-islands): consecutive same-sign
+    * tick runs per instrument — run id = global row number minus
+    * per-direction row number (the classic islands identity, two
+    * windows over ONE Exchange+Sort), then a run-level aggregate.
+    * Emits runs of length ≥ 5 with exact integer bounds. */
+  private def signalRuns(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("product_id"))
+      .orderBy(col("event_time"), col("sequence"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val diff = col("price") - lag(col("price"), 1).over(w)
+    val wd = Window.partitionBy(col("product_id"), col("dir"))
+      .orderBy(col("event_time"), col("sequence"))
+    TickQueries.ticks(s, d)
+      .withColumn("raw_sign", when(diff > 0, 1L).when(diff < 0, -1L))
+      .withColumn("dir", last(col("raw_sign"), ignoreNulls = true).over(run))
+      .filter(col("dir").isNotNull)
+      .withColumn("island", row_number().over(w) - row_number().over(wd))
+      .groupBy(col("product_id"), col("dir"), col("island"))
+      .agg(count(lit(1)).as("run_len"),
+        min(col("sequence")).as("first_seq"),
+        max(col("sequence")).as("last_seq"))
+      .filter(col("run_len") >= 5)
+      .select(col("product_id"), col("dir"), col("run_len"),
+        col("first_seq"), col("last_seq"))
+  }
+
+  private val signalRunsSql =
+    s"""WITH c AS (
+  SELECT product_id, event_time, sequence,
+         last_value(CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 END IGNORE NULLS)
+           OVER (PARTITION BY product_id ORDER BY event_time, sequence
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dir
+  FROM (SELECT product_id, event_time, sequence, price,
+               price - lag(price, 1) OVER (PARTITION BY product_id
+                   ORDER BY event_time, sequence) AS d
+        FROM (${TickQueries.liveTicksSql}) lt) t),
+isl AS (
+  SELECT product_id, dir, sequence,
+         row_number() OVER (PARTITION BY product_id ORDER BY event_time, sequence)
+         - row_number() OVER (PARTITION BY product_id, dir ORDER BY event_time, sequence)
+           AS island
+  FROM c WHERE dir IS NOT NULL)
+SELECT product_id, CAST(dir AS BIGINT) AS dir, count(*) AS run_len,
+       min(sequence) AS first_seq, max(sequence) AS last_seq
+FROM isl GROUP BY product_id, dir, island
+HAVING count(*) >= 5"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "candle_patterns" -> ((s, d) => r6(candlePatterns(s, d))),
+    "signal_runs" -> ((s, d) => signalRuns(s, d)),
     "donchian_breakouts" -> ((s, d) => r6(donchian(s, d))),
     "tick_imbalance" -> ((s, d) => r6(tickImbalance(s, d))),
     "seasonality" -> ((s, d) => r6(seasonality(s, d))),
@@ -407,6 +528,8 @@ GROUP BY product_id, date_trunc('hour', event_time)"""
   )
 
   def oracleSql: Map[String, String] = Map(
+    "candle_patterns" -> candlePatternsSql,
+    "signal_runs" -> signalRunsSql,
     "donchian_breakouts" -> donchianSql,
     "tick_imbalance" -> tickImbalanceSql,
     "seasonality" -> seasonalitySql,
