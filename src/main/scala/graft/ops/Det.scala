@@ -181,6 +181,21 @@ object Det {
       num.cast("double") / sqrt(dx.cast("double")) / sqrt(dy.cast("double")))
   }
 
+  /** Order-independent OLS regression slope of x on y over grid
+    * integers: (n·Σkxky − Σkx·Σky) / (n·Σky² − (Σky)²) — the same exact
+    * moment combinations as [[corrD]], one correctly-rounded division.
+    * NULL when y has zero variance. Same envelope as corrD. */
+  def betaD(x: Column, y: Column, e: Int): Column = {
+    val kx = kl(x, e)
+    val ky = kl(y, e)
+    val n = count(x).cast(DecimalType(19, 0))
+    def dec(c: Column) = c.cast(DecimalType(19, 0))
+    val s1x = dec(sum(kx)); val s1y = dec(sum(ky))
+    val num = (n * dec(sum(kx * ky)) - s1x * s1y).cast(DecimalType(38, 0))
+    val dy = (n * dec(sum(ky * ky)) - s1y * s1y).cast(DecimalType(38, 0))
+    when(dy > 0, num.cast("double") / dy.cast("double"))
+  }
+
   // -------------------------------------------------------------------
   // DuckDB-SQL twins (same formulas, same grids). DuckDB sums BIGINT as
   // HUGEINT — exact like the long sums (wider, in fact). HUGEINT→DOUBLE
@@ -230,6 +245,18 @@ object Det {
   def sumSqWhereDSql(cond: String, x: String, e: Int): String = {
     val k = klSql(x, e)
     s"(coalesce(CAST(sum(CASE WHEN $cond THEN $k*$k END) AS DOUBLE), 0.0) / 1e${2 * e})"
+  }
+
+  /** Twin of [[betaD]]. */
+  def betaDSql(x: String, y: String, e: Int): String = {
+    val kx = klSql(x, e)
+    val ky = klSql(y, e)
+    val n = s"CAST(count($x) AS DECIMAL(19,0))"
+    def d(s: String) = s"CAST($s AS DECIMAL(19,0))"
+    val num = s"CAST(($n * ${d(s"sum($kx*$ky)")} - ${d(s"sum($kx)")} * ${d(s"sum($ky)")}) AS DECIMAL(38,0))"
+    val dy = s"CAST(($n * ${d(s"sum($ky*$ky)")} - ${d(s"sum($ky)")} * ${d(s"sum($ky)")}) AS DECIMAL(38,0))"
+    s"""(CASE WHEN $dy > 0
+      THEN ${signedDblSql(num)} / CAST($dy AS DOUBLE) END)"""
   }
 
   /** Twin of [[corrD]]. */

@@ -146,6 +146,24 @@ object TickQueries {
       r6(withMkt.groupBy(col("product_id"))
         .agg(count(lit(1)).as("n_obs"), Det.corrD(col("price"), col("mkt"), 4).as("mkt_corr")))
     }),
+    "market_beta" -> ((s, d) => {
+      // OLS beta/alpha of each instrument vs the cross-sectional market
+      // mean on the gap-filled grid — the CAPM-style factor regression
+      // companion to market_corr, from the same single grid build: beta
+      // is Det.betaD's exact moment combination, alpha the Det-mean
+      // residual intercept (a fixed IEEE sequence over exact means).
+      val filled = GapFill(uniqTicks(s, d),
+        Seq("product_id"), "event_time", "1 hour",
+        Seq("price" -> "price"), truncUnit = "hour")
+        .filter(col("price").isNotNull)
+      val withMkt = filled.withColumn("mkt",
+        Det.avgD(col("price"), 9, Window.partitionBy(col("grid_ts"))))
+      r6(withMkt.groupBy(col("product_id"))
+        .agg(count(lit(1)).as("n_obs"),
+          Det.betaD(col("price"), col("mkt"), 4).as("beta"),
+          (Det.avgD(col("price"), 9) -
+            Det.betaD(col("price"), col("mkt"), 4) * Det.avgD(col("mkt"), 9)).as("alpha")))
+    }),
     "pairs_spread" -> ((s, d) => {
       // Pairs-trading spread signal: align the TWO longest-history
       // instruments (deterministic pick: filled-grid length DESC,
@@ -499,6 +517,28 @@ FROM g ASOF LEFT JOIN t
           "event_time", "sequence", "price")
         s"""SELECT product_id, n_ticks, ${s6("ewma")} AS ewma FROM ($base) ewma_out"""
       },
+      "market_beta" ->
+        s"""WITH t AS ($uniqTicksSql),
+bounds AS (
+  SELECT product_id, date_trunc('hour', min(event_time)) AS s, max(event_time) AS e
+  FROM t GROUP BY 1),
+g AS (
+  SELECT product_id, unnest(generate_series(s, e, INTERVAL '1 hour')) AS grid_ts
+  FROM bounds),
+filled AS (
+  SELECT g.product_id, g.grid_ts, t.price
+  FROM g ASOF LEFT JOIN t
+    ON g.product_id = t.product_id AND g.grid_ts >= t.event_time
+  WHERE t.price IS NOT NULL),
+withmkt AS (
+  SELECT product_id, price,
+         ${Det.avgDSql("price", 9, " OVER (PARTITION BY grid_ts)")} AS mkt
+  FROM filled)
+SELECT product_id, count(*) AS n_obs,
+       ${s6(Det.betaDSql("price", "mkt", 4))} AS beta,
+       ${s6(s"(${Det.avgDSql("price", 9)} - ${Det.betaDSql("price", "mkt", 4)} * ${Det.avgDSql("mkt", 9)})")} AS alpha
+FROM withmkt
+GROUP BY product_id""",
       "pairs_spread" ->
         s"""WITH t AS ($uniqTicksSql),
 bounds AS (
