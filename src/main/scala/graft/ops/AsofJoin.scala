@@ -59,4 +59,51 @@ object AsofJoin {
       .select(lCols.map(c => col("__left").getField(c).as(c)) ++
         outNames.map(o => col("__m").getField(o).as(o)): _*)
   }
+
+  /** NEAREST as-of join — attach the reference row closest in time in
+    * EITHER direction (tie → the backward/earlier row, matching the
+    * `>=` convention). Same union + one Exchange + one Sort as the
+    * backward join; the forward candidate is just a second window
+    * function (first-over-following) on the SAME sort, so nearest costs
+    * no extra shuffle over backward. The right time column must be
+    * included in `rightCols` under the name given by `rightTimeOut` —
+    * the picker needs it for the |Δt| comparison (exact micros).
+    */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTime: String, rightTime: String,
+              rightCols: Seq[(String, String)], rightTimeOut: String): DataFrame = {
+    val lCols = left.columns.toSeq
+    val outNames = rightCols.map(_._2)
+    require(outNames.contains(rightTimeOut),
+      s"rightCols must carry the right time column as '$rightTimeOut'")
+    require(outNames.intersect(lCols).isEmpty,
+      s"right output names ${outNames.intersect(lCols)} collide with left columns")
+
+    val keyCols: Seq[Column] = keys.map(col)
+    val l2 = left.select(
+      keyCols :+ col(leftTime).as("__t") :+ lit(1).as("__side") :+
+        struct(lCols.map(col): _*).as("__left"): _*)
+    val r2 = right.select(
+      keyCols :+ col(rightTime).as("__t") :+ lit(0).as("__side") :+
+        struct(rightCols.map { case (c, o) => col(c).as(o) }: _*).as("__pay"): _*)
+
+    val ord = Window.partitionBy(keyCols: _*).orderBy(col("__t"), col("__side"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val dB = unix_micros(col("__t")) -
+      unix_micros(col("__b").getField(rightTimeOut))
+    val dF = unix_micros(col("__f").getField(rightTimeOut)) -
+      unix_micros(col("__t"))
+    l2.unionByName(r2, allowMissingColumns = true)
+      .withColumn("__b", last(col("__pay"), ignoreNulls = true).over(back))
+      .withColumn("__f", first(col("__pay"), ignoreNulls = true).over(fwd))
+      .filter(col("__side") === 1)
+      .withColumn("__m",
+        when(col("__f").isNull, col("__b"))
+          .when(col("__b").isNull, col("__f"))
+          .when(dB <= dF, col("__b"))
+          .otherwise(col("__f")))
+      .select(lCols.map(c => col("__left").getField(c).as(c)) ++
+        outNames.map(o => col("__m").getField(o).as(o)): _*)
+  }
 }

@@ -49,6 +49,23 @@ object AnalyticsQueries {
       Seq("ts" -> "view_ts", "view_value" -> "view_value"))
   }
 
+  /** Nearest-neighbor as-of: each purchase matched to the CLOSEST view
+    * in either direction (tie → the earlier view), with the signed gap
+    * in exact micros. Same single Exchange+Sort as the backward as-of —
+    * the forward candidate is a second window function on the same
+    * sort (see AsofJoin.nearest). */
+  private def asofNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("view_value"))
+    AsofJoin.nearest(purchases, views, Seq("user_id"), "ts", "ts",
+      Seq("ts" -> "view_ts", "view_value" -> "view_value"), "view_ts")
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("view_ts")))
+  }
+
   /** Range join: per error event, activity of the same user in the
     * preceding minute — count + Det sum (scale 4: the summed envelope is
     * bounded by events-per-user-minute, see Det rule 3). */
@@ -176,6 +193,7 @@ GROUP BY l_returnflag"""
     "retention" -> ((s, d) => Retention.matrix(events(s, d), "user_id", "ts")),
     "funnel" -> ((s, d) => funnel(s, d)),
     "asof_join" -> ((s, d) => r6(asofJoin(s, d))),
+    "asof_nearest" -> ((s, d) => r6(asofNearest(s, d))),
     "range_join" -> ((s, d) => r6(rangeJoin(s, d))),
     "rel_rollup" -> ((s, d) => r6(rollupOrders(s, d))),
     "rel_set_ops" -> ((s, d) => setOps(s, d)),
@@ -200,6 +218,35 @@ SELECT pur.user_id, pur.event_id, pur.ts, ${s6("pur.value")} AS value,
        vw.ts AS view_ts, ${s6("vw.view_value")} AS view_value
 FROM pur ASOF LEFT JOIN vw
   ON pur.user_id = vw.user_id AND pur.ts >= vw.ts""",
+    "asof_nearest" ->
+      s"""WITH pur AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'
+), vw AS (
+  SELECT user_id, ts, max(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+), b AS (
+  SELECT pur.user_id, pur.event_id, pur.ts, pur.value,
+         vw.ts AS bts, vw.view_value AS bval
+  FROM pur ASOF LEFT JOIN vw
+    ON pur.user_id = vw.user_id AND pur.ts >= vw.ts
+), f AS (
+  SELECT pur.user_id AS fuid, pur.event_id AS feid,
+         vw.ts AS fts, vw.view_value AS fval
+  FROM pur ASOF LEFT JOIN vw
+    ON pur.user_id = vw.user_id AND pur.ts <= vw.ts
+), picked AS (
+  SELECT b.user_id, b.event_id, b.ts, b.value,
+         CASE WHEN fts IS NULL THEN bts WHEN bts IS NULL THEN fts
+              WHEN epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts)
+              THEN bts ELSE fts END AS view_ts,
+         CASE WHEN fts IS NULL THEN bval WHEN bts IS NULL THEN fval
+              WHEN epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts)
+              THEN bval ELSE fval END AS view_value
+  FROM b JOIN f ON b.user_id = f.fuid AND b.event_id = f.feid)
+SELECT user_id, event_id, ts, ${s6("value")} AS value, view_ts,
+       ${s6("view_value")} AS view_value,
+       CAST(epoch_us(ts) - epoch_us(view_ts) AS BIGINT) AS gap_us
+FROM picked""",
     "range_join" ->
       s"""WITH err AS (
   SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'
