@@ -51,14 +51,19 @@ object Multimodal {
         .cast("long").as("n_frames"))
   }
 
-  /** One sampled "frame" of a decoded blob. */
+  /** One sampled "frame" of a decoded blob. `pos_checksum` =
+    * Σ (j+1)·byte(j) over the frame — position-weighted, so it pins the
+    * byte ORDER of the slice (mean/max/min alone are order-blind);
+    * bounded by 64·65·255/2 per frame, exact in a Long. */
   final case class Frame(
       doc_id: Long, frame_idx: Long, n_bytes: Long,
-      mean_byte: Double, max_byte: Int, min_byte: Int)
+      mean_byte: Double, max_byte: Int, min_byte: Int, pos_checksum: Long)
 
   /** DETERMINISTIC FAKE decoder: chops the payload into frameBytes-sized
     * "frames" and reduces each to byte statistics — the stand-in for
-    * decode→resize→feature-extract. Pure function of the bytes. */
+    * decode→resize→feature-extract. Pure function of the bytes.
+    * mean_byte is exactInt/exactInt: one correctly-rounded IEEE division,
+    * bit-identical in every engine (Det rule 3). */
   object StubDecoder {
     def decode(docId: Long, payload: Array[Byte], frameBytes: Int,
                sampleEvery: Int): Iterator[Frame] =
@@ -66,8 +71,10 @@ object Multimodal {
         .filter { case (_, i) => i % sampleEvery == 0 } // frame sampling
         .map { case (chunk, i) =>
           val u = chunk.map(b => b & 0xff)
+          val checksum = u.iterator.zipWithIndex
+            .map { case (b, j) => (j + 1).toLong * b }.sum
           Frame(docId, i.toLong, chunk.length.toLong,
-            u.sum.toDouble / u.length, u.max, u.min)
+            u.sum.toDouble / u.length, u.max, u.min, checksum)
         }
   }
 

@@ -16,6 +16,10 @@ object DocQueries {
 
   private def s6(x: String): String = Det.snapSql(x, 6)
 
+  // multimodal_decode frame geometry (shared by the Spark call + oracle)
+  private val FrameBytes = 64
+  private val SampleEvery = 2
+
   def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -30,9 +34,12 @@ object DocQueries {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
     "multimodal_features" -> ((s, d) =>
       Multimodal.features(Multimodal.toBlobTable(docs(s, d)))),
-    // No SQL oracle (byte-level mapPartitions decode) → driver rows-only check.
+    // Oracle replays the stub codec's byte slicing in SQL: hex(encode(text))
+    // is the payload, substring picks each frame's hex span, per-byte stats
+    // are exact ints (pos_checksum pins slice ORDER, not just content).
     "multimodal_decode" -> ((s, d) =>
-      Multimodal.decodeFrames(Multimodal.toBlobTable(docs(s, d))).toDF()),
+      Multimodal.decodeFrames(Multimodal.toBlobTable(docs(s, d)),
+        FrameBytes, SampleEvery).toDF()),
     // Numeric histogram: fixed-width document-length bins per language
     // (integer bin arithmetic — exact; one partial/final aggregate).
     "doc_histogram" -> ((s, d) =>
@@ -240,6 +247,43 @@ FROM fp"""
 FROM documents"""
   }
 
+  /** DuckDB twin of Multimodal.decodeFrames ∘ toBlobTable: the payload is
+    * the UTF-8 bytes of `text` (hex(encode(text)) — byte-exact even for
+    * multibyte content), frames are FrameBytes-sized hex spans, every
+    * SampleEvery-th kept, and each byte is re-parsed from its two hex
+    * digits. mean_byte = exactInt/exactInt (correctly rounded in both
+    * engines); pos_checksum = Σ (j+1)·byte(j), exact BIGINT. */
+  private val multimodalDecodeSql = {
+    val fb = FrameBytes
+    s"""WITH f AS (
+  SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n FROM documents
+), fr AS (
+  SELECT doc_id, n, hx,
+         unnest(range(0, CAST((n + ${fb - 1}) // $fb AS BIGINT))) AS i
+  FROM f
+), frames AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+         CAST(least($fb, n - i*$fb) AS BIGINT) AS n_bytes,
+         substring(hx, CAST(${2 * fb}*i + 1 AS INTEGER), ${2 * fb}) AS fhx
+  FROM fr WHERE i % $SampleEvery = 0
+), byt AS (
+  SELECT doc_id, frame_idx, n_bytes,
+         unnest(range(0, CAST(n_bytes AS BIGINT))) AS j, fhx
+  FROM frames
+), bv AS (
+  SELECT doc_id, frame_idx, n_bytes, j,
+         (strpos('0123456789ABCDEF', substring(fhx, CAST(2*j+1 AS INTEGER), 1)) - 1) * 16
+       + (strpos('0123456789ABCDEF', substring(fhx, CAST(2*j+2 AS INTEGER), 1)) - 1) AS b
+  FROM byt
+)
+SELECT doc_id, frame_idx, n_bytes,
+       CAST(sum(b) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_byte,
+       CAST(max(b) AS INTEGER) AS max_byte,
+       CAST(min(b) AS INTEGER) AS min_byte,
+       CAST(sum((j + 1) * b) AS BIGINT) AS pos_checksum
+FROM bv GROUP BY 1, 2, 3"""
+  }
+
   private val corpusCleanSql =
     s"""SELECT s1.doc_id, s1.n_tokens, s1.n_subtokens, s2.predicted_lang, s1.quality_score
 FROM ($statsSql) s1
@@ -249,6 +293,7 @@ WHERE s1.quality_score >= 0.68 AND s2.predicted_lang = 'en' AND NOT s3.is_duplic
 
   def oracleSql: Map[String, String] = Map(
     "multimodal_features" -> multimodalFeaturesSql,
+    "multimodal_decode" -> multimodalDecodeSql,
     "corpus_clean" -> corpusCleanSql,
     "decontaminate" -> Decontaminate.reportSql("documents", "source = 'src0'"),
     "dedup_clusters" ->

@@ -35,9 +35,8 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: ${orphans.mkString(", ")}")
   }
 
-  test("every query has an oracle except the documented rows-only ones") {
-    val rowsOnly = Set("multimodal_decode") // byte-level mapPartitions, by design
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+  test("every query has an oracle") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries missing oracles: ${missing.mkString(", ")}")
   }
 }

@@ -46,6 +46,8 @@ class MultimodalSpec extends AnyFunSuite {
     // 'x'*64: single frame of constant bytes → mean == min == max == 'x'
     val x = byDoc(2L).head
     assert(x.mean_byte == 'x'.toInt.toDouble && x.max_byte == 'x'.toInt)
+    // Σ (j+1)·120 for j in 0..63 = 120 · 64·65/2
+    assert(x.pos_checksum == 120L * (64 * 65 / 2))
     frames.foreach(f => assert(f.mean_byte >= f.min_byte && f.mean_byte <= f.max_byte))
   }
 }
