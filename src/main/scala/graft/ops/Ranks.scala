@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Scale-safe global ranking primitives.
+  *
+  * A bare `ntile(k) OVER (ORDER BY ...)` collapses the whole input into
+  * ONE window task (Spark logs `WindowExec: No Partition Defined`) — fine
+  * on a dimension table today, a straggler at 100 TB. [[ntileByRange]] is
+  * the classic two-pass replacement (TeraSort-style global ranking):
+  *
+  *  1. range-repartition on the order → every partition sorts in
+  *     parallel and partition p holds keys strictly below partition p+1;
+  *  2. one tiny job counts rows per partition (nPart rows to the driver);
+  *  3. the cumulative offsets are broadcast back and a compiled
+  *     per-partition pass assigns the exact global row number, from which
+  *     the tile follows by standard SQL NTILE arithmetic — with n rows
+  *     and k tiles, the first n%k tiles get ⌈n/k⌉ rows, the rest ⌊n/k⌋.
+  *
+  * The tile value depends only on the global row number, never on where
+  * the range boundaries fell, so the output is bit-identical to
+  * `ntile(k) OVER (ORDER BY ...)` in Spark AND DuckDB (RanksSpec proves
+  * the former; the rfm_segments oracle twin the latter). The order must
+  * be fully tie-broken or no engine's ntile is deterministic.
+  */
+object Ranks {
+
+  def ntileByRange(df: DataFrame, order: Seq[Column], k: Int, out: String,
+                   partitions: Option[Int] = None): DataFrame = {
+    require(k > 0, s"ntile bucket count must be positive, got $k")
+    val spark = df.sparkSession
+    val nPart = partitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    // cache: the count pass and the row-number pass would each re-run the
+    // upstream plan + range shuffle otherwise (cross-job shuffle reuse
+    // doesn't apply across separate actions)
+    val parted = df.repartitionByRange(nPart, order: _*)
+      .sortWithinPartitions(order: _*)
+      .cache()
+    val counts: Map[Int, Long] = parted
+      .groupBy(spark_partition_id().as("_pid")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    // offsets(p) = rows in partitions before p (empty partitions count 0)
+    val offsets: Array[Long] =
+      (0 until nPart).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+        .toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = df.schema.add(out, LongType, nullable = false)
+    val q = total / k
+    val r = total % k
+    val rows = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rn = bc.value(pid)
+      it.map { row =>
+        rn += 1
+        // standard NTILE: first r tiles have q+1 rows, the rest q
+        val tile =
+          if (rn <= r * (q + 1)) (rn - 1) / (q + 1) + 1
+          else r + (rn - r * (q + 1) - 1) / math.max(q, 1L) + 1
+        Row.fromSeq(row.toSeq :+ tile)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+}

@@ -1,8 +1,7 @@
 package graft.queries
 
-import graft.ops.Det
+import graft.ops.{Det, Ranks}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Retail-analytics operators: association-rule mining over order
@@ -18,12 +17,13 @@ import org.apache.spark.sql.functions._
   *   single divisions of exact longs (< 2^53), bit-identical in every
   *   engine.
   * - `rfm_segments`: per-customer recency/frequency/monetary quintile
-  *   scores. The aggregate is fact-side (one shuffle on customer);
-  *   the three NTILE(5)s run over the aggregated CUSTOMER DIMENSION, so
-  *   the un-partitioned window sorts dimension-sized data only — at
-  *   100 TB swap for a range-partitioned two-pass rank (same note as
-  *   ntile_bins). Monetary rides Det's exact grid; every rank order has
-  *   a custkey tie-break so both engines bucket identically.
+  *   scores. The aggregate is fact-side (one shuffle on customer); the
+  *   three NTILE(5)s run through [[graft.ops.Ranks.ntileByRange]] — a
+  *   range-partitioned two-pass global rank, so no single-partition
+  *   window sort exists anywhere in the plan and the customer dimension
+  *   can grow 100× without creating a straggler task. Monetary rides
+  *   Det's exact grid; every rank order has a custkey tie-break so both
+  *   engines bucket identically.
   */
 object BasketQueries {
 
@@ -99,16 +99,15 @@ FROM p JOIN ic ia ON p.part_a = ia.l_partkey
       .select(col("o_custkey"),
         datediff(col("anchor"), col("last_order")).cast("long").as("recency_days"),
         col("frequency"), col("monetary"))
-    val rW = Window.orderBy(col("recency_days").desc, col("o_custkey"))
-    val fW = Window.orderBy(col("frequency"), col("o_custkey"))
-    val mW = Window.orderBy(col("monetary"), col("o_custkey"))
-    perCust
-      .withColumn("r_score", ntile(5).over(rW).cast("long"))
-      .withColumn("f_score", ntile(5).over(fW).cast("long"))
-      .withColumn("m_score", ntile(5).over(mW).cast("long"))
-      .withColumn("segment",
-        concat(col("r_score").cast("string"), col("f_score").cast("string"),
-          col("m_score").cast("string")))
+    val s1 = Ranks.ntileByRange(perCust,
+      Seq(col("recency_days").desc, col("o_custkey")), 5, "r_score")
+    val s2 = Ranks.ntileByRange(s1,
+      Seq(col("frequency"), col("o_custkey")), 5, "f_score")
+    val s3 = Ranks.ntileByRange(s2,
+      Seq(col("monetary"), col("o_custkey")), 5, "m_score")
+    s3.withColumn("segment",
+      concat(col("r_score").cast("string"), col("f_score").cast("string"),
+        col("m_score").cast("string")))
   }
 
   private val rfmSegmentsSql =

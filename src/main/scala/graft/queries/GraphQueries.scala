@@ -106,52 +106,29 @@ SELECT user_id, lag_k, count(*) AS n_pairs,
 FROM un GROUP BY user_id, lag_k"""
   }
 
-  /** Triangle counting / clustering over the supplier co-occurrence graph
-    * (edge x<y iff the two suppliers appear in ≥ MinCo common orders):
+  /** The shared thresholded supplier co-occurrence edge list (edge x<y
+    * iff the two suppliers appear in ≥ MinCo common orders) — ONE
+    * definition ([[graft.ops.CoOccur.edges]]) feeding triangles, PageRank
+    * and the degree distribution. Callers cache: every consumer reads it
+    * more than once. */
+  private def suppEdges(s: SparkSession, d: String): DataFrame =
+    graft.ops.CoOccur.edges(t(s, d, "lineitem"), "l_orderkey", "l_suppkey", MinCo)
+
+  /** Triangle counting / clustering over the supplier co-occurrence graph:
     * one summary row with edge / ordered-wedge / triangle counts and the
     * wedge-closure ratio — the standard cohesion probe on co-occurrence
     * graphs. All three counts are exact integers; the closure ratio is one
     * correctly-rounded division of exact ints.
     *
-    * Scale shape: pair generation is ONE shuffle on orderkey — a typed
-    * flatMapGroups dedupes each order's supplier set and emits its O(k²)
-    * pairs (k is bounded by order size; a per-record hot loop, CLAUDE.md
-    * invariant 4 — higher-order array lambdas would run interpreted). Edge
-    * aggregation shuffles the pair table once on (x,y); the thresholded
-    * edge list is cached (four consumers) and broadcast into the
-    * wedge/closure joins. At 100 TB the edge list outgrows broadcast:
-    * orient edges from the lower-degree endpoint (the standard
-    * Schank–Wagner trick — caps per-node adjacency fan-out at √m) and
-    * sort-merge the wedge join on the shared endpoint; the plan shape
-    * survives unchanged.
+    * Scale shape: see [[graft.ops.CoOccur.triangleStats]] — the wedge
+    * count is a joinless per-node aggregate, the closure count is
+    * degree-oriented (Schank–Wagner, Σ outdeg² = O(m^1.5) candidates),
+    * and the joins flip from broadcast to sort-merge off the measured
+    * edge count. GraphScaleSpec pins the sort-merge shape and the
+    * broadcast≡sort-merge result equality.
     */
-  private def triangles(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val pairs = t(s, d, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey")).as[(Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val supp = it.map(_._2).toArray.distinct.sorted
-        for { i <- supp.indices.iterator; j <- (i + 1 until supp.length).iterator }
-          yield (supp(i), supp(j))
-      }
-      .toDF("x", "y")
-      .groupBy(col("x"), col("y"))
-      .agg(count(lit(1)).as("c"))
-    val edges = pairs.filter(col("c") >= MinCo).select(col("x"), col("y")).cache()
-    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
-    // x<y and y<z by construction → each wedge/triangle counted once.
-    val wedges = edges.as("e1").join(broadcast(edges).as("e2"),
-        col("e1.y") === col("e2.x"))
-      .select(col("e1.x").as("x"), col("e1.y").as("y"), col("e2.y").as("z"))
-    val closed = wedges.as("w").join(broadcast(edges).as("e3"),
-        col("w.x") === col("e3.x") && col("w.z") === col("e3.y"), "left")
-      .agg(count(lit(1)).as("n_wedges"), count(col("e3.x")).as("n_triangles"))
-    nEdges.crossJoin(closed)
-      .withColumn("wedge_closure",
-        when(col("n_wedges") > 0, Det.snap(
-          col("n_triangles").cast("double") / col("n_wedges").cast("double"), 6)))
-  }
+  private def triangles(s: SparkSession, d: String): DataFrame =
+    graft.ops.CoOccur.triangleStats(suppEdges(s, d).cache())
 
   private val trianglesSql =
     s"""WITH os AS (
@@ -196,23 +173,9 @@ FROM closed"""
     * correctly-rounded division.
     */
   private def pagerank(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val pairs = t(s, d, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey")).as[(Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val supp = it.map(_._2).toArray.distinct.sorted
-        for { i <- supp.indices.iterator; j <- (i + 1 until supp.length).iterator }
-          yield (supp(i), supp(j))
-      }
-      .toDF("x", "y")
-      .groupBy(col("x"), col("y"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") >= MinCo)
-      .select(col("x"), col("y"))
-      // cache: the union below and the degree/init/final consumers would
-      // otherwise re-run the whole pair-generation scan per branch
-      .cache()
+    // cache: the union below and the degree/init/final consumers would
+    // otherwise re-run the whole pair-generation scan per branch
+    val pairs = suppEdges(s, d).cache()
     val directed = pairs.unionByName(
       pairs.select(col("y").as("x"), col("x").as("y")))
     val degrees = directed.groupBy(col("x").as("v"))
@@ -274,20 +237,7 @@ FROM r3 JOIN deg g ON r3.v = g.v"""
     * degree-cardinality-sized (tiny), aggregated from the same
     * thresholded edge set as [[triangles]]/[[pagerank]]. */
   private def degreeDist(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val pairs = t(s, d, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey")).as[(Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val supp = it.map(_._2).toArray.distinct.sorted
-        for { i <- supp.indices.iterator; j <- (i + 1 until supp.length).iterator }
-          yield (supp(i), supp(j))
-      }
-      .toDF("x", "y")
-      .groupBy(col("x"), col("y"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") >= MinCo)
-      .select(col("x"), col("y"))
+    val pairs = suppEdges(s, d)
     val degrees = pairs.unionByName(
         pairs.select(col("y").as("x"), col("x").as("y")))
       .groupBy(col("x")).agg(count(lit(1)).as("degree"))

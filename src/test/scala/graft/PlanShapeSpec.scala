@@ -86,6 +86,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected partial+final rank pushdown (shuffle carries ≤k rows/group), saw $limits:\n$p")
   }
 
+  test("rfm_segments has no single-partition window sort") {
+    val p = plan("rfm_segments")
+    assert(!p.contains("Window"),
+      "RFM quintiles must use the range-partitioned two-pass rank, not a global window ntile")
+  }
+
   test("parquet scans prune columns: the lineitem quantile scan reads only what it needs") {
     val df = SparkEntry.queries("rel_quantiles")(spark, dir)
     val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)

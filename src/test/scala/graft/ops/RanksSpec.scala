@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ranks.ntileByRange must equal Spark's own global-window ntile bit for
+  * bit (the rfm_segments oracle pins the DuckDB side) while never running
+  * a single-partition window sort. */
+class RanksSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def fixture(n: Int) = {
+    val s = spark
+    import s.implicits._
+    // values with heavy ties → the id tie-break decides bucket membership
+    (0 until n).map(i => (i.toLong, (i * 7919 % 13).toLong)).toDF("id", "v")
+  }
+
+  private def windowNtile(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.withColumn("t",
+      ntile(k).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+
+  test("matches Window ntile for uneven buckets, n % k != 0") {
+    for ((n, k) <- Seq((97, 5), (100, 7), (12, 12), (5, 8), (1, 3))) {
+      val df = fixture(n)
+      val got = Ranks.ntileByRange(df, Seq(col("v"), col("id")), k, "t",
+          partitions = Some(8))
+        .select("id", "t").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = windowNtile(df, k)
+        .select("id", "t").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"ntile mismatch at n=$n k=$k")
+    }
+  }
+
+  test("descending order and multi-column order agree with the window form") {
+    val df = fixture(64)
+    val got = Ranks.ntileByRange(df, Seq(col("v").desc, col("id")), 5, "t",
+        partitions = Some(4))
+      .select("id", "t").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.withColumn("t",
+        ntile(5).over(Window.orderBy(col("v").desc, col("id"))).cast("long"))
+      .select("id", "t").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("the rank runs range-partitioned, not in one task") {
+    val out = Ranks.ntileByRange(fixture(1000), Seq(col("v"), col("id")), 5, "t",
+      partitions = Some(8))
+    assert(out.rdd.getNumPartitions == 8,
+      "global ntile must keep the range partitioning (no single-partition sort)")
+    // every partition of the range layout actually holds rows (parallel work)
+    val perPart = out.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(perPart.count(_ > 0) > 1, s"work concentrated in one task: ${perPart.toSeq}")
+  }
+
+  test("empty input yields empty output") {
+    val empty = fixture(0)
+    assert(Ranks.ntileByRange(empty, Seq(col("v"), col("id")), 5, "t").count() == 0)
+  }
+}
