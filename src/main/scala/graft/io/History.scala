@@ -45,9 +45,17 @@ object History {
     * open overhead dominate reads long before data volume does. This
     * rewrites ONE day to ⌈bytes / targetBytes⌉ files, restoring the
     * (product_id, event_time) sort so row-group min/max skipping works
-    * again, then swaps the directory atomically-enough for a
-    * single-writer warehouse (write new → delete old → rename).
-    * Returns (files_before, files_after). */
+    * again, then swaps the directory crash-safely for a single-writer
+    * warehouse: write new → rename old ASIDE → rename new into place →
+    * delete the backup. Any crash point leaves either the old or the new
+    * copy readable at the live path (never only a dot-prefixed dir that
+    * Spark readers skip as hidden). Returns (files_before, files_after).
+    *
+    * File sizing: repartitionByRange on (product_id, event_time) — file
+    * COUNT and SIZE track bytes even when one product dominates (hash
+    * partitioning by product alone would leave empty files below the
+    * product count and oversized files under skew), and the range layout
+    * reinforces the min/max-skipping sort. */
   def compactDay(spark: SparkSession, path: String, date: String,
                  targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val dayDir = new org.apache.hadoop.fs.Path(s"$path/event_date=$date")
@@ -59,12 +67,15 @@ object History {
     if (parts.length <= nOut) return (parts.length, parts.length)
 
     val tmp = new org.apache.hadoop.fs.Path(s"$path/.compact-event_date=$date")
+    val backup = new org.apache.hadoop.fs.Path(s"$path/.old-event_date=$date")
     spark.read.parquet(dayDir.toString)
-      .repartition(nOut, col("product_id"))
+      .repartitionByRange(nOut, col("product_id"), col("event_time"))
       .sortWithinPartitions(col("product_id"), col("event_time"))
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(dayDir, true)
+    fs.delete(backup, true) // stale backup from an earlier crashed swap
+    fs.rename(dayDir, backup)
     fs.rename(tmp, dayDir)
+    fs.delete(backup, true)
     val after = fs.listStatus(dayDir).count(_.getPath.getName.endsWith(".parquet"))
     (parts.length, after)
   }

@@ -387,8 +387,8 @@ FROM b WHERE rn > 20 AND (price > ch_high OR price < ch_low)"""
 SELECT product_id, date_trunc('hour', event_time) AS bucket,
        count(CASE WHEN dir = 1 THEN 1 END) AS n_buy,
        count(CASE WHEN dir = -1 THEN 1 END) AS n_sell,
-       ${s6("""CAST(count(CASE WHEN dir = 1 THEN 1 END) -
-             count(CASE WHEN dir = -1 THEN 1 END) AS DOUBLE) /
+       ${s6(s"""${Det.signedDblSql("""(count(CASE WHEN dir = 1 THEN 1 END) -
+             count(CASE WHEN dir = -1 THEN 1 END))""")} /
            CAST(count(*) AS DOUBLE)""")} AS imbalance
 FROM b WHERE dir IS NOT NULL
 GROUP BY product_id, date_trunc('hour', event_time)"""

@@ -102,12 +102,25 @@ final class StreamingJob(
     // seed the rolling operators (invariant 5, streaming ≡ batch).
     if (!tailLoaded) { loadTail(spark); tailLoaded = true }
 
+    // ONE driver-blocking scalar job per micro-batch: the tail's high-water
+    // mark and the batch's combined max event time come from a single
+    // aggregation over the (cheap) event_time projection of tail ∪ batch.
     // The tail carries every row of the still-open metrics window, so its
     // max event time is the previous batch's high-water mark; windows at or
     // after its window-start were NOT final then and are re-emitted refined.
-    val prevOpenStartMs: Option[Long] = tail.map { t =>
-      windowStartMs(t.agg(max(col("event_time"))).head().getTimestamp(0).getTime)
+    // Dedup can't change either max (duplicate keys carry identical rows).
+    val times = tail match {
+      case Some(t) => t.select(col("event_time"), lit(true).as("__isTail"))
+        .unionByName(batch.select(col("event_time"), lit(false).as("__isTail")))
+      case None => batch.select(col("event_time"), lit(false).as("__isTail"))
     }
+    val mrow = times.agg(
+      max(when(col("__isTail"), col("event_time"))).as("tailMax"),
+      max(col("event_time")).as("allMax")).head()
+    val prevOpenStartMs: Option[Long] =
+      if (mrow.isNullAt(0)) None
+      else Some(windowStartMs(mrow.getTimestamp(0).getTime))
+    val maxEventMs = mrow.getTimestamp(1).getTime
     val withTail = tail match {
       // A replayed batch (crash after the tail was persisted but before the
       // micro-batch committed) is already inside the tail: keep one copy of
@@ -120,7 +133,6 @@ final class StreamingJob(
       case None => batch
     }
     val input = withTail.persist(StorageLevel.MEMORY_AND_DISK)
-    val maxEventMs = input.agg(max(col("event_time"))).head().getTimestamp(0).getTime
     val openStartMs = windowStartMs(maxEventMs)
 
     // Lower bound of new data per key: everything >= the batch's first
