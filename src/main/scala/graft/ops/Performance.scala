@@ -54,6 +54,17 @@ object Performance {
   /** performance_windows + signal_counts in ONE windowed aggregate
     * (performance.py:62-118). `signal_type` must be present on the input
     * rows (it is per-tick, exactly the rows crossover_signals would emit).
+    *
+    * Why this is NOT a custom TypedImperativeAggregate: the 13 Det
+    * aggregates below already compile to a single partial/final
+    * HashAggregate pair — one map-side pass accumulating primitive long
+    * buffers inside whole-stage codegen, one Exchange of partial states
+    * (`Explain metrics_5m` shows exactly HashAggregate → Exchange →
+    * HashAggregate above the shared window Exchange). A typed imperative
+    * aggregate would fuse nothing further and would evict the hot loop
+    * from codegen (TypedImperativeAggregate buffers serialize between
+    * update calls); metrics_5m's remaining cost is the rolling-operator
+    * window pipeline it shares with the strategy, not the aggregation.
     */
   def windows(returns: DataFrame, cfg: StrategyConfig): DataFrame =
     returns

@@ -70,11 +70,37 @@ object Similarity {
     ranked(scored, k).select(col("qid"), col("vec_id"), col("cosine"), col("rnk"))
   }
 
-  /** Sign-random-projection bucket key: the sign bits of the first
-    * `planes` coordinates (axis-aligned SRP). */
-  def srpBucket(v: Column, planes: Int = 8): Column =
-    concat((1 to planes).map(i =>
-      when(element_at(v, i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
+  /** Deterministic Rademacher hyperplanes for SRP: sign(p, i) ∈ {±1}
+    * from the low bit of md5("srp:p:i") — engine-independent pseudo-
+    * randomness, computed ONCE at plan-build time on the driver and
+    * shipped as array literals (the oracle twin interpolates the same
+    * constants). ±1 entries keep the grid arithmetic exact: a_i·(±1.0)
+    * is an exact IEEE sign flip, so the plane dot product reuses the
+    * same floor(a·b·1e12+0.5) sequence as every similarity kernel. */
+  def planeSigns(planes: Int, dim: Int): Array[Array[Float]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, dim) { (p, i) =>
+      md.reset()
+      val h = md.digest(s"srp:$p:$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1f else -1f
+    }
+  }
+
+  /** Sign-random-projection bucket key: bit p = sign of the exact grid
+    * dot product ⟨v, plane_p⟩ against md5-seeded random ±1 hyperplanes.
+    * Random hyperplanes mix EVERY coordinate, so correlated real
+    * embeddings (where the leading coordinates move together and
+    * axis-aligned sign bits would collapse into a handful of buckets)
+    * still spread across 2^planes buckets with cosine-proportional
+    * collision odds (Goemans–Williamson: P[bit match] = 1 − θ/π).
+    * Each bit is one codegen'd dotl_grid call — the hot path stays in
+    * whole-stage codegen (CLAUDE.md invariant 4). `dim` must cover the
+    * embedding length (extra plane entries are ignored by the min-length
+    * kernel; testdata embeddings are 64-wide). */
+  def srpBucket(v: Column, planes: Int = 8, dim: Int = 64): Column =
+    concat(planeSigns(planes, dim).toIndexedSeq.map { s =>
+      when(dotL(v, typedlit(s.toSeq)) >= 0L, lit("1")).otherwise(lit("0"))
+    }: _*)
 
   /** LSH-bucketed ANN top-k: candidates limited to the query's SRP
     * bucket (recall trades for a corpus-partition-sized read). */

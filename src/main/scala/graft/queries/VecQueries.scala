@@ -55,10 +55,19 @@ object VecQueries {
   private def cosSql(dot: String, nq: String, nv: String): String =
     s6(s"(${Det.signedDblSql(dot)}/1e12) / sqrt((CAST($nq AS DOUBLE)/1e12)*(CAST($nv AS DOUBLE)/1e12))")
 
-  /** Twin of Similarity.srpBucket. */
+  /** Twin of Similarity.srpBucket: per plane, the sign of the SAME exact
+    * grid dot product against the SAME md5-seeded ±1 hyperplane constants
+    * (interpolated from Similarity.planeSigns — one source of truth).
+    * v[i]·(±1) is an exact IEEE sign flip, so floor(v·s·1e12+0.5) matches
+    * the dotl_grid kernel bit for bit. */
   private def bucketSql(v: String, planes: Int = 8): String =
-    (1 to planes).map(i => s"(CASE WHEN ($v)[$i] >= 0 THEN '1' ELSE '0' END)")
-      .mkString(" || ")
+    Similarity.planeSigns(planes, 64).map { s =>
+      val signs = s.map(_.toInt).mkString("[", ",", "]")
+      val dot =
+        s"""list_sum([CAST(floor(CAST(($v)[i] AS DOUBLE)*(($signs)[i])*1e12+0.5) AS BIGINT)
+        for i in range(1, len($v)+1)])"""
+      s"(CASE WHEN $dot >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
 
   private val topkSql =
     s"""WITH base AS (

@@ -32,11 +32,20 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("LSH bucketing only returns same-bucket candidates (recall/cost trade)") {
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.register(spark)
     val out = Similarity.lshTopK(
       corpus.filter("vec_id = 0"), corpus, k = 7, planes = 2).collect()
-    // bucket of v0 = sign bits of dims (1,2) = "11" (0f >= 0 → '1');
-    // v2 ("10") and v5 ("01") fall outside and must be pruned
-    assert(out.map(_.getAs[Long]("vec_id")).toSet == Set(1L, 3L, 4L, 6L))
+    // candidates = exactly the other members of v0's hyperplane bucket
+    val buckets = corpus
+      .select(col("vec_id"), Similarity.srpBucket(col("embedding"), 2).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = buckets.collect {
+      case (id, b) if b == buckets(0L) && id != 0L => id
+    }.toSet
+    assert(expect.nonEmpty && expect.size < buckets.size - 1,
+      s"fixture must split into >1 bucket: $buckets")
+    assert(out.map(_.getAs[Long]("vec_id")).toSet == expect)
   }
 
   test("IVF assignment sends cluster members to their own centroid") {

@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Random-hyperplane SRP properties (VERDICT r3 item 7): the md5-seeded
+  * ±1 hyperplanes must be deterministic, must spread CORRELATED
+  * embeddings across buckets (where axis-aligned sign bits collapse to
+  * one bucket), and must keep cosine-similar vectors colliding more than
+  * dissimilar ones — incl. full recall on a clustered fixture whose
+  * within-cluster noise is far below the plane-dot margin. */
+class SrpSpec extends AnyFunSuite {
+  import TestSpark._
+
+  graft.functions.GraftFunctions.register(spark)
+
+  // odd on purpose: a ±1 plane dotted with a ±1 centroid over an odd
+  // number of coordinates sums to an ODD multiple of the grid unit —
+  // the margin can never be zero, so small jitter can never flip a bit
+  private val Dim = 15
+
+  private def bucketsOf(vs: Seq[(Long, Seq[Float], Int)], planes: Int): Map[Long, String] =
+    vecs(vs).select(col("vec_id"),
+        Similarity.srpBucket(col("embedding"), planes, Dim).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("plane signs are deterministic and balanced-ish") {
+    val a = Similarity.planeSigns(8, 64)
+    val b = Similarity.planeSigns(8, 64)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "same seed, same planes")
+    val pos = a.flatten.count(_ > 0)
+    assert(pos > 150 && pos < 350, s"Rademacher signs wildly unbalanced: $pos/512")
+    // planes differ from each other (md5 keyed by plane index)
+    assert(a.map(_.toSeq).distinct.length == 8)
+  }
+
+  test("correlated embeddings spread over buckets (axis-aligned would collapse to one)") {
+    // leading coordinates identical and positive across the corpus — the
+    // old first-N-sign bucketing maps ALL of these to the same key
+    val base = Seq.fill(8)(1f)
+    val vs = (0L until 32L).map { i =>
+      val tail = (0 until Dim - 8).map(j =>
+        (((i * 31 + j * 17) % 13).toFloat - 6f) / 10f)
+      (i, base ++ tail, 0)
+    }
+    val bk = bucketsOf(vs, planes = 8)
+    assert(bk.values.toSet.size > 4,
+      s"hyperplane SRP must split correlated vectors, got ${bk.values.toSet.size} buckets")
+  }
+
+  test("identical vectors share a bucket; negated vectors never do") {
+    val v = (0 until Dim).map(i => (i * 7 % 5).toFloat / 3f + 0.1f)
+    val bk = bucketsOf(Seq((0L, v, 0), (1L, v, 0), (2L, v.map(-_), 0)), planes = 8)
+    assert(bk(0L) == bk(1L))
+    // every plane dot is nonzero for this v, so -v flips every bit
+    assert(bk(2L) == bk(0L).map(c => if (c == '1') '0' else '1'))
+  }
+
+  test("clustered corpus: within-cluster collision ≫ cross-cluster, full LSH recall") {
+    // two far-apart centroids, noise small enough that no plane dot can
+    // change sign (margin |dot(c)| ≥ grid sum of |noise|)
+    val c1 = (0 until Dim).map(i => if (i % 2 == 0) 1f else -1f)
+    val c2 = (0 until Dim).map(i => if (i % 3 == 0) -1f else 1f)
+    def jitter(c: Seq[Float], k: Long): Seq[Float] =
+      c.zipWithIndex.map { case (x, j) => x + ((k * 13 + j) % 7).toFloat / 1000f }
+    val vs = (0L until 10L).map(i => (i, jitter(c1, i), 0)) ++
+      (10L until 20L).map(i => (i, jitter(c2, i), 1))
+    val bk = bucketsOf(vs, planes = 6)
+    val within1 = (0L until 10L).map(bk).toSet
+    val within2 = (10L until 20L).map(bk).toSet
+    assert(within1.size == 1 && within2.size == 1,
+      "cluster members must share their centroid's bucket under small noise")
+    assert(within1 != within2, "far-apart clusters must hash apart")
+
+    // therefore bucketed ANN reaches every same-cluster neighbor: recall = 1
+    val corpus = vecs(vs)
+    val got = Similarity.lshTopK(corpus.filter("vec_id = 0"), corpus,
+        k = 9, planes = 6).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(got == (1L until 10L).toSet)
+  }
+}
