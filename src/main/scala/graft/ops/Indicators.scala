@@ -193,14 +193,14 @@ object Indicators {
     * key: level `l ← α·x + (1−α)·(l + b)`, trend `b ← β·(l_new − l) +
     * (1−β)·b`, seeded l = x₀, b = 0. Forecast = l + h·b.
     *
-    * Spec-bound only (IndicatorsSpec), NO oracle twin — deliberately:
-    * the level/trend recurrences are MUTUALLY dependent, and DuckDB's
-    * in-place sequential struct_pack evaluation (see
-    * IndicatorQueries.macdSql) cannot express a two-field update where
-    * each field needs the other's OLD value without version-fragile
-    * tricks. Same tier as ops/Approx and io/Bucketing: a scale-path
-    * capability whose correctness is proven in-engine (naive-model
-    * bit-equality + order-insensitivity), not cross-engine.
+    * Oracle twin: IndicatorQueries.holtSql (`holt_forecast`). The
+    * mutually-dependent level/trend pair defeats a struct_pack
+    * accumulator (struct fields alias the accumulator in place on
+    * reduce steps ≥ 2), but a LIST accumulator `[lv, tr]` constructs
+    * fresh on every step, so both elements read the untouched old
+    * state — bit-exact against this fold with the level expression
+    * inlined into the trend element. IndicatorsSpec additionally proves
+    * naive-model bit-equality and order-insensitivity in-engine.
     */
   def holtPerKey(ticks: DataFrame, key: String, time: String, seq: String,
                  value: String, alpha: Double = 0.2, beta: Double = 0.1,

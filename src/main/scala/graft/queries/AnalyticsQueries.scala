@@ -189,6 +189,52 @@ GROUP BY l_returnflag"""
     Funnel.threeStep(events(s, d).drop("value"), "user_id", "ts", "event_type",
       "view", "click", "purchase", horizonSec = 86400L)
 
+  // Ingest-lag threshold: 5 min between consecutive events of one type
+  // flags a stalled feed (the engine-side twin of the reference's
+  // healthcheck lag budget, scripts/healthcheck_kafka_lag.py:12).
+  private val MaxLagUs = 300000000L
+
+  /** Ingest-lag telemetry rollup — the reference runs this OUTSIDE the
+    * engine (healthcheck_kafka_lag.py inspects per-partition consumer
+    * lag against KAFKA_MAX_LAG and reports offenders); here the same
+    * shape is a first-class query over the event stream: per
+    * (event_type ≈ consumer group, hour), arrival count, max/avg
+    * inter-arrival gap, gap breaches over budget, and the offending
+    * flag. Gaps are exact micros (longs); avg is exactInt/exactInt —
+    * one correctly-rounded division. One window pass (the sessionize
+    * Exchange shape) + one hash aggregate — fact-scan sized, no joins. */
+  private def latencyMetrics(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_arrivals"),
+        max(col("gap_us")).as("max_gap_us"),
+        Det.snap(sum(col("gap_us")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("avg_gap_us"),
+        count(when(col("gap_us") > MaxLagUs, lit(1))).as("lag_breaches"))
+      .withColumn("offending", col("max_gap_us") > MaxLagUs)
+  }
+
+  private val latencyMetricsSql =
+    s"""WITH g AS (
+  SELECT event_type, ts,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type
+             ORDER BY ts, event_id) AS gap_us
+  FROM events)
+SELECT event_type, date_trunc('hour', ts) AS bucket,
+       count(*) AS n_arrivals,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       ${s6("CAST(sum(gap_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS avg_gap_us,
+       count(CASE WHEN gap_us > $MaxLagUs THEN 1 END) AS lag_breaches,
+       max(gap_us) > $MaxLagUs AS offending
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY 1, 2"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "retention" -> ((s, d) => Retention.matrix(events(s, d), "user_id", "ts")),
     "funnel" -> ((s, d) => funnel(s, d)),
@@ -200,7 +246,8 @@ GROUP BY l_returnflag"""
     "corpus_sample" -> ((s, d) => corpusSample(s, d)),
     "rel_topk_per_group" -> ((s, d) => r6(topkPerGroup(s, d))),
     "rel_quantiles" -> ((s, d) => r6(quantiles(s, d))),
-    "rel_quantiles_cont" -> ((s, d) => r6(quantilesCont(s, d)))
+    "rel_quantiles_cont" -> ((s, d) => r6(quantilesCont(s, d))),
+    "latency_metrics" -> ((s, d) => latencyMetrics(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -294,6 +341,7 @@ FROM (SELECT l_returnflag, l_extendedprice,
         count(*) OVER (PARTITION BY l_returnflag) AS n
       FROM lineitem)
 GROUP BY l_returnflag""",
-    "rel_quantiles_cont" -> quantilesContSql
+    "rel_quantiles_cont" -> quantilesContSql,
+    "latency_metrics" -> latencyMetricsSql
   )
 }

@@ -110,6 +110,47 @@ SELECT product_id, n_ticks,
 FROM m"""
   }
 
+  // ---------------------------------------------------------------- Holt
+
+  private val HoltAlpha = 0.2
+  private val HoltBeta = 0.1
+  private val HoltHorizon = 5
+
+  private def holt(s: SparkSession, d: String): DataFrame =
+    Indicators.holtPerKey(TickQueries.ticks(s, d),
+      "product_id", "event_time", "sequence", "price",
+      HoltAlpha, HoltBeta, HoltHorizon)
+
+  /** Holt's level/trend recurrences are MUTUALLY coupled, which a
+    * struct_pack accumulator cannot express safely: DuckDB 1.0.0
+    * evaluates struct fields SNAPSHOT on the first reduce step but
+    * IN PLACE on later steps (probed), so any field order wrong under
+    * one semantics breaks somewhere. A LIST accumulator dodges the
+    * aliasing entirely — `[expr1, expr2]` constructs a fresh list and
+    * both elements read the untouched `acc` (probed: step ≥ 2 still
+    * snapshot). The level expression is inlined into the trend element
+    * so each element needs only OLD state; identical operand bits →
+    * identical nl on both evaluations → bit-exact vs the Scala fold. */
+  private val holtSql = {
+    val A = Det.dblLit(HoltAlpha); val NA = Det.dblLit(1.0 - HoltAlpha)
+    val B = Det.dblLit(HoltBeta); val NB = Det.dblLit(1.0 - HoltBeta)
+    val H = Det.dblLit(HoltHorizon.toDouble)
+    val nl = s"(e[1] * $A + (acc[1] + acc[2]) * $NA)"
+    s"""WITH per AS (
+  SELECT product_id, list(price ORDER BY event_time, sequence) AS xs
+  FROM ($ticksSql) t GROUP BY product_id),
+m AS (
+  SELECT product_id, CAST(len(xs) AS BIGINT) AS n_ticks,
+         list_reduce(
+           [[CAST(x AS DOUBLE), CAST(0 AS DOUBLE)] for x in xs],
+           (acc, e) -> [$nl, ($nl - acc[1]) * $B + acc[2] * $NB]) AS st
+  FROM per)
+SELECT product_id, n_ticks,
+       ${s6("st[1]")} AS level, ${s6("st[2]")} AS trend,
+       ${s6(s"st[1] + $H * st[2]")} AS forecast
+FROM m"""
+  }
+
   // ---------------------------------------------------------------- KAMA
 
   private val KamaEr = 10
@@ -284,7 +325,8 @@ FROM per"""
     "rsi" -> ((s, d) => r6(rsi(s, d))),
     "macd" -> ((s, d) => r6(macd(s, d))),
     "stochastic" -> ((s, d) => r6(stochastic(s, d))),
-    "atr" -> ((s, d) => r6(atr(s, d)))
+    "atr" -> ((s, d) => r6(atr(s, d))),
+    "holt_forecast" -> ((s, d) => r6(holt(s, d)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -292,6 +334,7 @@ FROM per"""
     "rsi" -> rsiSql,
     "macd" -> macdSql,
     "stochastic" -> stochasticSql,
-    "atr" -> atrSql
+    "atr" -> atrSql,
+    "holt_forecast" -> holtSql
   )
 }
