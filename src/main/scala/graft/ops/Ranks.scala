@@ -63,4 +63,40 @@ object Ranks {
     }
     spark.createDataFrame(rows, schema)
   }
+
+  /** Global INCLUSIVE running sum of a long column under a total order —
+    * the same two-pass range shape as [[ntileByRange]] (per-partition
+    * partial sums to the driver, cumulative offsets broadcast back, one
+    * compiled in-partition accumulation), so no single-partition window
+    * anywhere. Bit-exact vs `sum() OVER (ORDER BY … ROWS UNBOUNDED
+    * PRECEDING)` because long addition is associative — the partition
+    * split points cannot change any value. The generic scale form for
+    * sequence packing, cumulative distributions, and offset assignment.
+    */
+  def runningSumByRange(df: DataFrame, order: Seq[Column], valueCol: String,
+                        out: String, partitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = partitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val parted = df.repartitionByRange(nPart, order: _*)
+      .sortWithinPartitions(order: _*)
+      .cache()
+    val sums: Map[Int, Long] = parted
+      .groupBy(spark_partition_id().as("_pid"))
+      .agg(sum(col(valueCol).cast("long")).as("_s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Array[Long] =
+      (0 until nPart).scanLeft(0L)((acc, p) => acc + sums.getOrElse(p, 0L))
+        .toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val schema = df.schema.add(out, LongType, nullable = false)
+    val rows = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bc.value(pid)
+      it.map { row =>
+        acc += row.getLong(vIdx)
+        Row.fromSeq(row.toSeq :+ acc)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
 }

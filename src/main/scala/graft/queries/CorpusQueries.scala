@@ -314,6 +314,129 @@ GROUP BY b.doc_id, b.lang"""
 FROM ($base) mo"""
   }
 
+  // ------------------------------------------------------- seq_packing
+
+  // Training-sequence capacity (tokens per packed sequence).
+  private val PackCap = 2048L
+
+  /** Sequence packing — concat-and-chunk documents (in deterministic
+    * doc_id order) into fixed-capacity training sequences: each doc's
+    * token span [cum − n, cum) maps to packed sequences
+    * first = (cum−n) div cap … last = (cum−1) div cap. The global
+    * running token sum is [[graft.ops.Ranks.runningSumByRange]] — the
+    * two-pass range prefix sum, NO single-partition window — and long
+    * addition is associative, so the result is bit-identical to the
+    * oracle's window sum at any partitioning. All outputs exact longs.
+    */
+  private def seqPacking(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    graft.ops.Ranks
+      .runningSumByRange(toks, Seq(col("doc_id")), "n_tokens", "cum_tokens")
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        expr(s"(cum_tokens - n_tokens) div $PackCap").as("pack_first"),
+        expr(s"(cum_tokens - 1) div $PackCap").as("pack_last"))
+      .withColumn("n_seqs", col("pack_last") - col("pack_first") + lit(1L))
+  }
+
+  private val seqPackingSql =
+    s"""WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM t)
+SELECT doc_id, n_tokens, cum_tokens,
+       (cum_tokens - n_tokens) // $PackCap AS pack_first,
+       (cum_tokens - 1) // $PackCap AS pack_last,
+       ((cum_tokens - 1) // $PackCap) - ((cum_tokens - n_tokens) // $PackCap) + 1
+         AS n_seqs
+FROM c"""
+
+  // ----------------------------------------------------- quality_rules
+
+  // Gopher-style corpus filter thresholds (Rae et al. 2021-family rules).
+  private val QrMinTokens = 50L
+  private val QrMaxTokens = 100000L
+  private val QrMinWordLen = 3L   // mean word length lower bound
+  private val QrMaxWordLen = 10L  // upper bound
+  private val QrSymbolDen = 10L   // symbol_ratio ≤ 1/10
+  private val QrRepDen = 5L       // top_token_ratio ≤ 1/5
+
+  /** Gopher-style quality-rule filtering: per doc, token count, mean
+    * word length, symbol ratio and max-token-repetition ratio, each with
+    * its rule flag and the combined keep decision. Every FLAG compares
+    * EXACT INTEGERS (`word_chars ≥ 3·n_tokens`, `10·n_symbols ≤
+    * n_chars`, …) — never thresholded doubles — so the booleans cannot
+    * drift between engines; the double ratios are informational, snapped
+    * exactInt/exactInt divisions. Scale shape: one exploded-token
+    * aggregate (two-level, map-side combined) joined back to a
+    * single-scan projection — both sides one row per doc.
+    */
+  private def qualityRules(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val per = base
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_c"))
+    base.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        length(expr("replace(text, ' ', '')")).cast("long").as("word_chars"),
+        length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("long")
+          .as("n_symbols"))
+      .join(per, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        Det.snap(col("word_chars").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("mean_word_len"),
+        Det.snap(col("n_symbols").cast("double") / col("n_chars").cast("double"), 6)
+          .as("symbol_ratio"),
+        Det.snap(col("top_c").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("top_token_ratio"),
+        (col("n_tokens") >= QrMinTokens && col("n_tokens") <= QrMaxTokens)
+          .as("flag_len"),
+        (col("word_chars") >= col("n_tokens") * QrMinWordLen &&
+          col("word_chars") <= col("n_tokens") * QrMaxWordLen).as("flag_word_len"),
+        (col("n_symbols") * QrSymbolDen <= col("n_chars")).as("flag_symbols"),
+        (col("top_c") * QrRepDen <= col("n_tokens")).as("flag_repetition"))
+      .withColumn("keep", col("flag_len") && col("flag_word_len") &&
+        col("flag_symbols") && col("flag_repetition"))
+  }
+
+  private val qualityRulesSql =
+    s"""WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+per AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(max(c) AS BIGINT) AS top_c
+  FROM (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2)
+  GROUP BY 1),
+base AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars,
+         CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT)
+           AS n_symbols
+  FROM documents),
+j AS (SELECT * FROM base JOIN per USING (doc_id))
+SELECT doc_id, n_tokens,
+       ${s6("CAST(word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)")} AS mean_word_len,
+       ${s6("CAST(n_symbols AS DOUBLE) / CAST(n_chars AS DOUBLE)")} AS symbol_ratio,
+       ${s6("CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE)")} AS top_token_ratio,
+       n_tokens >= $QrMinTokens AND n_tokens <= $QrMaxTokens AS flag_len,
+       word_chars >= n_tokens * $QrMinWordLen
+         AND word_chars <= n_tokens * $QrMaxWordLen AS flag_word_len,
+       n_symbols * $QrSymbolDen <= n_chars AS flag_symbols,
+       top_c * $QrRepDen <= n_tokens AS flag_repetition,
+       (n_tokens >= $QrMinTokens AND n_tokens <= $QrMaxTokens)
+         AND (word_chars >= n_tokens * $QrMinWordLen
+              AND word_chars <= n_tokens * $QrMaxWordLen)
+         AND (n_symbols * $QrSymbolDen <= n_chars)
+         AND (top_c * $QrRepDen <= n_tokens) AS keep
+FROM j"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_chunks" -> ((s, d) =>
       Chunker.chunks(docs(s, d), ChunkWindow, ChunkStride)),
@@ -323,7 +446,9 @@ FROM ($base) mo"""
     "keyword_search" -> ((s, d) => keywordSearch(s, d)),
     "bigram_lm" -> ((s, d) => bigramLm(s, d)),
     "lm_fluency" -> ((s, d) => r6(lmFluency(s, d))),
-    "mad_outliers" -> ((s, d) => madOutliers(s, d))
+    "mad_outliers" -> ((s, d) => madOutliers(s, d)),
+    "seq_packing" -> ((s, d) => seqPacking(s, d)),
+    "quality_rules" -> ((s, d) => qualityRules(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -334,6 +459,8 @@ FROM ($base) mo"""
     "keyword_search" -> keywordSearchSql,
     "bigram_lm" -> bigramLmSql,
     "lm_fluency" -> lmFluencySql,
-    "mad_outliers" -> madOutliersSql
+    "mad_outliers" -> madOutliersSql,
+    "seq_packing" -> seqPackingSql,
+    "quality_rules" -> qualityRulesSql
   )
 }

@@ -59,4 +59,18 @@ class RanksSpec extends AnyFunSuite {
     val empty = fixture(0)
     assert(Ranks.ntileByRange(empty, Seq(col("v"), col("id")), 5, "t").count() == 0)
   }
+
+  test("runningSumByRange equals the global window prefix sum") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 500).map(i => (i.toLong, ((i * 31) % 17 + 1).toLong))
+      .toDF("id", "n")
+    val got = Ranks.runningSumByRange(df, Seq(col("id")), "n", "cum",
+        partitions = Some(8))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val want = df.withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
 }
