@@ -179,21 +179,28 @@ FROM closed"""
     val directed = pairs.unionByName(
       pairs.select(col("y").as("x"), col("x").as("y")))
     val degrees = directed.groupBy(col("x").as("v"))
-      .agg(count(lit(1)).as("degree"))
+      .agg(count(lit(1)).as("degree")).cache()
+    // one driver count folds n_nodes into exact-long literals (the same
+    // integer arithmetic as before — `a div b` on positive longs), which
+    // drops the crossJoin + max(n_nodes) threading from every iteration
+    val nNodes = degrees.count()
+    if (nNodes == 0L)
+      return degrees.select(col("v"), col("degree"), lit(0.0).as("pr")).limit(0)
     val withDeg = directed.join(degrees, col("x") === col("v"))
       .select(col("x").as("src"), col("y").as("dst"), col("degree")).cache()
-    val n = degrees.agg(count(lit(1)).as("n_nodes"))
-    var ranks = degrees.crossJoin(broadcast(n))
-      .select(col("v"), expr(s"${PrGrid}L div n_nodes").as("k"), col("n_nodes"))
+    val baseK = (3L * PrGrid / 20L) / nNodes
+    var ranks = degrees.select(col("v"), lit(PrGrid / nNodes).as("k"))
     for (_ <- 1 to PrIters) {
+      // shuffle join each iteration (ranks is node-sized but COMPUTED —
+      // broadcasting it forces a per-iteration broadcast build, measured
+      // slower at sf0.1; the cached edge list's exchange is the cost AQE
+      // handles at scale)
       ranks = ranks
         .join(withDeg, col("v") === col("src"))
-        .select(col("dst"), expr("k div degree").as("contrib"), col("n_nodes"))
-        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"),
-          max(col("n_nodes")).as("n_nodes"))
+        .select(col("dst"), expr("k div degree").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
         .select(col("dst").as("v"),
-          (expr(s"(3L * ${PrGrid}L div 20) div n_nodes") +
-            expr("(17 * s) div 20")).as("k"), col("n_nodes"))
+          (lit(baseK) + expr("(17 * s) div 20")).as("k"))
     }
     ranks.join(degrees, "v")
       .select(col("v"), col("degree"),
