@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming ingest-lag monitor — the live twin of the batch
+  * `latency_metrics` query (and of the reference's consumer-lag
+  * healthcheck, scripts/healthcheck_kafka_lag.py, run OUT-of-engine
+  * there): two chained stateful operators in one query, the same Spark 4
+  * multi-stateful shape as [[StatefulImbalance]]:
+  *
+  *   1. a flatMapGroupsWithState gap chain — per event_type the state is
+  *      ONE (micros, event_id) pair, O(1); each arrival emits its exact
+  *      inter-arrival gap in micros;
+  *   2. a tumbling-window aggregation over the gap stream (watermark
+  *      re-armed on the emitted event time): arrivals, max/sum gap and
+  *      budget breaches per (event_type, hour).
+  *
+  * Gaps are exact long micros and every window aggregate (count, max,
+  * sum of longs) combines associatively, so micro-batch boundaries
+  * cannot change any bit — the final upserts equal the batch
+  * latency_metrics rows (StatefulLatencySpec).
+  */
+object StatefulLatency {
+
+  final case class EventIn(event_type: String, ts: java.sql.Timestamp,
+                           event_id: Long)
+  final case class GapState(lastUs: Long, lastId: Long)
+  final case class Gap(event_type: String, ts: java.sql.Timestamp, gap_us: Long)
+
+  /** Stage 1: per-type gap chain (the first arrival of a type emits
+    * nothing, like the batch query's `gap_us IS NOT NULL`). */
+  def gaps(events: Dataset[EventIn]): Dataset[Gap] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[GapState, Gap](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[EventIn], state: GroupState[GapState]) =>
+          var st = state.getOption.getOrElse(GapState(Long.MinValue, Long.MinValue))
+          val out = Vector.newBuilder[Gap]
+          val sorted = rows.toVector
+            .sortBy(e => (EventTime.micros(e.ts), e.event_id))
+          for (e <- sorted) {
+            val us = EventTime.micros(e.ts)
+            if (us > st.lastUs || (us == st.lastUs && e.event_id > st.lastId)) {
+              if (st.lastUs != Long.MinValue) out += Gap(key, e.ts, us - st.lastUs)
+              st = GapState(us, e.event_id)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Both stages in one streaming query: gap stream → hourly lag rollup
+    * with breach counts against `maxLagUs`. */
+  def hourlyLag(events: Dataset[EventIn], watermarkDelay: String,
+                maxLagUs: Long): DataFrame =
+    gaps(events)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_arrivals"),
+        max(col("gap_us")).as("max_gap_us"),
+        sum(col("gap_us")).as("sum_gap_us"),
+        count(when(col("gap_us") > maxLagUs, lit(1))).as("lag_breaches"))
+      .select(col("event_type"), col("window.start").as("bucket"),
+        col("n_arrivals"), col("max_gap_us"), col("sum_gap_us"),
+        col("lag_breaches"),
+        (col("max_gap_us") > maxLagUs).as("offending"))
+}
