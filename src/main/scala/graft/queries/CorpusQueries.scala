@@ -128,10 +128,11 @@ GROUP BY v.lang"""
     * over Sessionize output ([start, end) half-open). Deltas are
     * pre-aggregated per distinct instant BEFORE the running sum, so the
     * prefix scan runs over unique ordered keys (no window tie-break
-    * freedom — bit-deterministic) and the single-partition global window
-    * only ever sees session-level (already reduced) data. At 100 TB the
-    * same shape becomes a two-pass range-partitioned prefix sum; the
-    * per-instant aggregate is the part that does the data reduction. */
+    * freedom — bit-deterministic), and the prefix sum itself is
+    * [[graft.ops.Ranks.runningSumByRange]] — the two-pass range form, so
+    * NO single-partition window exists even though the boundary table
+    * grows with the data. Long addition is associative: identical bits
+    * to the oracle's global window sum at any partitioning. */
   private def sessionConcurrency(s: SparkSession, d: String): DataFrame = {
     val sess = Sessionize(
       AnalyticsQueries.events(s, d).select(col("user_id"), col("ts"), col("value")),
@@ -139,10 +140,7 @@ GROUP BY v.lang"""
     val deltas = sess.select(col("session_start").as("t"), lit(1L).as("delta"))
       .unionByName(sess.select(col("session_end").as("t"), lit(-1L).as("delta")))
     val perInstant = deltas.groupBy(col("t")).agg(sum(col("delta")).as("net"))
-    val running = sum(col("net")).over(
-      Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    perInstant
-      .withColumn("conc", running)
+    graft.ops.Ranks.runningSumByRange(perInstant, Seq(col("t")), "net", "conc")
       .groupBy(date_trunc("hour", col("t")).as("bucket"))
       .agg(max(col("conc")).as("max_concurrent"), count(lit(1)).as("n_changes"))
   }
