@@ -512,7 +512,133 @@ SELECT product_id, CAST(dir AS BIGINT) AS dir, count(*) AS run_len,
 FROM isl GROUP BY product_id, dir, island
 HAVING count(*) >= 5"""
 
+  // ------------------------------------------------------------- vpin
+
+  // Ticks per volume-synchronized bucket (unit tick volume → equal-count
+  // buckets, the tick-based VPIN variant).
+  private val VpinBucket = 50L
+
+  /** Volume-synchronized order-flow toxicity (tick-based VPIN): classify
+    * ticks with the same Lee–Ready sign chain as [[tickImbalance]], cut
+    * each instrument's classified stream into equal-count buckets (the
+    * volume clock — unit volumes here), and report each bucket's
+    * |buy − sell| / n imbalance. The bucket index comes from a per-key
+    * row_number on the SAME partitioning as the sign chain (one
+    * Exchange); all counts exact, the ratio one exact-int division.
+    */
+  private def vpin(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("product_id"))
+      .orderBy(col("event_time"), col("sequence"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val diff = col("price") - lag(col("price"), 1).over(w)
+    TickQueries.ticks(s, d)
+      .withColumn("raw_sign", when(diff > 0, 1L).when(diff < 0, -1L))
+      .withColumn("dir", last(col("raw_sign"), ignoreNulls = true).over(run))
+      .filter(col("dir").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("bucket", expr(s"(rn - 1) div $VpinBucket"))
+      .groupBy(col("product_id"), col("bucket"))
+      .agg(count(lit(1)).as("n_ticks"),
+        count(when(col("dir") === 1L, 1)).as("n_buy"),
+        count(when(col("dir") === -1L, 1)).as("n_sell"))
+      .withColumn("vpin",
+        abs(col("n_buy") - col("n_sell")).cast("double") /
+          col("n_ticks").cast("double"))
+  }
+
+  private val vpinSql =
+    s"""WITH b AS (
+  SELECT product_id, event_time, sequence,
+         last_value(CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 END IGNORE NULLS)
+           OVER (PARTITION BY product_id ORDER BY event_time, sequence
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dir
+  FROM (SELECT product_id, event_time, sequence, price,
+               price - lag(price, 1) OVER (PARTITION BY product_id
+                   ORDER BY event_time, sequence) AS d
+        FROM (${TickQueries.liveTicksSql}) lt) t),
+r AS (
+  SELECT product_id, dir,
+         row_number() OVER (PARTITION BY product_id
+                            ORDER BY event_time, sequence) AS rn
+  FROM b WHERE dir IS NOT NULL),
+g AS (
+  SELECT product_id, (rn - 1) // $VpinBucket AS bucket,
+         count(*) AS n_ticks,
+         count(CASE WHEN dir = 1 THEN 1 END) AS n_buy,
+         count(CASE WHEN dir = -1 THEN 1 END) AS n_sell
+  FROM r GROUP BY 1, 2)
+SELECT product_id, bucket, n_ticks, n_buy, n_sell,
+       ${s6("CAST(abs(n_buy - n_sell) AS DOUBLE) / CAST(n_ticks AS DOUBLE)")} AS vpin
+FROM g"""
+
+  // ------------------------------------------------------ kyle_lambda
+
+  private val KyleScale = 4
+  private val KyleBarUs = 300000000L // 5-minute bars
+
+  /** Kyle's lambda — price impact per unit signed order flow: per
+    * instrument, regress 5-min bar price changes on the bar's net
+    * tick-rule flow, λ = cov(Δp, q) / var(q) via [[Det.betaD]] (exact
+    * integer moment sums, one correctly-rounded division; NULL when the
+    * flow has zero variance). Bars are epoch-aligned integer buckets;
+    * open/close are deterministic (event_time, sequence) picks, so Δp is
+    * an IEEE subtraction of identical operand bits in both engines.
+    */
+  private def kyleLambda(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("product_id"))
+      .orderBy(col("event_time"), col("sequence"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val diff = col("price") - lag(col("price"), 1).over(w)
+    TickQueries.ticks(s, d)
+      .withColumn("raw_sign", when(diff > 0, 1L).when(diff < 0, -1L))
+      .withColumn("dir", last(col("raw_sign"), ignoreNulls = true).over(run))
+      .filter(col("dir").isNotNull)
+      .groupBy(col("product_id"),
+        expr(s"unix_micros(event_time) div $KyleBarUs").as("bar"))
+      .agg(
+        min_by(col("price"), struct(col("event_time"), col("sequence"))).as("open"),
+        max_by(col("price"), struct(col("event_time"), col("sequence"))).as("close"),
+        sum(col("dir")).as("flow"))
+      .select(col("product_id"), (col("close") - col("open")).as("dp"),
+        col("flow").cast("double").as("flow"))
+      .groupBy(col("product_id"))
+      .agg(count(lit(1)).as("n_bars"),
+        Det.snap(Det.betaD(col("dp"), col("flow"), KyleScale), 6).as("kyle_lambda"))
+  }
+
+  private val kyleLambdaSql =
+    s"""WITH b AS (
+  SELECT product_id, event_time, sequence, price,
+         epoch_us(event_time) // $KyleBarUs AS bar,
+         last_value(CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 END IGNORE NULLS)
+           OVER (PARTITION BY product_id ORDER BY event_time, sequence
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dir
+  FROM (SELECT product_id, event_time, sequence, price,
+               price - lag(price, 1) OVER (PARTITION BY product_id
+                   ORDER BY event_time, sequence) AS d
+        FROM (${TickQueries.liveTicksSql}) lt) t),
+c AS (
+  SELECT *, row_number() OVER (PARTITION BY product_id, bar
+                               ORDER BY event_time, sequence) AS rn_a,
+         row_number() OVER (PARTITION BY product_id, bar
+                            ORDER BY event_time DESC, sequence DESC) AS rn_d
+  FROM b WHERE dir IS NOT NULL),
+bars AS (
+  SELECT product_id, bar,
+         max(CASE WHEN rn_a = 1 THEN price END) AS open,
+         max(CASE WHEN rn_d = 1 THEN price END) AS close,
+         CAST(sum(dir) AS BIGINT) AS flow
+  FROM c GROUP BY 1, 2),
+d AS (
+  SELECT product_id, close - open AS dp, CAST(flow AS DOUBLE) AS flow
+  FROM bars)
+SELECT product_id, count(*) AS n_bars,
+       ${s6(Det.betaDSql("dp", "flow", KyleScale))} AS kyle_lambda
+FROM d GROUP BY product_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vpin" -> ((s, d) => r6(vpin(s, d))),
+    "kyle_lambda" -> ((s, d) => kyleLambda(s, d)),
     "candle_patterns" -> ((s, d) => r6(candlePatterns(s, d))),
     "signal_runs" -> ((s, d) => signalRuns(s, d)),
     "donchian_breakouts" -> ((s, d) => r6(donchian(s, d))),
@@ -528,6 +654,8 @@ HAVING count(*) >= 5"""
   )
 
   def oracleSql: Map[String, String] = Map(
+    "vpin" -> vpinSql,
+    "kyle_lambda" -> kyleLambdaSql,
     "candle_patterns" -> candlePatternsSql,
     "signal_runs" -> signalRunsSql,
     "donchian_breakouts" -> donchianSql,
