@@ -86,6 +86,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected partial+final rank pushdown (shuffle carries ≤k rows/group), saw $limits:\n$p")
   }
 
+  test("vpin's sign chain, volume clock, and bucket aggregate share one Exchange") {
+    val p = plan("vpin")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"the (product_id, bucket) aggregate must reuse the sign-chain partitioning, saw $exchanges:\n$p")
+  }
+
+  test("latency_metrics reuses the gap window's Exchange for the hourly aggregate") {
+    val p = plan("latency_metrics")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"(event_type, hour) grouping must reuse hashpartitioning(event_type), saw $exchanges:\n$p")
+  }
+
   test("rfm_segments has no single-partition window sort") {
     val p = plan("rfm_segments")
     assert(!p.contains("Window"),
