@@ -61,7 +61,18 @@ object Ranks {
         Row.fromSeq(row.toSeq :+ tile)
       }
     }
-    spark.createDataFrame(rows, schema)
+    materialized(spark.createDataFrame(rows, schema), parted)
+  }
+
+  /** Pin the result's blocks (localCheckpoint) so the intermediate range
+    * cache can be released immediately — without this every call leaks
+    * one cached frame for the session's lifetime (Verify runs the whole
+    * contract in one session). */
+  private def materialized(result: DataFrame,
+                           parted: DataFrame): DataFrame = {
+    val out = result.localCheckpoint(true)
+    parted.unpersist()
+    out
   }
 
   /** Global INCLUSIVE running sum of a long column under a total order —
@@ -97,6 +108,6 @@ object Ranks {
         Row.fromSeq(row.toSeq :+ acc)
       }
     }
-    spark.createDataFrame(rows, schema)
+    materialized(spark.createDataFrame(rows, schema), parted)
   }
 }
