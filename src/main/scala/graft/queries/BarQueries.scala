@@ -571,6 +571,66 @@ SELECT product_id, bucket, n_ticks, n_buy, n_sell,
        ${s6("CAST(abs(n_buy - n_sell) AS DOUBLE) / CAST(n_ticks AS DOUBLE)")} AS vpin
 FROM g"""
 
+  // ------------------------------------------------ realized_variance
+
+  private val RvScale = 4 // price-diff grid 10^-4 → k² sums scaled 10^-8
+
+  /** Realized variance vs bipower variation (Barndorff-Nielsen–Shephard
+    * jump diagnostics) per (instrument, hour): RV = Σ r², BV =
+    * (π/2)·Σ|r_i|·|r_{i−1}|, jump component = RV − BV (BV is robust to
+    * jumps, so the gap isolates them). Price diffs ride the 10^-4 grid:
+    * k² and |k_i|·|k_{i−1}| are exact longs, both sums are non-negative
+    * (direct casts), the π/2 factor crosses via [[Det.dblLit]], and the
+    * finishing arithmetic is the same fixed IEEE sequence on identical
+    * operand bits. One keyed window pass (shared Exchange) + one hash
+    * aggregate.
+    */
+  private def realizedVariance(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("product_id"))
+      .orderBy(col("event_time"), col("sequence"))
+    // a Scala double literal IS the exact bits in Spark; the SQL twin
+    // crosses the same constant via Det.dblLit (string-parse path)
+    val halfPi = lit(math.Pi / 2)
+    TickQueries.ticks(s, d)
+      .withColumn("k", Det.kl(col("price") - lag(col("price"), 1).over(w), RvScale))
+      .withColumn("kp", lag(col("k"), 1).over(w))
+      .filter(col("k").isNotNull)
+      .groupBy(col("product_id"),
+        date_trunc("hour", col("event_time")).as("bucket"))
+      .agg(count(lit(1)).as("n_diffs"),
+        (sum(col("k") * col("k")).cast("double") / lit(1e8)).as("rv"),
+        (halfPi *
+          (coalesce(sum(abs(col("k")) * abs(col("kp"))), lit(0L)).cast("double") /
+            lit(1e8))).as("bv"))
+      .withColumn("jump_stat", Det.snap(col("rv") - col("bv"), 6))
+      .withColumn("rv", Det.snap(col("rv"), 6))
+      .withColumn("bv", Det.snap(col("bv"), 6))
+  }
+
+  private val realizedVarianceSql = {
+    val halfPi = Det.dblLit(math.Pi / 2)
+    s"""WITH d AS (
+  SELECT product_id, event_time, sequence,
+         ${Det.klSql("price - lag(price, 1) OVER w", RvScale)} AS k
+  FROM (${TickQueries.liveTicksSql}) lt
+  WINDOW w AS (PARTITION BY product_id ORDER BY event_time, sequence)),
+k AS (
+  SELECT product_id, event_time, k,
+         lag(k, 1) OVER (PARTITION BY product_id
+                         ORDER BY event_time, sequence) AS kp
+  FROM d),
+g AS (
+  SELECT product_id, date_trunc('hour', event_time) AS bucket,
+         count(*) AS n_diffs,
+         CAST(sum(k*k) AS DOUBLE) / 1e8 AS rv,
+         $halfPi * (CAST(coalesce(sum(abs(k)*abs(kp)), 0) AS DOUBLE) / 1e8) AS bv
+  FROM k WHERE k IS NOT NULL
+  GROUP BY 1, 2)
+SELECT product_id, bucket, n_diffs, ${s6("rv")} AS rv, ${s6("bv")} AS bv,
+       ${s6("rv - bv")} AS jump_stat
+FROM g"""
+  }
+
   // ------------------------------------------------------ kyle_lambda
 
   private val KyleScale = 4
@@ -639,6 +699,7 @@ FROM d GROUP BY product_id"""
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vpin" -> ((s, d) => r6(vpin(s, d))),
     "kyle_lambda" -> ((s, d) => kyleLambda(s, d)),
+    "realized_variance" -> ((s, d) => realizedVariance(s, d)),
     "candle_patterns" -> ((s, d) => r6(candlePatterns(s, d))),
     "signal_runs" -> ((s, d) => signalRuns(s, d)),
     "donchian_breakouts" -> ((s, d) => r6(donchian(s, d))),
@@ -656,6 +717,7 @@ FROM d GROUP BY product_id"""
   def oracleSql: Map[String, String] = Map(
     "vpin" -> vpinSql,
     "kyle_lambda" -> kyleLambdaSql,
+    "realized_variance" -> realizedVarianceSql,
     "candle_patterns" -> candlePatternsSql,
     "signal_runs" -> signalRunsSql,
     "donchian_breakouts" -> donchianSql,
