@@ -27,30 +27,38 @@ import org.apache.spark.sql.types.LongType
   */
 object Ranks {
 
+  /** The range-sorted input as ONE RDD instance: the per-partition
+    * statistics job and the assignment pass both hang off this lineage,
+    * so the second job reads the first's SHUFFLE FILES instead of
+    * recomputing upstream — no cache, nothing to unpersist, upstream
+    * evaluated exactly once. */
+  private def rangeSorted(df: DataFrame, order: Seq[Column], nPart: Int) =
+    df.repartitionByRange(nPart, order: _*)
+      .sortWithinPartitions(order: _*)
+      .rdd
+
+  private def offsetsOf(perPart: Array[(Int, Long)], nPart: Int): Array[Long] = {
+    val m = perPart.toMap
+    (0 until nPart).scanLeft(0L)((acc, p) => acc + m.getOrElse(p, 0L)).toArray
+  }
+
   def ntileByRange(df: DataFrame, order: Seq[Column], k: Int, out: String,
                    partitions: Option[Int] = None): DataFrame = {
     require(k > 0, s"ntile bucket count must be positive, got $k")
     val spark = df.sparkSession
     val nPart = partitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
-    // cache: the count pass and the row-number pass would each re-run the
-    // upstream plan + range shuffle otherwise (cross-job shuffle reuse
-    // doesn't apply across separate actions)
-    val parted = df.repartitionByRange(nPart, order: _*)
-      .sortWithinPartitions(order: _*)
-      .cache()
-    val counts: Map[Int, Long] = parted
-      .groupBy(spark_partition_id().as("_pid")).agg(count(lit(1)).as("_n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val total = counts.values.sum
-    // offsets(p) = rows in partitions before p (empty partitions count 0)
-    val offsets: Array[Long] =
-      (0 until nPart).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
-        .toArray
+    val sorted = rangeSorted(df, order, nPart)
+    val counts = sorted.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; while (it.hasNext) { it.next(); n += 1 }
+      Iterator((pid, n))
+    }.collect()
+    val offsets = offsetsOf(counts, nPart)
+    val total = counts.map(_._2).sum
     val bc = spark.sparkContext.broadcast(offsets)
     val schema = df.schema.add(out, LongType, nullable = false)
     val q = total / k
     val r = total % k
-    val rows = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val rows = sorted.mapPartitionsWithIndex { (pid, it) =>
       var rn = bc.value(pid)
       it.map { row =>
         rn += 1
@@ -61,18 +69,7 @@ object Ranks {
         Row.fromSeq(row.toSeq :+ tile)
       }
     }
-    materialized(spark.createDataFrame(rows, schema), parted)
-  }
-
-  /** Pin the result's blocks (localCheckpoint) so the intermediate range
-    * cache can be released immediately — without this every call leaks
-    * one cached frame for the session's lifetime (Verify runs the whole
-    * contract in one session). */
-  private def materialized(result: DataFrame,
-                           parted: DataFrame): DataFrame = {
-    val out = result.localCheckpoint(true)
-    parted.unpersist()
-    out
+    spark.createDataFrame(rows, schema)
   }
 
   /** Global INCLUSIVE running sum of a long column under a total order —
@@ -88,26 +85,21 @@ object Ranks {
                         out: String, partitions: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     val nPart = partitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
-    val parted = df.repartitionByRange(nPart, order: _*)
-      .sortWithinPartitions(order: _*)
-      .cache()
-    val sums: Map[Int, Long] = parted
-      .groupBy(spark_partition_id().as("_pid"))
-      .agg(sum(col(valueCol).cast("long")).as("_s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets: Array[Long] =
-      (0 until nPart).scanLeft(0L)((acc, p) => acc + sums.getOrElse(p, 0L))
-        .toArray
-    val bc = spark.sparkContext.broadcast(offsets)
     val vIdx = df.schema.fieldIndex(valueCol)
+    val sorted = rangeSorted(df, order, nPart)
+    val sums = sorted.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; while (it.hasNext) s += it.next().getLong(vIdx)
+      Iterator((pid, s))
+    }.collect()
+    val bc = spark.sparkContext.broadcast(offsetsOf(sums, nPart))
     val schema = df.schema.add(out, LongType, nullable = false)
-    val rows = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val rows = sorted.mapPartitionsWithIndex { (pid, it) =>
       var acc = bc.value(pid)
       it.map { row =>
         acc += row.getLong(vIdx)
         Row.fromSeq(row.toSeq :+ acc)
       }
     }
-    materialized(spark.createDataFrame(rows, schema), parted)
+    spark.createDataFrame(rows, schema)
   }
 }
