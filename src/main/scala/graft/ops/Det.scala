@@ -181,6 +181,21 @@ object Det {
       num.cast("double") / sqrt(dx.cast("double")) / sqrt(dy.cast("double")))
   }
 
+  /** Order-independent population covariance over grid integers:
+    * (n·Σkxky − Σkx·Σky) / n² / 10^2e — the same exact moment
+    * combinations as [[corrD]] (numerator exact in wide decimals),
+    * finished by the fixed sequence num→double / n² / grid². Same
+    * envelope as corrD; inputs must be non-null. */
+  def covD(x: Column, y: Column, e: Int): Column = {
+    val kx = kl(x, e)
+    val ky = kl(y, e)
+    val n = count(x).cast(DecimalType(19, 0))
+    def dec(c: Column) = c.cast(DecimalType(19, 0))
+    val num = (n * dec(sum(kx * ky)) - dec(sum(kx)) * dec(sum(ky)))
+      .cast(DecimalType(38, 0))
+    num.cast("double") / (n.cast("double") * n.cast("double")) / lit(pow10(2 * e))
+  }
+
   /** Order-independent OLS regression slope of x on y over grid
     * integers: (n·Σkxky − Σkx·Σky) / (n·Σky² − (Σky)²) — the same exact
     * moment combinations as [[corrD]], one correctly-rounded division.
@@ -245,6 +260,17 @@ object Det {
   def sumSqWhereDSql(cond: String, x: String, e: Int): String = {
     val k = klSql(x, e)
     s"(coalesce(CAST(sum(CASE WHEN $cond THEN $k*$k END) AS DOUBLE), 0.0) / 1e${2 * e})"
+  }
+
+  /** Twin of [[covD]] — the numerator is sign-capable, so its cast goes
+    * through [[signedDblSql]]. */
+  def covDSql(x: String, y: String, e: Int): String = {
+    val kx = klSql(x, e)
+    val ky = klSql(y, e)
+    val n = s"CAST(count($x) AS DECIMAL(19,0))"
+    def d(s: String) = s"CAST($s AS DECIMAL(19,0))"
+    val num = s"CAST(($n * ${d(s"sum($kx*$ky)")} - ${d(s"sum($kx)")} * ${d(s"sum($ky)")}) AS DECIMAL(38,0))"
+    s"(${signedDblSql(num)} / (CAST($n AS DOUBLE) * CAST($n AS DOUBLE)) / 1e${2 * e})"
   }
 
   /** Twin of [[betaD]]. */

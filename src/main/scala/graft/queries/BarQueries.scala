@@ -631,6 +631,55 @@ SELECT product_id, bucket, n_diffs, ${s6("rv")} AS rv, ${s6("bv")} AS bv,
 FROM g"""
   }
 
+  // ------------------------------------------------------ roll_spread
+
+  /** Roll's implied effective spread (Roll 1984): s = 2·√(−cov(Δp_t,
+    * Δp_{t−1})) per (instrument, hour) — bid-ask bounce makes consecutive
+    * price changes negatively serially correlated, and the magnitude
+    * implies the spread without quote data. The serial covariance is
+    * [[Det.covD]] (exact integer moments on the 10^-4 diff grid, one
+    * fixed finishing sequence); the spread is NULL when the covariance
+    * is non-negative (no bounce signal), 2·√(−cov) otherwise — negation
+    * and the ×2 are exact IEEE ops, √ is correctly rounded. Same single
+    * Exchange shape as [[realizedVariance]]. */
+  private def rollSpread(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("product_id"))
+      .orderBy(col("event_time"), col("sequence"))
+    TickQueries.ticks(s, d)
+      .withColumn("d", col("price") - lag(col("price"), 1).over(w))
+      .withColumn("dprev", lag(col("d"), 1).over(w))
+      .filter(col("d").isNotNull && col("dprev").isNotNull)
+      .groupBy(col("product_id"),
+        date_trunc("hour", col("event_time")).as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        Det.covD(col("d"), col("dprev"), RvScale).as("cov_raw"))
+      .select(col("product_id"), col("bucket"), col("n_pairs"),
+        Det.snap(col("cov_raw"), 6).as("serial_cov"),
+        Det.snap(when(col("cov_raw") < 0, lit(2.0) * sqrt(-col("cov_raw"))), 6)
+          .as("roll_spread"))
+  }
+
+  private val rollSpreadSql =
+    s"""WITH dd AS (
+  SELECT product_id, event_time, sequence,
+         price - lag(price, 1) OVER w AS d
+  FROM (${TickQueries.liveTicksSql}) lt
+  WINDOW w AS (PARTITION BY product_id ORDER BY event_time, sequence)),
+p AS (
+  SELECT product_id, event_time, d,
+         lag(d, 1) OVER (PARTITION BY product_id
+                         ORDER BY event_time, sequence) AS dprev
+  FROM dd),
+g AS (
+  SELECT product_id, date_trunc('hour', event_time) AS bucket,
+         count(*) AS n_pairs,
+         ${Det.covDSql("d", "dprev", RvScale)} AS cov_raw
+  FROM p WHERE d IS NOT NULL AND dprev IS NOT NULL
+  GROUP BY 1, 2)
+SELECT product_id, bucket, n_pairs, ${s6("cov_raw")} AS serial_cov,
+       ${s6("CASE WHEN cov_raw < 0 THEN 2 * sqrt(-cov_raw) END")} AS roll_spread
+FROM g"""
+
   // ------------------------------------------------------ kyle_lambda
 
   private val KyleScale = 4
@@ -700,6 +749,7 @@ FROM d GROUP BY product_id"""
     "vpin" -> ((s, d) => r6(vpin(s, d))),
     "kyle_lambda" -> ((s, d) => kyleLambda(s, d)),
     "realized_variance" -> ((s, d) => realizedVariance(s, d)),
+    "roll_spread" -> ((s, d) => rollSpread(s, d)),
     "candle_patterns" -> ((s, d) => r6(candlePatterns(s, d))),
     "signal_runs" -> ((s, d) => signalRuns(s, d)),
     "donchian_breakouts" -> ((s, d) => r6(donchian(s, d))),
@@ -718,6 +768,7 @@ FROM d GROUP BY product_id"""
     "vpin" -> vpinSql,
     "kyle_lambda" -> kyleLambdaSql,
     "realized_variance" -> realizedVarianceSql,
+    "roll_spread" -> rollSpreadSql,
     "candle_patterns" -> candlePatternsSql,
     "signal_runs" -> signalRunsSql,
     "donchian_breakouts" -> donchianSql,
