@@ -374,7 +374,7 @@ FROM c"""
     * aggregate (two-level, map-side combined) joined back to a
     * single-scan projection — both sides one row per doc.
     */
-  private def qualityRules(s: SparkSession, d: String): DataFrame = {
+  private[queries] def qualityRules(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d)
     val per = base
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
@@ -404,7 +404,7 @@ FROM c"""
         col("flag_symbols") && col("flag_repetition"))
   }
 
-  private val qualityRulesSql =
+  private[queries] val qualityRulesSql =
     s"""WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
 per AS (

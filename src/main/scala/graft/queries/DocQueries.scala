@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ops._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, expr, lit, max, min}
+import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, max, min, when}
 
 /** Driver-verifiable queries for the text-analysis + deduplication
   * operator families (TextOps, Dedup) over `documents.parquet`, each with
@@ -63,6 +63,39 @@ object DocQueries {
     // the held-out "benchmark" source (src0 plays the eval set).
     "decontaminate" -> ((s, d) =>
       r6(Decontaminate.report(docs(s, d), col("source") === "src0"))),
+    // End-to-end purge REPORT: every doc gets a verdict from the first
+    // failing gate — near-dup (MinHash→LSH→connected components, only
+    // the cluster-minimum survives), Gopher quality rules, language ID,
+    // embedding linkage (documents⟕embeddings on the shared id space).
+    // Four operator families composed in one contract query; the joins
+    // are all doc-dimension-sized (one row per doc per side).
+    "curation_report" -> ((s, d) => {
+      val base = docs(s, d)
+      val clusters = ConnectedComponents
+        .clusters(Dedup.minhashLshPairs(base), "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val lang = TextOps.langId(base).select(col("doc_id"), col("predicted_lang"))
+      val quality = CorpusQueries.qualityRules(s, d)
+        .select(col("doc_id"), col("keep").as("quality_keep"))
+      val emb = VecQueries.vecs(s, d)
+        .select(col("vec_id").as("doc_id"), lit(true).as("has_embedding"))
+      base.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .join(lang, Seq("doc_id"))
+        .join(quality, Seq("doc_id"))
+        .join(emb, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+            .as("is_canonical"),
+          col("quality_keep"), col("predicted_lang"),
+          coalesce(col("has_embedding"), lit(false)).as("has_embedding"))
+        .withColumn("verdict",
+          when(!col("is_canonical"), "near_dup")
+            .when(!col("quality_keep"), "low_quality")
+            .when(col("predicted_lang") =!= "en", "non_en")
+            .when(!col("has_embedding"), "no_embedding")
+            .otherwise("keep"))
+    }),
     // Composite curation pipeline: quality × language × dedup filters —
     // the canonical LLM-corpus cleaning pass, composed from the same ops.
     "corpus_clean" -> ((s, d) => {
@@ -110,7 +143,7 @@ SELECT doc_id, n_chars, n_tokens, n_distinct_tokens, n_stopwords, n_vowels,
 FROM st"""
   }
 
-  private val langIdSql = {
+  private[queries] val langIdSql = {
     val ps = TextOps.langProfiles
     val scoreCols = ps.zipWithIndex
       .map { case ((_, ws), i) => s"${nIn(ws)} AS s$i" }.mkString(",\n         ")
@@ -174,7 +207,7 @@ FROM pairs
 ORDER BY jaccard DESC, doc_a, doc_b
 LIMIT 50"""
 
-  private val dedupMinhashSql = {
+  private[queries] val dedupMinhashSql = {
     val H = 8
     val mins = (0 until H)
       .map(h => s"min(substring(md5('${h / 4}:' || shingle), ${(h % 4) * 8 + 1}, 8)) AS m$h")
@@ -284,6 +317,29 @@ SELECT doc_id, frame_idx, n_bytes,
 FROM bv GROUP BY 1, 2, 3"""
   }
 
+  /** Twin of the curation_report composition: the same four gates, the
+    * same first-failure verdict, reusing each family's oracle SQL. */
+  private val curationReportSql =
+    s"""WITH lang AS (${langIdSql}),
+q AS (${CorpusQueries.qualityRulesSql}),
+emb AS (SELECT vec_id AS doc_id, TRUE AS has_embedding FROM embeddings)
+SELECT d.doc_id,
+       (cc.cluster_id IS NULL OR cc.cluster_id = d.doc_id) AS is_canonical,
+       q.keep AS quality_keep,
+       lang.predicted_lang,
+       coalesce(emb.has_embedding, FALSE) AS has_embedding,
+       CASE WHEN NOT (cc.cluster_id IS NULL OR cc.cluster_id = d.doc_id) THEN 'near_dup'
+            WHEN NOT q.keep THEN 'low_quality'
+            WHEN lang.predicted_lang <> 'en' THEN 'non_en'
+            WHEN NOT coalesce(emb.has_embedding, FALSE) THEN 'no_embedding'
+            ELSE 'keep' END AS verdict
+FROM documents d
+LEFT JOIN (${ConnectedComponents.clustersSql(dedupMinhashSql, "doc_a", "doc_b")}) cc
+  ON cc.id = d.doc_id
+JOIN lang ON lang.doc_id = d.doc_id
+JOIN q ON q.doc_id = d.doc_id
+LEFT JOIN emb ON emb.doc_id = d.doc_id"""
+
   private val corpusCleanSql =
     s"""SELECT s1.doc_id, s1.n_tokens, s1.n_subtokens, s2.predicted_lang, s1.quality_score
 FROM ($statsSql) s1
@@ -294,6 +350,7 @@ WHERE s1.quality_score >= 0.68 AND s2.predicted_lang = 'en' AND NOT s3.is_duplic
   def oracleSql: Map[String, String] = Map(
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_decode" -> multimodalDecodeSql,
+    "curation_report" -> curationReportSql,
     "corpus_clean" -> corpusCleanSql,
     "decontaminate" -> Decontaminate.reportSql("documents", "source = 'src0'"),
     "dedup_clusters" ->
