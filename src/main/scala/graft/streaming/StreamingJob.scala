@@ -181,6 +181,16 @@ final class StreamingJob(
     input.unpersist()
   }
 
+  /** Feed one pre-built micro-batch directly — the paced-replay consumer
+    * path: [[graft.io.PacedReplay]] publishes event-time slices straight
+    * into the job without a message bus, with identical semantics to a
+    * foreachBatch invocation (PacedReplaySpec proves replay-at-speed ≡
+    * one-shot batch). */
+  def feedBatch(df: DataFrame): Unit =
+    processBatch(df, fedBatches.getAndIncrement())
+
+  private val fedBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Start the single multi-sink streaming query. */
   def start(raw: DataFrame): StreamingQuery = {
     val writer = raw

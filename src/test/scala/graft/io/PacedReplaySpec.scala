@@ -69,6 +69,33 @@ class PacedReplaySpec extends AnyFunSuite {
     assert(ck.sleeps.toSeq == Seq(300L, 300L))
   }
 
+  test("paced replay drives the streaming job to the exact batch bits") {
+    import graft.config.StrategyConfig
+    import graft.strategy.SmaCrossStrategy
+    import graft.streaming.{Sinks, StreamingJob}
+    import scala.collection.mutable
+    val cfg = StrategyConfig(
+      smaFastWindow = 3, smaSlowWindow = 6, smaConfirmationWindow = 1)
+    val rows = (for {
+      p <- Seq("A", "B"); i <- 0 until 120
+    } yield (p, i * 10L, i.toLong, 100.0 + 3.0 * math.sin(i / 7.0) + (i % 5) * 0.2,
+      Option(99.0), Option(101.0)))
+    val src = ticks(rows)
+
+    val sig = mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val job = new StreamingJob(SmaCrossStrategy, cfg,
+      Sinks(signals = df => sig ++= df.collect()))
+    val stats = PacedReplay.run(src, "event_time", job.feedBatch,
+      PacedReplay.Config(speedupFactor = 1e9, sliceMs = 300000L))
+    assert(stats.slices >= 3, "fixture must replay as several paced slices")
+
+    val batch = SmaCrossStrategy(src, cfg).signals.collect().toSeq
+    def canon(rs: Seq[org.apache.spark.sql.Row]): Seq[String] =
+      rs.map(r => r.toSeq.map(String.valueOf).mkString("|")).sorted
+    assert(canon(sig.toSeq) == canon(batch),
+      "replayed-at-speed signals must equal the one-shot batch run")
+  }
+
   test("huge speedup never sleeps; empty input is a no-op") {
     val (stats, _, ck) = runCapturing(feed(50), PacedReplay.Config(speedupFactor = 1e9))
     assert(ck.sleeps.isEmpty && stats.waitedMs == 0L)
