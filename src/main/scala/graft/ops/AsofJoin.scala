@@ -60,6 +60,40 @@ object AsofJoin {
         outNames.map(o => col("__m").getField(o).as(o)): _*)
   }
 
+  /** FORWARD as-of join — attach the EARLIEST right row per key with
+    * `right.time >= left.time` (the label-generation direction: each
+    * observation looks ahead to its first future reference). Same
+    * union + one Exchange + one Sort skeleton as the backward join with
+    * the side encoding flipped: LEFT rows sort before right rows at
+    * equal time, so the [current, following] frame's
+    * `first(ignoreNulls)` includes an exactly-simultaneous right row —
+    * the `r.t >= l.t` convention, matching DuckDB's `ASOF ... ON
+    * l.t <= r.t`. Right side must be unique per (keys, rightTime). */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTime: String, rightTime: String,
+              rightCols: Seq[(String, String)]): DataFrame = {
+    val lCols = left.columns.toSeq
+    val outNames = rightCols.map(_._2)
+    require(outNames.intersect(lCols).isEmpty,
+      s"right output names ${outNames.intersect(lCols)} collide with left columns")
+
+    val keyCols: Seq[Column] = keys.map(col)
+    val l2 = left.select(
+      keyCols :+ col(leftTime).as("__t") :+ lit(0).as("__side") :+
+        struct(lCols.map(col): _*).as("__left"): _*)
+    val r2 = right.select(
+      keyCols :+ col(rightTime).as("__t") :+ lit(1).as("__side") :+
+        struct(rightCols.map { case (c, o) => col(c).as(o) }: _*).as("__pay"): _*)
+
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l2.unionByName(r2, allowMissingColumns = true)
+      .withColumn("__m", first(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(lCols.map(c => col("__left").getField(c).as(c)) ++
+        outNames.map(o => col("__m").getField(o).as(o)): _*)
+  }
+
   /** NEAREST as-of join — attach the reference row closest in time in
     * EITHER direction (tie → the backward/earlier row, matching the
     * `>=` convention). Same union + one Exchange + one Sort as the

@@ -631,6 +631,49 @@ SELECT product_id, bucket, n_diffs, ${s6("rv")} AS rv, ${s6("bv")} AS bv,
 FROM g"""
   }
 
+  // --------------------------------------------------- forward_labels
+
+  private val LabelHorizonS = 60L
+
+  /** Forward-return labeling — the training-label generator: every tick
+    * looks AHEAD to the first price at or after t+60 s (same instrument)
+    * and gets its realized forward return, NULL when the series ends
+    * first. This is [[graft.ops.AsofJoin.forward]] — union + ONE
+    * Exchange + one Sort, no per-row lookups — against the per-(key,
+    * time) deduped price (as-of uniqueness precondition). The return is
+    * a division of identical operand bits, snapped to 1e-6; DuckDB's
+    * `ASOF ... ON l.t <= r.t` is the oracle twin. */
+  private def forwardLabels(s: SparkSession, d: String): DataFrame = {
+    val base = TickQueries.ticks(s, d)
+      .select(col("product_id"), col("event_time"), col("sequence"), col("price"))
+    val probes = base.withColumn("probe_time",
+      col("event_time") + expr(s"INTERVAL $LabelHorizonS SECONDS"))
+    val uniq = base.groupBy(col("product_id"), col("event_time"))
+      .agg(max(col("price")).as("r_price"))
+      .select(col("product_id"), col("event_time").as("r_time"), col("r_price"))
+    graft.ops.AsofJoin.forward(probes, uniq, Seq("product_id"),
+        "probe_time", "r_time",
+        Seq("r_time" -> "fwd_time", "r_price" -> "fwd_price"))
+      .drop("probe_time")
+      .withColumn("fwd_return",
+        Det.snap((col("fwd_price") - col("price")) / col("price"), 6))
+  }
+
+  private val forwardLabelsSql =
+    s"""WITH lt AS (${TickQueries.liveTicksSql}),
+u AS (
+  SELECT product_id, event_time AS r_time, max(price) AS r_price
+  FROM lt GROUP BY 1, 2),
+p AS (
+  SELECT product_id, event_time, sequence, price,
+         event_time + INTERVAL '$LabelHorizonS seconds' AS probe_time
+  FROM lt)
+SELECT p.product_id, p.event_time, p.sequence, ${s6("p.price")} AS price,
+       u.r_time AS fwd_time, ${s6("u.r_price")} AS fwd_price,
+       ${s6("(u.r_price - p.price) / p.price")} AS fwd_return
+FROM p ASOF LEFT JOIN u
+  ON p.product_id = u.product_id AND p.probe_time <= u.r_time"""
+
   // ------------------------------------------------------ roll_spread
 
   /** Roll's implied effective spread (Roll 1984): s = 2·√(−cov(Δp_t,
@@ -750,6 +793,7 @@ FROM d GROUP BY product_id"""
     "kyle_lambda" -> ((s, d) => kyleLambda(s, d)),
     "realized_variance" -> ((s, d) => realizedVariance(s, d)),
     "roll_spread" -> ((s, d) => rollSpread(s, d)),
+    "forward_labels" -> ((s, d) => r6(forwardLabels(s, d))),
     "candle_patterns" -> ((s, d) => r6(candlePatterns(s, d))),
     "signal_runs" -> ((s, d) => signalRuns(s, d)),
     "donchian_breakouts" -> ((s, d) => r6(donchian(s, d))),
@@ -769,6 +813,7 @@ FROM d GROUP BY product_id"""
     "kyle_lambda" -> kyleLambdaSql,
     "realized_variance" -> realizedVarianceSql,
     "roll_spread" -> rollSpreadSql,
+    "forward_labels" -> forwardLabelsSql,
     "candle_patterns" -> candlePatternsSql,
     "signal_runs" -> signalRunsSql,
     "donchian_breakouts" -> donchianSql,
