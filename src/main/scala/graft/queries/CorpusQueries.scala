@@ -312,6 +312,37 @@ GROUP BY b.doc_id, b.lang"""
 FROM ($base) mo"""
   }
 
+  // -------------------------------------------------------- span_dedup
+
+  // Span profile: 16-token windows, stride 8; stubs under 8 tokens skipped.
+  private val SpanWindow = 16
+  private val SpanStride = 8
+  private val SpanMinTokens = 8
+
+  /** Span-level copy detection — verbatim token spans repeated ACROSS
+    * documents (the chunk-granularity complement to doc-level dedup:
+    * boilerplate, licenses, and templated passages survive document
+    * near-dup filters but still leak memorizable strings into training
+    * data). Chunker's shuffle-free flatMap emits (span hash, doc) pairs;
+    * one hash aggregate keeps spans seen in ≥ 2 distinct docs. Exact
+    * counts only. */
+  private def spanDedup(s: SparkSession, d: String): DataFrame =
+    Chunker.chunks(docs(s, d), SpanWindow, SpanStride)
+      .filter(col("n_chunk_tokens") >= SpanMinTokens)
+      .groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+
+  private val spanDedupSql =
+    s"""SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences, min(doc_id) AS first_doc
+FROM (${Chunker.chunksSql("documents", SpanWindow, SpanStride)}) c
+WHERE n_chunk_tokens >= $SpanMinTokens
+GROUP BY chunk_md5
+HAVING count(DISTINCT doc_id) >= 2"""
+
   // ------------------------------------------------------- seq_packing
 
   // Training-sequence capacity (tokens per packed sequence).
@@ -446,6 +477,7 @@ FROM j"""
     "lm_fluency" -> ((s, d) => r6(lmFluency(s, d))),
     "mad_outliers" -> ((s, d) => madOutliers(s, d)),
     "seq_packing" -> ((s, d) => seqPacking(s, d)),
+    "span_dedup" -> ((s, d) => spanDedup(s, d)),
     "quality_rules" -> ((s, d) => qualityRules(s, d))
   )
 
@@ -459,6 +491,7 @@ FROM j"""
     "lm_fluency" -> lmFluencySql,
     "mad_outliers" -> madOutliersSql,
     "seq_packing" -> seqPackingSql,
+    "span_dedup" -> spanDedupSql,
     "quality_rules" -> qualityRulesSql
   )
 }
