@@ -38,6 +38,43 @@ object DetProps extends Properties("Det") {
       agg(List.fill(n)(x), 3)._3 == 0.0
     }
 
+  private val pairsGen: Gen[List[(Double, Double)]] =
+    Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(-1000.0, 1000.0), Gen.chooseNum(-1000.0, 1000.0)))
+
+  property("covD/betaD/corrD are permutation- and partitioning-invariant") =
+    Prop.forAll(pairsGen) { ps =>
+      def agg2(rows: List[(Double, Double)], parts: Int) = {
+        val r = rows.toDF("x", "y").repartition(parts)
+          .agg(Det.covD(col("x"), col("y"), 4).as("cov"),
+            Det.betaD(col("x"), col("y"), 4).as("beta"),
+            Det.corrD(col("x"), col("y"), 4).as("corr"))
+          .head()
+        (0 until 3).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i)))
+      }
+      agg2(ps, 1) == agg2(scala.util.Random.shuffle(ps), 7)
+    }
+
+  // bounded operands keep the exact numerator below 2^53 (the decimal→
+  // double cast boundary CLAUDE.md documents) so the BigInt replay and
+  // the Spark cast are both correctly rounded conversions
+  private val smallPairsGen: Gen[List[(Double, Double)]] =
+    Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(-10.0, 10.0), Gen.chooseNum(-10.0, 10.0)))
+
+  property("covD equals the exact integer-moment formula") =
+    Prop.forAll(smallPairsGen) { ps =>
+      val got = ps.toDF("x", "y")
+        .agg(Det.covD(col("x"), col("y"), 4).as("cov")).head().getDouble(0)
+      // the documented sequence, replayed in BigInt + IEEE
+      def k(v: Double): Long = math.floor(v * 1e4 + 0.5).toLong
+      val n = BigInt(ps.size)
+      val num = n * ps.map(p => BigInt(k(p._1)) * BigInt(k(p._2))).sum -
+        BigInt(ps.map(p => k(p._1)).sum) * BigInt(ps.map(p => k(p._2)).sum)
+      val want = num.toDouble / (ps.size.toDouble * ps.size.toDouble) / 1e8
+      got == want
+    }
+
   property("snap is idempotent on its own grid") =
     Prop.forAll(Gen.chooseNum(-100.0, 100.0)) { x =>
       val r = Seq(x).toDF("x")
