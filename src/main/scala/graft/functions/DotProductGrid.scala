@@ -72,6 +72,7 @@ case class DotProductGrid(left: Expression, right: Expression)
 /** Registration for the engine's native functions. */
 object GraftFunctions {
   val DotName = "dotl_grid"
+  val SrpName = "srp_bucket"
 
   private[functions] val builder: Seq[Expression] => Expression = {
     case Seq(a, b) => DotProductGrid(a, b)
@@ -79,10 +80,22 @@ object GraftFunctions {
       s"$DotName expects 2 arguments, got ${other.size}")
   }
 
+  private[functions] val srpBuilder: Seq[Expression] => Expression = {
+    case Seq(v,
+        org.apache.spark.sql.catalyst.expressions.Literal(p: Int, _),
+        org.apache.spark.sql.catalyst.expressions.Literal(d: Int, _)) =>
+      SrpBucketExpr(v, p, d)
+    case other => throw new IllegalArgumentException(
+      s"$SrpName expects (vector, planes literal, dim literal), got $other")
+  }
+
   /** Idempotent runtime registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(DotName, builder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(SrpName, srpBuilder, "built-in")
+  }
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injection path

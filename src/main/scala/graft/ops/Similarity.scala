@@ -93,14 +93,16 @@ object Similarity {
     * axis-aligned sign bits would collapse into a handful of buckets)
     * still spread across 2^planes buckets with cosine-proportional
     * collision odds (Goemans–Williamson: P[bit match] = 1 − θ/π).
-    * Each bit is one codegen'd dotl_grid call — the hot path stays in
-    * whole-stage codegen (CLAUDE.md invariant 4). `dim` must cover the
-    * embedding length (extra plane entries are ignored by the min-length
-    * kernel; testdata embeddings are 64-wide). */
+    * All plane bits come from ONE codegen'd array pass
+    * ([[graft.functions.SrpBucketExpr]] — the composed per-plane
+    * dotl_grid form re-traversed the vector `planes` times); the
+    * arithmetic per plane is DotProductGrid's exact sequence, so the key
+    * is bit-identical to that composition AND the DuckDB twin. `dim`
+    * must cover the embedding length (extra plane entries are ignored by
+    * the min-length kernel; testdata embeddings are 64-wide). */
   def srpBucket(v: Column, planes: Int = 8, dim: Int = 64): Column =
-    concat(planeSigns(planes, dim).toIndexedSeq.map { s =>
-      when(dotL(v, typedlit(s.toSeq)) >= 0L, lit("1")).otherwise(lit("0"))
-    }: _*)
+    call_function(graft.functions.GraftFunctions.SrpName,
+      v, lit(planes), lit(dim))
 
   /** LSH-bucketed ANN top-k: candidates limited to the query's SRP
     * bucket (recall trades for a corpus-partition-sized read). */

@@ -25,6 +25,24 @@ class SrpSpec extends AnyFunSuite {
         Similarity.srpBucket(col("embedding"), planes, Dim).as("b"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
 
+  test("native srp_bucket equals the composed per-plane dotl form bit for bit") {
+    import org.apache.spark.sql.functions.{concat, lit, typedlit, when}
+    val vs = (0L until 40L).map { i =>
+      (i, (0 until Dim).map(j => ((i * 17 + j * 29) % 19).toFloat / 7f - 1.2f), 0)
+    }
+    val composed = concat(Similarity.planeSigns(8, Dim).toIndexedSeq.map { s =>
+      when(Similarity.dotL(col("embedding"), typedlit(s.toSeq)) >= 0L, lit("1"))
+        .otherwise(lit("0"))
+    }: _*)
+    val rows = vecs(vs)
+      .select(col("vec_id"),
+        Similarity.srpBucket(col("embedding"), 8, Dim).as("native"),
+        composed.as("composed"))
+      .collect()
+    rows.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"bucket mismatch for vec ${r.getLong(0)}"))
+  }
+
   test("plane signs are deterministic and balanced-ish") {
     val a = Similarity.planeSigns(8, 64)
     val b = Similarity.planeSigns(8, 64)
