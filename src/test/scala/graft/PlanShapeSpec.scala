@@ -100,6 +100,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"(event_type, hour) grouping must reuse hashpartitioning(event_type), saw $exchanges:\n$p")
   }
 
+  test("forward_labels runs the union as-of shape: 2 Exchanges, 1 Window, no join") {
+    val p = plan("forward_labels")
+    assert(!p.contains("Join"), "forward as-of must not plan a join")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, // uniq aggregate + the union window
+      s"expected the dedup aggregate + one union window shuffle, saw $exchanges:\n$p")
+  }
+
   test("rfm_segments has no single-partition window sort") {
     val p = plan("rfm_segments")
     assert(!p.contains("Window"),

@@ -29,6 +29,30 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out(1).getAs[Timestamp]("mt") == ts(10))
   }
 
+  test("forward asof join picks earliest right row at-or-after, per key") {
+    val left = tdf(Seq(("A", 10, 1.0), ("A", 25, 2.0), ("A", 50, 3.0), ("B", 10, 4.0)), "lt", "lv")
+    val right = tdf(Seq(("A", 10, 100.0), ("A", 30, 200.0), ("B", 5, 300.0)), "rt", "rv")
+    val out = AsofJoin.forward(left, right, Seq("k"), "lt", "rt",
+        Seq("rt" -> "mt", "rv" -> "mv"))
+      .orderBy("k", "lt").collect()
+    // A@10 → right@10 (tie matches forward too); A@25 → right@30;
+    // A@50 → none (series over); B@10 → none (B's only right is in the past)
+    assert(out.length == 4)
+    assert(out(0).getAs[Double]("mv") == 100.0)                       // A@10 tie
+    assert(out(0).getAs[Timestamp]("mt") == ts(10))
+    assert(out(1).getAs[Double]("mv") == 200.0)                       // A@25
+    assert(out(2).isNullAt(out(2).fieldIndex("mv")))                  // A@50
+    assert(out(3).isNullAt(out(3).fieldIndex("mv")))                  // B@10
+  }
+
+  test("forward asof join preserves left columns and row count") {
+    val left = tdf(Seq(("A", 1, 1.0), ("A", 2, 2.0), ("C", 3, 3.0)), "lt", "lv")
+    val right = tdf(Seq(("A", 5, 9.0)), "rt", "rv")
+    val out = AsofJoin.forward(left, right, Seq("k"), "lt", "rt", Seq("rv" -> "mv"))
+    assert(out.count() == 3)
+    assert(out.columns.toSeq == Seq("k", "lt", "lv", "mv"))
+  }
+
   test("asof join preserves every left column and row count") {
     val left = tdf(Seq(("A", 1, 1.0), ("A", 2, 2.0), ("C", 3, 3.0)), "lt", "lv")
     val right = tdf(Seq(("A", 1, 9.0)), "rt", "rv")
