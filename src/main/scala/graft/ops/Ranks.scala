@@ -80,6 +80,9 @@ object Ranks {
     * PRECEDING)` because long addition is associative — the partition
     * split points cannot change any value. The generic scale form for
     * sequence packing, cumulative distributions, and offset assignment.
+    * `valueCol` must be a NON-NULL LongType column (counts/grid sums by
+    * construction everywhere it is used); a null would NPE in the
+    * compiled accumulation rather than silently skew offsets.
     */
   def runningSumByRange(df: DataFrame, order: Seq[Column], valueCol: String,
                         out: String, partitions: Option[Int] = None): DataFrame = {

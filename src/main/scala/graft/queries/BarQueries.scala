@@ -568,6 +568,8 @@ g AS (
          count(CASE WHEN dir = -1 THEN 1 END) AS n_sell
   FROM r GROUP BY 1, 2)
 SELECT product_id, bucket, n_ticks, n_buy, n_sell,
+       -- abs() makes the difference provably non-negative, so the direct
+       -- cast is exempt from the signedDblSql rule (CLAUDE.md invariant 1)
        ${s6("CAST(abs(n_buy - n_sell) AS DOUBLE) / CAST(n_ticks AS DOUBLE)")} AS vpin
 FROM g"""
 
