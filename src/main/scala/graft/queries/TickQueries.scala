@@ -197,6 +197,53 @@ object TickQueries {
         .filter(abs(col("z")) > 2.0)
         .select(col("grid_ts"), col("xa"), col("xb"), col("spread"), col("z")))
     }),
+    "lead_lag" -> ((s, d) => {
+      // Lead-lag screen: cross-correlation of the two longest-history
+      // instruments at ±3 hourly lags (xcorr(L) = corr(xa_t, xb_{t+L}))
+      // with a deterministic best-lag pick (max |xcorr|, ties → smaller
+      // lag). A significantly asymmetric profile says one instrument
+      // LEADS the other — the screen behind lead-lag stat-arb. The
+      // whole-series window orders one aligned pair grid (time-bounded,
+      // not data-bounded — the pairs_spread justification); all seven
+      // lag columns come from ONE window pass, and corrD keeps each
+      // cell engine-identical. Ranking orders on coalesce(|xcorr|, −1)
+      // so a null cell can never make the pick engine-dependent.
+      val filled = GapFill(uniqTicks(s, d),
+        Seq("product_id"), "event_time", "1 hour",
+        Seq("price" -> "price"), truncUnit = "hour")
+        .filter(col("price").isNotNull).cache()
+      val top2 = filled.groupBy(col("product_id"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n").desc, col("product_id"))))
+        .filter(col("rk") <= 2)
+        .select(col("product_id"), col("rk"))
+      val f = filled.join(broadcast(top2), "product_id")
+      val aligned = f.filter(col("rk") === 1)
+        .select(col("grid_ts"), col("price").as("xa"))
+        .join(f.filter(col("rk") === 2)
+          .select(col("grid_ts"), col("price").as("xb")), "grid_ts")
+      val wb = Window.orderBy(col("grid_ts"))
+      val lags = -3 to 3
+      def nm(l: Int) = if (l < 0) s"xb_m${-l}" else s"xb_p$l"
+      val lagCols = lags.map { l =>
+        (if (l >= 0) lead(col("xb"), l).over(wb)
+         else lag(col("xb"), -l).over(wb)).as(nm(l))
+      }
+      val wide = aligned.select(col("xa") +: lagCols: _*)
+      val stackArgs = lags.map(l => s"$l, ${nm(l)}").mkString(", ")
+      val byLag = wide
+        .selectExpr("xa", s"stack(${lags.size}, $stackArgs) AS (lag_h, xbl)")
+        .filter(col("xbl").isNotNull)
+        .groupBy(col("lag_h"))
+        .agg(count(lit(1)).as("n_obs"),
+          Det.corrD(col("xa"), col("xbl"), 4).as("xr"))
+      byLag
+        .withColumn("rk2", row_number().over(
+          Window.orderBy(coalesce(abs(col("xr")), lit(-1.0)).desc, col("lag_h"))))
+        .select(col("lag_h").cast("long").as("lag_h"), col("n_obs"),
+          Det.snap(col("xr"), 6).as("xcorr"), (col("rk2") === 1).as("is_best"))
+    }),
     "corr_matrix" -> ((s, d) => {
       // Pairwise Pearson correlation matrix over the gap-filled hourly
       // grid, bounded to the top-15 instruments by filled-grid length
@@ -571,6 +618,47 @@ z AS (
 SELECT grid_ts, ${s6("xa")} AS xa, ${s6("xb")} AS xb,
        ${s6("spread")} AS spread, ${s6("z")} AS z
 FROM z WHERE abs(z) > 2.0""",
+      "lead_lag" -> {
+        val lags = -3 to 3
+        val arms = lags.map { l =>
+          val shift = if (l >= 0) s"lead(xb, $l) OVER (ORDER BY grid_ts)"
+            else s"lag(xb, ${-l}) OVER (ORDER BY grid_ts)"
+          s"SELECT $l AS lag_h, xa, $shift AS xbl FROM aligned"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH t AS ($uniqTicksSql),
+bounds AS (
+  SELECT product_id, date_trunc('hour', min(event_time)) AS s, max(event_time) AS e
+  FROM t GROUP BY 1),
+g AS (
+  SELECT product_id, unnest(generate_series(s, e, INTERVAL '1 hour')) AS grid_ts
+  FROM bounds),
+filled AS (
+  SELECT g.product_id, g.grid_ts, t.price
+  FROM g ASOF LEFT JOIN t
+    ON g.product_id = t.product_id AND g.grid_ts >= t.event_time
+  WHERE t.price IS NOT NULL),
+top2 AS (
+  SELECT product_id, rk FROM (
+    SELECT product_id, row_number() OVER (ORDER BY count(*) DESC, product_id) AS rk
+    FROM filled GROUP BY product_id) r
+  WHERE rk <= 2),
+aligned AS (
+  SELECT a.grid_ts, a.price AS xa, b.price AS xb
+  FROM (SELECT f.grid_ts, f.price FROM filled f JOIN top2 ON f.product_id = top2.product_id AND top2.rk = 1) a
+  JOIN (SELECT f.grid_ts, f.price FROM filled f JOIN top2 ON f.product_id = top2.product_id AND top2.rk = 2) b
+    ON a.grid_ts = b.grid_ts),
+un AS (
+  $arms),
+c AS (
+  SELECT lag_h, count(*) AS n_obs, ${Det.corrDSql("xa", "xbl", 4)} AS xr
+  FROM un WHERE xbl IS NOT NULL GROUP BY lag_h),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY coalesce(abs(xr), -1) DESC, lag_h) AS rk2
+  FROM c)
+SELECT CAST(lag_h AS BIGINT) AS lag_h, n_obs, ${s6("xr")} AS xcorr,
+       rk2 = 1 AS is_best
+FROM r"""
+      },
       "corr_matrix" ->
         s"""WITH t AS ($uniqTicksSql),
 bounds AS (
