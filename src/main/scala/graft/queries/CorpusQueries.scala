@@ -312,6 +312,61 @@ GROUP BY b.doc_id, b.lang"""
 FROM ($base) mo"""
   }
 
+  // ---------------------------------------------------- source_mixture
+
+  /** Dataset-card mixture table — the per-SOURCE summary a training run
+    * reads to set mixture weights: document and token counts, the share
+    * of tokens each source contributes, exact-duplicate rate, and the
+    * quality-rule keep rate. Every rate is exactInt/exactInt (one
+    * correctly-rounded division, snapped); the global token total is a
+    * one-row broadcast (degree_dist pattern). Composes quality_rules +
+    * exact dedup + the source dimension — one doc-sized join chain, one
+    * source-cardinality output. */
+  private def sourceMixture(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("source"))
+    val per = base
+      .join(qualityRules(s, d).select(col("doc_id"), col("n_tokens"), col("keep")),
+        Seq("doc_id"))
+      .join(graft.ops.Dedup.exact(docs(s, d))
+        .select(col("doc_id"), col("is_duplicate")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        count(when(col("keep"), 1)).as("n_keep"),
+        count(when(col("is_duplicate"), 1)).as("n_dups"))
+    val total = per.agg(sum(col("n_tokens")).as("total_tokens"))
+    per.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        Det.snap(col("n_tokens").cast("double") / col("total_tokens").cast("double"), 6)
+          .as("token_share"),
+        Det.snap(col("n_keep").cast("double") / col("n_docs").cast("double"), 6)
+          .as("keep_rate"),
+        Det.snap(col("n_dups").cast("double") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"))
+  }
+
+  // lazy: references DocQueries, which references this object back
+  // (curation_report ← qualityRulesSql) — eager init would deadlock into
+  // nulls during cross-object construction
+  private lazy val sourceMixtureSql =
+    s"""WITH q AS (${qualityRulesSql}),
+dx AS (${DocQueries.dedupExactSql}),
+per AS (
+  SELECT d.source, count(*) AS n_docs,
+         CAST(sum(q.n_tokens) AS BIGINT) AS n_tokens,
+         count(CASE WHEN q.keep THEN 1 END) AS n_keep,
+         count(CASE WHEN dx.is_duplicate THEN 1 END) AS n_dups
+  FROM documents d
+  JOIN q ON q.doc_id = d.doc_id
+  JOIN dx ON dx.doc_id = d.doc_id
+  GROUP BY 1),
+tot AS (SELECT sum(n_tokens) AS total_tokens FROM per)
+SELECT source, n_docs, n_tokens,
+       ${s6("CAST(n_tokens AS DOUBLE) / CAST(tot.total_tokens AS DOUBLE)")} AS token_share,
+       ${s6("CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE)")} AS keep_rate,
+       ${s6("CAST(n_dups AS DOUBLE) / CAST(n_docs AS DOUBLE)")} AS dup_rate
+FROM per CROSS JOIN tot"""
+
   // -------------------------------------------------------- span_dedup
 
   // Span profile: 16-token windows, stride 8; stubs under 8 tokens skipped.
@@ -478,6 +533,7 @@ FROM j"""
     "mad_outliers" -> ((s, d) => madOutliers(s, d)),
     "seq_packing" -> ((s, d) => seqPacking(s, d)),
     "span_dedup" -> ((s, d) => spanDedup(s, d)),
+    "source_mixture" -> ((s, d) => sourceMixture(s, d)),
     "quality_rules" -> ((s, d) => qualityRules(s, d))
   )
 
@@ -492,6 +548,7 @@ FROM j"""
     "mad_outliers" -> madOutliersSql,
     "seq_packing" -> seqPackingSql,
     "span_dedup" -> spanDedupSql,
+    "source_mixture" -> sourceMixtureSql,
     "quality_rules" -> qualityRulesSql
   )
 }

@@ -178,7 +178,7 @@ SELECT doc_id, text_md5, len(sh) AS n_shingles,
        list_max([md5(s) for s in sh]) AS max_shingle_md5
 FROM sh"""
 
-  private val dedupExactSql =
+  private[queries] val dedupExactSql =
     """SELECT doc_id, md5(text) AS text_md5,
        min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
        count(*) OVER (PARTITION BY md5(text)) AS group_size,
@@ -318,8 +318,10 @@ FROM bv GROUP BY 1, 2, 3"""
   }
 
   /** Twin of the curation_report composition: the same four gates, the
-    * same first-failure verdict, reusing each family's oracle SQL. */
-  private val curationReportSql =
+    * same first-failure verdict, reusing each family's oracle SQL.
+    * Lazy: CorpusQueries references this object back (source_mixture ←
+    * dedupExactSql) — see the note there. */
+  private lazy val curationReportSql =
     s"""WITH lang AS (${langIdSql}),
 q AS (${CorpusQueries.qualityRulesSql}),
 emb AS (SELECT vec_id AS doc_id, TRUE AS has_embedding FROM embeddings)

@@ -79,4 +79,18 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(m.length == 1 && m(0).getAs[Double]("macd") == 0.0 &&
       m(0).getAs[Double]("signal") == 0.0)
   }
+
+  test("round-4 operators on empty input") {
+    import org.apache.spark.sql.functions.col
+    // empty fact → empty edge list → zero triangle census row
+    val edges = CoOccur.edges(
+      noTicks.selectExpr("sequence AS g", "sequence AS item"), "g", "item", 2)
+    assert(edges.count() == 0)
+    assert(CoOccur.triangleStats(edges).head.getAs[Long]("n_edges") == 0L)
+    // chunker / packing on an empty corpus
+    assert(Chunker.chunks(noDocs, 16, 8).count() == 0)
+    assert(Ranks.runningSumByRange(
+      noDocs.selectExpr("doc_id", "CAST(length(text) AS BIGINT) AS n"),
+      Seq(col("doc_id")), "n", "cum").count() == 0)
+  }
 }
