@@ -39,4 +39,16 @@ class ContractSpec extends AnyFunSuite {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries missing oracles: ${missing.mkString(", ")}")
   }
+
+  test("no oracle SQL carries an interpolated null or empty body") {
+    // a cross-object initialization cycle interpolates literal "null"
+    // into composed SQL (seen once with curation_report ↔ source_mixture);
+    // the driver would then fail that query with a parser error
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql != null && sql.trim.nonEmpty, s"$name: empty oracle")
+      assert(!sql.contains("(null)") && !sql.contains(" null\n WITH") &&
+        !sql.matches("(?s).*\\(\\s*null\\s*\\).*"),
+        s"$name: oracle SQL contains an interpolated null — object init cycle?")
+    }
+  }
 }
