@@ -46,6 +46,27 @@ object JoinProps extends Properties("Joins") {
         s"asof mismatch: got ${out.toList} want $expected"
     }
 
+  property("AsofJoin.forward = per-row earliest-at-or-after lookup") =
+    Prop.forAll(rowsGen, rowsGen) { (left, right) =>
+      val rightU = right.groupBy(r => (r._1, r._2)).map { case ((k, t), g) =>
+        (k, t, g.map(_._3).max)
+      }.toList
+      val out = AsofJoin.forward(df(left, "lt", "lv"), df(rightU, "rt", "rv"),
+          Seq("k"), "lt", "rt", Seq("rv" -> "mv"))
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .sortBy(x => (x._1, x._2))
+      val expected = left.map { case (k, t, _) =>
+        val cands = rightU.filter(r => r._1 == k && r._2 >= t)
+        (k, TestSpark.ts(t).getTime,
+          if (cands.isEmpty) None else Some(cands.minBy(_._2)._3))
+      }.sortBy(x => (x._1, x._2))
+      Prop(out.toList.map(x => (x._1, x._2)) == expected.map(x => (x._1, x._2)) &&
+        out.toList.map(_._3) == expected.map(_._3)) :|
+        s"forward asof mismatch: got ${out.toList} want $expected"
+    }
+
   property("RangeJoin = naive interval filter") =
     Prop.forAll(rowsGen, rowsGen, Gen.chooseNum(-30L, 0L), Gen.chooseNum(1L, 30L)) {
       (probe, build, lo, span) =>
