@@ -85,8 +85,14 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.Literal(p: Int, _),
         org.apache.spark.sql.catalyst.expressions.Literal(d: Int, _)) =>
       SrpBucketExpr(v, p, d)
+    case Seq(v,
+        org.apache.spark.sql.catalyst.expressions.Literal(p: Int, _),
+        org.apache.spark.sql.catalyst.expressions.Literal(d: Int, _),
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          s: org.apache.spark.unsafe.types.UTF8String, _)) =>
+      SrpBucketExpr(v, p, d, s.toString)
     case other => throw new IllegalArgumentException(
-      s"$SrpName expects (vector, planes literal, dim literal), got $other")
+      s"$SrpName expects (vector, planes literal, dim literal[, salt literal]), got $other")
   }
 
   /** Idempotent runtime registration on an existing session. */

@@ -22,7 +22,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * entries, so the key equals the composed form and the DuckDB twin bit
   * for bit (SrpSpec + the embed_lsh_topk/dedup_embed oracles pin it).
   */
-case class SrpBucketExpr(child: Expression, planes: Int, dim: Int)
+case class SrpBucketExpr(child: Expression, planes: Int, dim: Int,
+                         salt: String = "srp")
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
@@ -30,7 +31,7 @@ case class SrpBucketExpr(child: Expression, planes: Int, dim: Int)
   override def prettyName: String = "srp_bucket"
 
   @transient private lazy val signs: Array[Array[Float]] =
-    Similarity.planeSigns(planes, dim)
+    Similarity.planeSigns(planes, dim, salt)
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]

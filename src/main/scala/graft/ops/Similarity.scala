@@ -77,13 +77,24 @@ object Similarity {
     * constants). ±1 entries keep the grid arithmetic exact: a_i·(±1.0)
     * is an exact IEEE sign flip, so the plane dot product reuses the
     * same floor(a·b·1e12+0.5) sequence as every similarity kernel. */
-  def planeSigns(planes: Int, dim: Int): Array[Array[Float]] = {
+  def planeSigns(planes: Int, dim: Int, salt: String = "srp"): Array[Array[Float]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(planes, dim) { (p, i) =>
       md.reset()
-      val h = md.digest(s"srp:$p:$i".getBytes("UTF-8"))
+      val h = md.digest(s"$salt:$p:$i".getBytes("UTF-8"))
       if ((h(0) & 1) == 0) 1f else -1f
     }
+  }
+
+  /** Planes needed so the EXPECTED bucket population stays near
+    * `targetBucketRows` for a `corpusRows`-row corpus: ⌈log2(n/target)⌉,
+    * clamped to [1, 30]. SRP bucket counts must scale with the corpus —
+    * a fixed 2^6 keying that is fine at sf0.1 turns every bucket into
+    * millions of rows at 100 TB. */
+  def planesFor(corpusRows: Long, targetBucketRows: Long): Int = {
+    require(corpusRows > 0 && targetBucketRows > 0)
+    val ratio = math.max(1.0, corpusRows.toDouble / targetBucketRows.toDouble)
+    math.min(30, math.max(1, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
   }
 
   /** Sign-random-projection bucket key: bit p = sign of the exact grid
@@ -100,9 +111,10 @@ object Similarity {
     * is bit-identical to that composition AND the DuckDB twin. `dim`
     * must cover the embedding length (extra plane entries are ignored by
     * the min-length kernel; testdata embeddings are 64-wide). */
-  def srpBucket(v: Column, planes: Int = 8, dim: Int = 64): Column =
+  def srpBucket(v: Column, planes: Int = 8, dim: Int = 64,
+                salt: String = "srp"): Column =
     call_function(graft.functions.GraftFunctions.SrpName,
-      v, lit(planes), lit(dim))
+      v, lit(planes), lit(dim), lit(salt))
 
   /** LSH-bucketed ANN top-k: candidates limited to the query's SRP
     * bucket (recall trades for a corpus-partition-sized read). */
@@ -124,47 +136,122 @@ object Similarity {
     ranked(scored, k).select(col("qid"), col("vec_id"), col("cosine"), col("rnk"))
   }
 
+  /** Multi-table SRP ANN top-k: `tables` INDEPENDENT plane sets
+    * (OR-amplification) — a candidate qualifies if it collides with the
+    * query in ANY table, so recall at fixed per-table planes rises from
+    * p^planes to 1−(1−p^planes)^tables (p = 1−θ/π per Goemans–
+    * Williamson), while each table's bucket population keeps shrinking
+    * as `planes` grows. This is the standard fix for the single-table
+    * recall/bucket-size trade AND for join skew: the bucket join now has
+    * tables·2^planes distinct keys instead of 2^planes.
+    *
+    * Shape: each side is exploded to (table, bucket) keys — the L×
+    * indexing cost inherent to OR-amplification — the query side is
+    * broadcast, candidates are de-duplicated on (qid, vec_id) BEFORE the
+    * cosine kernel so a pair colliding in several tables is scored once.
+    */
+  def lshTopKMulti(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+                   planes: Int = 8, tables: Int = 4, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def tb(v: Column): Column = explode(array((0 until tables).map(t =>
+      struct(lit(t).as("t"), srpBucket(v, planes, dim, s"srp$t").as("b"))): _*))
+    val q = broadcast(queries.select(
+      col("vec_id").as("qid"), col("embedding").as("qv"),
+      dotL(col("embedding"), col("embedding")).as("nq"),
+      tb(col("embedding")).as("tb")))
+    val cand = corpus
+      .select(col("vec_id"), col("embedding"),
+        dotL(col("embedding"), col("embedding")).as("nv"),
+        tb(col("embedding")).as("tb"))
+      .join(q, Seq("tb"))
+      .filter(col("vec_id") =!= col("qid") && col("nv") > 0 && col("nq") > 0)
+      .dropDuplicates("qid", "vec_id")
+    val scored = cand.select(col("qid"), col("vec_id"),
+      cosine(dotL(col("qv"), col("embedding")), col("nq"), col("nv")).as("cosine"))
+    ranked(scored, k).select(col("qid"), col("vec_id"), col("cosine"), col("rnk"))
+  }
+
   /** Typed LSH-bucket entry for near-dup pair generation. */
   final case class VecNorm(vec_id: Long, embedding: Seq[Float], n: Long)
+
+  /** Typed bucketed row for the streaming pair generator. */
+  final case class BucketVec(bucket: String, vec_id: Long,
+                             embedding: Seq[Float], n: Long)
 
   /** Embedding-cosine near-duplicate pairs: SRP-bucketed candidates,
     * compiled pairwise cosine on the 1e-12 integer grid, threshold τ.
     * Recall is bucket-limited by construction (a 100 TB corpus only ever
-    * compares within a bucket); raise `planes` to shrink buckets.
+    * compares within a bucket); raise `planes` as the corpus grows
+    * ([[planesFor]]) to keep bucket populations bounded.
+    *
+    * Scale shape (no whole-bucket rows): the corpus is hash-partitioned
+    * by bucket and sorted (bucket, vec_id) WITHIN partitions — one
+    * Exchange, no `collect_list`, so a bucket is never materialized as a
+    * single 2 GB-capped row. A mapPartitions pass then streams each
+    * bucket group, buffering at most `maxBucket` vectors; rows past the
+    * cap are dropped deterministically (highest vec_id first — the sort
+    * makes the survivor set order-independent), counted in the
+    * `graft.dedup_embed.dropped` accumulator, and logged per partition —
+    * no silent truncation. Pair cost is Σ min(|bucket|, maxBucket)²,
+    * mirroring Jaccard's `maxDf` stop-shingle bound (Dedup.scala).
     */
   def cosineNearDupPairs(vectors: DataFrame, tau: Double = 0.2,
-                         planes: Int = 6): DataFrame = {
+                         planes: Int = 6,
+                         maxBucket: Int = 1 << 20): DataFrame = {
     val spark = vectors.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
-    val buckets = vectors
+    val dropped = spark.sparkContext.longAccumulator("graft.dedup_embed.dropped")
+    val entries = vectors
       .select(srpBucket(col("embedding"), planes).as("bucket"),
-        struct(col("vec_id"), col("embedding"),
-          dotL(col("embedding"), col("embedding")).as("n")).as("d"))
-      .groupBy(col("bucket"))
-      .agg(collect_list(col("d")).as("ds"))
-      .filter(size(col("ds")) >= 2)
-    buckets.select(col("ds")).as[Seq[VecNorm]]
-      .flatMap { ds0 =>
-        val ds = ds0.sortBy(_.vec_id)
-        for {
-          i <- ds.indices.iterator
-          j <- (i + 1) until ds.size
-          a = ds(i); b = ds(j)
-          if a.n > 0 && b.n > 0
-          // identical IEEE sequence to dotL/cosine/snap (bit-exact twin)
-          dot = {
-            var s = 0L; var k = 0
-            while (k < a.embedding.length) {
-              s += math.floor(a.embedding(k).toDouble * b.embedding(k).toDouble * 1e12 + 0.5).toLong
-              k += 1
+        col("vec_id").cast("long").as("vec_id"), col("embedding"),
+        dotL(col("embedding"), col("embedding")).as("n"))
+      .as[BucketVec]
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("vec_id"))
+    entries
+      .mapPartitions { rows0 =>
+        val rows = rows0.buffered
+        // group-by-consecutive-bucket, then all pairs within the capped group
+        new Iterator[IndexedSeq[(Long, Array[Float], Long)]] {
+          override def hasNext: Boolean = rows.hasNext
+          override def next(): IndexedSeq[(Long, Array[Float], Long)] = {
+            val b = rows.head.bucket
+            val buf = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Array[Float], Long)]
+            var over = 0L
+            while (rows.hasNext && rows.head.bucket == b) {
+              val r = rows.next()
+              if (buf.size < maxBucket) buf += ((r.vec_id, r.embedding.toArray, r.n))
+              else over += 1
             }
-            s
+            if (over > 0) {
+              dropped.add(over)
+              org.slf4j.LoggerFactory.getLogger("graft.ops.Similarity").warn(
+                s"dedup_embed: bucket $b exceeded maxBucket=$maxBucket; dropped $over rows")
+            }
+            buf.toIndexedSeq
           }
-          c = (dot.toDouble / 1e12) / math.sqrt((a.n.toDouble / 1e12) * (b.n.toDouble / 1e12))
-          c6 = math.floor(c * 1e6 + 0.5) / 1e6
-          if c6 >= tau
-        } yield (a.vec_id, b.vec_id, c6)
+        }.flatMap { ds =>
+          for {
+            i <- ds.indices.iterator
+            j <- (i + 1) until ds.size
+            (ida, ea, na) = ds(i); (idb, eb, nb) = ds(j)
+            if na > 0 && nb > 0
+            // identical IEEE sequence to dotL/cosine/snap (bit-exact twin)
+            dot = {
+              var s = 0L; var k = 0
+              while (k < ea.length) {
+                s += math.floor(ea(k).toDouble * eb(k).toDouble * 1e12 + 0.5).toLong
+                k += 1
+              }
+              s
+            }
+            c = (dot.toDouble / 1e12) / math.sqrt((na.toDouble / 1e12) * (nb.toDouble / 1e12))
+            c6 = math.floor(c * 1e6 + 0.5) / 1e6
+            if c6 >= tau
+          } yield (ida, idb, c6)
+        }
       }
       .toDF("vec_a", "vec_b", "cosine")
   }
