@@ -87,14 +87,19 @@ object Similarity {
   }
 
   /** Planes needed so the EXPECTED bucket population stays near
-    * `targetBucketRows` for a `corpusRows`-row corpus: ⌈log2(n/target)⌉,
+    * `targetBucketRows` for a `corpusRows`-row corpus: ⌈log2⌈n/target⌉⌉,
     * clamped to [1, 30]. SRP bucket counts must scale with the corpus —
     * a fixed 2^6 keying that is fine at sf0.1 turns every bucket into
-    * millions of rows at 100 TB. */
+    * millions of rows at 100 TB. Computed in EXACT integer arithmetic
+    * (smallest k with 2^k ≥ ⌈n/target⌉ via the bit length of ⌈n/target⌉−1)
+    * — the FP form ceil(log(r)/log(2)) overshoots by one plane at exact
+    * powers of two — so the SQL twin's integer CASE chain
+    * (VecQueries.planesForSql) matches for every (n, target). */
   def planesFor(corpusRows: Long, targetBucketRows: Long): Int = {
     require(corpusRows > 0 && targetBucketRows > 0)
-    val ratio = math.max(1.0, corpusRows.toDouble / targetBucketRows.toDouble)
-    math.min(30, math.max(1, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
+    val ceilRatio = (corpusRows + targetBucketRows - 1) / targetBucketRows
+    if (ceilRatio <= 1) 1
+    else math.min(30, 64 - java.lang.Long.numberOfLeadingZeros(ceilRatio - 1))
   }
 
   /** Sign-random-projection bucket key: bit p = sign of the exact grid
@@ -115,6 +120,10 @@ object Similarity {
                 salt: String = "srp"): Column =
     call_function(graft.functions.GraftFunctions.SrpName,
       v, lit(planes), lit(dim), lit(salt))
+
+  /** Per-table SRP salt: table 0 is the base salt "srp" (so one table is
+    * bit-identical to [[lshTopK]]); table t ≥ 1 seeds independent planes. */
+  def tableSalt(t: Int): String = if (t == 0) "srp" else s"srp$t"
 
   /** LSH-bucketed ANN top-k: candidates limited to the query's SRP
     * bucket (recall trades for a corpus-partition-sized read). */
@@ -153,8 +162,10 @@ object Similarity {
   def lshTopKMulti(queries: DataFrame, corpus: DataFrame, k: Int = 10,
                    planes: Int = 8, tables: Int = 4, dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // table 0 uses the base salt so tables=1 degenerates EXACTLY to lshTopK
     def tb(v: Column): Column = explode(array((0 until tables).map(t =>
-      struct(lit(t).as("t"), srpBucket(v, planes, dim, s"srp$t").as("b"))): _*))
+      struct(lit(t).as("t"),
+        srpBucket(v, planes, dim, tableSalt(t)).as("b"))): _*))
     val q = broadcast(queries.select(
       col("vec_id").as("qid"), col("embedding").as("qv"),
       dotL(col("embedding"), col("embedding")).as("nq"),
@@ -191,10 +202,39 @@ object Similarity {
     * bucket group, buffering at most `maxBucket` vectors; rows past the
     * cap are dropped deterministically (highest vec_id first — the sort
     * makes the survivor set order-independent), counted in the
-    * `graft.dedup_embed.dropped` accumulator, and logged per partition —
-    * no silent truncation. Pair cost is Σ min(|bucket|, maxBucket)²,
-    * mirroring Jaccard's `maxDf` stop-shingle bound (Dedup.scala).
+    * `graft.dedup_embed.dropped` accumulator (ADVISORY: updated inside a
+    * transformation, so retries/speculation can double-count — see
+    * [[lastDropped]]), and logged per partition — no silent truncation.
+    * The cap is mirrored in the oracle twin (per-bucket row_number ≤
+    * maxBucket on vec_id), so the bit-exact gate holds even when it
+    * fires. Pair cost is Σ min(|bucket|, maxBucket)², mirroring
+    * Jaccard's `maxDf` stop-shingle bound (Dedup.scala).
     */
+  /** [[cosineNearDupPairs]] with `planes` sized from the ACTUAL corpus
+    * row count via [[planesFor]] (one cheap count job at plan-build
+    * time — a count(*) over a parquet scan is metadata-only), so bucket
+    * populations stay near `targetBucketRows` at ANY corpus size and the
+    * `maxBucket` cap is never the operative bound in healthy runs. This
+    * is the contract path: the DuckDB twin mirrors the plane count with
+    * the same exact integer arithmetic from its own count(*). */
+  def cosineNearDupPairsAuto(vectors: DataFrame, tau: Double = 0.2,
+                             targetBucketRows: Long = 8,
+                             maxBucket: Int = 1 << 20): DataFrame = {
+    val n = math.max(1L, vectors.count())
+    cosineNearDupPairs(vectors, tau, planesFor(n, targetBucketRows), maxBucket)
+  }
+
+  /** Rows dropped by the `maxBucket` cap in the most recent
+    * [[cosineNearDupPairs]] materialization on this JVM — a TEST/
+    * telemetry hook over the `graft.dedup_embed.dropped` accumulator.
+    * Approximate under task retries/speculation (accumulator updates in
+    * a transformation can double-count); never gates behavior. */
+  def lastDropped: Long = {
+    val acc = lastDroppedAcc
+    if (acc == null) 0L else acc.value
+  }
+  @volatile private var lastDroppedAcc: org.apache.spark.util.LongAccumulator = _
+
   def cosineNearDupPairs(vectors: DataFrame, tau: Double = 0.2,
                          planes: Int = 6,
                          maxBucket: Int = 1 << 20): DataFrame = {
@@ -202,6 +242,7 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
     val dropped = spark.sparkContext.longAccumulator("graft.dedup_embed.dropped")
+    lastDroppedAcc = dropped
     val entries = vectors
       .select(srpBucket(col("embedding"), planes).as("bucket"),
         col("vec_id").cast("long").as("vec_id"), col("embedding"),

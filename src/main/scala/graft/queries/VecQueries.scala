@@ -20,6 +20,13 @@ object VecQueries {
 
   private def q5(v: DataFrame): DataFrame = v.filter(col("vec_id") < 5)
 
+  /** Shared constants — interpolated into BOTH the Spark calls and the
+    * oracle SQL (CLAUDE.md invariant 2: one source of truth). */
+  private val MultiTables = 4
+  private val MultiPlanes = 8
+  private val TargetBucket = 8L
+  private val MaxBucket = 1 << 20
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_topk" -> ((s, d) => {
       val v = vecs(s, d); Similarity.bruteForceTopK(q5(v), v)
@@ -27,12 +34,18 @@ object VecQueries {
     "embed_lsh_topk" -> ((s, d) => {
       val v = vecs(s, d); Similarity.lshTopK(q5(v), v)
     }),
+    "embed_lsh_multi" -> ((s, d) => {
+      val v = vecs(s, d)
+      Similarity.lshTopKMulti(q5(v), v, k = 10,
+        planes = MultiPlanes, tables = MultiTables)
+    }),
     "embed_centroids" -> ((s, d) => r6(Similarity.centroids(vecs(s, d)))),
     "embed_ivf" -> ((s, d) => {
       val v = vecs(s, d)
       Similarity.ivfAssign(v, Similarity.centroidArrays(Similarity.centroids(v)))
     }),
-    "dedup_embed" -> ((s, d) => Similarity.cosineNearDupPairs(vecs(s, d)))
+    "dedup_embed" -> ((s, d) => Similarity.cosineNearDupPairsAuto(vecs(s, d),
+      targetBucketRows = TargetBucket, maxBucket = MaxBucket))
   )
 
   // ---------------------------------------------------------------------
@@ -60,13 +73,38 @@ object VecQueries {
     * (interpolated from Similarity.planeSigns — one source of truth).
     * v[i]·(±1) is an exact IEEE sign flip, so floor(v·s·1e12+0.5) matches
     * the dotl_grid kernel bit for bit. */
-  private def bucketSql(v: String, planes: Int = 8): String =
-    Similarity.planeSigns(planes, 64).map { s =>
+  private def bucketSql(v: String, planes: Int = 8,
+                        salt: String = "srp"): String =
+    Similarity.planeSigns(planes, 64, salt).map { s =>
       val signs = s.map(_.toInt).mkString("[", ",", "]")
       val dot =
         s"""list_sum([CAST(floor(CAST(($v)[i] AS DOUBLE)*(($signs)[i])*1e12+0.5) AS BIGINT)
         for i in range(1, len($v)+1)])"""
       s"(CASE WHEN $dot >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  /** Twin of Similarity.planesFor: smallest k ∈ [1,30] with 2^k ≥ cr,
+    * as an exact integer CASE chain over cr = ⌈n/target⌉ (monotone, so
+    * the first matching branch IS the ceil-log2 — no FP log anywhere,
+    * matching planesFor's bit-length form for every ratio incl. exact
+    * powers of two). */
+  private def planesForSql(cr: String): String =
+    "(CASE " +
+      (1 to 30).map(k => s"WHEN ($cr) <= ${1L << k} THEN $k").mkString(" ") +
+      " ELSE 30 END)"
+
+  /** Bucket key whose LENGTH follows the corpus size: per plane p, emit
+    * its sign bit only when p < the planes CTE's value (CASE short-
+    * circuits, so only the active planes' dot products evaluate). The
+    * plane constants are prefix-stable — planeSigns(p, i) depends only on
+    * (salt, p, i) — so this equals bucketSql at the chosen plane count. */
+  private def dynBucketSql(v: String, pMax: Int = 30): String =
+    Similarity.planeSigns(pMax, 64).zipWithIndex.map { case (s, p) =>
+      val signs = s.map(_.toInt).mkString("[", ",", "]")
+      val dot =
+        s"""list_sum([CAST(floor(CAST(($v)[i] AS DOUBLE)*(($signs)[i])*1e12+0.5) AS BIGINT)
+        for i in range(1, len($v)+1)])"""
+      s"(CASE WHEN $p < pl.planes THEN (CASE WHEN $dot >= 0 THEN '1' ELSE '0' END) ELSE '' END)"
     }.mkString(" || ")
 
   private val topkSql =
@@ -127,15 +165,54 @@ FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2l, cand_label)
       FROM assign)
 WHERE rnk = 1"""
 
-  private val dedupEmbedSql =
-    s"""WITH e AS (
-  SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n,
-         ${bucketSql("embedding", 6)} AS bucket
+  /** Twin of Similarity.lshTopKMulti: a pair is a candidate when its
+    * buckets collide in ANY of the `MultiTables` independent plane sets
+    * (OR-join ≡ Spark's explode + dropDuplicates — each (qid, vec_id)
+    * appears once either way), scored with the same exact-grid cosine. */
+  private val lshMultiSql = {
+    val bs = (0 until MultiTables).map(t =>
+      bucketSql("embedding", MultiPlanes, Similarity.tableSalt(t)))
+    val bCols = bs.zipWithIndex.map { case (b, t) => s"$b AS b$t" }.mkString(",\n         ")
+    val qCols = (0 until MultiTables).map(t => s"b$t").mkString(", ")
+    val onAny = (0 until MultiTables).map(t => s"q.b$t = e.b$t").mkString(" OR ")
+    s"""WITH base AS (
+  SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nv,
+         $bCols
   FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, embedding AS qv, nv AS nq, $qCols FROM base WHERE vec_id < 5
+), scored AS (
+  SELECT q.qid, e.vec_id,
+         ${cosSql(dotSql("q.qv", "e.embedding"), "q.nq", "e.nv")} AS cosine
+  FROM q JOIN base e ON ($onAny)
+  WHERE e.vec_id <> q.qid AND e.nv > 0 AND q.nq > 0)
+SELECT qid, vec_id, cosine, rnk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+  FROM scored)
+WHERE rnk <= 10"""
+  }
+
+  /** Twin of Similarity.cosineNearDupPairsAuto: the plane count comes
+    * from this SAME corpus's count(*) through planesForSql (exact integer
+    * ceil-log2, matching planesFor bit for bit), and the maxBucket cap is
+    * mirrored as per-bucket row_number ≤ cap on vec_id order — the exact
+    * survivor set of the Spark side's sorted streaming buffer. */
+  private val dedupEmbedSql =
+    s"""WITH pl AS (
+  SELECT ${planesForSql(s"(greatest(count(*), 1) + ${TargetBucket - 1}) // $TargetBucket")} AS planes
+  FROM embeddings
+), e AS (
+  SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n,
+         ${dynBucketSql("embedding")} AS bucket
+  FROM embeddings CROSS JOIN pl
+), capped AS (
+  SELECT vec_id, embedding, n, bucket FROM (
+    SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn FROM e)
+  WHERE rn <= $MaxBucket
 ), p AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          ${cosSql(dotSql("a.embedding", "b.embedding"), "a.n", "b.n")} AS cosine
-  FROM e a JOIN e b
+  FROM capped a JOIN capped b
     ON a.bucket = b.bucket AND a.vec_id < b.vec_id
   WHERE a.n > 0 AND b.n > 0)
 SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.2"""
@@ -144,6 +221,7 @@ SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.2"""
     "dedup_embed" -> dedupEmbedSql,
     "embed_topk" -> topkSql,
     "embed_lsh_topk" -> lshTopkSql,
+    "embed_lsh_multi" -> lshMultiSql,
     "embed_centroids" -> centroidsSql,
     "embed_ivf" -> ivfSql
   )

@@ -114,6 +114,15 @@ class PlanShapeSpec extends AnyFunSuite {
       "RFM quintiles must use the range-partitioned two-pass rank, not a global window ntile")
   }
 
+  test("dedup_embed streams bucket groups: no collect_list row, one Exchange") {
+    val p = plan("dedup_embed")
+    assert(!p.contains("collect_list"),
+      "a bucket must never materialize as one collect_list row (2 GB row cap at scale)")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"pair generation must shuffle once (repartition by bucket), saw $exchanges:\n$p")
+  }
+
   test("parquet scans prune columns: the lineitem quantile scan reads only what it needs") {
     val df = SparkEntry.queries("rel_quantiles")(spark, dir)
     val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)

@@ -64,6 +64,32 @@ class SimilaritySpec extends AnyFunSuite {
       canon(Similarity.ivfAssignDeclarative(corpus, cents)))
   }
 
+  test("maxBucket cap keeps the deterministic lowest-vec_id survivors and counts drops") {
+    // six positive multiples of one direction — identical SRP bucket
+    // (sign bits are scale-invariant), pairwise cosine exactly 1 after
+    // the 1e-6 snap. Superincreasing magnitudes: every ±1 combination
+    // of (0.8, 0.4, 0.2, 0.1) is ≥ 0.1 in absolute value, so no plane
+    // dot sits near zero where scaling could flip its sign bit.
+    val dir = Seq(0.8f, 0.4f, 0.2f, 0.1f)
+    val same = vecs((0L until 6L).map(i => (i, dir.map(_ * (1f + i * 0.25f)), 0)))
+    val out = Similarity.cosineNearDupPairs(same, tau = 0.2, planes = 4, maxBucket = 3)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    // survivors must be vec_ids 0,1,2 — the sort makes the cap's keep
+    // set order-independent — so exactly C(3,2) pairs emerge
+    assert(out == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(Similarity.lastDropped == 3L,
+      s"3 of 6 same-bucket rows past the cap must be counted, got ${Similarity.lastDropped}")
+  }
+
+  test("auto-planes near-dup equals the fixed-planes call at the planesFor count") {
+    val n = corpus.count()
+    val p = Similarity.planesFor(n, 2)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(canon(Similarity.cosineNearDupPairsAuto(corpus, targetBucketRows = 2)) ==
+      canon(Similarity.cosineNearDupPairs(corpus, planes = p)))
+  }
+
   test("cosine of a vector with an identical vector is exactly 1.0") {
     val two = vecs(Seq((0L, Seq(0.3f, -0.2f, 0.5f, 0.1f), 0),
       (1L, Seq(0.3f, -0.2f, 0.5f, 0.1f), 0)))

@@ -97,4 +97,45 @@ class SrpSpec extends AnyFunSuite {
         k = 9, planes = 6).collect().map(_.getAs[Long]("vec_id")).toSet
     assert(got == (1L until 10L).toSet)
   }
+
+  test("planesFor is the exact integer ceil-log2 (no FP overshoot at powers of two)") {
+    // naive model: smallest k in [1,30] with 2^k >= ceil(n/target)
+    def naive(n: Long, t: Long): Int = {
+      val cr = (n + t - 1) / t
+      (1 to 30).find(k => (1L << k) >= cr).getOrElse(30)
+    }
+    for (t <- Seq(1L, 7L, 8L, 512L); n <- Seq(1L, 2L, 7L, 8L, 9L, 63L, 64L, 65L,
+        500L, 2000L, (1L << 29) * 8, (1L << 29) * 8 + 1, Long.MaxValue / 2))
+      assert(Similarity.planesFor(n, t) == naive(n, t), s"n=$n target=$t")
+    // the ADVICE counterexamples: exact power-of-two ratios must NOT gain a plane
+    assert(Similarity.planesFor(1L << 29, 1) == 29)
+    assert(Similarity.planesFor(1L << 31, 1) == 30) // clamp
+    assert(Similarity.planesFor(5, 8) == 1)          // ratio <= 1 floor
+  }
+
+  private lazy val sfVecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+
+  test("tables=1 multi-table ANN degenerates to the single-table path bit for bit") {
+    val q = sfVecs.filter("vec_id < 5")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(canon(Similarity.lshTopKMulti(q, sfVecs, k = 10, planes = 8, tables = 1)) ==
+      canon(Similarity.lshTopK(q, sfVecs, k = 10, planes = 8)))
+  }
+
+  test("OR-amplification: multi-table recall vs brute force beats single-table at equal per-table planes") {
+    val q = sfVecs.filter("vec_id < 5")
+    val brute = pairs(Similarity.bruteForceTopK(q, sfVecs, k = 10))
+    val single = pairs(Similarity.lshTopK(q, sfVecs, k = 10, planes = 8))
+    val multi = pairs(Similarity.lshTopKMulti(q, sfVecs, k = 10, planes = 8, tables = 4))
+    val rs = (single & brute).size
+    val rm = (multi & brute).size
+    // table 0 of the multi index IS the single-table index, so candidate
+    // sets are supersets and top-k recall cannot drop; on this corpus the
+    // extra tables recover strictly more true neighbors
+    assert(rm > rs, s"multi recall $rm/${brute.size} must beat single $rs/${brute.size}")
+  }
 }
