@@ -47,9 +47,12 @@ object History {
     * (product_id, event_time) sort so row-group min/max skipping works
     * again, then swaps the directory crash-safely for a single-writer
     * warehouse: write new → rename old ASIDE → rename new into place →
-    * delete the backup. Any crash point leaves either the old or the new
-    * copy readable at the live path (never only a dot-prefixed dir that
-    * Spark readers skip as hidden). Returns (files_before, files_after).
+    * delete the backup. Every rename return value is checked (Hadoop
+    * signals failure by returning false), a failure aborts with the
+    * backup retained, and entry RESTORES a stranded backup when the live
+    * dir is missing — so any crash or failure point leaves the day
+    * recoverable, and the next call self-heals rather than reading the
+    * day as empty. Returns (files_before, files_after).
     *
     * File sizing: repartitionByRange on (product_id, event_time) — file
     * COUNT and SIZE track bytes even when one product dominates (hash
@@ -60,6 +63,15 @@ object History {
                  targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val dayDir = new org.apache.hadoop.fs.Path(s"$path/event_date=$date")
     val fs = dayDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new org.apache.hadoop.fs.Path(s"$path/.old-event_date=$date")
+    // Crash recovery FIRST: a previous swap that died between its two
+    // renames left the day only in the backup — restore it before any
+    // emptiness check, or the day would silently read as empty while its
+    // data sat stranded in a dot-dir Spark readers skip as hidden.
+    if (!fs.exists(dayDir) && fs.exists(backup) &&
+        !fs.rename(backup, dayDir))
+      throw new java.io.IOException(
+        s"compactDay: restoring crashed-swap backup $backup -> $dayDir failed")
     if (!fs.exists(dayDir)) return (0, 0)
     val parts = fs.listStatus(dayDir).filter(_.getPath.getName.endsWith(".parquet"))
     val totalBytes = parts.map(_.getLen).sum
@@ -67,14 +79,27 @@ object History {
     if (parts.length <= nOut) return (parts.length, parts.length)
 
     val tmp = new org.apache.hadoop.fs.Path(s"$path/.compact-event_date=$date")
-    val backup = new org.apache.hadoop.fs.Path(s"$path/.old-event_date=$date")
     spark.read.parquet(dayDir.toString)
       .repartitionByRange(nOut, col("product_id"), col("event_time"))
       .sortWithinPartitions(col("product_id"), col("event_time"))
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(backup, true) // stale backup from an earlier crashed swap
-    fs.rename(dayDir, backup)
-    fs.rename(tmp, dayDir)
+    // live dir exists, so any backup here is leftover from a crash AFTER
+    // a completed swap (old data already superseded) — safe to drop
+    fs.delete(backup, true)
+    // Hadoop rename() reports failure by RETURNING FALSE, not throwing —
+    // every return is checked; aborting always leaves a readable copy:
+    // either the live dir (first rename failed → nothing moved) or the
+    // backup (second rename failed → restore attempted, backup retained).
+    if (!fs.rename(dayDir, backup))
+      throw new java.io.IOException(
+        s"compactDay: rename $dayDir -> $backup failed; day left untouched")
+    if (!fs.rename(tmp, dayDir)) {
+      val restored = fs.rename(backup, dayDir)
+      throw new java.io.IOException(
+        s"compactDay: rename $tmp -> $dayDir failed; " +
+          (if (restored) s"original restored at $dayDir"
+           else s"ORIGINAL STILL IN $backup — restore it before reading this day"))
+    }
     fs.delete(backup, true)
     val after = fs.listStatus(dayDir).count(_.getPath.getName.endsWith(".parquet"))
     (parts.length, after)

@@ -54,6 +54,60 @@ class HistorySpec extends AnyFunSuite {
     assert(History.compactDay(spark, dir, date) == ((1, 1)))
   }
 
+  private def accrete(dir: String, batches: Int = 12): String = {
+    for (batch <- 0 until batches) {
+      val rows = (0 until 20).map(i => ("A", batch * 600L + i, (batch * 100 + i).toLong,
+        100.0 + i, Option(99.0), Option(101.0)))
+      History.write(ticks(rows), dir)
+    }
+    new java.io.File(dir.stripPrefix("flaky:")).listFiles()
+      .find(_.getName.startsWith("event_date=")).get.getName.stripPrefix("event_date=")
+  }
+
+  test("compactDay restores a stranded backup from a crash between the two renames") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash").toString + "/ticks"
+    val date = accrete(dir)
+    val before = History.read(spark, dir).orderBy("sequence").collect().toSeq
+    // simulate the crash window: old dir moved aside, new dir never moved in
+    val base = new java.io.File(dir)
+    assert(new java.io.File(base, s"event_date=$date")
+      .renameTo(new java.io.File(base, s".old-event_date=$date")))
+    // the day must NOT read as empty: the next compactDay self-heals first
+    val (nBefore, nAfter) = History.compactDay(spark, dir, date)
+    assert(nBefore >= 10 && nAfter == 1, s"expected restore+compact, got ($nBefore, $nAfter)")
+    assert(History.read(spark, dir).orderBy("sequence").collect().toSeq == before,
+      "every row must survive the crash-recovery compaction")
+    assert(!new java.io.File(base, s".old-event_date=$date").exists())
+  }
+
+  test("compactDay aborts on a false-returning rename, leaving the day readable") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.flaky.impl", classOf[FlakyRenameFs].getName)
+    conf.set("fs.flaky.impl.disable.cache", "true")
+    val local = java.nio.file.Files.createTempDirectory("graft-flaky").toString + "/ticks"
+    val dir = s"flaky:$local"
+    val date = accrete(dir)
+    val before = History.read(spark, dir).orderBy("sequence").collect().toSeq
+
+    // rename #1 (live -> backup) returns false: nothing must have moved
+    FlakyRenameFs.failAt.set(1)
+    intercept[java.io.IOException](History.compactDay(spark, dir, date))
+    assert(History.read(spark, dir).orderBy("sequence").collect().toSeq == before,
+      "a failed first rename must leave the live day untouched")
+
+    // rename #2 (tmp -> live) returns false: the backup must be restored
+    FlakyRenameFs.failAt.set(2)
+    intercept[java.io.IOException](History.compactDay(spark, dir, date))
+    assert(History.read(spark, dir).orderBy("sequence").collect().toSeq == before,
+      "a failed swap-in must restore the original at the live path")
+
+    // with the filesystem healthy again the same call succeeds
+    FlakyRenameFs.failAt.set(0)
+    val (_, nAfter) = History.compactDay(spark, dir, date)
+    assert(nAfter == 1)
+    assert(History.read(spark, dir).orderBy("sequence").collect().toSeq == before)
+  }
+
   test("backtest over a warehouse slice equals the strategy on the same ticks (T8)") {
     import graft.{Backtest, TestSpark}
     import graft.config.StrategyConfig
