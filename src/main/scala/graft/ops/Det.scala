@@ -63,6 +63,17 @@ object Det {
 
   private def pow10(s: Int): Double = s"1e$s".toDouble
 
+  /** Exact Decimal → double through its decimal STRING. Spark's direct
+    * Decimal→double (a two-step BigDecimal conversion) can mis-round
+    * above 2^53 unscaled (the CLAUDE.md envelope); string→double parsing
+    * is correctly rounded at ANY magnitude in every engine, so routing
+    * the exact integer through its digits widens the envelope to the
+    * full DECIMAL(38,0) range. In-range values convert identically, so
+    * this is bit-compatible with the direct cast wherever that was
+    * already correct. Finishing-arithmetic only (per group row, or per
+    * output row in window variants) — never on the hot additive path. */
+  private def exactDbl(c: Column): Column = c.cast("string").cast("double")
+
   /** Snap a double to the 10^-s decimal grid using only IEEE double ops
     * (mul, add, floor, div — each correctly rounded, hence identical in
     * every conforming engine). Unlike `round(x, s)`, whose half-way
@@ -149,7 +160,7 @@ object Det {
     // decimal cost is irrelevant here (the hot path is the long sums).
     val d = n.cast(DecimalType(10, 0)) * s2.cast(DecimalType(18, 0)) -
       s1.cast(DecimalType(14, 0)) * s1.cast(DecimalType(14, 0))
-    sqrt(d.cast("double")) / (lit(pow10(e)) * n.cast("double"))
+    sqrt(exactDbl(d)) / (lit(pow10(e)) * n.cast("double"))
   }
 
   /** Σ of k² over rows where cond holds (k = x·10^e grid integer), finished
@@ -178,7 +189,7 @@ object Det {
     val dx = (n * dec(sum(kx * kx)) - s1x * s1x).cast(DecimalType(38, 0))
     val dy = (n * dec(sum(ky * ky)) - s1y * s1y).cast(DecimalType(38, 0))
     when(dx > 0 && dy > 0,
-      num.cast("double") / sqrt(dx.cast("double")) / sqrt(dy.cast("double")))
+      exactDbl(num) / sqrt(exactDbl(dx)) / sqrt(exactDbl(dy)))
   }
 
   /** Order-independent population covariance over grid integers:
@@ -193,7 +204,7 @@ object Det {
     def dec(c: Column) = c.cast(DecimalType(19, 0))
     val num = (n * dec(sum(kx * ky)) - dec(sum(kx)) * dec(sum(ky)))
       .cast(DecimalType(38, 0))
-    num.cast("double") / (n.cast("double") * n.cast("double")) / lit(pow10(2 * e))
+    exactDbl(num) / (n.cast("double") * n.cast("double")) / lit(pow10(2 * e))
   }
 
   /** Order-independent OLS regression slope of x on y over grid
@@ -208,7 +219,7 @@ object Det {
     val s1x = dec(sum(kx)); val s1y = dec(sum(ky))
     val num = (n * dec(sum(kx * ky)) - s1x * s1y).cast(DecimalType(38, 0))
     val dy = (n * dec(sum(ky * ky)) - s1y * s1y).cast(DecimalType(38, 0))
-    when(dy > 0, num.cast("double") / dy.cast("double"))
+    when(dy > 0, exactDbl(num) / exactDbl(dy))
   }
 
   // -------------------------------------------------------------------

@@ -75,6 +75,44 @@ object DetProps extends Properties("Det") {
       got == want
     }
 
+  // correlated large-magnitude operands push the exact numerator PAST
+  // 2^53 (n²·cov·10^2e ≈ n²·3e15 for n ≥ 2), where the old direct
+  // Decimal→double cast could mis-round — the string-routed finish must
+  // equal the correctly rounded conversion of the exact BigInt. |x| ≤
+  // 1e4 keeps k ≤ 1e8 and Σ|kx·ky| long-safe (the ADDITIVE envelope,
+  // which the string routing does not widen).
+  private val bigPairsGen: Gen[List[(Double, Double)]] = Gen
+    .nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(-10000.0, 10000.0), Gen.chooseNum(-100.0, 100.0)))
+    .map(_.map { case (x, d) => (x, x + d) })
+
+  property("covD/betaD/corrD finishing is correctly rounded past 2^53") =
+    Prop.forAll(bigPairsGen) { ps =>
+      val r = ps.toDF("x", "y")
+        .agg(Det.covD(col("x"), col("y"), 4).as("cov"),
+          Det.betaD(col("x"), col("y"), 4).as("beta"),
+          Det.corrD(col("x"), col("y"), 4).as("corr"))
+        .head()
+      // the documented sequence, replayed exactly: BigInt moments, then
+      // parseDouble of the decimal digits (correctly rounded by JLS)
+      def k(v: Double): Long = math.floor(v * 1e4 + 0.5).toLong
+      def d(b: BigInt): Double = java.lang.Double.parseDouble(b.toString)
+      val n = BigInt(ps.size)
+      val kx = ps.map(p => BigInt(k(p._1))); val ky = ps.map(p => BigInt(k(p._2)))
+      val num = n * kx.zip(ky).map { case (a, b) => a * b }.sum - kx.sum * ky.sum
+      val dx = n * kx.map(a => a * a).sum - kx.sum * kx.sum
+      val dy = n * ky.map(a => a * a).sum - ky.sum * ky.sum
+      val wantCov = d(num) / (ps.size.toDouble * ps.size.toDouble) / 1e8
+      val covOk = r.getDouble(0) == wantCov
+      val betaOk =
+        if (dy > 0) r.getDouble(1) == d(num) / d(dy) else r.isNullAt(1)
+      val corrOk =
+        if (dx > 0 && dy > 0)
+          r.getDouble(2) == d(num) / math.sqrt(d(dx)) / math.sqrt(d(dy))
+        else r.isNullAt(2)
+      covOk && betaOk && corrOk
+    }
+
   property("snap is idempotent on its own grid") =
     Prop.forAll(Gen.chooseNum(-100.0, 100.0)) { x =>
       val r = Seq(x).toDF("x")
