@@ -32,7 +32,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // comma-separated subset for local iteration (default: every query)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // Write to the noop sink, NOT count(): count(1) lets Catalyst prune every
     // unreferenced column, so projection-only queries (text_stats, lang_id,
     // fingerprint, ...) would time just the parquet scan instead of the real

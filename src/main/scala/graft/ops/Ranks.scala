@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -24,6 +25,11 @@ import org.apache.spark.sql.types.LongType
   * `ntile(k) OVER (ORDER BY ...)` in Spark AND DuckDB (RanksSpec proves
   * the former; the rfm_segments oracle twin the latter). The order must
   * be fully tie-broken or no engine's ntile is deterministic.
+  *
+  * Dimension-sized inputs (plan stats under [[ntileByRange.smallBytes]])
+  * skip the two-pass and run the plain window form — one task is the
+  * fastest shape for a frame that fits in one task, and the values are
+  * identical either way.
   */
 object Ranks {
 
@@ -42,34 +48,58 @@ object Ranks {
     (0 until nPart).scanLeft(0L)((acc, p) => acc + m.getOrElse(p, 0L)).toArray
   }
 
+  /** Inputs whose plan-estimated size sits under this take the one-task
+    * window form — a single sort of a dimension-sized frame beats two
+    * distributed passes, and the VALUES are identical either way. Same
+    * stats signal broadcast-join planning uses; no extra job to decide. */
+  val DimensionBytes: Long = 64L << 20
+
   def ntileByRange(df: DataFrame, order: Seq[Column], k: Int, out: String,
-                   partitions: Option[Int] = None): DataFrame = {
+                   partitions: Option[Int] = None,
+                   smallBytes: Long = DimensionBytes): DataFrame = {
     require(k > 0, s"ntile bucket count must be positive, got $k")
     val spark = df.sparkSession
+    // Adaptive flip (the CoOccur broadcast/sort-merge pattern): the tile
+    // value depends only on the global row number, so both paths are
+    // bit-identical — RanksSpec proves it — and only the PLAN changes
+    // with the estimated input size.
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= smallBytes)
+      return df.withColumn(out,
+        ntile(k).over(Window.orderBy(order: _*)).cast("long"))
     val nPart = partitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
-    val sorted = rangeSorted(df, order, nPart)
-    val counts = sorted.mapPartitionsWithIndex { (pid, it) =>
-      var n = 0L; while (it.hasNext) { it.next(); n += 1 }
-      Iterator((pid, n))
-    }.collect()
+    // Declarative two-pass (no RDD, no per-row Row materialization):
+    // after the range sort, `monotonically_increasing_id()` IS the pair
+    // (partition id, within-partition position) — partition id in the
+    // high bits, the 0-based row position within the partition in the
+    // low 33 — assigned by a codegen'd project in sorted order. One tiny
+    // job collects the per-partition counts; the cumulative offsets and
+    // NTILE constants come back as literals, so the assignment is a pure
+    // whole-stage-codegen project: rn = offsets[_pid] + low33(_mid) + 1.
+    // The tile depends only on that global row number and the total,
+    // never on where the range boundaries fell — the invariance the
+    // oracle twins rely on. The count pass and the assignment pass each
+    // evaluate the input once (cross-query shuffle reuse is an
+    // RDD-identity property SQL plans don't get): at fact scale feed
+    // this a cheap scan or a persisted frame, not a deep pipeline.
+    val tagged = df.repartitionByRange(nPart, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", spark_partition_id())
+    val counts = tagged.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
     val offsets = offsetsOf(counts, nPart)
     val total = counts.map(_._2).sum
-    val bc = spark.sparkContext.broadcast(offsets)
-    val schema = df.schema.add(out, LongType, nullable = false)
     val q = total / k
     val r = total % k
-    val rows = sorted.mapPartitionsWithIndex { (pid, it) =>
-      var rn = bc.value(pid)
-      it.map { row =>
-        rn += 1
-        // standard NTILE: first r tiles have q+1 rows, the rest q
-        val tile =
-          if (rn <= r * (q + 1)) (rn - 1) / (q + 1) + 1
-          else r + (rn - r * (q + 1) - 1) / math.max(q, 1L) + 1
-        Row.fromSeq(row.toSeq :+ tile)
-      }
-    }
-    spark.createDataFrame(rows, schema)
+    val offCol = element_at(
+      array(offsets.take(nPart).map(lit).toIndexedSeq: _*), col("_pid") + 1)
+    tagged
+      .withColumn("_rn", offCol + pmod(col("_mid"), lit(1L << 33)) + lit(1L))
+      // standard NTILE: first r tiles have q+1 rows, the rest q
+      .withColumn(out, expr(
+        s"CASE WHEN _rn <= ${r * (q + 1)} THEN (_rn - 1) div ${q + 1} + 1 " +
+        s"ELSE $r + (_rn - ${r * (q + 1)} - 1) div ${math.max(q, 1L)} + 1 END"))
+      .select(df.columns.map(col).toIndexedSeq :+ col(out): _*)
   }
 
   /** Global INCLUSIVE running sum of a long column under a total order —

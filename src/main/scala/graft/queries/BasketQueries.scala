@@ -18,12 +18,14 @@ import org.apache.spark.sql.functions._
   *   engine.
   * - `rfm_segments`: per-customer recency/frequency/monetary quintile
   *   scores. The aggregate is fact-side (one shuffle on customer); the
-  *   three NTILE(5)s run through [[graft.ops.Ranks.ntileByRange]] — a
-  *   range-partitioned two-pass global rank, so no single-partition
-  *   window sort exists anywhere in the plan and the customer dimension
-  *   can grow 100× without creating a straggler task. Monetary rides
-  *   Det's exact grid; every rank order has a custkey tie-break so both
-  *   engines bucket identically.
+  *   three NTILE(5)s run through [[graft.ops.Ranks.ntileByRange]], which
+  *   flips on plan stats: a dimension-sized customer frame takes the
+  *   plain window form (one task, fastest for a frame that fits in one
+  *   task), and past [[graft.ops.Ranks.DimensionBytes]] it switches to
+  *   the range-partitioned two-pass global rank so a 100×-grown customer
+  *   dimension never creates a straggler task — same bits either way.
+  *   Monetary rides Det's exact grid; every rank order has a custkey
+  *   tie-break so both engines bucket identically.
   */
 object BasketQueries {
 
@@ -90,24 +92,31 @@ FROM p JOIN ic ia ON p.part_a = ia.l_partkey
   private def rfmSegments(s: SparkSession, d: String): DataFrame = {
     val orders = t(s, d, "orders")
     val anchor = orders.agg(max(col("o_orderdate")).as("anchor"))
+    // The rank passes run on the bare per-customer aggregate, BEFORE the
+    // anchor cross join: recency_days DESC is the same total order as
+    // last_order ASC (datediff against a constant anchor is a monotone
+    // bijection, ties included), so the ranks never need the anchor —
+    // and the aggregate's plan stats stay honest for ntileByRange's
+    // dimension-vs-fact flip (cross-join stats multiply, which would
+    // force the two-pass path on a 15k-row frame).
     val perCust = orders
       .groupBy(col("o_custkey"))
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("frequency"),
         Det.sumD(col("o_totalprice"), MonetaryScale).as("monetary"))
-      .crossJoin(broadcast(anchor))
-      .select(col("o_custkey"),
-        datediff(col("anchor"), col("last_order")).cast("long").as("recency_days"),
-        col("frequency"), col("monetary"))
     val s1 = Ranks.ntileByRange(perCust,
-      Seq(col("recency_days").desc, col("o_custkey")), 5, "r_score")
+      Seq(col("last_order"), col("o_custkey")), 5, "r_score")
     val s2 = Ranks.ntileByRange(s1,
       Seq(col("frequency"), col("o_custkey")), 5, "f_score")
     val s3 = Ranks.ntileByRange(s2,
       Seq(col("monetary"), col("o_custkey")), 5, "m_score")
-    s3.withColumn("segment",
-      concat(col("r_score").cast("string"), col("f_score").cast("string"),
-        col("m_score").cast("string")))
+    s3.crossJoin(broadcast(anchor))
+      .select(col("o_custkey"),
+        datediff(col("anchor"), col("last_order")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")).as("segment"))
   }
 
   private val rfmSegmentsSql =

@@ -29,8 +29,10 @@ object RanksProps extends Properties("Ranks") {
       val s = spark
       import s.implicits._
       val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      // smallBytes = -1 forces the two-pass path: the window form IS the
+      // model below, so only the distributed path needs property fuzzing
       val got = Ranks.ntileByRange(df, Seq(col("v"), col("id")), k, "t",
-          partitions = Some(nPart))
+          partitions = Some(nPart), smallBytes = -1)
         .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
       val want = df.withColumn("t",
           ntile(k).over(Window.orderBy(col("v"), col("id"))).cast("long"))

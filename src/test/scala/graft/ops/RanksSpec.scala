@@ -22,22 +22,23 @@ class RanksSpec extends AnyFunSuite {
     df.withColumn("t",
       ntile(k).over(Window.orderBy(col("v"), col("id"))).cast("long"))
 
-  test("matches Window ntile for uneven buckets, n % k != 0") {
-    for ((n, k) <- Seq((97, 5), (100, 7), (12, 12), (5, 8), (1, 3))) {
+  test("matches Window ntile for uneven buckets, n % k != 0 — both paths") {
+    for ((n, k) <- Seq((97, 5), (100, 7), (12, 12), (5, 8), (1, 3));
+         small <- Seq(Long.MaxValue, -1L)) {
       val df = fixture(n)
       val got = Ranks.ntileByRange(df, Seq(col("v"), col("id")), k, "t",
-          partitions = Some(8))
+          partitions = Some(8), smallBytes = small)
         .select("id", "t").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val want = windowNtile(df, k)
         .select("id", "t").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == want, s"ntile mismatch at n=$n k=$k")
+      assert(got == want, s"ntile mismatch at n=$n k=$k smallBytes=$small")
     }
   }
 
   test("descending order and multi-column order agree with the window form") {
     val df = fixture(64)
     val got = Ranks.ntileByRange(df, Seq(col("v").desc, col("id")), 5, "t",
-        partitions = Some(4))
+        partitions = Some(4), smallBytes = -1)
       .select("id", "t").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = df.withColumn("t",
         ntile(5).over(Window.orderBy(col("v").desc, col("id"))).cast("long"))
@@ -45,19 +46,31 @@ class RanksSpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  test("the rank runs range-partitioned, not in one task") {
+  test("above the size cutoff the rank runs range-partitioned, not in one task") {
     val out = Ranks.ntileByRange(fixture(1000), Seq(col("v"), col("id")), 5, "t",
-      partitions = Some(8))
+      partitions = Some(8), smallBytes = -1)
     assert(out.rdd.getNumPartitions == 8,
       "global ntile must keep the range partitioning (no single-partition sort)")
     // every partition of the range layout actually holds rows (parallel work)
     val perPart = out.rdd.mapPartitions(it => Iterator(it.size)).collect()
     assert(perPart.count(_ > 0) > 1, s"work concentrated in one task: ${perPart.toSeq}")
+    // and the assignment pass is declarative: no RDD scan barrier in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"),
+      s"two-pass ntile should stay in DataFrame land, got:\n$plan")
+  }
+
+  test("a dimension-sized input takes the one-task window form") {
+    val out = Ranks.ntileByRange(fixture(200), Seq(col("v"), col("id")), 5, "t")
+    assert(out.queryExecution.executedPlan.toString.contains("ntile"),
+      "small input should plan the plain window ntile")
   }
 
   test("empty input yields empty output") {
     val empty = fixture(0)
-    assert(Ranks.ntileByRange(empty, Seq(col("v"), col("id")), 5, "t").count() == 0)
+    for (small <- Seq(Long.MaxValue, -1L))
+      assert(Ranks.ntileByRange(empty, Seq(col("v"), col("id")), 5, "t",
+        smallBytes = small).count() == 0)
   }
 
   test("runningSumByRange equals the global window prefix sum") {
