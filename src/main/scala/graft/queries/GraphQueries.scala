@@ -127,8 +127,24 @@ FROM un GROUP BY user_id, lag_k"""
     * edge count. GraphScaleSpec pins the sort-merge shape and the
     * broadcast≡sort-merge result equality.
     */
-  private def triangles(s: SparkSession, d: String): DataFrame =
-    graft.ops.CoOccur.triangleStats(suppEdges(s, d).cache())
+  /** Lazy triangle-stats frame over a cached edge list, returned with the
+    * cache handle — the plan-inspection surface for PlanShapeSpec (the
+    * contract query's eager checkpoint hides the join shape behind an
+    * RDD scan). */
+  private[graft] def trianglesLazy(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val edges = suppEdges(s, d).cache()
+    (edges, graft.ops.CoOccur.triangleStats(edges))
+  }
+
+  private def triangles(s: SparkSession, d: String): DataFrame = {
+    val (edges, lazyOut) = trianglesLazy(s, d)
+    // one-row summary: materialize it eagerly (localCheckpoint truncates
+    // the lineage into a single tiny block) so the edge cache can be
+    // released HERE instead of leaking for the driver session's lifetime
+    val out = lazyOut.localCheckpoint(true)
+    edges.unpersist(false)
+    out
+  }
 
   private val trianglesSql =
     s"""WITH os AS (
@@ -184,8 +200,12 @@ FROM closed"""
     // integer arithmetic as before — `a div b` on positive longs), which
     // drops the crossJoin + max(n_nodes) threading from every iteration
     val nNodes = degrees.count()
-    if (nNodes == 0L)
-      return degrees.select(col("v"), col("degree"), lit(0.0).as("pr")).limit(0)
+    if (nNodes == 0L) {
+      val empty = degrees.select(col("v"), col("degree"), lit(0.0).as("pr"))
+        .limit(0).localCheckpoint(true)
+      pairs.unpersist(false); degrees.unpersist(false)
+      return empty
+    }
     val withDeg = directed.join(degrees, col("x") === col("v"))
       .select(col("x").as("src"), col("y").as("dst"), col("degree")).cache()
     val baseK = (3L * PrGrid / 20L) / nNodes
@@ -202,9 +222,18 @@ FROM closed"""
         .select(col("dst").as("v"),
           (lit(baseK) + expr("(17 * s) div 20")).as("k"))
     }
-    ranks.join(degrees, "v")
+    // Node-sized result: eager localCheckpoint truncates the K-iteration
+    // lineage into one small block set, after which the three edge-list
+    // caches are released — previously they leaked for the rest of the
+    // driver session (round-5 finding). The checkpoint blocks are the
+    // same order as the emitted frame; the ContextCleaner reclaims them
+    // when the frame is collected and dropped.
+    val out = ranks.join(degrees, "v")
       .select(col("v"), col("degree"),
         (col("k").cast("double") / lit(PrGrid.toDouble)).as("pr"))
+      .localCheckpoint(true)
+    pairs.unpersist(false); degrees.unpersist(false); withDeg.unpersist(false)
+    out
   }
 
   private val pagerankSql = {

@@ -95,6 +95,45 @@ object TickQueries {
       .groupBy(col("product_id"), col("event_time"))
       .agg(max(col("price")).as("price"))
 
+  /** Deterministic top-N instruments by filled-grid length (count DESC,
+    * product_id) — the pick is instrument-DIMENSION-sized, so it is a
+    * driver collect of per-product counts embedded back as literals.
+    * This replaces the cache-then-self-join shape (round-5 finding: the
+    * caches were never unpersisted and accumulated across the 121-query
+    * driver session). Cost: one extra evaluation of `filled` for the
+    * count pass — a scan plus one exchange, cheaper at any scale than
+    * pinning the whole grid in executor storage. */
+  private def topProducts(filled: DataFrame, n: Int): Seq[String] =
+    filled.groupBy(col("product_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (p, c) => (-c, p) }.take(n).map(_._1).toSeq
+
+  /** Wide per-grid-hour alignment of the picked instruments: ONE
+    * aggregation on grid_ts replaces the grid self-join (the filled grid
+    * has exactly one row per (product, hour), so max(when) lifts each
+    * pick's price bit-for-bit into column x<i>). */
+  private def alignWide(filled: DataFrame, picks: Seq[String]): DataFrame =
+    filled.filter(col("product_id").isin(picks: _*))
+      .groupBy(col("grid_ts"))
+      .agg(max(when(col("product_id") === picks.head, col("price"))).as("x0"),
+        picks.tail.zipWithIndex.map { case (p, i) =>
+          max(when(col("product_id") === p, col("price"))).as(s"x${i + 1}")
+        }: _*)
+
+  /** (grid_ts, xa, xb) for the two longest-history instruments — the
+    * aligned pair grid behind pairs_spread and lead_lag. Empty when the
+    * feed has fewer than two instruments (join semantics preserved). */
+  private def alignPair(filled: DataFrame): DataFrame = {
+    val picks = topProducts(filled, 2)
+    if (picks.size < 2)
+      filled.select(col("grid_ts"), col("price").as("xa"),
+        col("price").as("xb")).limit(0)
+    else
+      alignWide(filled, picks)
+        .filter(col("x0").isNotNull && col("x1").isNotNull)
+        .select(col("grid_ts"), col("x0").as("xa"), col("x1").as("xb"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "normalize" -> ((s, d) => r6(Normalize(ticks(s, d)))),
     "sma_signals" -> ((s, d) =>
@@ -176,18 +215,8 @@ object TickQueries {
       val filled = GapFill(uniqTicks(s, d),
         Seq("product_id"), "event_time", "1 hour",
         Seq("price" -> "price"), truncUnit = "hour")
-        .filter(col("price").isNotNull).cache()
-      val top2 = filled.groupBy(col("product_id"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("n").desc, col("product_id"))))
-        .filter(col("rk") <= 2)
-        .select(col("product_id"), col("rk"))
-      val f = filled.join(broadcast(top2), "product_id")
-      val aligned = f.filter(col("rk") === 1)
-        .select(col("grid_ts"), col("price").as("xa"))
-        .join(f.filter(col("rk") === 2)
-          .select(col("grid_ts"), col("price").as("xb")), "grid_ts")
+        .filter(col("price").isNotNull)
+      val aligned = alignPair(filled)
         .withColumn("spread", col("xa") - col("xb"))
       val all = Window.partitionBy(lit(1))
       val mu = Det.avgD(col("spread"), 9, all)
@@ -211,18 +240,8 @@ object TickQueries {
       val filled = GapFill(uniqTicks(s, d),
         Seq("product_id"), "event_time", "1 hour",
         Seq("price" -> "price"), truncUnit = "hour")
-        .filter(col("price").isNotNull).cache()
-      val top2 = filled.groupBy(col("product_id"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("n").desc, col("product_id"))))
-        .filter(col("rk") <= 2)
-        .select(col("product_id"), col("rk"))
-      val f = filled.join(broadcast(top2), "product_id")
-      val aligned = f.filter(col("rk") === 1)
-        .select(col("grid_ts"), col("price").as("xa"))
-        .join(f.filter(col("rk") === 2)
-          .select(col("grid_ts"), col("price").as("xb")), "grid_ts")
+        .filter(col("price").isNotNull)
+      val aligned = alignPair(filled)
       val wb = Window.orderBy(col("grid_ts"))
       val lags = -3 to 3
       def nm(l: Int) = if (l < 0) s"xb_m${-l}" else s"xb_p$l"
@@ -249,28 +268,40 @@ object TickQueries {
       // grid, bounded to the top-15 instruments by filled-grid length
       // (deterministic pick: count DESC, product_id) — the classic
       // pairs-trading screen. The quadratic is contained by design:
-      // 15 instruments → 105 pairs, and the time-align join fans out
-      // |top|² rows PER GRID HOUR, never |table|². The filled grid is
-      // cached (three consumers); the top set broadcasts; corrD runs on
-      // exact Det grids so the matrix is engine-identical.
+      // 15 instruments → 105 pairs, generated by a per-grid-hour
+      // EXPLODE over the wide-aligned row, never a grid self-join — one
+      // aggregation on grid_ts, a shuffle-free 105× Generate, one hash
+      // aggregate on the pair key. No cache anywhere (the pick is a
+      // driver collect of per-product counts); corrD runs on exact Det
+      // grids so the matrix is engine-identical.
       val filled = GapFill(uniqTicks(s, d),
         Seq("product_id"), "event_time", "1 hour",
         Seq("price" -> "price"), truncUnit = "hour")
-        .filter(col("price").isNotNull).cache()
-      val top = filled.groupBy(col("product_id"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("n").desc, col("product_id"))))
-        .filter(col("rk") <= 15).select(col("product_id"))
-      val f = filled.join(broadcast(top), "product_id")
-      val pairs = f.select(col("product_id").as("pa"), col("grid_ts"),
-          col("price").as("xa"))
-        .join(f.select(col("product_id").as("pb"), col("grid_ts"),
-          col("price").as("xb")), "grid_ts")
-        .filter(col("pa") < col("pb"))
-      r6(pairs.groupBy(col("pa"), col("pb"))
-        .agg(count(lit(1)).as("n_obs"),
-          Det.corrD(col("xa"), col("xb"), 4).as("pair_corr")))
+        .filter(col("price").isNotNull)
+      val picks = topProducts(filled, 15)
+      if (picks.size < 2)
+        r6(filled.select(col("product_id").as("pa"), col("product_id").as("pb"),
+          lit(0L).as("n_obs"), col("price").as("pair_corr")).limit(0))
+      else {
+        val wide = alignWide(filled, picks)
+        val pairStructs = for {
+          i <- picks.indices; j <- (i + 1) until picks.size
+        } yield {
+          val (pi, pj) = (picks(i), picks(j))
+          val (pa, pb, ca, cb) =
+            if (pi < pj) (pi, pj, s"x$i", s"x$j") else (pj, pi, s"x$j", s"x$i")
+          struct(lit(pa).as("pa"), lit(pb).as("pb"),
+            col(ca).as("xa"), col(cb).as("xb"))
+        }
+        val pairs = wide
+          .select(explode(array(pairStructs: _*)).as("p"))
+          .select(col("p.pa").as("pa"), col("p.pb").as("pb"),
+            col("p.xa").as("xa"), col("p.xb").as("xb"))
+          .filter(col("xa").isNotNull && col("xb").isNotNull)
+        r6(pairs.groupBy(col("pa"), col("pb"))
+          .agg(count(lit(1)).as("n_obs"),
+            Det.corrD(col("xa"), col("xb"), 4).as("pair_corr")))
+      }
     }),
     "seq_gaps" -> ((s, d) => {
       // Ingest-integrity audit: per instrument, gaps in the sequence-id

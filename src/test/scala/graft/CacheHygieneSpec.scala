@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage-hygiene guards (round-5 finding): contract queries must not
+  * leave cached blocks behind after they materialize — in a 121-query
+  * Verify/Bench session leaked caches accumulate for the driver's
+  * lifetime. Queries that legitimately persist mid-plan (pagerank,
+  * triangle_count) must release those caches before returning, leaving at
+  * most their own result-sized localCheckpoint behind.
+  */
+class CacheHygieneSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Runs the query to completion and returns the persistent-RDD delta
+    * (ids present after that were not present before). */
+  private def persistedAfter(name: String): Set[Int] = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+    sc.getPersistentRDDs.keySet.toSet -- before
+  }
+
+  test("lead_lag, pairs_spread, corr_matrix and rfm_segments leave no cached blocks") {
+    for (q <- Seq("lead_lag", "pairs_spread", "corr_matrix", "rfm_segments")) {
+      val leaked = persistedAfter(q)
+      assert(leaked.isEmpty, s"$q left persistent RDDs behind: $leaked")
+    }
+  }
+
+  test("pagerank and triangle_count release their edge caches") {
+    for (q <- Seq("pagerank", "triangle_count")) {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet.toSet
+      SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+      val after = sc.getPersistentRDDs.view.filterKeys(!before.contains(_)).toMap
+      // the result localCheckpoint may remain (node-sized / one row);
+      // the edge-list and degree caches must be gone
+      assert(after.size <= 1,
+        s"$q left more than its result checkpoint behind: ${after.keySet}")
+      // and nothing big: every surviving block set is the tiny result
+      after.values.foreach { rdd =>
+        assert(rdd.partitions.length <= spark.sparkContext.defaultParallelism * 2,
+          s"$q left a large persisted RDD (${rdd.partitions.length} partitions)")
+      }
+    }
+  }
+}

