@@ -30,7 +30,22 @@ object StatefulLatency {
   final case class Gap(event_type: String, ts: java.sql.Timestamp, gap_us: Long)
 
   /** Stage 1: per-type gap chain (the first arrival of a type emits
-    * nothing, like the batch query's `gap_us IS NOT NULL`). */
+    * nothing, like the batch query's `gap_us IS NOT NULL`).
+    *
+    * ORDERING CONTRACT: arrivals are sorted (ts, event_id) WITHIN a
+    * micro-batch, but an event that sorts before the last state pair of
+    * a PREVIOUS batch is dropped, not spliced — the O(1) state keeps
+    * only the newest (ts, id), so streaming≡batch holds exactly when
+    * the feed is ordered at micro-batch granularity: every event of
+    * batch n+1 ≥ the max of batch n per key (true for replayed logs and
+    * for any source partitioned so per-key order is preserved, e.g. a
+    * Kafka topic keyed by event_type). A cross-batch straggler would
+    * need a watermark-deep buffer in state — O(late window) instead of
+    * O(1) — to recover the batch bits; callers that cannot guarantee
+    * batch-granular order should widen micro-batches (trigger interval)
+    * past their reorder horizon instead. StatefulLatencySpec pins the
+    * drop behavior so a silent semantic change fails a test.
+    */
   def gaps(events: Dataset[EventIn]): Dataset[Gap] = {
     val spark = events.sparkSession
     import spark.implicits._

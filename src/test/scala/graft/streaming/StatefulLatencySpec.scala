@@ -64,4 +64,33 @@ class StatefulLatencySpec extends AnyFunSuite {
         "streaming lag rollup must equal the batch window bits")
     } finally q.stop()
   }
+
+  test("ordering contract: a cross-batch straggler is dropped, not spliced") {
+    // Pins the documented precondition (StatefulLatency.gaps scaladoc):
+    // streaming≡batch requires per-key order at micro-batch granularity.
+    // An event older than a previous batch's state pair must be DROPPED
+    // (O(1) state) — if this test ever sees it spliced in, the state
+    // contract changed and the scaladoc + equality claims must be
+    // revisited together.
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+
+    val ms = MemoryStream[EventIn]
+    val q = StatefulLatency.gaps(ms.toDS()).writeStream.format("memory")
+      .queryName("gapdrop").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: t=0s and t=100s; batch 2: a straggler at t=50s, then t=160s
+      ms.addData(Seq(EventIn("view", ts(0), 0L), EventIn("view", ts(100), 1L)))
+      q.processAllAvailable()
+      ms.addData(Seq(EventIn("view", ts(50), 2L), EventIn("view", ts(160), 3L)))
+      q.processAllAvailable()
+      val gaps = s.table("gapdrop").collect()
+        .map(r => r.getAs[Long]("gap_us")).sorted.toSeq
+      // within-batch: 100s gap; cross-batch: 160-100=60s — the 50s
+      // straggler contributes NOTHING (neither 50s nor a rewritten gap)
+      assert(gaps == Seq(60000000L, 100000000L),
+        s"straggler must be dropped under the O(1) state contract, got $gaps")
+    } finally q.stop()
+  }
 }
