@@ -1,0 +1,91 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan snapshot regression harness (docs/SCALE.md).
+  *
+  * [[PlanSnap.skeleton]] reduces an executed plan to a stable operator
+  * skeleton — tree shape + operator names only, with expression IDs,
+  * codegen stage numbers, paths, and statistics stripped — so an added
+  * Exchange / a join-strategy flip / a lost WholeStageCodegen span fails
+  * `PlanRegressionSpec` at build time instead of surfacing as a bench
+  * regression a round later. Alias renames and literal tweaks do NOT
+  * trip it: only the operator tree does.
+  *
+  * Golden files: `src/test/resources/plans/<query>.plan`, captured on
+  * the sf0.001 fixtures (plan shapes are stats-adaptive; the snapshot
+  * pins the fixture-scale plan, PlanShapeSpec pins the scale-path
+  * invariants that must hold at ANY size).
+  *
+  * Regenerate after a DELIBERATE plan change:
+  *   sbt "runMain graft.tools.PlanSnap"            # rewrite all
+  *   sbt "runMain graft.tools.PlanSnap q1 q2 ..."  # rewrite a subset
+  * then eyeball `git diff src/test/resources/plans` before committing.
+  */
+object PlanSnap {
+
+  /** The headline queries whose plans are pinned — one per pipeline
+    * family, covering every operator class the 100 TB story leans on. */
+  val Headline: Seq[String] = Seq(
+    "sma_signals",     // shared-Exchange rolling-window chain
+    "positions",       // fused join-free signal→position pipeline
+    "metrics_5m",      // windowed Det aggregate (partial/final hash agg)
+    "rollup_hourly",   // continuous-aggregate rollup over metrics
+    "ohlc_bars",       // min_by/max_by hash aggregate, no window sort
+    "vpin",            // sign chain + volume clock on one Exchange
+    "dedup_minhash",   // shingle→minhash→band→bucket-join
+    "dedup_embed",     // SRP bucket repartition + streaming pair gen
+    "embed_topk",      // broadcast brute-force cosine top-k
+    "embed_lsh_multi", // multi-table SRP ANN (explode + bucket join)
+    "rel_star_join",   // broadcast star join
+    "curation_report"  // the big composed doc pipeline
+  )
+
+  val SnapshotDir = "src/test/resources/plans"
+
+  /** Stable operator skeleton of an executed-plan string: per line keep
+    * the tree-drawing indentation and the operator name; drop expression
+    * IDs, codegen stage ids, subquery ids, paths, pushed-filter dumps,
+    * and the trailing detail sections `toString` appends after the tree
+    * (`(1) Scan parquet` blocks, reused-exchange tables). */
+  def skeleton(plan: String): String = {
+    val opLine = """^([\s:+\-]*)(?:\*\(\d+\)\s*)?([A-Za-z][A-Za-z0-9]*)""".r
+    plan.linesIterator
+      .takeWhile(l => l.nonEmpty)       // tree section ends at first blank
+      .flatMap { line =>
+        opLine.findPrefixMatchOf(line).map { m =>
+          // normalize ":  +-" vs "   +-" connector variants to plain depth
+          val depth = m.group(1).replaceAll("[^\\s]", " ")
+          s"$depth${m.group(2)}"
+        }
+      }
+      .mkString("\n")
+  }
+
+  def capture(spark: SparkSession, name: String, dir: String): String =
+    skeleton(SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString)
+
+  def main(args: Array[String]): Unit = {
+    val names = if (args.nonEmpty) args.toSeq else Headline
+    // MUST match graft.TestSpark's session config — PlanRegressionSpec
+    // compares against snapshots captured here.
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val out = java.nio.file.Paths.get(SnapshotDir)
+    java.nio.file.Files.createDirectories(out)
+    names.foreach { n =>
+      val s = capture(spark, n, "/root/testdata/sf0.001")
+      java.nio.file.Files.writeString(out.resolve(s"$n.plan"), s + "\n")
+      println(s"[plansnap] wrote $n (${s.linesIterator.size} ops)")
+    }
+    spark.stop()
+  }
+}
