@@ -98,15 +98,37 @@ object TickQueries {
   /** Deterministic top-N instruments by filled-grid length (count DESC,
     * product_id) — the pick is instrument-DIMENSION-sized, so it is a
     * driver collect of per-product counts embedded back as literals.
-    * This replaces the cache-then-self-join shape (round-5 finding: the
-    * caches were never unpersisted and accumulated across the 121-query
-    * driver session). Cost: one extra evaluation of `filled` for the
-    * count pass — a scan plus one exchange, cheaper at any scale than
-    * pinning the whole grid in executor storage. */
-  private def topProducts(filled: DataFrame, n: Int): Seq[String] =
-    filled.groupBy(col("product_id")).agg(count(lit(1)).as("n"))
+    *
+    * The non-null filled count per product is CLOSED-FORM from its tick
+    * span — every tick carries a price (ticks() constructs price =
+    * value+100, never null), so the hourly as-of grid is non-null
+    * exactly at trunc(min)+k·1h points within [min, max]:
+    * n = (max − trunc(min,'hour')) div 1h + (min == trunc(min) ? 1 : 0),
+    * all exact integer micros arithmetic. The pick job is therefore a
+    * map-side-combined min/max per product over the RAW ticks — it
+    * never builds the grid (the prior shape evaluated the whole
+    * gap-fill subtree a second time just to count its rows), and
+    * min/max need no (product, event_time) dedup pass either. */
+  private def topProducts(rawTicks: DataFrame, n: Int): Seq[String] =
+    rawTicks.groupBy(col("product_id"))
+      .agg(min(col("event_time")).as("mn"), max(col("event_time")).as("mx"))
+      .select(col("product_id"),
+        (expr("(unix_micros(mx) - unix_micros(date_trunc('hour', mn))) div 3600000000") +
+          when(col("mn") === date_trunc("hour", col("mn")), lit(1L)).otherwise(lit(0L)))
+          .as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (p, c) => (-c, p) }.take(n).map(_._1).toSeq
+
+  /** Gap-filled hourly grid for `picks` ONLY. The gap-fill is per-key
+    * (each product's grid spans its own min..max), so pruning the
+    * observation stream BEFORE the grid build is bit-identical to
+    * filtering after — and builds |picks| grids instead of every
+    * instrument's (the pair queries build 2, not the whole universe). */
+  private def filledFor(obs: DataFrame, picks: Seq[String]): DataFrame =
+    GapFill(obs.filter(col("product_id").isin(picks: _*)),
+      Seq("product_id"), "event_time", "1 hour",
+      Seq("price" -> "price"), truncUnit = "hour")
+      .filter(col("price").isNotNull)
 
   /** Wide per-grid-hour alignment of the picked instruments: ONE
     * aggregation on grid_ts replaces the grid self-join (the filled grid
@@ -122,14 +144,17 @@ object TickQueries {
 
   /** (grid_ts, xa, xb) for the two longest-history instruments — the
     * aligned pair grid behind pairs_spread and lead_lag. Empty when the
-    * feed has fewer than two instruments (join semantics preserved). */
-  private def alignPair(filled: DataFrame): DataFrame = {
-    val picks = topProducts(filled, 2)
+    * feed has fewer than two instruments (join semantics preserved).
+    * Picks come from the closed-form span count over raw ticks; only
+    * the two picked instruments' grids are ever built. */
+  private def alignPair(s: SparkSession, d: String): DataFrame = {
+    val picks = topProducts(ticks(s, d), 2)
     if (picks.size < 2)
-      filled.select(col("grid_ts"), col("price").as("xa"),
-        col("price").as("xb")).limit(0)
+      uniqTicks(s, d).select(
+        date_trunc("hour", col("event_time")).as("grid_ts"),
+        col("price").as("xa"), col("price").as("xb")).limit(0)
     else
-      alignWide(filled, picks)
+      alignWide(filledFor(uniqTicks(s, d), picks), picks)
         .filter(col("x0").isNotNull && col("x1").isNotNull)
         .select(col("grid_ts"), col("x0").as("xa"), col("x1").as("xb"))
   }
@@ -212,11 +237,7 @@ object TickQueries {
       // per-row double subtraction on identical operand bits; mean and
       // stddev ride Det grids; the whole-series window sees one
       // instrument-pair's aligned grid (time-bounded, not data-bounded).
-      val filled = GapFill(uniqTicks(s, d),
-        Seq("product_id"), "event_time", "1 hour",
-        Seq("price" -> "price"), truncUnit = "hour")
-        .filter(col("price").isNotNull)
-      val aligned = alignPair(filled)
+      val aligned = alignPair(s, d)
         .withColumn("spread", col("xa") - col("xb"))
       val all = Window.partitionBy(lit(1))
       val mu = Det.avgD(col("spread"), 9, all)
@@ -237,11 +258,7 @@ object TickQueries {
       // lag columns come from ONE window pass, and corrD keeps each
       // cell engine-identical. Ranking orders on coalesce(|xcorr|, −1)
       // so a null cell can never make the pick engine-dependent.
-      val filled = GapFill(uniqTicks(s, d),
-        Seq("product_id"), "event_time", "1 hour",
-        Seq("price" -> "price"), truncUnit = "hour")
-        .filter(col("price").isNotNull)
-      val aligned = alignPair(filled)
+      val aligned = alignPair(s, d)
       val wb = Window.orderBy(col("grid_ts"))
       val lags = -3 to 3
       def nm(l: Int) = if (l < 0) s"xb_m${-l}" else s"xb_p$l"
@@ -274,16 +291,12 @@ object TickQueries {
       // aggregate on the pair key. No cache anywhere (the pick is a
       // driver collect of per-product counts); corrD runs on exact Det
       // grids so the matrix is engine-identical.
-      val filled = GapFill(uniqTicks(s, d),
-        Seq("product_id"), "event_time", "1 hour",
-        Seq("price" -> "price"), truncUnit = "hour")
-        .filter(col("price").isNotNull)
-      val picks = topProducts(filled, 15)
+      val picks = topProducts(ticks(s, d), 15)
       if (picks.size < 2)
-        r6(filled.select(col("product_id").as("pa"), col("product_id").as("pb"),
+        r6(uniqTicks(s, d).select(col("product_id").as("pa"), col("product_id").as("pb"),
           lit(0L).as("n_obs"), col("price").as("pair_corr")).limit(0))
       else {
-        val wide = alignWide(filled, picks)
+        val wide = alignWide(filledFor(uniqTicks(s, d), picks), picks)
         val pairStructs = for {
           i <- picks.indices; j <- (i + 1) until picks.size
         } yield {
