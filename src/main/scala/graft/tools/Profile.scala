@@ -30,6 +30,19 @@ object Profile {
       time("jaccard repart")(Dedup.ngramJaccardTopK(docsR).count())
       time("minhash repart")(Dedup.minhashLshPairs(docsR).count())
     }
+    // curation_report composition breakdown
+    val base = graft.queries.DocQueries.docs(spark, dir)
+    for (round <- 1 to 2) {
+      println(s"--- curation round $round")
+      time("minhash pairs")(Dedup.minhashLshPairs(base).count())
+      time("cc clusters")(ConnectedComponents
+        .clusters(Dedup.minhashLshPairs(base), "doc_a", "doc_b").count())
+      time("langId")(TextOps.langId(base).count())
+      time("qualityRules")(graft.SparkEntry.queries("quality_rules")(spark, dir).count())
+      time("vecs")(graft.queries.VecQueries.vecs(spark, dir).count())
+      time("full curation_report")(
+        graft.SparkEntry.queries("curation_report")(spark, dir).count())
+    }
     spark.stop()
   }
 }

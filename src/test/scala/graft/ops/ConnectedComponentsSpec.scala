@@ -31,4 +31,31 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val m = cc(c1 ++ c2 :+ (4L, 10L))
     assert(m.values.toSet == Set(1L))
   }
+
+  test("driver union-find and distributed propagation are bit-identical") {
+    // deterministic pseudo-random graph: chains, cliques, bridges, self
+    // edges, isolated pairs — every structural case in one fixture
+    val rnd = new scala.util.Random(42)
+    val pairs = (
+      (0L until 20L).map(i => (i, i + 1)) ++                  // long chain
+      (for (a <- 100L to 106L; b <- (a + 1) to 106L) yield (a, b)) ++ // clique
+      Seq((20L, 100L)) ++                                     // bridge
+      Seq((500L, 500L), (601L, 600L)) ++                      // self + pair
+      (0 until 60).map(_ => (rnd.nextInt(50).toLong + 200L,
+        rnd.nextInt(50).toLong + 200L))                       // random blob
+    )
+    val df = pairs.toDF("a", "b")
+    val small = ConnectedComponents.clusters(df, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val looped = ConnectedComponents.clusters(df, "a", "b", smallEdges = -1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(small == looped)
+    assert(small.nonEmpty)
+  }
+
+  test("forced-loop path on an empty edge list matches the driver path") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(ConnectedComponents.clusters(empty, "a", "b").isEmpty)
+    assert(ConnectedComponents.clusters(empty, "a", "b", smallEdges = -1L).isEmpty)
+  }
 }
