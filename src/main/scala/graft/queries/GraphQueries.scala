@@ -188,10 +188,24 @@ FROM closed"""
     * Emits (v, degree, pr) — pr = k/10^12, two exact casts + one
     * correctly-rounded division.
     */
-  private def pagerank(s: SparkSession, d: String): DataFrame = {
+  /** Size-adaptive (the ConnectedComponents pattern): the rank walk is
+    * EXACT LONG arithmetic throughout, so its sums are order-independent
+    * and a driver replay of the same operations is bit-identical to the
+    * distributed loop by construction (GraphAdaptiveSpec proves it). The
+    * thresholded co-occurrence edge list is item-dimension-bounded, so
+    * the common case collects (the pair scan stays distributed — only
+    * the K tiny iteration joins move to the driver); past `smallEdges`
+    * the distributed loop runs unchanged. */
+  private[graft] def pagerank(s: SparkSession, d: String,
+                              smallEdges: Long = 1L << 20): DataFrame = {
     // cache: the union below and the degree/init/final consumers would
     // otherwise re-run the whole pair-generation scan per branch
     val pairs = suppEdges(s, d).cache()
+    if (pairs.count() <= smallEdges) {
+      val pe = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      pairs.unpersist(false)
+      return pagerankDriver(s, pe)
+    }
     val directed = pairs.unionByName(
       pairs.select(col("y").as("x"), col("x").as("y")))
     val degrees = directed.groupBy(col("x").as("v"))
@@ -234,6 +248,40 @@ FROM closed"""
       .localCheckpoint(true)
     pairs.unpersist(false); degrees.unpersist(false); withDeg.unpersist(false)
     out
+  }
+
+  /** Driver replay of the long-grid walk over a collected x<y edge list:
+    * identical operations — floor divisions on non-negative longs (Scala
+    * `/` ≡ SQL `div` there), the damped update `base + (17·Σ) div 20`,
+    * one final exact cast + correctly-rounded division — in a different
+    * (irrelevant: exact) summation order. */
+  private def pagerankDriver(s: SparkSession, pe: Array[(Long, Long)]): DataFrame = {
+    import s.implicits._
+    import scala.collection.mutable
+    val deg = mutable.LongMap.empty[Long]
+    pe.foreach { case (x, y) =>
+      deg.update(x, deg.getOrElse(x, 0L) + 1L)
+      deg.update(y, deg.getOrElse(y, 0L) + 1L)
+    }
+    val nNodes = deg.size.toLong
+    if (nNodes == 0L)
+      return s.createDataset(Seq.empty[(Long, Long, Double)]).toDF("v", "degree", "pr")
+    val baseK = (3L * PrGrid / 20L) / nNodes
+    var k = mutable.LongMap.empty[Long]
+    deg.foreachKey(v => k.update(v, PrGrid / nNodes))
+    for (_ <- 1 to PrIters) {
+      val nk = mutable.LongMap.empty[Long]
+      pe.foreach { case (x, y) => // symmetric edge = both directed arcs
+        nk.update(y, nk.getOrElse(y, 0L) + k(x) / deg(x))
+        nk.update(x, nk.getOrElse(x, 0L) + k(y) / deg(y))
+      }
+      val k2 = mutable.LongMap.empty[Long]
+      nk.foreach { case (v, sum) => k2.update(v, baseK + (17L * sum) / 20L) }
+      k = k2
+    }
+    val rows = deg.keys.toArray.sorted
+      .map(v => (v, deg(v), k(v).toDouble / PrGrid.toDouble)).toIndexedSeq
+    s.createDataset(rows).toDF("v", "degree", "pr")
   }
 
   private val pagerankSql = {
