@@ -58,7 +58,10 @@ object BasketQueries {
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= MinSupport)
-    pairs
+    // Eager localCheckpoint (result is ≥MinSupport-thresholded pair-
+    // dimension-sized) so the basket cache can be released HERE instead
+    // of leaking for the driver session's lifetime (CacheHygieneSpec).
+    val out = pairs
       .join(broadcast(itemCounts.select(col("l_partkey").as("part_a"),
         col("n_item").as("n_a"))), "part_a")
       .join(broadcast(itemCounts.select(col("l_partkey").as("part_b"),
@@ -68,6 +71,9 @@ object BasketQueries {
         (col("n_both").cast("double") / col("n_a").cast("double")).as("confidence_ab"),
         ((col("n_orders") * col("n_both")).cast("double") /
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .localCheckpoint(true)
+    baskets.unpersist(false)
+    out
   }
 
   private val marketBasketSql =

@@ -269,12 +269,17 @@ WHERE rk <= 10"""
       .withColumn("c1", sum(col("c12")).over(
         Window.partitionBy(col("lang"), col("w1"))))
     val surprise = col("c1").cast("double") / col("c12").cast("double")
-    bigrams
+    // Eager localCheckpoint (doc-dimension-sized result) so the bigram
+    // cache releases here instead of leaking (CacheHygieneSpec).
+    val out = bigrams
       .join(broadcast(model), Seq("lang", "w1", "w2"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_bigrams"),
         Det.avgD(surprise, 4).as("fluency"),
         max(surprise).as("max_surprise"))
+      .localCheckpoint(true)
+    bigrams.unpersist(false)
+    out
   }
 
   private val lmFluencySql =

@@ -30,8 +30,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     }
   }
 
-  test("pagerank and triangle_count release their edge caches") {
-    for (q <- Seq("pagerank", "triangle_count")) {
+  test("pagerank, triangle_count, market_basket, lm_fluency release their mid-plan caches") {
+    for (q <- Seq("pagerank", "triangle_count", "market_basket", "lm_fluency")) {
       val sc = spark.sparkContext
       val before = sc.getPersistentRDDs.keySet.toSet
       SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
