@@ -109,13 +109,18 @@ object TickQueries {
     * never builds the grid (the prior shape evaluated the whole
     * gap-fill subtree a second time just to count its rows), and
     * min/max need no (product, event_time) dedup pass either. */
-  private def topProducts(rawTicks: DataFrame, n: Int): Seq[String] =
+  private[graft] def topProducts(rawTicks: DataFrame, n: Int): Seq[String] =
     rawTicks.groupBy(col("product_id"))
       .agg(min(col("event_time")).as("mn"), max(col("event_time")).as("mx"))
       .select(col("product_id"),
         (expr("(unix_micros(mx) - unix_micros(date_trunc('hour', mn))) div 3600000000") +
           when(col("mn") === date_trunc("hour", col("mn")), lit(1L)).otherwise(lit(0L)))
           .as("n"))
+      // a product with ZERO non-null grid points (single sub-hour tick)
+      // has no rows in the filled frame at all — the grid-built ranking
+      // cannot contain it, so the closed form must drop it too
+      // (TopProductsSpec pins this edge)
+      .filter(col("n") > 0L)
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (p, c) => (-c, p) }.take(n).map(_._1).toSeq
 
