@@ -115,8 +115,17 @@ object Ranks {
     * compiled accumulation rather than silently skew offsets.
     */
   def runningSumByRange(df: DataFrame, order: Seq[Column], valueCol: String,
-                        out: String, partitions: Option[Int] = None): DataFrame = {
+                        out: String, partitions: Option[Int] = None,
+                        smallBytes: Long = DimensionBytes): DataFrame = {
     val spark = df.sparkSession
+    // Same adaptive flip as ntileByRange: exact-long prefix sums are
+    // order-of-evaluation independent, so the one-task window form and
+    // the two-pass range form are bit-identical (RanksSpec/RanksProps);
+    // under the dimension-size threshold the single sort wins.
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= smallBytes)
+      return df.withColumn(out,
+        sum(col(valueCol)).over(Window.orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val nPart = partitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
     val vIdx = df.schema.fieldIndex(valueCol)
     val sorted = rangeSorted(df, order, nPart)

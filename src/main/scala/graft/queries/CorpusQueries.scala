@@ -129,10 +129,11 @@ GROUP BY v.lang"""
     * pre-aggregated per distinct instant BEFORE the running sum, so the
     * prefix scan runs over unique ordered keys (no window tie-break
     * freedom — bit-deterministic), and the prefix sum itself is
-    * [[graft.ops.Ranks.runningSumByRange]] — the two-pass range form, so
-    * NO single-partition window exists even though the boundary table
-    * grows with the data. Long addition is associative: identical bits
-    * to the oracle's global window sum at any partitioning. */
+    * [[graft.ops.Ranks.runningSumByRange]] — stats-adaptive: the
+    * two-pass range form once the boundary table outgrows the dimension
+    * threshold, the one-task window under it. Long addition is
+    * associative: identical bits to the oracle's global window sum at
+    * any partitioning, either path. */
   private def sessionConcurrency(s: SparkSession, d: String): DataFrame = {
     val sess = Sessionize(
       AnalyticsQueries.events(s, d).select(col("user_id"), col("ts"), col("value")),
@@ -412,10 +413,11 @@ HAVING count(DISTINCT doc_id) >= 2"""
     * doc_id order) into fixed-capacity training sequences: each doc's
     * token span [cum − n, cum) maps to packed sequences
     * first = (cum−n) div cap … last = (cum−1) div cap. The global
-    * running token sum is [[graft.ops.Ranks.runningSumByRange]] — the
-    * two-pass range prefix sum, NO single-partition window — and long
-    * addition is associative, so the result is bit-identical to the
-    * oracle's window sum at any partitioning. All outputs exact longs.
+    * running token sum is [[graft.ops.Ranks.runningSumByRange]] —
+    * stats-adaptive: the two-pass range prefix sum past the dimension
+    * threshold, the one-task window under it — and long addition is
+    * associative, so the result is bit-identical to the oracle's window
+    * sum at any partitioning, either path. All outputs exact longs.
     */
   private def seqPacking(s: SparkSession, d: String): DataFrame = {
     val toks = docs(s, d).select(col("doc_id"),

@@ -46,7 +46,7 @@ object RanksProps extends Properties("Ranks") {
       import s.implicits._
       val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "n")
       val got = Ranks.runningSumByRange(df, Seq(col("id")), "n", "cum",
-          partitions = Some(nPart))
+          partitions = Some(nPart), smallBytes = -1L) // force the two-pass
         .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
       val want = df.withColumn("cum", sum(col("n")).over(
           Window.orderBy(col("id"))

@@ -78,12 +78,15 @@ class RanksSpec extends AnyFunSuite {
     import s.implicits._
     val df = (0 until 500).map(i => (i.toLong, ((i * 31) % 17 + 1).toLong))
       .toDF("id", "n")
-    val got = Ranks.runningSumByRange(df, Seq(col("id")), "n", "cum",
-        partitions = Some(8))
-      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     val want = df.withColumn("cum", sum(col("n")).over(
         Window.orderBy(col("id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
-    assert(got == want)
+    // both sides of the adaptive flip: forced two-pass AND window path
+    for (small <- Seq(-1L, Long.MaxValue)) {
+      val got = Ranks.runningSumByRange(df, Seq(col("id")), "n", "cum",
+          partitions = Some(8), smallBytes = small)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == want, s"smallBytes=$small diverged")
+    }
   }
 }
