@@ -3,14 +3,32 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every contract query on SPARK_GRAFT_SF_DIR.
   *
-  * Protocol per query: one untimed warmup run (JIT + codegen + parquet
-  * footer cache), then `SPARK_GRAFT_BENCH_ITERS` (default 3) timed runs;
-  * the reported number is the MEDIAN — single-run times on a shared
-  * machine are noise-dominated (the round-5 bench regression adjudicated
-  * as machine state, not code, cost a judge re-run).
+  * Protocol: one untimed GLOBAL warmup pass over every query (C2-JITs
+  * Spark core, warms the page cache, fills the generated-class cache),
+  * then `SPARK_GRAFT_BENCH_ITERS` (default 3) INTERLEAVED timed rounds —
+  * round r times every query once, in name order — and the reported
+  * number is the per-query MEDIAN across rounds. Interleaving is the
+  * noise defense: single-run times on a shared machine are
+  * noise-dominated (the round-5 "regression" adjudicated as machine
+  * state, not code, cost a judge re-run), and a host CPU-steal burst is
+  * CONTIGUOUS in time — under back-to-back per-query iterations it
+  * poisons every sample of one query (round-6 first attempt recorded
+  * market_beta at 31.6/16.4/24.7 s vs a true ~1 s), while under
+  * interleaving it poisons at most one round's sample of the queries it
+  * overlaps and the median survives.
+  *
+  * Interleaving is only valid because the generated-class cache is
+  * sized to the session: the default cache holds 100 classes — far
+  * fewer than the contract's codegen stages — so by the time a round
+  * returns to a query its classes would be evicted and every "timed"
+  * run would re-pay Janino compilation (measured: `executions` 3.1 s
+  * evicted vs 0.65 s warm). `spark.sql.codegen.cache.maxEntries=4096`
+  * keeps every stage's classes warm across the whole 121-query session
+  * (verified by graft.tools.CodegenCacheProbe: after a full contract
+  * pass, early-alphabet re-runs stay at warm-adjacent times).
   *
   * Output: the driver-contract single JSON line on stdout (medians), and
-  * the SAME object plus raw per-iteration samples written to
+  * the SAME object plus raw per-round samples written to
   * `$SPARK_GRAFT_BENCH_OUT` (default `bench.json`) — stdout tails get
   * truncated between rounds; the file is the machine-readable record.
   *
@@ -29,6 +47,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -49,14 +68,19 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-    names.foreach(run) // warmup pass
-    val samples: Seq[(String, Seq[Double])] = names.map { name =>
-      name -> (1 to iters).map { _ =>
-        val t0 = System.nanoTime()
-        run(name)
-        (System.nanoTime() - t0) / 1e9
-      }
+    // Global warmup (JIT + page cache + generated-class cache — kept
+    // warm for the whole session by codegen.cache.maxEntries above),
+    // then interleaved rounds: a time-contiguous noise burst lands on at
+    // most one round's sample per query, never on all of them.
+    names.foreach(run)
+    val timed = scala.collection.mutable.Map
+      .empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    for (_ <- 1 to iters; name <- names) {
+      val t0 = System.nanoTime()
+      run(name)
+      timed(name) = timed(name) :+ (System.nanoTime() - t0) / 1e9
     }
+    val samples: Seq[(String, Seq[Double])] = names.map(n => n -> timed(n))
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
