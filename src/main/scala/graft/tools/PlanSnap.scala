@@ -39,7 +39,20 @@ object PlanSnap {
     "embed_topk",      // broadcast brute-force cosine top-k
     "embed_lsh_multi", // multi-table SRP ANN (explode + bucket join)
     "rel_star_join",   // broadcast star join
-    "curation_report"  // the big composed doc pipeline
+    "curation_report", // the big composed doc pipeline
+    // Round-6 widening: one pin per remaining scale-critical shape.
+    "asof_join",         // backward as-of via union + window carry
+    "range_join",        // band-join shape
+    "dedup_jaccard",     // postings self-join under the maxDf cap
+    "market_basket",     // basket self-join + broadcast item dictionary
+    "rfm_segments",      // ntileByRange's dimension (window) path
+    "sessions",          // sessionization gap→id window chain
+    "gapfill",           // grid generate + last-value forward fill
+    "momentum_ranks",    // two orthogonal window Exchanges
+    "lead_lag",          // aligned-pair grid + whole-series window
+    "rel_distinct_agg",  // expand-based multi-distinct aggregate
+    "rel_topk_per_group",// per-group rank under a partial top-k
+    "embed_ivf"          // broadcast codebook argmin probe
   )
 
   val SnapshotDir = "src/test/resources/plans"
