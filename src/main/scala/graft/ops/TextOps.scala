@@ -170,6 +170,41 @@ object TextOps {
       }
       .toDF("doc_id", "text_md5", "n_shingles", "min_shingle_md5", "max_shingle_md5")
   }
+
+  /** Heaps'-law vocabulary-growth curve: one row per document (in doc_id
+    * order) with its token count, the number of words FIRST seen in it,
+    * and the cumulative vocabulary / token totals up to it. The curve is
+    * the standard corpus-curation diagnostic for "is more data still
+    * adding new vocabulary" (Heaps' law: V(n) ≈ K·n^β) — exact integers
+    * throughout, so it is bit-portable with no Det scaffolding.
+    *
+    * Scale shape: the word fan-out collapses in ONE map-side-combinable
+    * aggregate to a row per distinct word (min first-doc — the same
+    * shuffle as an inverted-index build); everything after is doc-count
+    * sized. The two cumulative sums go through
+    * [[Ranks.runningSumByRange]], whose stats-adaptive flip replaces the
+    * single-task global window with two-pass range prefix sums above the
+    * dimension threshold, so the curve assembly itself scales.
+    */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    val tokens = docs.select(col("doc_id"),
+      explode(words(col("text"))).as("word"))
+    val firstSeen = tokens.groupBy(col("word"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val newWords = firstSeen.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("new_words"))
+    val perDoc = tokens.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"))
+      .join(newWords, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("new_words"), lit(0L)).as("new_words"))
+    val vocab = Ranks.runningSumByRange(
+      perDoc, Seq(col("doc_id")), "new_words", "vocab_size")
+    Ranks.runningSumByRange(
+      vocab, Seq(col("doc_id")), "n_tokens", "cum_tokens")
+      .select(col("doc_id"), col("n_tokens"), col("new_words"),
+        col("vocab_size"), col("cum_tokens"))
+  }
 }
 
 /** Word n-gram shingling shared by fingerprinting and dedup. */

@@ -528,6 +528,28 @@ SELECT doc_id, n_tokens,
          AND (top_c * $QrRepDen <= n_tokens) AS keep
 FROM j"""
 
+  /** DuckDB twin of [[graft.ops.TextOps.vocabGrowth]]. Exact integers
+    * end-to-end: counts are BIGINT in both engines (DuckDB's HUGEINT
+    * window sums cast back down), doc_id is unique in `tok` so the
+    * default RANGE window frame equals Spark's ROWS frame, and the
+    * LEFT JOIN + COALESCE mirrors docs whose words were all seen before.
+    */
+  private val vocabGrowthSql =
+    """WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), first_seen AS (
+  SELECT word, min(doc_id) AS doc_id FROM words GROUP BY 1
+), neww AS (
+  SELECT doc_id, count(*) AS new_words FROM first_seen GROUP BY 1
+), tok AS (
+  SELECT doc_id, count(*) AS n_tokens FROM words GROUP BY 1
+)
+SELECT t.doc_id, t.n_tokens,
+       COALESCE(n.new_words, CAST(0 AS BIGINT)) AS new_words,
+       CAST(sum(COALESCE(n.new_words, 0)) OVER (ORDER BY t.doc_id) AS BIGINT) AS vocab_size,
+       CAST(sum(t.n_tokens) OVER (ORDER BY t.doc_id) AS BIGINT) AS cum_tokens
+FROM tok t LEFT JOIN neww n USING (doc_id)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_chunks" -> ((s, d) =>
       Chunker.chunks(docs(s, d), ChunkWindow, ChunkStride)),
@@ -541,7 +563,8 @@ FROM j"""
     "seq_packing" -> ((s, d) => seqPacking(s, d)),
     "span_dedup" -> ((s, d) => spanDedup(s, d)),
     "source_mixture" -> ((s, d) => sourceMixture(s, d)),
-    "quality_rules" -> ((s, d) => qualityRules(s, d))
+    "quality_rules" -> ((s, d) => qualityRules(s, d)),
+    "vocab_growth" -> ((s, d) => graft.ops.TextOps.vocabGrowth(docs(s, d)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -556,6 +579,7 @@ FROM j"""
     "seq_packing" -> seqPackingSql,
     "span_dedup" -> spanDedupSql,
     "source_mixture" -> sourceMixtureSql,
-    "quality_rules" -> qualityRulesSql
+    "quality_rules" -> qualityRulesSql,
+    "vocab_growth" -> vocabGrowthSql
   )
 }

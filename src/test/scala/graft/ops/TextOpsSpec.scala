@@ -70,4 +70,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(m(0L).toSet == Set("a b c", "b c d"))
     assert(m(1L).isEmpty)
   }
+
+  test("vocabGrowth: cumulative vocabulary matches a hand computation") {
+    val out = TextOps.vocabGrowth(docs(Seq(
+      (0L, "a b b c", "en"),
+      (1L, "b c d", "en"),
+      (2L, "a e", "en"),
+      (3L, "b c", "en")))) // all words already seen → new_words 0
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("new_words"), r.getAs[Long]("vocab_size"),
+        r.getAs[Long]("cum_tokens"))).toSeq
+    assert(out == Seq(
+      (0L, 4L, 3L, 3L, 4L), // a,b,c first seen
+      (1L, 3L, 1L, 4L, 7L), // d
+      (2L, 2L, 1L, 5L, 9L), // e (a already seen)
+      (3L, 2L, 0L, 5L, 11L)))
+  }
 }
