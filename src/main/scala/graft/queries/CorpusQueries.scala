@@ -528,6 +528,57 @@ SELECT doc_id, n_tokens,
          AND (top_c * $QrRepDen <= n_tokens) AS keep
 FROM j"""
 
+  /** Cross-source vocabulary overlap: for every source pair (src_a <
+    * src_b, pairs sharing no word drop out in both engines), the distinct
+    * vocabulary sizes, the shared-word count, and the Jaccard similarity
+    * — the dataset-curation diagnostic for "which sources duplicate each
+    * other's content". Counts are exact integers; the ratio is one IEEE
+    * division of exactly-converted longs, 6-dp snapped (Det rule 3).
+    *
+    * Scale shape: the fan-out collapses FIRST to distinct (source, word)
+    * — map-side combinable, vocabulary-sized — and the pair join is
+    * word-keyed (the inverted-index shuffle) with at most S² rows per
+    * word for S sources; the per-source size table is broadcast.
+    */
+  private def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val sw = docs(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .distinct()
+    val sizes = sw.groupBy(col("source")).agg(count(lit(1)).as("v"))
+    val inter = sw.toDF("src_a", "word")
+      .join(sw.toDF("src_b", "word"), Seq("word"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.toDF("src_a", "v_a")), Seq("src_a"))
+      .join(broadcast(sizes.toDF("src_b", "v_b")), Seq("src_b"))
+      .withColumn("n_union", col("v_a") + col("v_b") - col("n_common"))
+      .withColumn("jaccard", Det.snap(
+        col("n_common").cast("double") / col("n_union").cast("double"), 6))
+      .select(col("src_a"), col("src_b"), col("v_a"), col("v_b"),
+        col("n_common"), col("n_union"), col("jaccard"))
+  }
+
+  private val sourceOverlapSql =
+    s"""WITH words AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+), sw AS (
+  SELECT DISTINCT source, word FROM words
+), sizes AS (
+  SELECT source, count(*) AS v FROM sw GROUP BY 1
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+  FROM sw a JOIN sw b USING (word)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, sa.v AS v_a, sb.v AS v_b, i.n_common,
+       sa.v + sb.v - i.n_common AS n_union,
+       ${s6("CAST(i.n_common AS DOUBLE) / CAST(sa.v + sb.v - i.n_common AS DOUBLE)")} AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.src_a
+JOIN sizes sb ON sb.source = i.src_b"""
+
   /** DuckDB twin of [[graft.ops.TextOps.vocabGrowth]]. Exact integers
     * end-to-end: counts are BIGINT in both engines (DuckDB's HUGEINT
     * window sums cast back down), doc_id is unique in `tok` so the
@@ -564,7 +615,8 @@ FROM tok t LEFT JOIN neww n USING (doc_id)"""
     "span_dedup" -> ((s, d) => spanDedup(s, d)),
     "source_mixture" -> ((s, d) => sourceMixture(s, d)),
     "quality_rules" -> ((s, d) => qualityRules(s, d)),
-    "vocab_growth" -> ((s, d) => graft.ops.TextOps.vocabGrowth(docs(s, d)))
+    "vocab_growth" -> ((s, d) => graft.ops.TextOps.vocabGrowth(docs(s, d))),
+    "source_overlap" -> ((s, d) => sourceOverlap(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -580,6 +632,7 @@ FROM tok t LEFT JOIN neww n USING (doc_id)"""
     "span_dedup" -> spanDedupSql,
     "source_mixture" -> sourceMixtureSql,
     "quality_rules" -> qualityRulesSql,
-    "vocab_growth" -> vocabGrowthSql
+    "vocab_growth" -> vocabGrowthSql,
+    "source_overlap" -> sourceOverlapSql
   )
 }
