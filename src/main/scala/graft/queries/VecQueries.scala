@@ -45,7 +45,27 @@ object VecQueries {
       Similarity.ivfAssign(v, Similarity.centroidArrays(Similarity.centroids(v)))
     }),
     "dedup_embed" -> ((s, d) => Similarity.cosineNearDupPairsAuto(vecs(s, d),
-      targetBucketRows = TargetBucket, maxBucket = MaxBucket))
+      targetBucketRows = TargetBucket, maxBucket = MaxBucket)),
+    "ann_recall" -> ((s, d) => {
+      val v = vecs(s, d)
+      val truth = Similarity.bruteForceTopK(q5(v), v).select("qid", "vec_id")
+      val single = Similarity.lshTopK(q5(v), v).select("qid", "vec_id")
+      val multi = Similarity.lshTopKMulti(q5(v), v, k = 10,
+        planes = MultiPlanes, tables = MultiTables).select("qid", "vec_id")
+      val tt = truth.groupBy("qid").agg(count(lit(1)).as("n_true"))
+      val hs = truth.join(single, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("hits_single"))
+      val hm = truth.join(multi, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("hits_multi"))
+      tt.join(hs, Seq("qid"), "left").join(hm, Seq("qid"), "left")
+        .select(col("qid"), col("n_true"),
+          coalesce(col("hits_single"), lit(0L)).as("hits_single"),
+          coalesce(col("hits_multi"), lit(0L)).as("hits_multi"))
+        .withColumn("recall_single", Det.snap(
+          col("hits_single").cast("double") / col("n_true").cast("double"), 6))
+        .withColumn("recall_multi", Det.snap(
+          col("hits_multi").cast("double") / col("n_true").cast("double"), 6))
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -217,7 +237,38 @@ WHERE rnk <= 10"""
   WHERE a.n > 0 AND b.n > 0)
 SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.2"""
 
+  /** ANN quality report: per query, recall@10 of the single-table and
+    * multi-table SRP-LSH paths against the brute-force ground truth —
+    * the eval harness a user runs before trusting the approximate path
+    * at scale, as a contract query so the recall numbers themselves are
+    * engine-portable. Counts are exact; each recall is one IEEE division
+    * of exactly-converted longs, 6-dp snapped. The oracle composes the
+    * three existing twins as nested-WITH subqueries (each keeps its own
+    * CTE scope), so both sides share one source of truth per path.
+    *
+    * Scale shape: the expensive member is the brute-force truth side,
+    * which is inherently query-sampled (q5 here — an eval never runs on
+    * the full query load); the hit joins are (qid, vec_id)-keyed over
+    * top-k-sized frames.
+    */
+  private val annRecallSql =
+    s"""WITH truth AS (SELECT qid, vec_id FROM ($topkSql)),
+s1 AS (SELECT qid, vec_id FROM ($lshTopkSql)),
+m AS (SELECT qid, vec_id FROM ($lshMultiSql)),
+tt AS (SELECT qid, count(*) AS n_true FROM truth GROUP BY 1),
+hs AS (SELECT t.qid, count(*) AS hits_single
+       FROM truth t JOIN s1 USING (qid, vec_id) GROUP BY 1),
+hm AS (SELECT t.qid, count(*) AS hits_multi
+       FROM truth t JOIN m USING (qid, vec_id) GROUP BY 1)
+SELECT tt.qid, tt.n_true,
+       COALESCE(hs.hits_single, CAST(0 AS BIGINT)) AS hits_single,
+       COALESCE(hm.hits_multi, CAST(0 AS BIGINT)) AS hits_multi,
+       ${s6("CAST(COALESCE(hs.hits_single, 0) AS DOUBLE) / CAST(tt.n_true AS DOUBLE)")} AS recall_single,
+       ${s6("CAST(COALESCE(hm.hits_multi, 0) AS DOUBLE) / CAST(tt.n_true AS DOUBLE)")} AS recall_multi
+FROM tt LEFT JOIN hs USING (qid) LEFT JOIN hm USING (qid)"""
+
   def oracleSql: Map[String, String] = Map(
+    "ann_recall" -> annRecallSql,
     "dedup_embed" -> dedupEmbedSql,
     "embed_topk" -> topkSql,
     "embed_lsh_topk" -> lshTopkSql,
