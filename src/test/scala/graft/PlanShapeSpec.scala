@@ -139,6 +139,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"pair generation must shuffle once (repartition by bucket), saw $exchanges:\n$p")
   }
 
+  test("source_overlap broadcasts the per-source size table, word join has no cartesian") {
+    val p = plan("source_overlap")
+    assert(p.contains("BroadcastHashJoin"),
+      "the source-count-sized vocabulary-size table must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "the pair join must stay word-keyed, never cartesian")
+  }
+
+  test("vocab_growth collapses the word fan-out with map-side partials, no cartesian") {
+    val p = plan("vocab_growth")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      "the distinct-word first-seen aggregate must combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("parquet scans prune columns: the lineitem quantile scan reads only what it needs") {
     val df = SparkEntry.queries("rel_quantiles")(spark, dir)
     val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
