@@ -297,6 +297,50 @@ object Similarity {
       .toDF("vec_a", "vec_b", "cosine")
   }
 
+  /** Per-dimension scalar quantization report: for each embedding
+    * coordinate `pos`, the corpus min/max, the uniform `levels`-step
+    * quantization scale, and the reconstruction error it would incur
+    * (max |err| and MSE) — the compression diagnostic run before storing
+    * a 100 TB embedding corpus as int8 (4× smaller, cache-resident ANN).
+    *
+    * Determinism: min/max are exact comparisons (order-independent);
+    * quantize→reconstruct→error is a fixed per-row IEEE sequence
+    * (sub, div, mul, floor — each correctly rounded, identical in any
+    * engine); max|err| is again an exact comparison aggregate; MSE goes
+    * through [[Det.avgD]]'s exact long-grid sum (s=12: err² stays under
+    * the Σ·10^s < 2^63 envelope up to ~10^9 rows per dimension even for
+    * err up to 0.5 — far above any sane quantization error).
+    *
+    * Scale shape: two corpus scans. Pass 1 explodes to (pos, val) and
+    * collapses map-side to `dim` rows (min/max partials — the shuffle
+    * moves ≤ dim·partitions rows). Pass 2 re-explodes, joins the
+    * broadcast dim-row stats table, and collapses map-side again to one
+    * row per dimension. No wide shuffle at any corpus size.
+    */
+  def scalarQuantize(vectors: DataFrame, levels: Int = 255): DataFrame = {
+    val ex = vectors
+      .select(posexplode(col("embedding")).as(Seq("pos0", "f")))
+      .select((col("pos0") + 1).cast("long").as("pos"),
+        col("f").cast("double").as("val"))
+    val stats = ex.groupBy(col("pos"))
+      .agg(min(col("val")).as("mn"), max(col("val")).as("mx"))
+    val L = lit(levels.toDouble)
+    // q = round((val-mn)/(mx-mn)·L); val∈[mn,mx] so q∈[0,L] — no clamp
+    val q = when(col("mx") > col("mn"),
+      floor((col("val") - col("mn")) / (col("mx") - col("mn")) * L + lit(0.5)))
+      .otherwise(lit(0.0))
+    val recon = col("mn") + q * ((col("mx") - col("mn")) / L)
+    ex.join(broadcast(stats), Seq("pos"))
+      .select(col("pos"), col("mn"), col("mx"),
+        (col("val") - recon).as("err"))
+      .groupBy(col("pos"), col("mn"), col("mx"))
+      .agg(Det.snap(max(abs(col("err"))), 9).as("max_abs_err"),
+        Det.snap(Det.avgD(col("err") * col("err"), 12), 12).as("mse"))
+      .select(col("pos"), col("mn"), col("mx"),
+        Det.snap((col("mx") - col("mn")) / L, 9).as("scale"),
+        col("max_abs_err"), col("mse"))
+  }
+
   /** Per-label centroids as (label, pos [1-based], c) rows — exact
     * deterministic means per coordinate. */
   def centroids(vectors: DataFrame): DataFrame =

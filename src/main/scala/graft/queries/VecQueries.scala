@@ -26,6 +26,7 @@ object VecQueries {
   private val MultiPlanes = 8
   private val TargetBucket = 8L
   private val MaxBucket = 1 << 20
+  private val QuantLevels = 255
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_topk" -> ((s, d) => {
@@ -46,6 +47,8 @@ object VecQueries {
     }),
     "dedup_embed" -> ((s, d) => Similarity.cosineNearDupPairsAuto(vecs(s, d),
       targetBucketRows = TargetBucket, maxBucket = MaxBucket)),
+    "embed_quantize" -> ((s, d) =>
+      Similarity.scalarQuantize(vecs(s, d), QuantLevels)),
     "ann_recall" -> ((s, d) => {
       val v = vecs(s, d)
       val truth = Similarity.bruteForceTopK(q5(v), v).select("qid", "vec_id")
@@ -267,8 +270,39 @@ SELECT tt.qid, tt.n_true,
        ${s6("CAST(COALESCE(hm.hits_multi, 0) AS DOUBLE) / CAST(tt.n_true AS DOUBLE)")} AS recall_multi
 FROM tt LEFT JOIN hs USING (qid) LEFT JOIN hm USING (qid)"""
 
+  /** Twin of Similarity.scalarQuantize: the same two-pass shape — per-pos
+    * exact min/max, then the identical fixed IEEE quantize→reconstruct→
+    * error sequence per value (sub, div, mul·$QuantLevels, floor — each
+    * correctly rounded, so the bits match without any grid), max|err| as
+    * an exact comparison aggregate, MSE through the avgD long-grid twin.
+    * 255.0 / 0.5 / 0.0 literals are exactly representable, so DuckDB's
+    * DECIMAL→DOUBLE coercion is exact for them. */
+  private val quantizeSql = {
+    val L = s"$QuantLevels.0"
+    s"""WITH ex AS (
+  SELECT unnest(range(1, len(embedding)+1)) AS pos,
+         unnest([CAST(x AS DOUBLE) for x in embedding]) AS val
+  FROM embeddings
+), st AS (
+  SELECT pos, min(val) AS mn, max(val) AS mx FROM ex GROUP BY pos
+), er AS (
+  SELECT e.pos, s.mn, s.mx,
+         (e.val - (s.mn + (CASE WHEN s.mx > s.mn
+            THEN floor((e.val - s.mn)/(s.mx - s.mn)*$L + 0.5)
+            ELSE 0.0 END) * ((s.mx - s.mn)/$L))) AS err
+  FROM ex e JOIN st s USING (pos))
+SELECT pos, mn, mx,
+       ${s9(s"(mx - mn)/$L")} AS scale,
+       ${s9("max(abs(err))")} AS max_abs_err,
+       ${Det.snapSql(Det.avgDSql("err*err", 12), 12)} AS mse
+FROM er GROUP BY pos, mn, mx"""
+  }
+
+  private def s9(x: String): String = Det.snapSql(x, 9)
+
   def oracleSql: Map[String, String] = Map(
     "ann_recall" -> annRecallSql,
+    "embed_quantize" -> quantizeSql,
     "dedup_embed" -> dedupEmbedSql,
     "embed_topk" -> topkSql,
     "embed_lsh_topk" -> lshTopkSql,

@@ -57,6 +57,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.centroids(noVecs).count() == 0)
     assert(Similarity.ivfAssign(noVecs,
       Similarity.centroidArrays(Similarity.centroids(noVecs))).count() == 0)
+    assert(Similarity.scalarQuantize(noVecs).count() == 0)
     assert(Multimodal.decodeFrames(Multimodal.toBlobTable(noDocs)).count() == 0)
   }
 

@@ -90,6 +90,36 @@ class SimilaritySpec extends AnyFunSuite {
       canon(Similarity.cosineNearDupPairs(corpus, planes = p)))
   }
 
+  test("scalar quantization: exact per-dim stats, error bounded by half a step") {
+    val v = vecs(Seq(
+      (0L, Seq(0f, 10f, 7f), 0),
+      (1L, Seq(1f, 20f, 7f), 0),
+      (2L, Seq(0.5f, 15f, 7f), 0)))
+    val rows = Similarity.scalarQuantize(v, levels = 255).collect()
+      .map(r => r.getAs[Long]("pos") -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    assert(rows(1L).getAs[Double]("mn") == 0.0 && rows(1L).getAs[Double]("mx") == 1.0)
+    assert(rows(2L).getAs[Double]("mn") == 10.0 && rows(2L).getAs[Double]("mx") == 20.0)
+    // every dimension's max reconstruction error ≤ half a quantization step
+    rows.values.foreach { r =>
+      val halfStep = r.getAs[Double]("scale") / 2
+      assert(r.getAs[Double]("max_abs_err") <= halfStep + 1e-9)
+      assert(r.getAs[Double]("mse") <= halfStep * halfStep + 1e-9)
+    }
+    // constant dimension quantizes losslessly to level 0
+    assert(rows(3L).getAs[Double]("scale") == 0.0)
+    assert(rows(3L).getAs[Double]("max_abs_err") == 0.0)
+    assert(rows(3L).getAs[Double]("mse") == 0.0)
+  }
+
+  test("scalar quantization at levels=1 still reconstructs endpoints exactly") {
+    val v = vecs(Seq((0L, Seq(-2f), 0), (1L, Seq(6f), 0)))
+    val r = Similarity.scalarQuantize(v, levels = 1).head()
+    // q ∈ {0,1} → recon ∈ {mn, mx}: both endpoints exact, so err = 0 there
+    assert(r.getAs[Double]("mn") == -2.0 && r.getAs[Double]("mx") == 6.0)
+    assert(r.getAs[Double]("max_abs_err") == 0.0)
+  }
+
   test("cosine of a vector with an identical vector is exactly 1.0") {
     val two = vecs(Seq((0L, Seq(0.3f, -0.2f, 0.5f, 0.1f), 0),
       (1L, Seq(0.3f, -0.2f, 0.5f, 0.1f), 0)))
