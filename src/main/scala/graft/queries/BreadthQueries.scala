@@ -34,7 +34,7 @@ object BreadthQueries {
     val eventTime =
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         expr("timestamp_micros(ts div 1000)")
-      else col("ts")
+      else col("ts").cast("timestamp")
     raw.select(col("event_id"), eventTime.as("ts"), col("user_id"),
       col("event_type"), col("value"), col("props"))
   }

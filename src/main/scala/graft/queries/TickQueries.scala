@@ -34,21 +34,23 @@ object TickQueries {
 
   /** events.parquet → reference raw-tick shape.
     *
-    * `ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a nanos
-    * Long (`spark.sql.legacy.parquet.nanosAsLong=true`, set by
-    * Verify/Bench/tests); the data carries no sub-microsecond components,
-    * so `div 1000` → timestamp_micros is exact. When the flag is off and
-    * the column arrives as a real timestamp already, pass it through.
+    * `ts` has shipped as both parquet TIMESTAMP(NANOS) — which Spark only
+    * reads as a nanos Long (`spark.sql.legacy.parquet.nanosAsLong=true`,
+    * set by Verify/Bench/tests; no sub-microsecond components, so
+    * `div 1000` → timestamp_micros is exact) — and as TIMESTAMP(MICROS)
+    * NTZ. Normalize both to the session-zone TIMESTAMP the pipeline
+    * expects (`unix_micros` et al. reject NTZ); the session zone is UTC
+    * everywhere, so the NTZ cast is value-preserving.
     */
   def ticks(s: SparkSession, dir: String): DataFrame = {
     // Defensive: a caller-supplied session (driver smoke test) may not
-    // carry the flag; without it the TIMESTAMP(NANOS) read throws.
+    // carry the flag; without it a TIMESTAMP(NANOS) read throws.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
     val eventTime =
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         expr("timestamp_micros(ts div 1000)")
-      else col("ts")
+      else col("ts").cast("timestamp")
     // price = value + 100: shifts the synthetic series into a realistic
     // price band (events.value has min 0.0; near-zero prices make
     // (mid−prev)/prev returns explode to ~1e13, a dynamic range no real
