@@ -26,6 +26,7 @@ object AnalyticsQueries {
     * TickQueries.ticks). */
   private[queries] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC") // NTZ cast is zone-sensitive
     val raw = s.read.parquet(s"$dir/events.parquet")
     val eventTime =
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)

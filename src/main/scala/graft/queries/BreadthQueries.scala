@@ -30,6 +30,7 @@ object BreadthQueries {
   /** events.parquet in its native shape (TIMESTAMP(NANOS) → micros). */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC") // NTZ cast is zone-sensitive
     val raw = s.read.parquet(s"$dir/events.parquet")
     val eventTime =
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)

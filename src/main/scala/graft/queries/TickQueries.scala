@@ -44,8 +44,11 @@ object TickQueries {
     */
   def ticks(s: SparkSession, dir: String): DataFrame = {
     // Defensive: a caller-supplied session (driver smoke test) may not
-    // carry the flag; without it a TIMESTAMP(NANOS) read throws.
+    // carry the flag; without it a TIMESTAMP(NANOS) read throws. The zone
+    // pin keeps the NTZ→TIMESTAMP cast below value-preserving on non-UTC
+    // hosts (NTZ values are reinterpreted in the session zone).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = s.read.parquet(s"$dir/events.parquet")
     val eventTime =
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
