@@ -27,10 +27,12 @@ import org.apache.spark.sql.SparkSession
   * (verified by graft.tools.CodegenCacheProbe: after a full contract
   * pass, early-alphabet re-runs stay at warm-adjacent times).
   *
-  * Output: the driver-contract single JSON line on stdout (medians), and
-  * the SAME object plus raw per-round samples written to
-  * `$SPARK_GRAFT_BENCH_OUT` (default `bench.json`) — stdout tails get
-  * truncated between rounds; the file is the machine-readable record.
+  * Output: the driver-contract JSON line on stdout (3-decimal medians),
+  * followed by a short total-only line as the FINAL stdout line (the
+  * driver's tail capture front-truncated the full ~6 KB line in rounds
+  * 4-6; the short line always survives), and the SAME object plus raw
+  * per-round samples written to `$SPARK_GRAFT_BENCH_OUT` (default
+  * `bench.json`) — the file is the machine-readable record.
   *
   * Caches are cleared between runs so a query that persists intermediate
   * frames (pagerank, triangle_count) is timed cold each iteration and
@@ -86,17 +88,28 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     val medians = samples.map { case (k, v) => k -> median(v) }
-    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal medians halve the stdout line (ms resolution is below the
+    // protocol's noise floor anyway); full precision lives in the samples.
+    def f3(d: Double): String =
+      BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal
+        .stripTrailingZeros.toPlainString
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters}"""
-    println(line)
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters}"""
     val raw = samples.map { case (k, v) =>
       "\"" + k + "\":" + v.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val full = line.dropRight(1) + s""","samples":$raw}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     spark.stop()
+    // Stdout contract: the driver's tail capture has front-truncated the
+    // ~6 KB per-query line three rounds running. Print the full line
+    // first (best effort), then a SHORT total-only line as the very last
+    // stdout byte — short enough to survive any tail window; per-query
+    // medians + samples are in the bench.json artifact either way.
+    println(line)
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{},"sf":"$sfDir","iters":$iters,"nqueries":${names.size},"bench_json":"$outPath"}""")
   }
 }
