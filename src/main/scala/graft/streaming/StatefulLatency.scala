@@ -39,12 +39,12 @@ object StatefulLatency {
     * the feed is ordered at micro-batch granularity: every event of
     * batch n+1 ≥ the max of batch n per key (true for replayed logs and
     * for any source partitioned so per-key order is preserved, e.g. a
-    * Kafka topic keyed by event_type). A cross-batch straggler would
-    * need a watermark-deep buffer in state — O(late window) instead of
-    * O(1) — to recover the batch bits; callers that cannot guarantee
-    * batch-granular order should widen micro-batches (trigger interval)
-    * past their reorder horizon instead. StatefulLatencySpec pins the
-    * drop behavior so a silent semantic change fails a test.
+    * Kafka topic keyed by event_type). Feeds that cannot guarantee
+    * batch-granular order use [[gapsBuffered]] — a bounded-lateness
+    * buffer (O(late window) state) that splices cross-batch stragglers
+    * back into the chain — or widen micro-batches (trigger interval)
+    * past their reorder horizon. StatefulLatencySpec pins the drop
+    * behavior so a silent semantic change fails a test.
     */
   def gaps(events: Dataset[EventIn]): Dataset[Gap] = {
     val spark = events.sparkSession
@@ -70,11 +70,93 @@ object StatefulLatency {
       }
   }
 
+  /** Bounded-lateness buffer state: `pending` holds every (us, id) not
+    * yet finalized — O(events inside the lateness window) per key, the
+    * price of splicing; (lastUs, lastId) is the last FINALIZED chain
+    * head; `maxUs` the per-key event-time high-water mark. */
+  final case class BufGapState(pending: List[(Long, Long)],
+                               lastUs: Long, lastId: Long, maxUs: Long)
+
+  /** Stage 1, bounded-lateness mode: cross-batch stragglers SPLICE
+    * instead of drop, for feeds that cannot guarantee batch-granular
+    * per-key order (the reference's consumer-lag healthcheck tolerates
+    * reordering — scripts/healthcheck_kafka_lag.py polls committed
+    * offsets, which are order-free).
+    *
+    * Mechanism: arrivals buffer in state; an event FINALIZES — its gap
+    * is emitted and it becomes the chain head — only once the per-key
+    * high-water mark has moved `allowedLatenessUs` past it
+    * (`us < maxUs − L`, strict, so an allowed straggler can never sort
+    * before an already-finalized event: it would need
+    * us ≥ maxUs − L > finalizedUs). Events are emitted in (ts, id)
+    * order per key with exactly the batch gap chain's bits — equality
+    * across reordered batch boundaries is StatefulLatencySpec's
+    * buffered cases. An event that still sorts at-or-before the
+    * finalized head (possible only when it is > L behind the high-water
+    * mark at its arrival) is dropped: bounded lateness, same contract a
+    * watermark gives the window stage. State is O(late window) instead
+    * of [[gaps]]'s O(1) — callers pick per feed.
+    *
+    * Results are complete up to `maxUs − L`: the tail of the chain stays
+    * pending until event time advances past it (exactly like a windowed
+    * aggregate under a watermark — a quiet key emits its tail on the
+    * next arrival).
+    */
+  def gapsBuffered(events: Dataset[EventIn],
+                   allowedLatenessUs: Long): Dataset[Gap] = {
+    require(allowedLatenessUs >= 0, "allowedLatenessUs must be >= 0")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[BufGapState, Gap](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[EventIn], state: GroupState[BufGapState]) =>
+          val st = state.getOption.getOrElse(
+            BufGapState(Nil, Long.MinValue, Long.MinValue, Long.MinValue))
+          var maxUs = st.maxUs
+          val incoming = rows.map { e =>
+            val us = EventTime.micros(e.ts)
+            if (us > maxUs) maxUs = us
+            (us, e.event_id)
+          }.filter { case (us, id) => // beyond-lateness stragglers drop
+            us > st.lastUs || (us == st.lastUs && id > st.lastId)
+          }.toList
+          val pending = (st.pending ++ incoming).sorted
+          // strict horizon: see scaladoc — an allowed straggler can never
+          // sort below it, so finalization order is the batch order
+          val horizon =
+            if (maxUs == Long.MinValue) Long.MinValue
+            else maxUs - allowedLatenessUs
+          val (fin, keep) = pending.partition(_._1 < horizon)
+          val out = Vector.newBuilder[Gap]
+          var lastUs = st.lastUs
+          var lastId = st.lastId
+          for ((us, id) <- fin) {
+            if (lastUs != Long.MinValue)
+              out += Gap(key, EventTime.toTimestamp(us), us - lastUs)
+            lastUs = us; lastId = id
+          }
+          state.update(BufGapState(keep, lastUs, lastId, maxUs))
+          out.result().iterator
+      }
+  }
+
   /** Both stages in one streaming query: gap stream → hourly lag rollup
     * with breach counts against `maxLagUs`. */
   def hourlyLag(events: Dataset[EventIn], watermarkDelay: String,
                 maxLagUs: Long): DataFrame =
-    gaps(events)
+    lagRollup(gaps(events), watermarkDelay, maxLagUs)
+
+  /** [[hourlyLag]] over the bounded-lateness gap chain
+    * ([[gapsBuffered]]) — for feeds reordered across micro-batches. */
+  def hourlyLagBuffered(events: Dataset[EventIn], watermarkDelay: String,
+                        maxLagUs: Long, allowedLatenessUs: Long): DataFrame =
+    lagRollup(gapsBuffered(events, allowedLatenessUs), watermarkDelay, maxLagUs)
+
+  private def lagRollup(gapStream: Dataset[Gap], watermarkDelay: String,
+                        maxLagUs: Long): DataFrame =
+    gapStream
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
