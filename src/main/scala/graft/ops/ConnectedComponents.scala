@@ -42,7 +42,8 @@ object ConnectedComponents {
     * orchestrated join+checkpoint+count rounds; past the threshold the
     * loop keeps the data distributed end to end. */
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
-               maxIter: Int = 25, smallEdges: Long = 1L << 20): DataFrame = {
+               maxIter: Int = 25,
+               smallEdges: Long = Adaptive.threshold(1L << 20)): DataFrame = {
     val edges = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -54,9 +54,13 @@ object Ranks {
     * stats signal broadcast-join planning uses; no extra job to decide. */
   val DimensionBytes: Long = 64L << 20
 
+  /** Default for the `smallBytes` threshold params: [[DimensionBytes]],
+    * or −1 (always-distributed) under [[Adaptive.forceDistributed]]. */
+  def defaultSmallBytes: Long = Adaptive.threshold(DimensionBytes)
+
   def ntileByRange(df: DataFrame, order: Seq[Column], k: Int, out: String,
                    partitions: Option[Int] = None,
-                   smallBytes: Long = DimensionBytes): DataFrame = {
+                   smallBytes: Long = defaultSmallBytes): DataFrame = {
     require(k > 0, s"ntile bucket count must be positive, got $k")
     val spark = df.sparkSession
     // Adaptive flip (the CoOccur broadcast/sort-merge pattern): the tile
@@ -77,14 +81,27 @@ object Ranks {
     // whole-stage-codegen project: rn = offsets[_pid] + low33(_mid) + 1.
     // The tile depends only on that global row number and the total,
     // never on where the range boundaries fell — the invariance the
-    // oracle twins rely on. The count pass and the assignment pass each
-    // evaluate the input once (cross-query shuffle reuse is an
-    // RDD-identity property SQL plans don't get): at fact scale feed
-    // this a cheap scan or a persisted frame, not a deep pipeline.
+    // oracle twins rely on.
+    //
+    // The eager localCheckpoint below is CORRECTNESS, not hygiene: the
+    // count pass and the assignment pass are separate JOBS, and SQL
+    // plans get no cross-job shuffle reuse (that is an RDD-identity
+    // property — see rangeSorted, which runningSumByRange still uses).
+    // Without pinning, each job re-evaluates the input AND re-samples
+    // the range boundaries from whatever row order that evaluation's
+    // hash aggregate emits — at sf0.1 the two samples genuinely differ,
+    // the assignment job's partition populations no longer match the
+    // counts job's offsets, and rn overruns the total (the round-7
+    // forcing run caught tile k+1 rows and ±185-row tile skew;
+    // RanksForcedScaleSpec pins the fix). The checkpoint materializes
+    // the sorted frame once — both jobs then read the same blocks. On a
+    // cluster swap for reliable checkpoint() — same shape, same cost
+    // class as the shuffle it pins.
     val tagged = df.repartitionByRange(nPart, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("_mid", monotonically_increasing_id())
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
     val counts = tagged.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     val offsets = offsetsOf(counts, nPart)
@@ -116,7 +133,7 @@ object Ranks {
     */
   def runningSumByRange(df: DataFrame, order: Seq[Column], valueCol: String,
                         out: String, partitions: Option[Int] = None,
-                        smallBytes: Long = DimensionBytes): DataFrame = {
+                        smallBytes: Long = defaultSmallBytes): DataFrame = {
     val spark = df.sparkSession
     // Same adaptive flip as ntileByRange: exact-long prefix sums are
     // order-of-evaluation independent, so the one-task window form and

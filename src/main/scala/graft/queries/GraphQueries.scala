@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.Det
+import graft.ops.{Adaptive, Det}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -197,7 +197,7 @@ FROM closed"""
     * the K tiny iteration joins move to the driver); past `smallEdges`
     * the distributed loop runs unchanged. */
   private[graft] def pagerank(s: SparkSession, d: String,
-                              smallEdges: Long = 1L << 20): DataFrame = {
+                              smallEdges: Long = Adaptive.threshold(1L << 20)): DataFrame = {
     // cache: the union below and the degree/init/final consumers would
     // otherwise re-run the whole pair-generation scan per branch
     val pairs = suppEdges(s, d).cache()

@@ -25,7 +25,12 @@ object VecQueries {
   private val MultiTables = 4
   private val MultiPlanes = 8
   private val TargetBucket = 8L
-  private val MaxBucket = 1 << 20
+  // def, not val: under Adaptive.forceDistributed the cap drops to 4 —
+  // below the ~TargetBucket mean bucket population, so the cap branch
+  // (sorted-buffer drop + its row_number oracle mirror) actually FIRES
+  // at contract scale. queries and oracleSql are both defs, so the two
+  // sides always interpolate the same value within a process.
+  private def MaxBucket: Int = if (Adaptive.forceDistributed) 4 else 1 << 20
   private val QuantLevels = 255
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -220,7 +225,7 @@ WHERE rnk <= 10"""
     * ceil-log2, matching planesFor bit for bit), and the maxBucket cap is
     * mirrored as per-bucket row_number ≤ cap on vec_id order — the exact
     * survivor set of the Spark side's sorted streaming buffer. */
-  private val dedupEmbedSql =
+  private def dedupEmbedSql =
     s"""WITH pl AS (
   SELECT ${planesForSql(s"(greatest(count(*), 1) + ${TargetBucket - 1}) // $TargetBucket")} AS planes
   FROM embeddings

@@ -121,13 +121,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ntile"),
       "dimension-sized RFM should plan the plain window ntile")
     // the scale path must stay reachable: forced past the cutoff, the
-    // same rank runs range-partitioned with no single-partition sort
-    // (asserted structurally in RanksSpec's partition-shape test)
-    val forced = graft.ops.Ranks.ntileByRange(
-      spark.range(1000).toDF("id"), Seq(col("id")), 5, "t",
-      smallBytes = -1).queryExecution.executedPlan.toString
-    assert(!forced.contains("ntile") && forced.contains("rangepartitioning"),
-      s"forced two-pass must range-partition, got:\n$forced")
+    // same rank runs range-partitioned with no single-partition sort.
+    // The range exchange lives inside the eager checkpoint that pins ONE
+    // evaluation under both passes (RanksForcedScaleSpec — boundary
+    // re-sampling bug), so the returned plan is a codegen project over
+    // the checkpoint scan; the range layout survives as the RDD's
+    // partitioning (asserted in RanksSpec's partition-shape test too).
+    val forcedDf = graft.ops.Ranks.ntileByRange(
+      spark.range(1000).toDF("id"), Seq(col("id")), 5, "t", smallBytes = -1)
+    val forced = forcedDf.queryExecution.executedPlan.toString
+    assert(!forced.contains("ntile") && forced.contains("ExistingRDD"),
+      s"forced two-pass must project over the pinned range layout, got:\n$forced")
+    assert(forcedDf.rdd.getNumPartitions ==
+      spark.sessionState.conf.numShufflePartitions,
+      "forced two-pass must keep the range partitioning (no one-task sort)")
   }
 
   test("dedup_embed streams bucket groups: no collect_list row, one Exchange") {

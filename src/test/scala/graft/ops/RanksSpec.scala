@@ -54,10 +54,17 @@ class RanksSpec extends AnyFunSuite {
     // every partition of the range layout actually holds rows (parallel work)
     val perPart = out.rdd.mapPartitions(it => Iterator(it.size)).collect()
     assert(perPart.count(_ > 0) > 1, s"work concentrated in one task: ${perPart.toSeq}")
-    // and the assignment pass is declarative: no RDD scan barrier in the plan
+    // and the assignment pass is a whole-stage-codegen project over the
+    // pinned (checkpointed) sorted frame — the `*(n)` prefix — never an
+    // interpreted per-Row map (the pre-r6 Row.fromSeq shape). The
+    // ExistingRDD scan IS expected now: it is the eager localCheckpoint
+    // that pins one evaluation under the counts AND assignment jobs
+    // (RanksForcedScaleSpec — boundary re-sampling bug).
     val plan = out.queryExecution.executedPlan.toString
-    assert(!plan.contains("ExistingRDD"),
-      s"two-pass ntile should stay in DataFrame land, got:\n$plan")
+    assert(plan.contains("*(1) Project"),
+      s"ntile assignment must be a codegen project, got:\n$plan")
+    assert(!plan.contains("mapPartitions"),
+      s"two-pass ntile must not fall back to a Row-level RDD map, got:\n$plan")
   }
 
   test("a dimension-sized input takes the one-task window form") {
