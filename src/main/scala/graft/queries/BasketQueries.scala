@@ -9,13 +9,14 @@ import org.apache.spark.sql.functions._
   * families absent from the reference's SQL surface.
   *
   * - `market_basket`: frequent part PAIRS with support / confidence /
-  *   lift. Pair generation is a co-partitioned self-join on the basket
-  *   key (one shuffle; baskets are small — ≤13 items here — so the
-  *   per-basket quadratic is bounded), pair support one hash aggregate,
-  *   and the item-frequency dictionary joins back by BROADCAST (it is
-  *   item-dimension-sized, never fact-sized). Confidence and lift are
-  *   single divisions of exact longs (< 2^53), bit-identical in every
-  *   engine.
+  *   lift. One grouped pass on the basket key (the CoOccur pattern)
+  *   dedupes each basket and emits basket markers, distinct items, and
+  *   ordered pairs in a single shuffle — no distinct, no self-join; the
+  *   per-basket quadratic is bounded (≤13 items here, Σk² at scale).
+  *   Pair support is one hash aggregate, and the item-frequency
+  *   dictionary joins back by BROADCAST (it is item-dimension-sized,
+  *   never fact-sized). Confidence and lift are single divisions of
+  *   exact longs (< 2^53), bit-identical in every engine.
   * - `rfm_segments`: per-customer recency/frequency/monetary quintile
   *   scores. The aggregate is fact-side (one shuffle on customer); the
   *   three NTILE(5)s run through [[graft.ops.Ranks.ntileByRange]], which
@@ -42,20 +43,45 @@ object BasketQueries {
   // ------------------------------------------------------ market_basket
 
   private def marketBasket(s: SparkSession, d: String): DataFrame = {
-    // cache: four consumers (order count, item dictionary, both join
-    // sides) would each re-run the scan + distinct — the rename-divergent
-    // branches defeat ReusedExchange
-    val baskets = t(s, d, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct().cache()
-    val nOrders = baskets.select(col("l_orderkey")).distinct()
+    import s.implicits._
+    // One pass over the fact table (the CoOccur.edges pattern): group by
+    // basket, dedupe the part set in the group, and emit every datum the
+    // query needs as tagged rows — kind 0 = one basket marker, kind 1 =
+    // each distinct item, kind 2 = each ordered item pair. ONE Exchange
+    // on l_orderkey replaces the previous distinct + co-partitioned
+    // self-join (the distinct's fact-sized shuffle plus the join's two
+    // repartitions); nOrders/itemCounts fold into the same pass instead
+    // of re-aggregating the basket frame. Per-basket pair loop is a
+    // per-record hot path → typed flatMapGroups (CLAUDE.md invariant 4),
+    // quadratic only in basket size (≤13 items here; Σk² bounded at
+    // scale, the CoOccur argument).
+    val tagged = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val items = it.map(_._2).toArray.distinct.sorted
+        val out = new scala.collection.mutable.ArrayBuffer[(Int, Long, Long)](
+          1 + items.length * (items.length + 1) / 2)
+        out += ((0, 0L, 0L))
+        var i = 0
+        while (i < items.length) {
+          out += ((1, items(i), 0L))
+          var j = i + 1
+          while (j < items.length) { out += ((2, items(i), items(j))); j += 1 }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("kind", "ka", "kb")
+      .cache()
+    val nOrders = tagged.filter(col("kind") === 0)
       .agg(count(lit(1)).as("n_orders"))
-    val itemCounts = baskets.groupBy(col("l_partkey"))
+    val itemCounts = tagged.filter(col("kind") === 1)
+      .groupBy(col("ka").as("l_partkey"))
       .agg(count(lit(1)).as("n_item"))
-    val a = baskets.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = baskets.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-    val pairs = a.join(b, "l_orderkey")
-      .filter(col("part_a") < col("part_b"))
-      .groupBy(col("part_a"), col("part_b"))
+    val pairs = tagged.filter(col("kind") === 2)
+      .groupBy(col("ka").as("part_a"), col("kb").as("part_b"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= MinSupport)
     // Eager localCheckpoint (result is ≥MinSupport-thresholded pair-
@@ -72,7 +98,7 @@ object BasketQueries {
         ((col("n_orders") * col("n_both")).cast("double") /
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
       .localCheckpoint(true)
-    baskets.unpersist(false)
+    tagged.unpersist(false)
     out
   }
 
