@@ -23,8 +23,15 @@ object Verify {
     // jobs whose wall-clock is scheduling gaps, not CPU — concurrent
     // submission lets the local scheduler fill the cores (queries are
     // independent; the shared session is thread-safe for job submission).
+    // comma-separated subset for local iteration (default: every query);
+    // the oracle_sql dump below filters to the same set so check_oracle
+    // never reports missing spark output for unselected queries
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val tasks = selected.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -49,6 +56,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -260,11 +260,18 @@ object Det {
     s"(${sumDSql(x, s, over)} / (count($x)$over))"
 
   def stddevPopDSql(x: String, e: Int, over: String = ""): String = {
+    // All integer algebra in HUGEINT (sum(BIGINT) already IS HUGEINT —
+    // exact at 128 bits): the earlier DECIMAL(10/14/18) casts overflowed
+    // at the round-7 10× fixture (n·Σk² past 10^18 throws in DuckDB's
+    // decimal multiply). The variance numerator is ≥ 0, so the finishing
+    // cast may go to DOUBLE directly (correctly rounded for
+    // non-negatives); values are identical to the old form — exact
+    // integers in either representation.
     val k = klSql(x, e)
-    val s1 = s"CAST(sum($k)$over AS DECIMAL(14,0))"
-    val s2 = s"CAST(sum($k*$k)$over AS DECIMAL(18,0))"
+    val s1 = s"sum($k)$over"
+    val s2 = s"sum($k*$k)$over"
     val n = s"count($x)$over"
-    val d = s"(CAST($n AS DECIMAL(10,0))*$s2 - $s1*$s1)"
+    val d = s"(CAST($n AS HUGEINT)*$s2 - $s1*$s1)"
     s"(sqrt(CAST($d AS DOUBLE)) / (1e$e * CAST($n AS DOUBLE)))"
   }
 
@@ -276,11 +283,13 @@ object Det {
   /** Twin of [[covD]] — the numerator is sign-capable, so its cast goes
     * through [[signedDblSql]]. */
   def covDSql(x: String, y: String, e: Int): String = {
+    // HUGEINT algebra throughout (see stddevPopDSql): DECIMAL(19)
+    // intermediates overflow two orders of magnitude sooner than the
+    // 128-bit native sums. Same exact values, wider envelope.
     val kx = klSql(x, e)
     val ky = klSql(y, e)
-    val n = s"CAST(count($x) AS DECIMAL(19,0))"
-    def d(s: String) = s"CAST($s AS DECIMAL(19,0))"
-    val num = s"CAST(($n * ${d(s"sum($kx*$ky)")} - ${d(s"sum($kx)")} * ${d(s"sum($ky)")}) AS DECIMAL(38,0))"
+    val n = s"CAST(count($x) AS HUGEINT)"
+    val num = s"($n * sum($kx*$ky) - sum($kx) * sum($ky))"
     s"(${signedDblSql(num)} / (CAST($n AS DOUBLE) * CAST($n AS DOUBLE)) / 1e${2 * e})"
   }
 
@@ -288,10 +297,9 @@ object Det {
   def betaDSql(x: String, y: String, e: Int): String = {
     val kx = klSql(x, e)
     val ky = klSql(y, e)
-    val n = s"CAST(count($x) AS DECIMAL(19,0))"
-    def d(s: String) = s"CAST($s AS DECIMAL(19,0))"
-    val num = s"CAST(($n * ${d(s"sum($kx*$ky)")} - ${d(s"sum($kx)")} * ${d(s"sum($ky)")}) AS DECIMAL(38,0))"
-    val dy = s"CAST(($n * ${d(s"sum($ky*$ky)")} - ${d(s"sum($ky)")} * ${d(s"sum($ky)")}) AS DECIMAL(38,0))"
+    val n = s"CAST(count($x) AS HUGEINT)"
+    val num = s"($n * sum($kx*$ky) - sum($kx) * sum($ky))"
+    val dy = s"($n * sum($ky*$ky) - sum($ky) * sum($ky))"
     s"""(CASE WHEN $dy > 0
       THEN ${signedDblSql(num)} / CAST($dy AS DOUBLE) END)"""
   }
@@ -300,11 +308,10 @@ object Det {
   def corrDSql(x: String, y: String, e: Int): String = {
     val kx = klSql(x, e)
     val ky = klSql(y, e)
-    val n = s"CAST(count($x) AS DECIMAL(19,0))"
-    def d(s: String) = s"CAST($s AS DECIMAL(19,0))"
-    val num = s"CAST(($n * ${d(s"sum($kx*$ky)")} - ${d(s"sum($kx)")} * ${d(s"sum($ky)")}) AS DECIMAL(38,0))"
-    val dx = s"CAST(($n * ${d(s"sum($kx*$kx)")} - ${d(s"sum($kx)")} * ${d(s"sum($kx)")}) AS DECIMAL(38,0))"
-    val dy = s"CAST(($n * ${d(s"sum($ky*$ky)")} - ${d(s"sum($ky)")} * ${d(s"sum($ky)")}) AS DECIMAL(38,0))"
+    val n = s"CAST(count($x) AS HUGEINT)"
+    val num = s"($n * sum($kx*$ky) - sum($kx) * sum($ky))"
+    val dx = s"($n * sum($kx*$kx) - sum($kx) * sum($kx))"
+    val dy = s"($n * sum($ky*$ky) - sum($ky) * sum($ky))"
     s"""(CASE WHEN $dx > 0 AND $dy > 0
       THEN ${signedDblSql(num)} / sqrt(CAST($dx AS DOUBLE)) / sqrt(CAST($dy AS DOUBLE)) END)"""
   }

@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: synthesize a larger tick fixture by replicating
+  * events.parquet `k`× with disjoint time/id shifts, copying every other
+  * table as-is — CLAUDE.md's warning is that Det decimal-envelope
+  * overflows only show at other scales, and the driver fixtures stop at
+  * sf0.1. Each replica r shifts event times by r·(span + 1 day) (same
+  * instruments, r more epochs of history — per-key densities and value
+  * distributions unchanged, exactly how the envelope grows with corpus
+  * age) and offsets event_id into a disjoint band.
+  *
+  * Output events are TIMESTAMP(MICROS): Spark's loaders take their
+  * cast branch and DuckDB sees a plain TIMESTAMP — both engines read
+  * identical micros, so the oracle contract is unchanged.
+  *
+  * Usage: runMain graft.tools.ScaleUp [srcDir outDir k]
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/sf1x"
+    val k = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val raw = spark.read.parquet(s"$src/events.parquet")
+    val base =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts_us", expr("ts div 1000"))
+      else raw.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+    val Array(minUs, maxUs, maxId) = base
+      .agg(min(col("ts_us")), max(col("ts_us")), max(col("event_id")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val spanUs = maxUs - minUs + 86400000000L // +1 day between replicas
+    val idBand = maxId + 1L
+    val replicas = (0 until k).map { r =>
+      base.select(
+        (col("event_id") + lit(r * idBand)).as("event_id"),
+        timestamp_micros(col("ts_us") + lit(r * spanUs)).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    // single part file, then promote it to a plain <out>/events.parquet
+    // FILE — the oracle harness reads `'<dir>/<t>.parquet'` as one file
+    val tmp = s"$out/_events_build"
+    replicas.reduce(_ unionByName _)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .findFirst().orElseThrow()
+    java.nio.file.Files.move(part,
+      java.nio.file.Paths.get(s"$out/events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings")) {
+      val dst = java.nio.file.Paths.get(s"$out/$t.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$src/$t.parquet"),
+        dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    println(s"[scaleup] wrote $out: events ${k}x (${k * 100}% of $src), others copied")
+    spark.stop()
+  }
+}
