@@ -16,13 +16,23 @@ import org.apache.spark.sql.functions._
   * cast branch and DuckDB sees a plain TIMESTAMP — both engines read
   * identical micros, so the oracle contract is unchanged.
   *
-  * Usage: runMain graft.tools.ScaleUp [srcDir outDir k]
+  * With a 4th argument listing tables, `documents` and `embeddings`
+  * can be replicated too (id columns offset into disjoint bands; text/
+  * embeddings repeated verbatim, so every original row becomes a
+  * k-way exact-duplicate cluster — a deliberate stress of the dedup
+  * candidate paths: banding/minhash collide maximally, components grow
+  * k-cliques, and the caps (maxDf, maxBucket) see k× document
+  * frequencies).
+  *
+  * Usage: runMain graft.tools.ScaleUp [srcDir outDir k [tables]]
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/sf1x"
     val k = if (args.length > 2) args(2).toInt else 10
+    val scaled: Set[String] = (if (args.length > 3) args(3) else "events")
+      .split(',').map(_.trim).toSet
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -32,43 +42,66 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val raw = spark.read.parquet(s"$src/events.parquet")
-    val base =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts_us", expr("ts div 1000"))
-      else raw.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
-    val Array(minUs, maxUs, maxId) = base
-      .agg(min(col("ts_us")), max(col("ts_us")), max(col("event_id")))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
-    val spanUs = maxUs - minUs + 86400000000L // +1 day between replicas
-    val idBand = maxId + 1L
-    val replicas = (0 until k).map { r =>
-      base.select(
-        (col("event_id") + lit(r * idBand)).as("event_id"),
-        timestamp_micros(col("ts_us") + lit(r * spanUs)).as("ts"),
-        col("user_id"), col("event_type"), col("value"), col("props"))
-    }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
-    // single part file, then promote it to a plain <out>/events.parquet
-    // FILE — the oracle harness reads `'<dir>/<t>.parquet'` as one file
-    val tmp = s"$out/_events_build"
-    replicas.reduce(_ unionByName _)
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .findFirst().orElseThrow()
-    java.nio.file.Files.move(part,
-      java.nio.file.Paths.get(s"$out/events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "documents", "embeddings")) {
-      val dst = java.nio.file.Paths.get(s"$out/$t.parquet")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$src/$t.parquet"),
-        dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+
+    // single part file promoted to a plain <out>/<t>.parquet FILE — the
+    // oracle harness reads `'<dir>/<t>.parquet'` as one file
+    def writeOne(df: org.apache.spark.sql.DataFrame, table: String): Unit = {
+      val tmp = s"$out/_${table}_build"
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow()
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(s"$out/$table.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
-    println(s"[scaleup] wrote $out: events ${k}x (${k * 100}% of $src), others copied")
+
+    def scaleEvents(): Unit = {
+      val raw = spark.read.parquet(s"$src/events.parquet")
+      val base =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts_us", expr("ts div 1000"))
+        else raw.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      val Array(minUs, maxUs, maxId) = base
+        .agg(min(col("ts_us")), max(col("ts_us")), max(col("event_id")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val spanUs = maxUs - minUs + 86400000000L // +1 day between replicas
+      val idBand = maxId + 1L
+      writeOne((0 until k).map { r =>
+        base.select(
+          (col("event_id") + lit(r * idBand)).as("event_id"),
+          timestamp_micros(col("ts_us") + lit(r * spanUs)).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _), "events")
+    }
+
+    /** Replicate a table verbatim with `idCol` offset into disjoint
+      * bands — every original row becomes a k-way exact duplicate. */
+    def scaleById(table: String, idCol: String): Unit = {
+      val raw = spark.read.parquet(s"$src/$table.parquet")
+      val band = raw.agg(max(col(idCol))).head().getLong(0) + 1L
+      writeOne((0 until k).map { r =>
+        raw.withColumn(idCol, col(idCol) + lit(r * band))
+          .select(raw.columns.map(col).toIndexedSeq: _*)
+      }.reduce(_ unionByName _), table)
+    }
+
+    val all = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    for (t <- all) {
+      if (scaled.contains(t)) t match {
+        case "events" => scaleEvents()
+        case "documents" => scaleById("documents", "doc_id")
+        case "embeddings" => scaleById("embeddings", "vec_id")
+        case other => sys.error(s"no scale rule for table $other")
+      } else java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$src/$t.parquet"),
+        java.nio.file.Paths.get(s"$out/$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    println(s"[scaleup] wrote $out: ${scaled.mkString(",")} ${k}x from $src, others copied")
     spark.stop()
   }
 }
