@@ -78,15 +78,25 @@ object ScaleUp {
     }
 
     /** Replicate a table verbatim with `idCol` offset into disjoint
-      * bands — every original row becomes a k-way exact duplicate. */
-    def scaleById(table: String, idCol: String): Unit = {
+      * bands — every original row becomes a k-way exact duplicate.
+      * `bandOf` defaults to the table's own max id + 1; orders and
+      * lineitem share the ORDERS band so l_orderkey keeps referencing
+      * its replicated order (same customers and parts throughout —
+      * 10× orders per customer, 10× co-occurrence counts per part
+      * pair: the frequency direction the dedup fixture cannot grow). */
+    def scaleById(table: String, idCol: String,
+                  bandOf: Option[Long] = None): Unit = {
       val raw = spark.read.parquet(s"$src/$table.parquet")
-      val band = raw.agg(max(col(idCol))).head().getLong(0) + 1L
+      val band = bandOf.getOrElse(
+        raw.agg(max(col(idCol))).head().getLong(0) + 1L)
       writeOne((0 until k).map { r =>
         raw.withColumn(idCol, col(idCol) + lit(r * band))
           .select(raw.columns.map(col).toIndexedSeq: _*)
       }.reduce(_ unionByName _), table)
     }
+
+    lazy val orderBand: Long = spark.read.parquet(s"$src/orders.parquet")
+      .agg(max(col("o_orderkey"))).head().getLong(0) + 1L
 
     val all = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
@@ -95,6 +105,8 @@ object ScaleUp {
         case "events" => scaleEvents()
         case "documents" => scaleById("documents", "doc_id")
         case "embeddings" => scaleById("embeddings", "vec_id")
+        case "orders" => scaleById("orders", "o_orderkey", Some(orderBand))
+        case "lineitem" => scaleById("lineitem", "l_orderkey", Some(orderBand))
         case other => sys.error(s"no scale rule for table $other")
       } else java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$src/$t.parquet"),
