@@ -42,7 +42,11 @@ object BasketQueries {
 
   // ------------------------------------------------------ market_basket
 
-  private def marketBasket(s: SparkSession, d: String): DataFrame = {
+  /** Lazy basket-rules frame over the cached tagged-emission pass,
+    * returned with the cache handle — the plan-inspection surface for
+    * PlanShapeSpec (the contract query's eager checkpoint hides the
+    * join shape behind an RDD scan, like GraphQueries.trianglesLazy). */
+  private[graft] def marketBasketLazy(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     // One pass over the fact table (the CoOccur.edges pattern): group by
     // basket, dedupe the part set in the group, and emit every datum the
@@ -84,9 +88,6 @@ object BasketQueries {
       .groupBy(col("ka").as("part_a"), col("kb").as("part_b"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= MinSupport)
-    // Eager localCheckpoint (result is ≥MinSupport-thresholded pair-
-    // dimension-sized) so the basket cache can be released HERE instead
-    // of leaking for the driver session's lifetime (CacheHygieneSpec).
     val out = pairs
       .join(broadcast(itemCounts.select(col("l_partkey").as("part_a"),
         col("n_item").as("n_a"))), "part_a")
@@ -97,7 +98,15 @@ object BasketQueries {
         (col("n_both").cast("double") / col("n_a").cast("double")).as("confidence_ab"),
         ((col("n_orders") * col("n_both")).cast("double") /
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
-      .localCheckpoint(true)
+    (tagged, out)
+  }
+
+  private def marketBasket(s: SparkSession, d: String): DataFrame = {
+    val (tagged, lazyOut) = marketBasketLazy(s, d)
+    // Eager localCheckpoint (result is ≥MinSupport-thresholded pair-
+    // dimension-sized) so the tagged cache can be released HERE instead
+    // of leaking for the driver session's lifetime (CacheHygieneSpec).
+    val out = lazyOut.localCheckpoint(true)
     tagged.unpersist(false)
     out
   }

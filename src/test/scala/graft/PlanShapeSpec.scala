@@ -36,6 +36,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "expected broadcast wedge joins")
   }
 
+  test("market_basket: one typed grouped pass, broadcast dictionaries, no shuffled join") {
+    // inspect the lazy frame (same reason as triangle_count: the contract
+    // query's eager checkpoint hides the join shape behind an RDD scan)
+    val (tagged, lazyOut) = queries.BasketQueries.marketBasketLazy(spark, dir)
+    val p = try lazyOut.queryExecution.executedPlan.toString
+            finally tagged.unpersist(false)
+    assert(p.contains("MapGroups"),
+      "pair generation must be the typed per-basket grouped pass (no distinct + self-join)")
+    assert(!p.contains("SortMergeJoin"),
+      "dictionary joins must broadcast, never shuffle the pair table")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2,
+      s"both item-dictionary joins must broadcast, got:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>"),
+      "the lineitem scan must prune to the two basket columns")
+  }
+
   test("salted_agg runs the two-phase combine (exactly 2 shuffles)") {
     val p = plan("salted_agg")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
