@@ -54,7 +54,22 @@ object Dedup {
     * by the stop-shingle cap.
     */
   def ngramJaccardTopK(docs: DataFrame, n: Int = 3, topK: Int = 50,
-                       maxDf: Int = 500): DataFrame = {
+                       maxDf: Int = 500): DataFrame =
+    pairsJaccard(docs, n, maxDf)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(topK)
+
+  /** All pairs whose true n-gram Jaccard (under the same `maxDf`
+    * stop-shingle cap) reaches `tau` — the exact ground-truth pair set
+    * the approximate paths (MinHash banding, SimHash) are judged
+    * against (see the `dedup_recall` contract query). Same Σ df²
+    * posting-pair cost as the top-k form; the threshold filter is a
+    * post-aggregation predicate on pair-dimension rows. */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
+                   maxDf: Int = 500): DataFrame =
+    pairsJaccard(docs, n, maxDf).filter(col("jaccard") >= tau)
+
+  private def pairsJaccard(docs: DataFrame, n: Int, maxDf: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val shingled = Shingles.exploded(docs, n)
@@ -84,8 +99,6 @@ object Dedup {
         Det.snap(col("intersection").cast("double") /
           (col("sz_a") + col("sz_b") - col("intersection")).cast("double"), 6)
           .as("jaccard"))
-      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
-      .limit(topK)
   }
 
   /** MinHash signature columns m0..m{numHashes-1}. One md5 yields four

@@ -20,6 +20,11 @@ object DocQueries {
   private val FrameBytes = 64
   private val SampleEvery = 2
 
+  /** dedup_recall truth threshold on TRUE n-gram Jaccard (shared by the
+    * Spark call and the oracle — interpolated via [[Det.dblLit]] so the
+    * comparison constant is the same double in both engines). */
+  private val RecallTau = 0.5
+
   def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -32,6 +37,34 @@ object DocQueries {
     "dedup_jaccard" -> ((s, d) => Dedup.ngramJaccardTopK(docs(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
+    // MinHash-LSH candidate quality vs EXACT Jaccard ground truth — the
+    // eval a curator runs before trusting the approximate path at scale
+    // (the ann_recall companion for text dedup). One summary row:
+    // truth/candidate/hit counts plus precision and recall of the LSH
+    // candidate set against true-jaccard >= RecallTau pairs. All counts
+    // exact; each ratio is one IEEE division of exactly-converted longs,
+    // 6-dp snapped. Scale shape: both sides are the existing bounded
+    // pipelines (sum-df-squared postings, banded buckets); the hit join
+    // is pair-dimension-keyed.
+    "dedup_recall" -> ((s, d) => {
+      val base = docs(s, d)
+      val truth = Dedup.jaccardPairs(base, tau = RecallTau)
+        .select(col("doc_a"), col("doc_b"))
+      val cand = Dedup.minhashLshPairs(base)
+        .select(col("doc_a"), col("doc_b"))
+      val tt = truth.agg(count(lit(1)).as("n_truth"))
+      val cc = cand.agg(count(lit(1)).as("n_candidates"))
+      val hh = truth.join(cand, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_hits"))
+      tt.crossJoin(cc).crossJoin(hh)
+        .select(col("n_truth"), col("n_candidates"), col("n_hits"),
+          when(col("n_candidates") > 0, Det.snap(
+            col("n_hits").cast("double") / col("n_candidates").cast("double"), 6))
+            .as("precision_lsh"),
+          when(col("n_truth") > 0, Det.snap(
+            col("n_hits").cast("double") / col("n_truth").cast("double"), 6))
+            .as("recall_lsh"))
+    }),
     "multimodal_features" -> ((s, d) =>
       Multimodal.features(Multimodal.toBlobTable(docs(s, d)))),
     // Oracle replays the stub codec's byte slicing in SQL: hex(encode(text))
@@ -185,7 +218,10 @@ FROM sh"""
        doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
 FROM documents"""
 
-  private val dedupJaccardSql =
+  /** Shared pair-with-jaccard subquery (twin of Dedup.pairsJaccard) —
+    * the top-k query wraps it with ORDER/LIMIT, the recall eval with a
+    * threshold filter. */
+  private val jaccardPairsSqlBase =
     s"""WITH sh AS (
   SELECT doc_id, ${Shingles.ofSql("text", 3)} AS sh FROM documents
 ), ex AS (
@@ -203,7 +239,10 @@ FROM documents"""
 SELECT doc_a, doc_b, intersection,
        sz_a + sz_b - intersection AS union_size,
        ${s6("intersection::DOUBLE / (sz_a + sz_b - intersection)::DOUBLE")} AS jaccard
-FROM pairs
+FROM pairs"""
+
+  private val dedupJaccardSql =
+    s"""$jaccardPairsSqlBase
 ORDER BY jaccard DESC, doc_a, doc_b
 LIMIT 50"""
 
@@ -377,6 +416,29 @@ FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)""",
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash" -> dedupMinhashSql,
-    "dedup_simhash" -> dedupSimhashSql
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_recall" -> dedupRecallSql
   )
+
+  /** Twin of the dedup_recall eval: truth = true-jaccard pairs at
+    * [[RecallTau]] (the shared pair subquery), candidates = the MinHash
+    * banding twin; counts exact, ratios 6-dp snapped, NULL on empty
+    * denominators (mirrors the Spark `when` guards). */
+  private val dedupRecallSql =
+    s"""WITH truth AS (
+  SELECT doc_a, doc_b FROM ($jaccardPairsSqlBase)
+  WHERE jaccard >= ${Det.dblLit(RecallTau)}
+), cand AS (
+  SELECT doc_a, doc_b FROM ($dedupMinhashSql)
+), tt AS (SELECT count(*) AS n_truth FROM truth),
+cc AS (SELECT count(*) AS n_candidates FROM cand),
+hh AS (SELECT count(*) AS n_hits FROM truth t JOIN cand c USING (doc_a, doc_b))
+SELECT tt.n_truth, cc.n_candidates, hh.n_hits,
+       CASE WHEN cc.n_candidates > 0
+            THEN ${s6("CAST(hh.n_hits AS DOUBLE) / CAST(cc.n_candidates AS DOUBLE)")}
+       END AS precision_lsh,
+       CASE WHEN tt.n_truth > 0
+            THEN ${s6("CAST(hh.n_hits AS DOUBLE) / CAST(tt.n_truth AS DOUBLE)")}
+       END AS recall_lsh
+FROM tt, cc, hh"""
 }

@@ -33,6 +33,28 @@ class DedupSpec extends AnyFunSuite {
     assert(near.isDefined && near.get.getAs[Double]("jaccard") > 0.5)
   }
 
+  test("jaccardPairs equals the brute-force thresholded pair set") {
+    // brute force: shingle sets per doc, all C(n,2) pairs, filter >= tau
+    val texts = corpus.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def shingles(t: String): Set[String] =
+      t.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val tau = 0.3
+    val want = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      sa = shingles(texts(a)); sb = shingles(texts(b))
+      inter = (sa & sb).size
+      if inter > 0
+      j = math.floor(inter.toDouble / (sa ++ sb).size * 1e6 + 0.5) / 1e6
+      if j >= tau
+    } yield (a, b, j)).toSet
+    val got = Dedup.jaccardPairs(corpus, tau = tau).collect().map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(got == want)
+    assert(want.exists(_._3 < 1.0), "fixture must exercise a non-exact pair")
+  }
+
   test("minhash LSH surfaces identical docs with full signature agreement") {
     val pairs = Dedup.minhashLshPairs(corpus).collect()
     val exact = pairs.find(r =>
