@@ -31,6 +31,8 @@ object Dedup {
   /** Typed LSH-bucket entry (doc + its minhash signature vector). */
   final case class DocSig(doc_id: Long, sigs: Seq[String])
 
+  final case class DocFp(doc_id: Long, simhash: Long)
+
   /** Exact near-zero-cost dedup: md5 content hash → hash-partitioned
     * canonical-id (min doc_id) + group size. One Exchange total.
     */
@@ -191,5 +193,62 @@ object Dedup {
       .select(col("doc_id"), fp.as("simhash"))
       .withColumn("canonical_id", min(col("doc_id")).over(byFp))
       .withColumn("cluster_size", count(lit(1)).over(byFp))
+  }
+
+  /** SimHash Hamming-neighbor pairs: (doc_a, doc_b, hamming) for every
+    * pair within `maxHamming` fingerprint bits — the lookup step that
+    * turns SimHash fingerprints into NEAR-duplicate pairs (exact
+    * fingerprint equality, which [[simhash]]'s clusters give, misses
+    * single-bit drift).
+    *
+    * Candidate generation is pigeonhole banding, and it is EXACT: the
+    * fingerprint splits into `maxHamming + 1` equal pieces, and a pair
+    * within the Hamming budget can differ in at most `maxHamming`
+    * pieces, so at least one piece matches exactly — bucketing on
+    * (piece index, piece value) therefore has NO false negatives
+    * (DedupSpec + the `simhash_hamming` oracle prove set equality
+    * against the brute-force quadratic). Pairs are generated inside
+    * buckets map-side (the minhashLshPairs shape — no self-join), the
+    * exact Hamming distance is one xor + popcount per candidate, and a
+    * pair colliding in several pieces dedupes on (doc_a, doc_b).
+    *
+    * Scale: cost is Σ bucket²; at corpus scale raise `bits` (64-bit
+    * fingerprints) so each piece carries bits/(d+1) ≥ 16 bits and
+    * bucket populations stay near n/2^(bits/(d+1)) — the same
+    * recall-vs-bucket-size dial as SRP planes. The contract query runs
+    * the 16-bit form; the operator takes both knobs.
+    */
+  def simhashHamming(docs: DataFrame, bits: Int = 16,
+                     maxHamming: Int = 1): DataFrame = {
+    val pieces = maxHamming + 1
+    require(maxHamming >= 0 && bits % pieces == 0,
+      s"pieces (maxHamming+1 = $pieces) must divide bits ($bits)")
+    val pieceBits = bits / pieces
+    val mask = (1L << pieceBits) - 1L
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fps = simhash(docs, bits)
+      .select(col("doc_id"), col("simhash")).as[Dedup.DocFp]
+    val buckets = fps
+      .flatMap(d => (0 until pieces).iterator.map(p =>
+        (p, (d.simhash >> (p * pieceBits)) & mask, d.doc_id, d.simhash)))
+      .toDF("piece_idx", "piece_val", "doc_id", "simhash")
+      .groupBy(col("piece_idx"), col("piece_val"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    buckets
+      .select(col("ds"))
+      .as[Seq[Dedup.DocFp]]
+      .flatMap { ds0 =>
+        val ds = ds0.sortBy(_.doc_id)
+        for {
+          i <- ds.indices.iterator
+          j <- (i + 1) until ds.size
+          h = java.lang.Long.bitCount(ds(i).simhash ^ ds(j).simhash)
+          if h <= maxHamming
+        } yield (ds(i).doc_id, ds(j).doc_id, h.toLong)
+      }
+      .toDF("doc_a", "doc_b", "hamming")
+      .dropDuplicates("doc_a", "doc_b") // a pair can match in several pieces
   }
 }

@@ -25,6 +25,9 @@ object DocQueries {
     * comparison constant is the same double in both engines). */
   private val RecallTau = 0.5
 
+  /** simhash_hamming neighbor budget (shared Spark/oracle constant). */
+  private val HammingMax = 1
+
   def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -37,6 +40,11 @@ object DocQueries {
     "dedup_jaccard" -> ((s, d) => Dedup.ngramJaccardTopK(docs(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
+    // SimHash Hamming-neighbor pairs via pigeonhole banding; the oracle
+    // is the brute-force quadratic, so the hash gate itself proves the
+    // banding surfaces EVERY within-budget pair on the live corpus.
+    "simhash_hamming" -> ((s, d) =>
+      Dedup.simhashHamming(docs(s, d), maxHamming = HammingMax)),
     // MinHash-LSH candidate quality vs EXACT Jaccard ground truth — the
     // eval a curator runs before trusting the approximate path at scale
     // (the ann_recall companion for text dedup). One summary row:
@@ -278,7 +286,9 @@ SELECT doc_a, doc_b, CAST($agree AS BIGINT) AS n_agree,
 FROM cand"""
   }
 
-  private val dedupSimhashSql = {
+  /** Shared SimHash fingerprint CTE chain (twin of Dedup.simhash's
+    * fingerprint computation) ending in `fp(doc_id, simhash)`. */
+  private val simhashFpSqlBase = {
     val bits = 16
     def hv(c: String) = s"(strpos('0123456789abcdef', $c) - 1)"
     val v16 =
@@ -300,12 +310,27 @@ FROM cand"""
          $sums
   FROM pv GROUP BY doc_id
 ), fp AS (
-  SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums)
+  SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums)"""
+  }
+
+  private val dedupSimhashSql =
+    s"""$simhashFpSqlBase
 SELECT doc_id, simhash,
        min(doc_id) OVER (PARTITION BY simhash) AS canonical_id,
        count(*) OVER (PARTITION BY simhash) AS cluster_size
 FROM fp"""
-  }
+
+  /** Twin of Dedup.simhashHamming at the contract knobs (16 bits,
+    * Hamming ≤ [[HammingMax]]): the BRUTE-FORCE quadratic over the same
+    * fingerprints. The Spark side only ever compares within pigeonhole
+    * buckets — hash-equality of the two sides proves the banding has no
+    * false negatives on the live corpus, not just on spec fixtures. */
+  private val simhashHammingSql =
+    s"""$simhashFpSqlBase
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax"""
 
   private val multimodalFeaturesSql = {
     def nib(i: Int) = s"(strpos('0123456789abcdef', substring(md5(text), $i, 1)) - 1)"
@@ -417,6 +442,7 @@ FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)""",
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,
+    "simhash_hamming" -> simhashHammingSql,
     "dedup_recall" -> dedupRecallSql
   )
 

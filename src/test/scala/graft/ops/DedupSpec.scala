@@ -64,6 +64,25 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.get.getAs[Double]("est_jaccard") == 1.0)
   }
 
+  test("simhashHamming equals the brute-force quadratic (pigeonhole completeness)") {
+    for (maxH <- Seq(0, 1, 3)) {
+      val fps = Dedup.simhash(corpus).collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+      val want = (for {
+        a <- fps.keys; b <- fps.keys if a < b
+        h = java.lang.Long.bitCount(fps(a) ^ fps(b))
+        if h <= maxH
+      } yield (a, b, h.toLong)).toSet
+      val got = Dedup.simhashHamming(corpus, maxHamming = maxH).collect().map(r =>
+        (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Long]("hamming"))).toSet
+      assert(got == want, s"maxHamming=$maxH")
+    }
+    // the exact-dup pair is a guaranteed hamming-0 witness
+    assert(Dedup.simhashHamming(corpus, maxHamming = 0).collect()
+      .exists(r => r.getAs[Long]("doc_a") == 0L && r.getAs[Long]("doc_b") == 1L))
+  }
+
   test("simhash: identical docs share a fingerprint and cluster; near dups are close") {
     val out = Dedup.simhash(corpus).collect().map(r =>
       r.getAs[Long]("doc_id") ->
