@@ -404,6 +404,66 @@ object Similarity {
       .toDF()
   }
 
+  /** One product-quantization code row (d2 snapped to the 1e-6 grid). */
+  final case class PqRow(vec_id: Long, subspace: Long, code: Int, d2: Double)
+
+  /** Product-quantization encoding: the embedding is split into
+    * `dim / subDims` contiguous subspaces and each subvector is assigned
+    * to its nearest sub-codeword — the codebook being the per-label
+    * centroid slices (so `centArrays` is the same exact-deterministic
+    * codebook [[ivfAssign]] uses, read piecewise). Output is one row per
+    * (vector, subspace): the chosen code and the squared quantization
+    * error `d2` of that subspace — i.e. the PQ code sequence a 100 TB
+    * corpus would store instead of raw floats (dim·4 bytes → M codes),
+    * plus the reconstruction-error diagnostic.
+    *
+    * Scale shape: identical to [[ivfAssign]] — the codebook is
+    * label-sized by construction (collected and shipped in the task
+    * closure), each vector emits M rows from one compiled argmin pass,
+    * no join or shuffle at any corpus size. Distances accumulate on the
+    * exact 1e-12 Long grid (associative → engine-bit-identical); each
+    * subspace term is ≤ subDims·4e12 ≪ 2^53, so the finishing
+    * int64→double cast is exact.
+    *
+    * Ties break toward the smaller code, matching the oracle's
+    * `ORDER BY d2l, code` row_number. */
+  def pqAssign(vectors: DataFrame, centArrays: DataFrame,
+               subDims: Int = 16): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val codebook: Array[(Int, Array[Double])] = centArrays
+      .select(col("label").cast("int"), col("cv"))
+      .as[(Int, Seq[Double])]
+      .collect()
+      .map { case (l, cv) => (l, cv.toArray) }
+      .sortBy(_._1)
+    vectors.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .flatMap { case (id, emb) =>
+        val e = emb.toArray
+        val m = e.length / subDims
+        (0 until m).iterator.map { sub =>
+          var bestCode = -1; var bestD = Long.MaxValue
+          var ci = 0
+          while (ci < codebook.length) {
+            val (cl, cv) = codebook(ci)
+            var s = 0L; var k = sub * subDims
+            val end = (sub + 1) * subDims
+            while (k < end) {
+              val d = e(k).toDouble - cv(k)
+              s += math.floor(d * d * 1e12 + 0.5).toLong
+              k += 1
+            }
+            if (s < bestD) { bestD = s; bestCode = cl } // sorted → tie keeps smaller
+            ci += 1
+          }
+          PqRow(id, (sub + 1).toLong, bestCode,
+            math.floor((bestD.toDouble / 1e12) * 1e6 + 0.5) / 1e6)
+        }
+      }
+      .toDF()
+  }
+
   /** Declarative variant kept for reference/testing of [[dist2L]]. */
   def ivfAssignDeclarative(vectors: DataFrame, centArrays: DataFrame): DataFrame = {
     val scored = vectors

@@ -110,6 +110,35 @@ object AnalyticsQueries {
       sampleRates, sampleDefault)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
 
+  /** Deterministic exact-k reservoir sample per stratum: the first
+    * ReservoirK documents of each lang in md5(doc_id) order. The hash
+    * order is a fixed uniform permutation, so this IS reservoir sampling
+    * with a deterministic coin — same guarantee (every k-subset equally
+    * likely over the hash family), but engine-portable and re-runnable.
+    * Complements [[Sample.stratified]]'s rate-based form when the
+    * curation budget is an exact row count per stratum. Spark ≥3.5
+    * rewrites the rk<=k filter into a WindowGroupLimit partial top-k
+    * (map-side k-heap per stratum), so no stratum is ever fully sorted
+    * at 100 TB. */
+  private val ReservoirK = 16L
+  private def sampleReservoir(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    t(s, d, "documents")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= ReservoirK)
+      .select(col("lang"), col("rk"), col("doc_id"), col("source"),
+        col("n_chars"))
+  }
+
+  private val sampleReservoirSql =
+    s"""SELECT lang, rk, doc_id, source, n_chars FROM (
+  SELECT lang, doc_id, source, n_chars,
+         CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+  FROM documents)
+WHERE rk <= $ReservoirK"""
+
   /** Per-group top-k: 3 largest orders per market segment (broadcast dim,
     * one window pass — rank pushes the limit inside each partition). */
   private def topkPerGroup(s: SparkSession, d: String): DataFrame = {
@@ -248,7 +277,8 @@ GROUP BY 1, 2"""
     "rel_topk_per_group" -> ((s, d) => r6(topkPerGroup(s, d))),
     "rel_quantiles" -> ((s, d) => r6(quantiles(s, d))),
     "rel_quantiles_cont" -> ((s, d) => r6(quantilesCont(s, d))),
-    "latency_metrics" -> ((s, d) => latencyMetrics(s, d))
+    "latency_metrics" -> ((s, d) => latencyMetrics(s, d)),
+    "sample_reservoir" -> ((s, d) => sampleReservoir(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -343,6 +373,7 @@ FROM (SELECT l_returnflag, l_extendedprice,
       FROM lineitem)
 GROUP BY l_returnflag""",
     "rel_quantiles_cont" -> quantilesContSql,
-    "latency_metrics" -> latencyMetricsSql
+    "latency_metrics" -> latencyMetricsSql,
+    "sample_reservoir" -> sampleReservoirSql
   )
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.ops._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver-verifiable similarity-search queries (Similarity ops) over
@@ -32,6 +33,8 @@ object VecQueries {
   // sides always interpolate the same value within a process.
   private def MaxBucket: Int = if (Adaptive.forceDistributed) 4 else 1 << 20
   private val QuantLevels = 255
+  private val PqSubDims = 16
+  private val ClusterK = 8L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_topk" -> ((s, d) => {
@@ -49,6 +52,35 @@ object VecQueries {
     "embed_ivf" -> ((s, d) => {
       val v = vecs(s, d)
       Similarity.ivfAssign(v, Similarity.centroidArrays(Similarity.centroids(v)))
+    }),
+    // PQ code sequences: the int8-per-subspace encoding a 100 TB corpus
+    // stores instead of raw floats — codebook = per-label centroid slices.
+    "pq_codes" -> ((s, d) => {
+      val v = vecs(s, d)
+      Similarity.pqAssign(v,
+        Similarity.centroidArrays(Similarity.centroids(v)), PqSubDims)
+    }),
+    // Cluster-balanced exact-k sample: IVF-assign, then keep the first
+    // ClusterK vectors per cluster in deterministic md5 order — the
+    // semantic-diversity downsampling pass of a curation pipeline
+    // (uniform sampling over-represents dense clusters; per-cluster
+    // quotas flatten the topic distribution). Spark ≥3.5 rewrites the
+    // rk<=k filter into a WindowGroupLimit partial top-k, so no cluster
+    // is ever fully sorted.
+    "cluster_sample" -> ((s, d) => {
+      val v = vecs(s, d)
+      val assign = Similarity.ivfAssign(v,
+        Similarity.centroidArrays(Similarity.centroids(v)))
+      val sizes = assign.groupBy(col("assigned_label"))
+        .agg(count(lit(1)).as("cluster_n"))
+      val w = Window.partitionBy(col("assigned_label"))
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      assign
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= ClusterK)
+        .join(broadcast(sizes), Seq("assigned_label"))
+        .select(col("assigned_label"), col("rk"), col("vec_id"),
+          col("cluster_n"))
     }),
     "dedup_embed" -> ((s, d) => Similarity.cosineNearDupPairsAuto(vecs(s, d),
       targetBucketRows = TargetBucket, maxBucket = MaxBucket)),
@@ -179,19 +211,59 @@ WHERE rnk <= 10"""
     s"""$centSql
 SELECT label, pos, ${s6("c")} AS c FROM cent"""
 
-  private val ivfSql =
+  /** Shared IVF-assignment CTE chain ending in `ivf` (vec_id, label,
+    * assigned_label, d2l) — rnk=1 of the declarative argmin. */
+  private val ivfCte =
     s"""$centSql, centarr AS (
   SELECT label AS cand_label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label
 ), assign AS (
   SELECT e.vec_id, e.label, c.cand_label,
          ${dist2Sql("e.embedding", "c.cv")} AS d2l
-  FROM embeddings e, centarr c)
-SELECT vec_id, label, cand_label AS assigned_label,
+  FROM embeddings e, centarr c), ivf AS (
+  SELECT vec_id, label, cand_label AS assigned_label, d2l
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2l, cand_label) AS rnk
+        FROM assign)
+  WHERE rnk = 1)"""
+
+  private val ivfSql =
+    s"""$ivfCte
+SELECT vec_id, label, assigned_label,
        ${s6("CAST(d2l AS DOUBLE)/1e12")} AS d2,
-       cand_label = label AS correct
-FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2l, cand_label) AS rnk
+       assigned_label = label AS correct
+FROM ivf"""
+
+  /** Twin of Similarity.pqAssign: per-(label, subspace) centroid slices
+    * as the codebook, declarative argmin per (vector, subspace) over the
+    * SAME exact 1e-12 grid distance on the sliced lists. */
+  private val pqSql = {
+    val sub = s"list_slice(e.embedding, CAST((c.subspace-1)*$PqSubDims+1 AS BIGINT), CAST(c.subspace*$PqSubDims AS BIGINT))"
+    s"""$centSql, subcent AS (
+  SELECT label AS code, CAST((pos-1)//$PqSubDims AS BIGINT)+1 AS subspace,
+         list(c ORDER BY pos) AS cv
+  FROM cent GROUP BY 1, 2
+), assign AS (
+  SELECT e.vec_id, c.subspace, c.code,
+         ${dist2Sql(sub, "c.cv")} AS d2l
+  FROM embeddings e, subcent c)
+SELECT vec_id, subspace, code, ${s6("CAST(d2l AS DOUBLE)/1e12")} AS d2
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d2l, code) AS rnk
       FROM assign)
 WHERE rnk = 1"""
+  }
+
+  /** Twin of the cluster_sample composition: same ivf CTE, md5-ordered
+    * row_number per assigned cluster, ClusterK quota, size join. */
+  private val clusterSampleSql =
+    s"""$ivfCte,
+sizes AS (SELECT assigned_label, count(*) AS cluster_n FROM ivf GROUP BY 1),
+picked AS (
+  SELECT assigned_label, vec_id,
+         CAST(row_number() OVER (PARTITION BY assigned_label
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+  FROM ivf)
+SELECT p.assigned_label, p.rk, p.vec_id, s.cluster_n
+FROM picked p JOIN sizes s USING (assigned_label)
+WHERE p.rk <= $ClusterK"""
 
   /** Twin of Similarity.lshTopKMulti: a pair is a candidate when its
     * buckets collide in ANY of the `MultiTables` independent plane sets
@@ -313,6 +385,8 @@ FROM er GROUP BY pos, mn, mx"""
     "embed_lsh_topk" -> lshTopkSql,
     "embed_lsh_multi" -> lshMultiSql,
     "embed_centroids" -> centroidsSql,
-    "embed_ivf" -> ivfSql
+    "embed_ivf" -> ivfSql,
+    "pq_codes" -> pqSql,
+    "cluster_sample" -> clusterSampleSql
   )
 }

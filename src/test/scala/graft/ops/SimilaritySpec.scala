@@ -64,6 +64,37 @@ class SimilaritySpec extends AnyFunSuite {
       canon(Similarity.ivfAssignDeclarative(corpus, cents)))
   }
 
+  test("PQ with a single subspace degenerates bit-for-bit to IVF assignment") {
+    val cents = Similarity.centroidArrays(Similarity.centroids(corpus))
+    val ivf = Similarity.ivfAssign(corpus, cents).collect()
+      .map(r => r.getAs[Long]("vec_id") -> (r.getAs[Int]("assigned_label"), r.getAs[Double]("d2"))).toMap
+    val pq = Similarity.pqAssign(corpus, cents, subDims = 4).collect()
+    assert(pq.length == ivf.size)
+    pq.foreach { r =>
+      assert(r.getAs[Long]("subspace") == 1L)
+      val (lbl, d2) = ivf(r.getAs[Long]("vec_id"))
+      assert(r.getAs[Int]("code") == lbl)
+      assert(r.getAs[Double]("d2") == d2)
+    }
+  }
+
+  test("PQ per-subspace argmin never loses to the whole-vector assignment") {
+    val cents = Similarity.centroidArrays(Similarity.centroids(corpus))
+    val ivf = Similarity.ivfAssign(corpus, cents).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("d2")).toMap
+    val bySub = Similarity.pqAssign(corpus, cents, subDims = 2).collect()
+      .groupBy(_.getAs[Long]("vec_id"))
+    assert(bySub.size == ivf.size)
+    bySub.foreach { case (id, rows) =>
+      assert(rows.map(_.getAs[Long]("subspace")).sorted.toSeq == Seq(1L, 2L))
+      // Σ over subspaces of the per-subspace best d2 ≤ the single shared
+      // argmin's d2 (each subspace can only do better independently);
+      // 1e-6 snap slack per term
+      val pqTotal = rows.map(_.getAs[Double]("d2")).sum
+      assert(pqTotal <= ivf(id) + 3e-6, s"vec $id: $pqTotal > ${ivf(id)}")
+    }
+  }
+
   test("maxBucket cap keeps the deterministic lowest-vec_id survivors and counts drops") {
     // six positive multiples of one direction — identical SRP bucket
     // (sign bits are scale-invariant), pairwise cosine exactly 1 after
