@@ -464,6 +464,109 @@ object Similarity {
       .toDF()
   }
 
+  /** One ADC search hit (adc_d2 snapped to the 1e-6 grid). */
+  final case class AdcRow(qid: Long, vec_id: Long, adc_d2: Double, rnk: Long)
+
+  /** PQ asymmetric-distance (ADC) top-k search — the query path over
+    * [[pqAssign]]'s codes: each corpus vector is represented ONLY by its
+    * M sub-codes, and query→vector distance is the sum of precomputed
+    * query→codeword distances, looked up from a per-query LUT of
+    * `M · |codebook|` entries built once on the driver. This is the
+    * IVFADC search kernel (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): at 100 TB the scan touches
+    * dim/subDims bytes per vector instead of dim·4, the LUT lives in
+    * L1, and the whole pass is one shuffle-free map over the corpus
+    * followed by a per-query top-k (WindowGroupLimit keeps that a
+    * partial k-heap, never a full sort).
+    *
+    * Encode and search fuse into a single pass here (codes are
+    * recomputed map-side rather than re-read) so the operator stays
+    * self-contained; a stored-codes deployment would `map` over the
+    * codes table instead — the LUT arithmetic is identical.
+    *
+    * Determinism: LUT entries and code assignment both accumulate on
+    * the exact 1e-12 Long grid; the ADC sum is a Long sum of M entries
+    * (≤ dim·4e12 ≪ 2^53), so the finishing cast and 1e-6 snap are
+    * engine-bit-identical. Ties rank by (distance, vec_id) like every
+    * top-k here. Self-matches are excluded.
+    */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame, centArrays: DataFrame,
+                subDims: Int = 16, k: Int = 10): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val codebook: Array[(Int, Array[Double])] = centArrays
+      .select(col("label").cast("int"), col("cv"))
+      .as[(Int, Seq[Double])]
+      .collect()
+      .map { case (l, cv) => (l, cv.toArray) }
+      .sortBy(_._1)
+    val qs: Array[(Long, Array[Float])] = queries
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .collect()
+      .map { case (id, e) => (id, e.toArray) }
+      .sortBy(_._1)
+    // LUT(qIdx)(sub)(codeIdx) = grid d2 of q's subvector vs that codeword slice
+    def lutFor(q: Array[Float], m: Int): Array[Array[Long]] =
+      Array.tabulate(m) { sub =>
+        codebook.map { case (_, cv) =>
+          var s = 0L; var i = sub * subDims
+          val end = (sub + 1) * subDims
+          while (i < end) {
+            val d = q(i).toDouble - cv(i)
+            s += math.floor(d * d * 1e12 + 0.5).toLong
+            i += 1
+          }
+          s
+        }
+      }
+    // LUTs built ONCE on the driver (Q·M·|codebook| longs) and shipped in
+    // the closure — the whole point of ADC is that the per-vector work is
+    // M lookups, not M·subDims multiplies per query
+    val luts: Array[Array[Array[Long]]] =
+      qs.map { case (_, q) => lutFor(q, q.length / subDims) }
+    val scored = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .flatMap { case (id, emb) =>
+        val e = emb.toArray
+        val m = e.length / subDims
+        // encode: per subspace, nearest codeword index (tie → smaller code)
+        val codeIdx = Array.tabulate(m) { sub =>
+          var best = -1; var bestD = Long.MaxValue
+          var ci = 0
+          while (ci < codebook.length) {
+            val cv = codebook(ci)._2
+            var s = 0L; var i = sub * subDims
+            val end = (sub + 1) * subDims
+            while (i < end) {
+              val d = e(i).toDouble - cv(i)
+              s += math.floor(d * d * 1e12 + 0.5).toLong
+              i += 1
+            }
+            if (s < bestD) { bestD = s; best = ci }
+            ci += 1
+          }
+          best
+        }
+        qs.indices.iterator
+          .filter(qi => qs(qi)._1 != id)
+          .map { qi =>
+            var adc = 0L; var sub = 0
+            while (sub < m) { adc += luts(qi)(sub)(codeIdx(sub)); sub += 1 }
+            (qs(qi)._1, id, adc)
+          }
+      }
+      .toDF("qid", "vec_id", "adcl")
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adcl"), col("vec_id")))
+        .cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"),
+        Det.snap(col("adcl").cast("double") / 1e12, 6).as("adc_d2"),
+        col("rnk"))
+  }
+
   /** Declarative variant kept for reference/testing of [[dist2L]]. */
   def ivfAssignDeclarative(vectors: DataFrame, centArrays: DataFrame): DataFrame = {
     val scored = vectors

@@ -60,6 +60,14 @@ object VecQueries {
       Similarity.pqAssign(v,
         Similarity.centroidArrays(Similarity.centroids(v)), PqSubDims)
     }),
+    // ADC search over the PQ codes: query→vector distance = Σ of LUT'd
+    // query→codeword distances — the IVFADC read path (scan M codes per
+    // vector instead of dim floats).
+    "pq_adc_topk" -> ((s, d) => {
+      val v = vecs(s, d)
+      Similarity.pqAdcTopK(q5(v), v,
+        Similarity.centroidArrays(Similarity.centroids(v)), PqSubDims)
+    }),
     // Cluster-balanced exact-k sample: IVF-assign, then keep the first
     // ClusterK vectors per cluster in deterministic md5 order — the
     // semantic-diversity downsampling pass of a curation pipeline
@@ -251,6 +259,42 @@ FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d2l, c
 WHERE rnk = 1"""
   }
 
+  /** Twin of Similarity.pqAdcTopK: re-derive the PQ codes declaratively
+    * (same argmin as pqSql), then the ADC distance is the SUM over
+    * subspaces of the grid distance between the QUERY's subvector and
+    * the vector's CODEWORD — never the vector itself (asymmetric).
+    * sum(BIGINT) is exact HUGEINT; the total is non-negative and
+    * < 2^53, so the finishing DOUBLE cast is exact. */
+  private val pqAdcSql = {
+    val xsub = s"list_slice(e.embedding, CAST((c.subspace-1)*$PqSubDims+1 AS BIGINT), CAST(c.subspace*$PqSubDims AS BIGINT))"
+    val qsub = s"list_slice(q.qv, CAST((c.subspace-1)*$PqSubDims+1 AS BIGINT), CAST(c.subspace*$PqSubDims AS BIGINT))"
+    s"""$centSql, subcent AS (
+  SELECT label AS code, CAST((pos-1)//$PqSubDims AS BIGINT)+1 AS subspace,
+         list(c ORDER BY pos) AS cv
+  FROM cent GROUP BY 1, 2
+), pq AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT e.vec_id, c.subspace, c.code,
+           row_number() OVER (PARTITION BY e.vec_id, c.subspace
+                ORDER BY ${dist2Sql(xsub, "c.cv")}, c.code) AS rnk
+    FROM embeddings e, subcent c)
+  WHERE rnk = 1
+), q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5
+), parts AS (
+  SELECT q.qid, p.vec_id, ${dist2Sql(qsub, "c.cv")} AS d2l
+  FROM pq p
+  JOIN subcent c ON p.subspace = c.subspace AND p.code = c.code
+  CROSS JOIN q
+  WHERE p.vec_id <> q.qid
+), adc AS (
+  SELECT qid, vec_id, sum(d2l) AS adcl FROM parts GROUP BY 1, 2)
+SELECT qid, vec_id, ${s6("CAST(adcl AS DOUBLE)/1e12")} AS adc_d2, rnk
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY adcl, vec_id) AS BIGINT) AS rnk
+      FROM adc)
+WHERE rnk <= 10"""
+  }
+
   /** Twin of the cluster_sample composition: same ivf CTE, md5-ordered
     * row_number per assigned cluster, ClusterK quota, size join. */
   private val clusterSampleSql =
@@ -387,6 +431,7 @@ FROM er GROUP BY pos, mn, mx"""
     "embed_centroids" -> centroidsSql,
     "embed_ivf" -> ivfSql,
     "pq_codes" -> pqSql,
+    "pq_adc_topk" -> pqAdcSql,
     "cluster_sample" -> clusterSampleSql
   )
 }

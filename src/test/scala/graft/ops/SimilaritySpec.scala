@@ -95,6 +95,27 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ADC top-k equals true squared distances when codewords are lossless") {
+    // every vector sits exactly at its label centroid (identical dups per
+    // label, grid-exact coordinates) → PQ encodes losslessly and the
+    // asymmetric distance IS the true squared distance
+    val pts = Seq(
+      Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f), Seq(0f, 0f, 1f, 1f))
+    val v = vecs(pts.zipWithIndex.flatMap { case (p, l) =>
+      Seq((l * 2L, p, l), (l * 2L + 1, p, l)) })
+    val cents = Similarity.centroidArrays(Similarity.centroids(v))
+    val q = v.filter("vec_id = 0")
+    val out = Similarity.pqAdcTopK(q, v, cents, subDims = 2, k = 6)
+      .orderBy("rnk").collect()
+    assert(out.length == 5) // self excluded
+    val d2 = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("adc_d2")).toMap
+    assert(d2(1L) == 0.0)                      // same point
+    assert(d2(2L) == 2.0 && d2(3L) == 2.0)     // |e1-e2|² = 2
+    assert(d2(4L) == 3.0 && d2(5L) == 3.0)     // 1+1+1
+    // ties rank by vec_id
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("maxBucket cap keeps the deterministic lowest-vec_id survivors and counts drops") {
     // six positive multiples of one direction — identical SRP bucket
     // (sign bits are scale-invariant), pairwise cosine exactly 1 after
