@@ -567,6 +567,112 @@ object Similarity {
         col("rnk"))
   }
 
+  /** IVF probe search — the read path over [[ivfAssign]]'s coarse
+    * quantization: each query probes its `nprobe` nearest centroids and
+    * reranks ONLY the vectors assigned to those cells with the exact
+    * grid cosine. The recall/cost dial of inverted-file ANN: nprobe=1
+    * touches ~1/|codebook| of the corpus, nprobe=|codebook| degenerates
+    * to [[bruteForceTopK]] bit-for-bit (spec-pinned).
+    *
+    * Scale shape: the codebook and the query probe sets are driver-side
+    * (label-sized / Q·nprobe); the corpus pass recomputes each vector's
+    * cell map-side with the compiled argmin (a stored-assignments
+    * deployment would filter the codes table instead — cell membership
+    * is the partition key at 100 TB, so probing reads nprobe partitions
+    * per query, not the corpus) and scores survivors against the
+    * broadcast queries in the same pass: one shuffle-free scan, then
+    * the per-query partial top-k.
+    *
+    * Determinism: centroid distances, cell argmin, and cosines all run
+    * on the exact 1e-12 Long grid; ties break (distance, label) for
+    * probes and (cosine desc, vec_id) for ranks — both mirrored in the
+    * oracle's row_number orderings. */
+  def ivfProbeTopK(queries: DataFrame, corpus: DataFrame, centArrays: DataFrame,
+                   nprobe: Int = 3, k: Int = 10): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val codebook: Array[(Int, Array[Double])] = centArrays
+      .select(col("label").cast("int"), col("cv"))
+      .as[(Int, Seq[Double])]
+      .collect()
+      .map { case (l, cv) => (l, cv.toArray) }
+      .sortBy(_._1)
+    val qs: Array[(Long, Array[Float], Long)] = queries
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .collect()
+      .map { case (id, e) =>
+        val a = e.toArray
+        var nq = 0L; var i = 0
+        while (i < a.length) {
+          nq += math.floor(a(i).toDouble * a(i).toDouble * 1e12 + 0.5).toLong
+          i += 1
+        }
+        (id, a, nq)
+      }
+      .filter(_._3 > 0L)
+      .sortBy(_._1)
+    def gridD2(q: Array[Float], cv: Array[Double]): Long = {
+      var s = 0L; var i = 0
+      while (i < q.length) {
+        val d = q(i).toDouble - cv(i)
+        s += math.floor(d * d * 1e12 + 0.5).toLong
+        i += 1
+      }
+      s
+    }
+    // per-query probe set: nprobe nearest cells, ties toward smaller label
+    val probes: Map[Int, Array[Int]] = {
+      val perQ = qs.zipWithIndex.map { case ((_, q, _), qi) =>
+        qi -> codebook.map { case (l, cv) => (gridD2(q, cv), l) }
+          .sorted.take(nprobe).map(_._2)
+      }
+      val byLabel = perQ.flatMap { case (qi, ls) => ls.map(l => (l, qi)) }
+        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2) }
+      byLabel.withDefaultValue(Array.empty[Int])
+    }
+    val scored = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .flatMap { case (id, emb) =>
+        val e = emb.toArray
+        // cell assignment: same compiled argmin as ivfAssign
+        var cell = -1; var bestD = Long.MaxValue
+        var ci = 0
+        while (ci < codebook.length) {
+          var s = 0L; var i = 0
+          val cv = codebook(ci)._2
+          while (i < e.length) {
+            val d = e(i).toDouble - cv(i)
+            s += math.floor(d * d * 1e12 + 0.5).toLong
+            i += 1
+          }
+          if (s < bestD) { bestD = s; cell = codebook(ci)._1 }
+          ci += 1
+        }
+        var nv = 0L; var i = 0
+        while (i < e.length) {
+          nv += math.floor(e(i).toDouble * e(i).toDouble * 1e12 + 0.5).toLong
+          i += 1
+        }
+        if (nv <= 0L) Iterator.empty
+        else probes(cell).iterator
+          .filter(qi => qs(qi)._1 != id)
+          .map { qi =>
+            val (qid, q, nq) = qs(qi)
+            var dot = 0L; var j = 0
+            while (j < e.length) {
+              dot += math.floor(q(j).toDouble * e(j).toDouble * 1e12 + 0.5).toLong
+              j += 1
+            }
+            val c = math.floor(((dot.toDouble / 1e12) /
+              math.sqrt((nq.toDouble / 1e12) * (nv.toDouble / 1e12))) * 1e6 + 0.5) / 1e6
+            (qid, id, c)
+          }
+      }
+      .toDF("qid", "vec_id", "cosine")
+    ranked(scored, k)
+  }
+
   /** Declarative variant kept for reference/testing of [[dist2L]]. */
   def ivfAssignDeclarative(vectors: DataFrame, centArrays: DataFrame): DataFrame = {
     val scored = vectors

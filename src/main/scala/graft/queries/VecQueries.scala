@@ -35,6 +35,7 @@ object VecQueries {
   private val QuantLevels = 255
   private val PqSubDims = 16
   private val ClusterK = 8L
+  private val IvfNprobe = 3
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_topk" -> ((s, d) => {
@@ -59,6 +60,13 @@ object VecQueries {
       val v = vecs(s, d)
       Similarity.pqAssign(v,
         Similarity.centroidArrays(Similarity.centroids(v)), PqSubDims)
+    }),
+    // IVF probe search: each query reranks only the vectors assigned to
+    // its IvfNprobe nearest cells — the inverted-file recall/cost dial.
+    "ivf_probe_topk" -> ((s, d) => {
+      val v = vecs(s, d)
+      Similarity.ivfProbeTopK(q5(v), v,
+        Similarity.centroidArrays(Similarity.centroids(v)), IvfNprobe)
     }),
     // ADC search over the PQ codes: query→vector distance = Σ of LUT'd
     // query→codeword distances — the IVFADC read path (scan M codes per
@@ -295,6 +303,36 @@ FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY adcl, vec_id) 
 WHERE rnk <= 10"""
   }
 
+  /** Twin of Similarity.ivfProbeTopK: probe sets from a row_number over
+    * the SAME grid centroid distance (ties toward smaller label),
+    * candidates = ivf-assigned members of probed cells, reranked with
+    * the exact-grid cosine. */
+  private val ivfProbeSql =
+    s"""$ivfCte,
+base AS (
+  SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nv FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, embedding AS qv, nv AS nq FROM base WHERE vec_id < 5
+), qprobe AS (
+  SELECT qid, cand_label AS plabel FROM (
+    SELECT q.qid, c.cand_label,
+           row_number() OVER (PARTITION BY q.qid
+                ORDER BY ${dist2Sql("q.qv", "c.cv")}, c.cand_label) AS prnk
+    FROM q, centarr c)
+  WHERE prnk <= $IvfNprobe
+), scored AS (
+  SELECT q.qid, e.vec_id,
+         ${cosSql(dotSql("q.qv", "e.embedding"), "q.nq", "e.nv")} AS cosine
+  FROM ivf a
+  JOIN qprobe p ON a.assigned_label = p.plabel
+  JOIN base e ON e.vec_id = a.vec_id
+  JOIN q ON q.qid = p.qid
+  WHERE e.vec_id <> q.qid AND e.nv > 0 AND q.nq > 0)
+SELECT qid, vec_id, cosine, rnk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+  FROM scored)
+WHERE rnk <= 10"""
+
   /** Twin of the cluster_sample composition: same ivf CTE, md5-ordered
     * row_number per assigned cluster, ClusterK quota, size join. */
   private val clusterSampleSql =
@@ -432,6 +470,7 @@ FROM er GROUP BY pos, mn, mx"""
     "embed_ivf" -> ivfSql,
     "pq_codes" -> pqSql,
     "pq_adc_topk" -> pqAdcSql,
+    "ivf_probe_topk" -> ivfProbeSql,
     "cluster_sample" -> clusterSampleSql
   )
 }

@@ -52,7 +52,10 @@ object PlanSnap {
     "lead_lag",          // aligned-pair grid + whole-series window
     "rel_distinct_agg",  // expand-based multi-distinct aggregate
     "rel_topk_per_group",// per-group rank under a partial top-k
-    "embed_ivf"          // broadcast codebook argmin probe
+    "embed_ivf",         // broadcast codebook argmin probe
+    // Round-8 widening: the PQ read path and the quota-sample shape.
+    "pq_adc_topk",       // shuffle-free ADC scan + per-query partial top-k
+    "cluster_sample"     // WindowGroupLimit quota under the argmin probe
   )
 
   val SnapshotDir = "src/test/resources/plans"

@@ -95,6 +95,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF probe with nprobe >= |codebook| degenerates bit-for-bit to brute force") {
+    val cents = Similarity.centroidArrays(Similarity.centroids(corpus))
+    val q = corpus.filter("vec_id = 0")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(canon(Similarity.ivfProbeTopK(q, corpus, cents, nprobe = 2, k = 6)) ==
+      canon(Similarity.bruteForceTopK(q, corpus, k = 6)))
+  }
+
+  test("IVF probe with nprobe = 1 only returns vectors from the query's own cell") {
+    val cents = Similarity.centroidArrays(Similarity.centroids(corpus))
+    val q = corpus.filter("vec_id = 0")
+    val cells = Similarity.ivfAssign(corpus, cents).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("assigned_label")).toMap
+    val got = Similarity.ivfProbeTopK(q, corpus, cents, nprobe = 1, k = 7)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val expect = cells.collect { case (id, c) if c == cells(0L) && id != 0L => id }.toSet
+    assert(got == expect, s"cells=$cells got=$got")
+  }
+
   test("ADC top-k equals true squared distances when codewords are lossless") {
     // every vector sits exactly at its label centroid (identical dups per
     // label, grid-exact coordinates) → PQ encodes losslessly and the
