@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming MinHash-LSH near-duplicate detection — the ingest-time twin
+  * of [[graft.ops.Dedup.minhashLshPairs]]: documents arrive on a stream,
+  * each lands in its LSH band buckets, and a candidate pair is emitted
+  * the moment its second member shows up — so near-dups are flagged AT
+  * INGEST, without re-scanning the corpus per batch.
+  *
+  * Semantics contract: after any stream prefix, the set of emitted
+  * pairs (keyed (doc_a, doc_b), values (n_agree, est_jaccard)) equals
+  * batch `minhashLshPairs` over the documents seen so far. A pair that
+  * collides in several bands may be emitted more than once, but always
+  * with identical values (n_agree is computed from the full signatures,
+  * not the band), so any downstream upsert converges — the same reason
+  * the batch side can use a plain dropDuplicates. Replays are
+  * idempotent (bucket membership is checked by doc_id).
+  *
+  * State: one entry per OCCUPIED band bucket carrying its members'
+  * (doc_id, signature) — exactly the banded table the batch shuffle
+  * builds, kept keyed instead of re-derived. LSH keeps buckets sparse
+  * by construction (P[collide] ≈ jaccard^rows); the keyed state is
+  * hash-partitioned across executors like the batch Exchange on the
+  * band key. Long-running feeds would add a state TTL and accept
+  * missing pairs across the expiry horizon — the standard trade.
+  *
+  * The signature pipeline (shingle → md5-slice minhash → band md5) is
+  * replayed in compiled Scala bit-identically to the batch column
+  * expressions: same `split(" ", -1)` tokenization, same distinct
+  * order, same `h/4`-seeded md5 slicing, same `"|"`-joined band hash
+  * (StatefulNearDupSpec pins streaming ≡ batch on every prefix).
+  */
+object StatefulNearDup {
+
+  final case class DocIn(doc_id: Long, text: String)
+  final case class PairOut(doc_a: Long, doc_b: Long, n_agree: Long,
+                           est_jaccard: Double)
+  final case class BState(members: Seq[(Long, Seq[String])])
+
+  private def md5Hex(s: String): String = StatefulDedup.md5Hex(s)
+
+  /** Distinct word n-grams in first-seen order — TextOps.Shingles
+    * replayed (split -1 keeps trailing empties like Catalyst/DuckDB). */
+  private def shingles(text: String, n: Int): Seq[String] = {
+    val ws = text.split(" ", -1)
+    if (ws.length < n) Seq.empty
+    else {
+      val distinct = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      val sb = new java.lang.StringBuilder
+      while (i <= ws.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(ws(i + j)); j += 1
+        }
+        distinct += sb.toString
+        i += 1
+      }
+      distinct.toSeq
+    }
+  }
+
+  /** MinHash signature m0..m{numHashes-1} — Dedup.minhashSignatures
+    * replayed: hash h = 8-hex slice h%4 of md5("${h/4}:" + shingle),
+    * minimized lexicographically over the document's shingles. */
+  def signature(text: String, n: Int, numHashes: Int): Option[Seq[String]] = {
+    val sh = shingles(text, n)
+    if (sh.isEmpty) None
+    else Some((0 until numHashes).map { h =>
+      var best: String = null
+      sh.foreach { s =>
+        val hex = md5Hex(s"${h / 4}:$s")
+        val slice = hex.substring((h % 4) * 8, (h % 4) * 8 + 8)
+        if (best == null || slice < best) best = slice
+      }
+      best
+    })
+  }
+
+  def pairs(stream: Dataset[DocIn], n: Int = 3, numHashes: Int = 8,
+            bands: Int = 2): Dataset[PairOut] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .flatMap { doc =>
+        signature(doc.text, n, numHashes).iterator.flatMap { sigs =>
+          (0 until bands).iterator.map { b =>
+            val key = md5Hex(sigs.slice(b * rows, (b + 1) * rows).mkString("|"))
+            (s"$b|$key", doc.doc_id, sigs)
+          }
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BState, PairOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows0: Iterator[(String, Long, Seq[String])],
+         state: GroupState[BState]) =>
+          var members = state.getOption.map(_.members).getOrElse(Seq.empty)
+          val fresh = rows0.map(r => (r._2, r._3)).toSeq
+            .filterNot { case (id, _) => members.exists(_._1 == id) }
+            .distinctBy(_._1).sortBy(_._1)
+          val out = scala.collection.mutable.ArrayBuffer[PairOut]()
+          fresh.foreach { case (id, sigs) =>
+            members.foreach { case (mid, msigs) =>
+              val (a, b) = if (mid < id) (mid, id) else (id, mid)
+              val (sa, sb) = if (mid < id) (msigs, sigs) else (sigs, msigs)
+              val agree = sa.iterator.zip(sb.iterator).count { case (x, y) => x == y }.toLong
+              out += PairOut(a, b, agree,
+                math.floor(agree.toDouble / numHashes * 1e6 + 0.5) / 1e6)
+            }
+            members = members :+ (id -> sigs)
+          }
+          state.update(BState(members))
+          out.iterator
+      }
+  }
+}
