@@ -102,25 +102,33 @@ object VecQueries {
       targetBucketRows = TargetBucket, maxBucket = MaxBucket)),
     "embed_quantize" -> ((s, d) =>
       Similarity.scalarQuantize(vecs(s, d), QuantLevels)),
+    // Recall@10 of EVERY approximate path vs brute-force truth — the eval
+    // a user runs before trusting any of the four ANN branches.
     "ann_recall" -> ((s, d) => {
       val v = vecs(s, d)
+      val cents = Similarity.centroidArrays(Similarity.centroids(v))
       val truth = Similarity.bruteForceTopK(q5(v), v).select("qid", "vec_id")
-      val single = Similarity.lshTopK(q5(v), v).select("qid", "vec_id")
-      val multi = Similarity.lshTopKMulti(q5(v), v, k = 10,
-        planes = MultiPlanes, tables = MultiTables).select("qid", "vec_id")
+      val paths = Seq(
+        "single" -> Similarity.lshTopK(q5(v), v).select("qid", "vec_id"),
+        "multi" -> Similarity.lshTopKMulti(q5(v), v, k = 10,
+          planes = MultiPlanes, tables = MultiTables).select("qid", "vec_id"),
+        "ivf" -> Similarity.ivfProbeTopK(q5(v), v, cents, IvfNprobe)
+          .select("qid", "vec_id"),
+        "adc" -> Similarity.pqAdcTopK(q5(v), v, cents, PqSubDims)
+          .select("qid", "vec_id"))
       val tt = truth.groupBy("qid").agg(count(lit(1)).as("n_true"))
-      val hs = truth.join(single, Seq("qid", "vec_id"))
-        .groupBy("qid").agg(count(lit(1)).as("hits_single"))
-      val hm = truth.join(multi, Seq("qid", "vec_id"))
-        .groupBy("qid").agg(count(lit(1)).as("hits_multi"))
-      tt.join(hs, Seq("qid"), "left").join(hm, Seq("qid"), "left")
-        .select(col("qid"), col("n_true"),
-          coalesce(col("hits_single"), lit(0L)).as("hits_single"),
-          coalesce(col("hits_multi"), lit(0L)).as("hits_multi"))
-        .withColumn("recall_single", Det.snap(
-          col("hits_single").cast("double") / col("n_true").cast("double"), 6))
-        .withColumn("recall_multi", Det.snap(
-          col("hits_multi").cast("double") / col("n_true").cast("double"), 6))
+      val joined = paths.foldLeft(tt) { case (acc, (tag, cand)) =>
+        acc.join(truth.join(cand, Seq("qid", "vec_id"))
+          .groupBy("qid").agg(count(lit(1)).as(s"hits_$tag")),
+          Seq("qid"), "left")
+      }
+      paths.foldLeft(joined
+        .select(col("qid") +: col("n_true") +: paths.map { case (tag, _) =>
+          coalesce(col(s"hits_$tag"), lit(0L)).as(s"hits_$tag") }: _*)) {
+        case (acc, (tag, _)) =>
+          acc.withColumn(s"recall_$tag", Det.snap(
+            col(s"hits_$tag").cast("double") / col("n_true").cast("double"), 6))
+      }
     })
   )
 
@@ -417,17 +425,28 @@ SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.2"""
     s"""WITH truth AS (SELECT qid, vec_id FROM ($topkSql)),
 s1 AS (SELECT qid, vec_id FROM ($lshTopkSql)),
 m AS (SELECT qid, vec_id FROM ($lshMultiSql)),
+iv AS (SELECT qid, vec_id FROM ($ivfProbeSql)),
+ad AS (SELECT qid, vec_id FROM ($pqAdcSql)),
 tt AS (SELECT qid, count(*) AS n_true FROM truth GROUP BY 1),
 hs AS (SELECT t.qid, count(*) AS hits_single
        FROM truth t JOIN s1 USING (qid, vec_id) GROUP BY 1),
 hm AS (SELECT t.qid, count(*) AS hits_multi
-       FROM truth t JOIN m USING (qid, vec_id) GROUP BY 1)
+       FROM truth t JOIN m USING (qid, vec_id) GROUP BY 1),
+hi AS (SELECT t.qid, count(*) AS hits_ivf
+       FROM truth t JOIN iv USING (qid, vec_id) GROUP BY 1),
+ha AS (SELECT t.qid, count(*) AS hits_adc
+       FROM truth t JOIN ad USING (qid, vec_id) GROUP BY 1)
 SELECT tt.qid, tt.n_true,
        COALESCE(hs.hits_single, CAST(0 AS BIGINT)) AS hits_single,
        COALESCE(hm.hits_multi, CAST(0 AS BIGINT)) AS hits_multi,
+       COALESCE(hi.hits_ivf, CAST(0 AS BIGINT)) AS hits_ivf,
+       COALESCE(ha.hits_adc, CAST(0 AS BIGINT)) AS hits_adc,
        ${s6("CAST(COALESCE(hs.hits_single, 0) AS DOUBLE) / CAST(tt.n_true AS DOUBLE)")} AS recall_single,
-       ${s6("CAST(COALESCE(hm.hits_multi, 0) AS DOUBLE) / CAST(tt.n_true AS DOUBLE)")} AS recall_multi
-FROM tt LEFT JOIN hs USING (qid) LEFT JOIN hm USING (qid)"""
+       ${s6("CAST(COALESCE(hm.hits_multi, 0) AS DOUBLE) / CAST(tt.n_true AS DOUBLE)")} AS recall_multi,
+       ${s6("CAST(COALESCE(hi.hits_ivf, 0) AS DOUBLE) / CAST(tt.n_true AS DOUBLE)")} AS recall_ivf,
+       ${s6("CAST(COALESCE(ha.hits_adc, 0) AS DOUBLE) / CAST(tt.n_true AS DOUBLE)")} AS recall_adc
+FROM tt LEFT JOIN hs USING (qid) LEFT JOIN hm USING (qid)
+LEFT JOIN hi USING (qid) LEFT JOIN ha USING (qid)"""
 
   /** Twin of Similarity.scalarQuantize: the same two-pass shape — per-pos
     * exact min/max, then the identical fixed IEEE quantize→reconstruct→
