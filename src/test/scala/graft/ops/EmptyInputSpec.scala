@@ -58,6 +58,10 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.ivfAssign(noVecs,
       Similarity.centroidArrays(Similarity.centroids(noVecs))).count() == 0)
     assert(Similarity.scalarQuantize(noVecs).count() == 0)
+    val noCents = Similarity.centroidArrays(Similarity.centroids(noVecs))
+    assert(Similarity.pqAssign(noVecs, noCents, subDims = 2).count() == 0)
+    assert(Similarity.pqAdcTopK(noVecs, noVecs, noCents, subDims = 2).count() == 0)
+    assert(Similarity.ivfProbeTopK(noVecs, noVecs, noCents).count() == 0)
     assert(Multimodal.decodeFrames(Multimodal.toBlobTable(noDocs)).count() == 0)
   }
 
