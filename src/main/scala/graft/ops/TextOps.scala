@@ -205,6 +205,111 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"), col("new_words"),
         col("vocab_size"), col("cum_tokens"))
   }
+
+  /** Intra-document repetition signals (the Gopher/MassiveText repetition
+    * filter family: a document whose mass concentrates in a few repeated
+    * n-grams is boilerplate or spam, not prose — Rae et al. 2021 §A1.2
+    * filter on exactly these "fraction of characters/tokens in duplicated
+    * n-grams" statistics). Per document: bigram totals/distincts, the top
+    * bigram's multiplicity and mass fraction, and the fraction of trigram
+    * occurrences belonging to trigrams seen ≥ 2× within the document.
+    *
+    * Scale shape: repetition is DOC-LOCAL, so unlike the corpus-level
+    * dedup family nothing ever shuffles — one typed mapPartitions pass
+    * counts n-grams in a per-document hash map (O(doc) memory, reused
+    * buffers) and emits one row per document. At 100 TB this is scan-bound
+    * and embarrassingly parallel; an explode + groupBy(doc_id, ngram)
+    * formulation would shuffle the entire corpus's n-gram stream to
+    * recompute a quantity each task already holds locally. Typed Scala,
+    * not higher-order Catalyst lambdas, per invariant 4 (interpreted
+    * per-element lambdas are the known hot-loop trap).
+    *
+    * Fractions are ONE IEEE division of exactly-converted longs (snap at
+    * the query edge per the Det contract); NULL when the document is too
+    * short to have any n-gram of that order.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val counts = new java.util.HashMap[String, Long]()
+        val sb = new java.lang.StringBuilder
+        // multiplicity map of the n-grams of ws at order n
+        def fill(ws: Array[String], n: Int): Unit = {
+          counts.clear()
+          var i = 0
+          while (i <= ws.length - n) {
+            sb.setLength(0)
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(' ')
+              sb.append(ws(i + j)); j += 1
+            }
+            counts.merge(sb.toString, 1L, (a, b) => a + b)
+            i += 1
+          }
+        }
+        it.map { case (id, text) =>
+          val ws = text.split(" ", -1) // limit -1: Catalyst/DuckDB split semantics
+          fill(ws, 2)
+          val nBi = math.max(ws.length - 1, 0).toLong
+          val nBiDistinct = counts.size.toLong
+          var topBi = 0L
+          val bit = counts.values.iterator
+          while (bit.hasNext) { val c = bit.next(); if (c > topBi) topBi = c }
+          fill(ws, 3)
+          val nTri = math.max(ws.length - 2, 0).toLong
+          var dupTri = 0L
+          val tit = counts.values.iterator
+          while (tit.hasNext) { val c = tit.next(); if (c >= 2L) dupTri += c }
+          (id, nBi, nBiDistinct, topBi,
+            if (nBi == 0L) None else Some(topBi.toDouble / nBi.toDouble),
+            nTri, dupTri,
+            if (nTri == 0L) None else Some(dupTri.toDouble / nTri.toDouble))
+        }
+      }
+      .toDF("doc_id", "n_bigrams", "n_distinct_bigrams", "top_bigram_count",
+        "top_bigram_frac", "n_trigrams", "dup_trigram_count", "dup_trigram_frac")
+  }
+
+  /** PII regexes shared verbatim with the oracle SQL twin: conservative
+    * character-class-only patterns (no lookaround, no backreferences, no
+    * `\d`/`\b` shorthand inside classes) so Java regex (Spark codegen) and
+    * RE2 (DuckDB) produce the SAME leftmost, non-overlapping match set —
+    * the two engines differ on alternation preference (leftmost-first vs
+    * leftmost-longest), which these patterns never exercise. */
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII detection + redaction — the scrubbing pass every training-data
+    * pipeline runs before text leaves curation. Counts and replaces
+    * emails, IPv4 literals, and NANP-style phone numbers with typed
+    * placeholder tokens, in a FIXED sequence (emails first so an address
+    * is never double-counted as its embedded digit runs; phones last).
+    * Counts are taken on the stage each pattern actually scans, so
+    * n_emails + n_ips + n_phones is exactly the number of replacements
+    * inside `redacted_md5`'s preimage.
+    *
+    * Pure narrow select — regexp_count/regexp_replace are codegen'd
+    * expressions inside the scan's WholeStageCodegen span; zero shuffle,
+    * scan-bound at 100 TB like the rest of this file.
+    */
+  def piiScrub(df: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    val afterEmail = regexp_replace(col(textCol), emailRe, "[EMAIL]")
+    val afterIp = regexp_replace(afterEmail, ipRe, "[IP]")
+    val afterPhone = regexp_replace(afterIp, phoneRe, "[PHONE]")
+    df.select(
+      col(idCol),
+      regexp_count(col(textCol), lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(afterEmail, lit(ipRe)).cast("long").as("n_ips"),
+      regexp_count(afterIp, lit(phoneRe)).cast("long").as("n_phones"),
+      length(afterPhone).cast("long").as("redacted_len"),
+      md5(afterPhone).as("redacted_md5"))
+  }
 }
 
 /** Word n-gram shingling shared by fingerprinting and dedup. */

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ops._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, max, min, when}
+import org.apache.spark.sql.functions.{coalesce, col, concat, count, expr, lit, max, min, when}
 
 /** Driver-verifiable queries for the text-analysis + deduplication
   * operator families (TextOps, Dedup) over `documents.parquet`, each with
@@ -31,8 +31,59 @@ object DocQueries {
   def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** pii_scrub fixture: splice synthetic PII into the (digit-free) corpus
+    * text with pure doc_id arithmetic — every doc gets one email and one
+    * IPv4; every third doc a second email; every second doc a phone. The
+    * SQL twin [[piiScrubSql]] rebuilds the SAME string, so the md5 gate
+    * proves the two engines' regex replacement produced identical bytes.
+    */
+  private def piiInjected(d: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def s(c: org.apache.spark.sql.Column) = c.cast("string")
+    d.select(id, concat(
+      col("text"),
+      lit(" contact user"), s(id), lit("@mail"), s(id % 7), lit(".example.com"),
+      when(id % 3 === 0,
+        concat(lit(" cc admin"), s(id), lit("@corp.net"))).otherwise(lit("")),
+      lit(" from "), s(id % 200 + 10), lit("."), s(id % 250), lit(".0."),
+      s((id * 3) % 250),
+      when(id % 2 === 0,
+        concat(lit(" call "), s(id % 900 + 100), lit("-"),
+          s((id * 7) % 900 + 100), lit("-"), s(id % 9000 + 1000)))
+        .otherwise(lit(""))).as("text"))
+  }
+
+  /** DuckDB twin of [[piiInjected]] (same splice, same arithmetic). */
+  private val piiInjectedSql = {
+    def v(x: String) = s"CAST($x AS VARCHAR)"
+    s"""SELECT doc_id,
+       text || ' contact user' || ${v("doc_id")} || '@mail' || ${v("doc_id % 7")}
+            || '.example.com'
+            || CASE WHEN doc_id % 3 = 0
+                    THEN ' cc admin' || ${v("doc_id")} || '@corp.net'
+                    ELSE '' END
+            || ' from ' || ${v("doc_id % 200 + 10")} || '.' || ${v("doc_id % 250")}
+            || '.0.' || ${v("(doc_id * 3) % 250")}
+            || CASE WHEN doc_id % 2 = 0
+                    THEN ' call ' || ${v("doc_id % 900 + 100")} || '-'
+                         || ${v("(doc_id * 7) % 900 + 100")} || '-'
+                         || ${v("doc_id % 9000 + 1000")}
+                    ELSE '' END AS text
+FROM documents"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> ((s, d) => r6(TextOps.stats(docs(s, d)))),
+    // Gopher-family intra-document repetition signals; doc-local typed
+    // map, zero shuffle (TextOps.repetition's scaladoc has the scale
+    // argument). Fractions snapped at the edge per the Det contract.
+    "repetition_stats" -> ((s, d) => r6(TextOps.repetition(docs(s, d)))),
+    // PII scrub over a deterministically injected corpus: the fixture
+    // text is digit-free word soup, so the query splices synthetic
+    // emails/IPs/phones (pure doc_id arithmetic, mirrored verbatim in
+    // the twin) and the gate then verifies detection counts AND the
+    // md5 of the redacted text — i.e. the exact replacement spans.
+    "pii_scrub" -> ((s, d) => TextOps.piiScrub(piiInjected(docs(s, d)))),
     "text_vocab" -> ((s, d) => r6(TextOps.vocab(docs(s, d)))),
     "lang_id" -> ((s, d) => TextOps.langId(docs(s, d))),
     "fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
@@ -162,6 +213,73 @@ object DocQueries {
     * TextOps.countIn. */
   private def nIn(ws: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), w -> w IN ${inList(ws)}))"
+
+  /** Twin of TextOps.repetition: per-doc n-gram multiplicity via
+    * unnest + two-level GROUP BY (the oracle may shuffle; the Spark side
+    * deliberately does not). Fractions are one division of
+    * BIGINT-converted exact counts, 6-dp snapped; NULL when the doc has
+    * no n-gram of that order (LEFT JOIN keeps 1-token docs). */
+  private val repetitionSql =
+    s"""WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ng AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bgs,
+         list_transform(range(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tgs
+  FROM w),
+bc AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(bgs) AS g FROM ng) GROUP BY 1, 2),
+bs AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+         CAST(max(c) AS BIGINT) AS top_bigram_count
+  FROM bc GROUP BY 1),
+tc AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(tgs) AS g FROM ng) GROUP BY 1, 2),
+ts AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+           AS dup_trigram_count
+  FROM tc GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(bs.n_bigrams, 0) AS n_bigrams,
+       coalesce(bs.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+       coalesce(bs.top_bigram_count, 0) AS top_bigram_count,
+       ${s6("bs.top_bigram_count::DOUBLE / bs.n_bigrams::DOUBLE")}
+         AS top_bigram_frac,
+       coalesce(ts.n_trigrams, 0) AS n_trigrams,
+       coalesce(ts.dup_trigram_count, 0) AS dup_trigram_count,
+       ${s6("ts.dup_trigram_count::DOUBLE / ts.n_trigrams::DOUBLE")}
+         AS dup_trigram_frac
+FROM documents d
+LEFT JOIN bs ON d.doc_id = bs.doc_id
+LEFT JOIN ts ON d.doc_id = ts.doc_id"""
+
+  /** Twin of TextOps.piiScrub over [[piiInjectedSql]]: same regexes
+    * (shared Scala constants — character-class-only so Java regex and
+    * RE2 agree), same redaction sequence, counts on the same stages. */
+  private val piiScrubSql =
+    s"""WITH pii AS ($piiInjectedSql),
+r1 AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '${TextOps.emailRe}', '[EMAIL]', 'g') AS after_email
+  FROM pii),
+r2 AS (
+  SELECT *, regexp_replace(after_email, '${TextOps.ipRe}', '[IP]', 'g') AS after_ip
+  FROM r1),
+r3 AS (
+  SELECT *, regexp_replace(after_ip, '${TextOps.phoneRe}', '[PHONE]', 'g') AS after_phone
+  FROM r2)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '${TextOps.emailRe}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(after_email, '${TextOps.ipRe}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(after_ip, '${TextOps.phoneRe}')) AS BIGINT) AS n_phones,
+       CAST(length(after_phone) AS BIGINT) AS redacted_len,
+       md5(after_phone) AS redacted_md5
+FROM r3"""
 
   private val statsSql = {
     val q =
@@ -436,6 +554,8 @@ FROM documents GROUP BY 1, 2""",
        ${s6(Det.avgDSql("length(word)::DOUBLE", 6))} AS avg_token_len
 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)""",
     "text_stats" -> statsSql,
+    "repetition_stats" -> repetitionSql,
+    "pii_scrub" -> piiScrubSql,
     "lang_id" -> langIdSql,
     "fingerprint" -> fingerprintSql,
     "dedup_exact" -> dedupExactSql,

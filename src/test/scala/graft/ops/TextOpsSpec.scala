@@ -87,4 +87,62 @@ class TextOpsSpec extends AnyFunSuite {
       (2L, 2L, 1L, 5L, 9L), // e (a already seen)
       (3L, 2L, 0L, 5L, 11L)))
   }
+
+  test("repetition: n-gram multiplicities match a hand computation") {
+    val out = TextOps.repetition(docs(Seq(
+      (0L, "a b a b a", "en"), // bigrams: ab,ba,ab,ba  trigrams: aba,bab,aba
+      (1L, "x y z w", "en"),   // no repeats at all
+      (2L, "solo", "en"))))    // too short for any n-gram
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r0 = out(0L)
+    assert(r0.getAs[Long]("n_bigrams") == 4L)
+    assert(r0.getAs[Long]("n_distinct_bigrams") == 2L)
+    assert(r0.getAs[Long]("top_bigram_count") == 2L)
+    assert(r0.getAs[Double]("top_bigram_frac") == 0.5)
+    assert(r0.getAs[Long]("n_trigrams") == 3L)
+    assert(r0.getAs[Long]("dup_trigram_count") == 2L) // "a b a" twice
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_bigrams") == 3L)
+    assert(r1.getAs[Long]("n_distinct_bigrams") == 3L)
+    assert(r1.getAs[Long]("top_bigram_count") == 1L)
+    assert(r1.getAs[Long]("dup_trigram_count") == 0L)
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_bigrams") == 0L)
+    assert(r2.isNullAt(r2.fieldIndex("top_bigram_frac")))
+    assert(r2.isNullAt(r2.fieldIndex("dup_trigram_frac")))
+  }
+
+  test("piiScrub: counts each class once, redacted text has no residue") {
+    val out = TextOps.piiScrub(docs(Seq(
+      (0L, "mail me at jane.doe+x@sub.example.org or 10.0.113.7 call 555-013-4422", "en"),
+      (1L, "clean text with no identifiers at all", "en"))))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r0 = out(0L)
+    assert(r0.getAs[Long]("n_emails") == 1L)
+    assert(r0.getAs[Long]("n_ips") == 1L)
+    assert(r0.getAs[Long]("n_phones") == 1L)
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_emails") == 0L)
+    assert(r1.getAs[Long]("n_ips") == 0L)
+    assert(r1.getAs[Long]("n_phones") == 0L)
+    // a second scrub over the redacted text finds nothing: no residue
+    val redacted = TextOps.piiScrub(docs(Seq(
+      (0L, "mail me at jane.doe+x@sub.example.org or 10.0.113.7 call 555-013-4422", "en")))
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(
+          "mail me at [EMAIL] or [IP] call [PHONE]").as("text"))).head()
+    assert(redacted.getAs[Long]("n_emails") == 0L)
+    assert(redacted.getAs[Long]("n_ips") == 0L)
+    assert(redacted.getAs[Long]("n_phones") == 0L)
+  }
+
+  test("piiScrub: sequencing — email digits are never recounted as phone/ip") {
+    // an address whose local part and domain are digit-heavy: after the
+    // email pass nothing digit-bearing survives for the later passes
+    val r = TextOps.piiScrub(docs(Seq(
+      (0L, "x 555-013-4422@10.mail-99.com y", "en")))).head()
+    assert(r.getAs[Long]("n_emails") == 1L)
+    assert(r.getAs[Long]("n_ips") == 0L)
+    assert(r.getAs[Long]("n_phones") == 0L)
+  }
 }
