@@ -274,6 +274,39 @@ object TextOps {
         "top_bigram_frac", "n_trigrams", "dup_trigram_count", "dup_trigram_frac")
   }
 
+  /** DSIR-flavored importance weighting for domain-targeted resampling
+    * (Xie et al., "Data Selection for Language Models via Importance
+    * Resampling", 2023: upweight documents whose unigram mass looks like
+    * a target domain). Exact-integer surrogate of the log-likelihood
+    * ratio so the verification gate stays bit-exact: per word w with
+    * target count t_w (docs from `targetSource`), proposal count p_w
+    * (all docs) and totals T, P, the word weight is t_w·P − p_w·T —
+    * positive iff w is over-represented in the target (same sign as
+    * log((t_w/T)/(p_w/P))); a document's score sums the weight over its
+    * token occurrences.
+    *
+    * Scale shape: one map-side-combinable aggregate per word (the
+    * inverted-index shuffle), a broadcast of the two scalar totals, one
+    * hash re-aggregation keyed by doc — no window, no self-join; every
+    * sum is exact Long (|score| ≤ n_tok·T·P ≈ 2^47 at sf0.1; the SQL
+    * twin's algebra stays HUGEINT per the working rules).
+    */
+  def importanceWeights(docs: DataFrame, targetSource: String): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("source"),
+      explode(words(col("text"))).as("w"))
+    val wc = tok.groupBy(col("w")).agg(
+      count(lit(1)).as("p_w"),
+      count(when(col("source") === targetSource, 1)).as("t_w"))
+    val tot = wc.agg(sum(col("p_w")).as("p_total"), sum(col("t_w")).as("t_total"))
+    tok.join(wc, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("t_w") * col("p_total") - col("p_w") * col("t_total")).as("score"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("score"),
+        (col("score") > 0L).as("upweight"))
+  }
+
   /** PII regexes shared verbatim with the oracle SQL twin: conservative
     * character-class-only patterns (no lookaround, no backreferences, no
     * `\d`/`\b` shorthand inside classes) so Java regex (Spark codegen) and

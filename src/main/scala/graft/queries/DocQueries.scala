@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ops._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, concat, count, expr, lit, max, min, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, count, explode, expr, lit, max, min, split, sum, when}
 
 /** Driver-verifiable queries for the text-analysis + deduplication
   * operator families (TextOps, Dedup) over `documents.parquet`, each with
@@ -27,6 +27,9 @@ object DocQueries {
 
   /** simhash_hamming neighbor budget (shared Spark/oracle constant). */
   private val HammingMax = 1
+
+  /** importance_weights target domain (shared Spark/oracle constant). */
+  private val TargetSource = "src0"
 
   def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -78,6 +81,11 @@ FROM documents"""
     // map, zero shuffle (TextOps.repetition's scaladoc has the scale
     // argument). Fractions snapped at the edge per the Det contract.
     "repetition_stats" -> ((s, d) => r6(TextOps.repetition(docs(s, d)))),
+    // DSIR-flavored exact-integer importance weighting for domain-
+    // targeted resampling (TextOps.importanceWeights has the formula
+    // and the scale argument).
+    "importance_weights" -> ((s, d) =>
+      TextOps.importanceWeights(docs(s, d), TargetSource)),
     // PII scrub over a deterministically injected corpus: the fixture
     // text is digit-free word soup, so the query splices synthetic
     // emails/IPs/phones (pure doc_id arithmetic, mirrored verbatim in
@@ -257,6 +265,28 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN bs ON d.doc_id = bs.doc_id
 LEFT JOIN ts ON d.doc_id = ts.doc_id"""
+
+  /** Twin of the importance_weights query: identical word-count algebra
+    * in HUGEINT (DuckDB sums BIGINT exactly as HUGEINT; the final score
+    * fits BIGINT by the envelope in the query's comment, so the closing
+    * CAST is exact). */
+  private val importanceWeightsSql =
+    s"""WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents),
+wc AS (
+  SELECT w, count(*) AS p_w,
+         count(CASE WHEN source = '$TargetSource' THEN 1 END) AS t_w
+  FROM tok GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(p_w) AS BIGINT) AS p_total,
+         CAST(sum(t_w) AS BIGINT) AS t_total
+  FROM wc)
+SELECT tok.doc_id, tok.source, count(*) AS n_tokens,
+       CAST(sum(wc.t_w * tot.p_total - wc.p_w * tot.t_total) AS BIGINT) AS score,
+       CAST(sum(wc.t_w * tot.p_total - wc.p_w * tot.t_total) AS BIGINT) > 0
+         AS upweight
+FROM tok JOIN wc USING (w) CROSS JOIN tot
+GROUP BY 1, 2"""
 
   /** Twin of TextOps.piiScrub over [[piiInjectedSql]]: same regexes
     * (shared Scala constants — character-class-only so Java regex and
@@ -556,6 +586,7 @@ FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)""",
     "text_stats" -> statsSql,
     "repetition_stats" -> repetitionSql,
     "pii_scrub" -> piiScrubSql,
+    "importance_weights" -> importanceWeightsSql,
     "lang_id" -> langIdSql,
     "fingerprint" -> fingerprintSql,
     "dedup_exact" -> dedupExactSql,

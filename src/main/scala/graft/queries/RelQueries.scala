@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.Det
+import graft.ops.{Det, ZOrder}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -136,7 +136,46 @@ FROM orders o JOIN per p ON o.o_custkey = p.o_custkey
 WHERE o.o_totalprice > p.cust_avg
 GROUP BY o.o_custkey, p.n_orders, p.cust_avg"""
 
+  /** Z-order layout audit: Morton-interleave (custkey, order-day) and
+    * group by coarse z-cell (high bits of the key). Each output row is
+    * one 256×256 cell of the two-dimensional key space with its row
+    * count and per-dimension min/max — exactly the file-level statistics
+    * a z-ordered parquet layout would expose, demonstrating that BOTH
+    * `o_custkey = ?` and order-date range predicates prune to a few
+    * cells (ZOrder's scaladoc has the 100 TB layout argument). Pure
+    * integer bit algebra end to end — no Det scaffolding needed. */
+  private def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    val day = datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("long")
+    val z = ZOrder.zval(
+      col("o_custkey").bitwiseAND(lit(65535L)),
+      day.bitwiseAND(lit(65535L)))
+    t(s, d, "orders")
+      .select(z.as("z"), col("o_custkey"), day.as("day_idx"))
+      .groupBy(shiftright(col("z"), 16).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+        min(col("day_idx")).as("min_day"), max(col("day_idx")).as("max_day"),
+        min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+  }
+
+  private val zorderLayoutSql = {
+    val day = "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))"
+    s"""WITH d AS (
+  SELECT o_custkey, CAST($day AS BIGINT) AS day_idx,
+         (o_custkey & 65535) AS x, (CAST($day AS BIGINT) & 65535) AS y
+  FROM orders),
+z AS (
+  SELECT CAST(${ZOrder.zvalSql("x", "y")} AS BIGINT) AS z, o_custkey, day_idx
+  FROM d)
+SELECT z >> 16 AS bucket, count(*) AS n_rows,
+       min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+       min(day_idx) AS min_day, max(day_idx) AS max_day,
+       min(z) AS z_min, max(z) AS z_max
+FROM z GROUP BY 1"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zorder_layout" -> ((s, d) => zorderLayout(s, d)),
     "rel_above_avg" -> ((s, d) => r6(aboveAvgOrders(s, d))),
     "rel_star_join" -> ((s, d) => r6(starJoin(s, d))),
     "rel_revenue_by_segment" -> ((s, d) => r6(revenueBySegment(s, d))),
@@ -147,6 +186,7 @@ GROUP BY o.o_custkey, p.n_orders, p.cust_avg"""
   )
 
   def oracleSql: Map[String, String] = Map(
+    "zorder_layout" -> zorderLayoutSql,
     "rel_above_avg" -> aboveAvgOrdersSql,
     "rel_star_join" ->
       s"""SELECT r_name, CAST(year(o_orderdate) AS INT) AS order_year,

@@ -136,6 +136,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(redacted.getAs[Long]("n_phones") == 0L)
   }
 
+  test("importanceWeights: hand-computed cross-scaled LLR surrogate") {
+    val s = spark
+    import s.implicits._
+    // target srcA: t = {a:2, b:1}, T=3; proposal: p = {a:3, b:1, c:1}, P=5
+    // word weights t_w*P - p_w*T: a -> 10-9=1, b -> 5-3=2, c -> 0-3=-3
+    val df = Seq(
+      (0L, "a a b", "srcA"),  // score 1+1+2 = 4  -> upweight
+      (1L, "a c", "srcB"))    // score 1-3  = -2 -> downweight
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.importanceWeights(df, "srcA")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Long]("score") == 4L)
+    assert(out(0L).getAs[Long]("n_tokens") == 3L)
+    assert(out(0L).getAs[Boolean]("upweight"))
+    assert(out(1L).getAs[Long]("score") == -2L)
+    assert(!out(1L).getAs[Boolean]("upweight"))
+  }
+
   test("piiScrub: sequencing — email digits are never recounted as phone/ip") {
     // an address whose local part and domain are digit-heavy: after the
     // email pass nothing digit-bearing survives for the later passes
