@@ -289,7 +289,12 @@ object TextOps {
     * inverted-index shuffle), a broadcast of the two scalar totals, one
     * hash re-aggregation keyed by doc — no window, no self-join; every
     * sum is exact Long (|score| ≤ n_tok·T·P ≈ 2^47 at sf0.1; the SQL
-    * twin's algebra stays HUGEINT per the working rules).
+    * twin's algebra stays HUGEINT per the working rules). The totals
+    * deliberately do NOT reuse the word aggregate: Σ_w p_w is just the
+    * corpus token count, so one scalar scan of `size(split(...))` (no
+    * explode, no shuffle) replaces a second full word-count computation
+    * — the plan-audit catch that re-deriving `tot` from `wc`'s lineage
+    * re-ran the inverted-index aggregate twice.
     */
   def importanceWeights(docs: DataFrame, targetSource: String): DataFrame = {
     val tok = docs.select(col("doc_id"), col("source"),
@@ -297,7 +302,10 @@ object TextOps {
     val wc = tok.groupBy(col("w")).agg(
       count(lit(1)).as("p_w"),
       count(when(col("source") === targetSource, 1)).as("t_w"))
-    val tot = wc.agg(sum(col("p_w")).as("p_total"), sum(col("t_w")).as("t_total"))
+    val nTok = size(words(col("text"))).cast("long")
+    val tot = docs.agg(
+      sum(nTok).as("p_total"),
+      sum(when(col("source") === targetSource, nTok).otherwise(0L)).as("t_total"))
     tok.join(wc, Seq("w"))
       .crossJoin(broadcast(tot))
       .groupBy(col("doc_id"), col("source"))

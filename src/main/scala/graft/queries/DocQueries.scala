@@ -278,9 +278,11 @@ wc AS (
          count(CASE WHEN source = '$TargetSource' THEN 1 END) AS t_w
   FROM tok GROUP BY 1),
 tot AS (
-  SELECT CAST(sum(p_w) AS BIGINT) AS p_total,
-         CAST(sum(t_w) AS BIGINT) AS t_total
-  FROM wc)
+  SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS p_total,
+         CAST(sum(CASE WHEN source = '$TargetSource'
+                       THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT)
+           AS t_total
+  FROM documents)
 SELECT tok.doc_id, tok.source, count(*) AS n_tokens,
        CAST(sum(wc.t_w * tot.p_total - wc.p_w * tot.t_total) AS BIGINT) AS score,
        CAST(sum(wc.t_w * tot.p_total - wc.p_w * tot.t_total) AS BIGINT) > 0
