@@ -55,7 +55,11 @@ object PlanSnap {
     "embed_ivf",         // broadcast codebook argmin probe
     // Round-8 widening: the PQ read path and the quota-sample shape.
     "pq_adc_topk",       // shuffle-free ADC scan + per-query partial top-k
-    "cluster_sample"     // WindowGroupLimit quota under the argmin probe
+    "cluster_sample",    // WindowGroupLimit quota under the argmin probe
+    // Round-8 curation additions.
+    "repetition_stats",  // doc-local typed map — pin proves ZERO shuffle
+    "importance_weights",// word-agg broadcast + scalar totals (no re-agg)
+    "zorder_layout"      // scan → 32-term bit project → one hash agg
   )
 
   val SnapshotDir = "src/test/resources/plans"
