@@ -673,6 +673,100 @@ object Similarity {
     ranked(scored, k)
   }
 
+  /** One k-means assignment row (d2 snapped to the 1e-6 grid). */
+  final case class KmeansRow(vec_id: Long, cluster: Long, d2: Double)
+
+  /** Lloyd's k-means refinement with a fixed iteration count — the
+    * clustering loop behind IVF codebook TRAINING (the [[centroids]]
+    * codebook uses the given labels; this learns one from geometry
+    * alone). Seeds are the embeddings of the `k` smallest vec_ids
+    * (deterministic, no RNG); each iteration assigns every vector to its
+    * nearest centroid (exact 1e-12 grid distance, ties to the smaller
+    * cluster id) and recomputes centroids as exact deterministic means
+    * (Det.avgD — identical bits to the oracle's avgDSql). Output: the
+    * final assignment with its snapped squared distance and the cluster
+    * population.
+    *
+    * Scale shape — this is exactly how distributed k-means runs on a
+    * cluster: per iteration ONE map-side-combinable aggregate collapses
+    * the corpus to k·dim grid-sum rows (the only shuffle), the k·dim
+    * codebook is collected and re-broadcast in the next task closure,
+    * and assignment is a compiled argmin with no join or window. The
+    * driver never holds more than the codebook. Iterations are FIXED
+    * (not convergence-tested) so the plan is static and the oracle can
+    * unroll the same count; empty clusters simply drop out of the next
+    * codebook (mirrored by the twin's GROUP BY).
+    *
+    * Determinism: assignment distances are associative Long grid sums;
+    * centroid means are Det grid-long sums finished `(double)Σk/1e12/n`
+    * — so every iteration's codebook is bit-identical in both engines
+    * and the fixpoint trajectory cannot diverge.
+    */
+  def kmeansRefine(vectors: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val base = vectors.select(col("vec_id").cast("long"), col("embedding"))
+    var codebook: Array[(Int, Array[Double])] = base
+      .orderBy(col("vec_id")).limit(k)
+      .as[(Long, Seq[Float])].collect()
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, emb), i) => (i, emb.toArray.map(_.toDouble)) }
+
+    // compiled argmin over the closure codebook (sorted → tie keeps
+    // the smaller cluster id, matching the oracle's ORDER BY d2l, cid)
+    def argmin(cb: Array[(Int, Array[Double])], e: Array[Float]): (Int, Long) = {
+      var bestCid = -1; var bestD = Long.MaxValue
+      var ci = 0
+      while (ci < cb.length) {
+        val cv = cb(ci)._2
+        var s = 0L; var i = 0
+        while (i < e.length) {
+          val d = e(i).toDouble - cv(i)
+          s += math.floor(d * d * 1e12 + 0.5).toLong
+          i += 1
+        }
+        if (s < bestD) { bestD = s; bestCid = cb(ci)._1 }
+        ci += 1
+      }
+      (bestCid, bestD)
+    }
+
+    var it = 0
+    while (it < iters) {
+      val cb = codebook
+      val cent = base.as[(Long, Seq[Float])]
+        .flatMap { case (_, emb) =>
+          val e = emb.toArray
+          val cid = argmin(cb, e)._1
+          e.iterator.zipWithIndex.map { case (v, p) =>
+            (cid, (p + 1).toLong, v.toDouble)
+          }
+        }
+        .toDF("cid", "pos", "val")
+        .groupBy(col("cid"), col("pos"))
+        .agg(Det.avgD(col("val"), 12).as("c"))
+        .select(col("cid").cast("int"), col("pos"), col("c"))
+        .as[(Int, Long, Double)]
+        .collect()
+      codebook = cent.groupBy(_._1).toArray.sortBy(_._1).map { case (cid, rows) =>
+        (cid, rows.sortBy(_._2).map(_._3))
+      }
+      it += 1
+    }
+
+    val cbF = codebook
+    val fin = base.as[(Long, Seq[Float])]
+      .map { case (id, emb) =>
+        val (cid, d2l) = argmin(cbF, emb.toArray)
+        KmeansRow(id, cid.toLong,
+          math.floor((d2l.toDouble / 1e12) * 1e6 + 0.5) / 1e6)
+      }
+      .toDF()
+    val sizes = fin.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+    fin.join(broadcast(sizes), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"), col("d2"), col("n_members"))
+  }
+
   /** Declarative variant kept for reference/testing of [[dist2L]]. */
   def ivfAssignDeclarative(vectors: DataFrame, centArrays: DataFrame): DataFrame = {
     val scored = vectors

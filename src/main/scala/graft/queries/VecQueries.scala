@@ -36,6 +36,8 @@ object VecQueries {
   private val PqSubDims = 16
   private val ClusterK = 8L
   private val IvfNprobe = 3
+  private val KmK = 8
+  private val KmIters = 2
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_topk" -> ((s, d) => {
@@ -98,6 +100,12 @@ object VecQueries {
         .select(col("assigned_label"), col("rk"), col("vec_id"),
           col("cluster_n"))
     }),
+    // Lloyd's k-means refinement (fixed iterations, deterministic
+    // smallest-vec_id seeds) — the IVF codebook TRAINING loop as a
+    // contract query; Similarity.kmeansRefine has the per-iteration
+    // aggregate-collect-rebroadcast scale argument.
+    "kmeans_iter" -> ((s, d) =>
+      Similarity.kmeansRefine(vecs(s, d), KmK, KmIters)),
     "dedup_embed" -> ((s, d) => Similarity.cosineNearDupPairsAuto(vecs(s, d),
       targetBucketRows = TargetBucket, maxBucket = MaxBucket)),
     "embed_quantize" -> ((s, d) =>
@@ -478,6 +486,58 @@ FROM er GROUP BY pos, mn, mx"""
 
   private def s9(x: String): String = Det.snapSql(x, 9)
 
+  /** Twin of Similarity.kmeansRefine at (KmK, KmIters): the iteration
+    * loop UNROLLED into CTE blocks generated from the same constants —
+    * seeds are the KmK smallest vec_ids (row_number cid), each block is
+    * the declarative argmin (ORDER BY d2l, cid ≡ the Spark strict-<
+    * over a cid-sorted codebook) followed by avgDSql centroid means
+    * (bit-identical to Det.avgD, so both engines walk the SAME
+    * trajectory). Empty clusters vanish from the GROUP BY exactly as
+    * they drop out of the collected codebook. */
+  private val kmeansSql = {
+    val ex =
+      """ex AS (
+  SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos,
+         unnest([CAST(x AS DOUBLE) for x in embedding]) AS val
+  FROM embeddings)"""
+    val carr0 =
+      s"""carr0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         [CAST(x AS DOUBLE) for x in embedding] AS cv
+  FROM embeddings ORDER BY vec_id LIMIT $KmK)"""
+    val iterBlocks = (1 to KmIters).map { i =>
+      s"""a$i AS (
+  SELECT e.vec_id, c.cid, ${dist2Sql("e.embedding", "c.cv")} AS d2l
+  FROM embeddings e, carr${i - 1} c),
+assign$i AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2l, cid) AS rnk
+    FROM a$i)
+  WHERE rnk = 1),
+cent$i AS (
+  SELECT a.cid, x.pos, ${Det.avgDSql("x.val", 12)} AS c
+  FROM assign$i a JOIN ex x USING (vec_id) GROUP BY a.cid, x.pos),
+carr$i AS (
+  SELECT cid, list(c ORDER BY pos) AS cv FROM cent$i GROUP BY cid)"""
+    }.mkString(",\n")
+    s"""WITH $ex,
+$carr0,
+$iterBlocks,
+af AS (
+  SELECT e.vec_id, c.cid, ${dist2Sql("e.embedding", "c.cv")} AS d2l
+  FROM embeddings e, carr$KmIters c),
+fin AS (
+  SELECT vec_id, cid, d2l FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2l, cid) AS rnk
+    FROM af)
+  WHERE rnk = 1),
+sizes AS (SELECT cid, count(*) AS n_members FROM fin GROUP BY cid)
+SELECT f.vec_id, CAST(f.cid AS BIGINT) AS cluster,
+       ${s6("CAST(f.d2l AS DOUBLE)/1e12")} AS d2,
+       s.n_members
+FROM fin f JOIN sizes s USING (cid)"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "ann_recall" -> annRecallSql,
     "embed_quantize" -> quantizeSql,
@@ -490,6 +550,7 @@ FROM er GROUP BY pos, mn, mx"""
     "pq_codes" -> pqSql,
     "pq_adc_topk" -> pqAdcSql,
     "ivf_probe_topk" -> ivfProbeSql,
-    "cluster_sample" -> clusterSampleSql
+    "cluster_sample" -> clusterSampleSql,
+    "kmeans_iter" -> kmeansSql
   )
 }
