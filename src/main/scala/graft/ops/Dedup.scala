@@ -71,7 +71,12 @@ object Dedup {
                    maxDf: Int = 500): DataFrame =
     pairsJaccard(docs, n, maxDf).filter(col("jaccard") >= tau)
 
-  private def pairsJaccard(docs: DataFrame, n: Int, maxDf: Int): DataFrame = {
+  /** Shared inverted-index pair counter: one row per unordered document
+    * pair sharing ≥1 (capped) shingle, with both distinct-shingle sizes
+    * and the intersection count — the common core of the Jaccard and
+    * containment measures. Cost is Σ df(shingle)² under the `maxDf`
+    * stop-shingle cap (the class scaladoc's scale argument). */
+  private def pairCounts(docs: DataFrame, n: Int, maxDf: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val shingled = Shingles.exploded(docs, n)
@@ -81,7 +86,7 @@ object Dedup {
       .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDf)
     // Ordered pairs generated per posting list in compiled Scala (the
     // nested-transform Catalyst equivalent runs interpreted and dominates).
-    val pairs = postings
+    postings
       .select(col("ds"))
       .as[Seq[Dedup.DocSz]]
       .flatMap { ds0 =>
@@ -94,14 +99,42 @@ object Dedup {
       .toDF("doc_a", "doc_b", "sz_a", "sz_b")
       .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("intersection"))
-    pairs
+  }
+
+  /** Asymmetric containment C(A⊆B) = |A∩B| / |A| over distinct word
+    * n-grams — the measure that catches QUOTES and SUPERSETS, which
+    * symmetric Jaccard misses by construction: a short document fully
+    * embedded in a long one has Jaccard ≈ |A|/|B| (tiny) but
+    * containment_a = 1. This is the standard second axis of text dedup
+    * (e.g. "contained in another document → drop the fragment"). One
+    * row per unordered pair with BOTH directions; kept when either
+    * direction reaches `tau`.
+    *
+    * Scale shape: identical to the Jaccard path — the same posting-list
+    * pair generation (Σ df² under `maxDf`), one partial/final hash
+    * aggregate, then a pair-dimension projection; the containments are
+    * single IEEE divisions of exactly-converted longs, 6-dp snapped,
+    * and the `tau` filter compares against the same double in both
+    * engines (Det.dblLit in the twin). */
+  def containmentPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
+                       maxDf: Int = 500): DataFrame = {
+    val ca = Det.snap(col("intersection").cast("double") / col("sz_a").cast("double"), 6)
+    val cb = Det.snap(col("intersection").cast("double") / col("sz_b").cast("double"), 6)
+    pairCounts(docs, n, maxDf)
+      .select(col("doc_a"), col("doc_b"), col("intersection"),
+        col("sz_a"), col("sz_b"),
+        ca.as("containment_a"), cb.as("containment_b"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= tau)
+  }
+
+  private def pairsJaccard(docs: DataFrame, n: Int, maxDf: Int): DataFrame =
+    pairCounts(docs, n, maxDf)
       .select(
         col("doc_a"), col("doc_b"), col("intersection"),
         (col("sz_a") + col("sz_b") - col("intersection")).as("union_size"),
         Det.snap(col("intersection").cast("double") /
           (col("sz_a") + col("sz_b") - col("intersection")).cast("double"), 6)
           .as("jaccard"))
-  }
 
   /** MinHash signature columns m0..m{numHashes-1}. One md5 yields four
     * independent 32-bit (8-hex) hash slices, so numHashes hashes cost

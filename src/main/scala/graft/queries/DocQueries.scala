@@ -28,6 +28,9 @@ object DocQueries {
   /** simhash_hamming neighbor budget (shared Spark/oracle constant). */
   private val HammingMax = 1
 
+  /** dedup_containment keep threshold (shared Spark/oracle constant). */
+  private val ContainTau = 0.5
+
   /** importance_weights target domain (shared Spark/oracle constant). */
   private val TargetSource = "src0"
 
@@ -98,6 +101,11 @@ FROM documents"""
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
     "dedup_jaccard" -> ((s, d) => Dedup.ngramJaccardTopK(docs(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d))),
+    // Asymmetric containment |A∩B|/|A| — the quote/superset axis of text
+    // dedup that symmetric Jaccard misses (Dedup.containmentPairs has
+    // the measure and the scale argument; same Σdf²-bounded postings).
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(docs(s, d), tau = ContainTau)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
     // SimHash Hamming-neighbor pairs via pigeonhole banding; the oracle
     // is the brute-force quadratic, so the hash gate itself proves the
@@ -376,10 +384,11 @@ FROM sh"""
        doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
 FROM documents"""
 
-  /** Shared pair-with-jaccard subquery (twin of Dedup.pairsJaccard) —
-    * the top-k query wraps it with ORDER/LIMIT, the recall eval with a
-    * threshold filter. */
-  private val jaccardPairsSqlBase =
+  /** Shared inverted-index pair-count CTE prefix (twin of
+    * Dedup.pairCounts), ending in `pairs(doc_a, doc_b, sz_a, sz_b,
+    * intersection)` — the Jaccard and containment twins both build on
+    * it, mirroring the Spark-side factoring. */
+  private val pairCountsSqlBase =
     s"""WITH sh AS (
   SELECT doc_id, ${Shingles.ofSql("text", 3)} AS sh FROM documents
 ), ex AS (
@@ -393,11 +402,31 @@ FROM documents"""
          count(*) AS intersection
   FROM capped a JOIN capped b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4)
+  GROUP BY 1, 2, 3, 4)"""
+
+  /** Shared pair-with-jaccard subquery (twin of Dedup.pairsJaccard) —
+    * the top-k query wraps it with ORDER/LIMIT, the recall eval with a
+    * threshold filter. */
+  private val jaccardPairsSqlBase =
+    s"""$pairCountsSqlBase
 SELECT doc_a, doc_b, intersection,
        sz_a + sz_b - intersection AS union_size,
        ${s6("intersection::DOUBLE / (sz_a + sz_b - intersection)::DOUBLE")} AS jaccard
 FROM pairs"""
+
+  /** Twin of Dedup.containmentPairs: both directed containments from
+    * the same pair counts; kept when either direction reaches
+    * [[ContainTau]] (compared against the identical double via
+    * Det.dblLit). */
+  private val containmentSql =
+    s"""$pairCountsSqlBase
+SELECT doc_a, doc_b, intersection, sz_a, sz_b, containment_a, containment_b
+FROM (
+  SELECT doc_a, doc_b, intersection, sz_a, sz_b,
+         ${s6("intersection::DOUBLE / sz_a::DOUBLE")} AS containment_a,
+         ${s6("intersection::DOUBLE / sz_b::DOUBLE")} AS containment_b
+  FROM pairs)
+WHERE greatest(containment_a, containment_b) >= ${Det.dblLit(ContainTau)}"""
 
   private val dedupJaccardSql =
     s"""$jaccardPairsSqlBase
@@ -594,6 +623,7 @@ FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)""",
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash" -> dedupMinhashSql,
+    "dedup_containment" -> containmentSql,
     "dedup_simhash" -> dedupSimhashSql,
     "simhash_hamming" -> simhashHammingSql,
     "dedup_recall" -> dedupRecallSql

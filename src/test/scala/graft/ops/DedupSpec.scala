@@ -55,6 +55,25 @@ class DedupSpec extends AnyFunSuite {
     assert(want.exists(_._3 < 1.0), "fixture must exercise a non-exact pair")
   }
 
+  test("containment catches a fragment embedded in a superset that Jaccard misses") {
+    val withFragment = docs(Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
+      // doc 1 = doc 0 plus a long suffix: fragment 0 is fully contained
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega", "en"),
+      (2L, "unrelated words that share nothing with the others at all plus padding", "en")))
+    val out = Dedup.containmentPairs(withFragment, tau = 0.9).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) == ((0L, 1L)))
+    // the fragment direction is total containment...
+    assert(r.getAs[Double]("containment_a") == 1.0)
+    // ...while symmetric Jaccard on the same pair stays below any dedup bar
+    val j = Dedup.jaccardPairs(withFragment, tau = 0.0)
+      .collect().find(p => p.getAs[Long]("doc_a") == 0L && p.getAs[Long]("doc_b") == 1L)
+    assert(j.isDefined && j.get.getAs[Double]("jaccard") < 0.5)
+  }
+
   test("minhash LSH surfaces identical docs with full signature agreement") {
     val pairs = Dedup.minhashLshPairs(corpus).collect()
     val exact = pairs.find(r =>
