@@ -274,6 +274,59 @@ object TextOps {
         "top_bigram_frac", "n_trigrams", "dup_trigram_count", "dup_trigram_frac")
   }
 
+  /** Lexical-diversity quality signals — the vocabulary-richness family
+    * of corpus filters (low diversity ⇒ template/boilerplate text; used
+    * alongside the repetition family): per document the type-token
+    * ratio, the hapax-legomenon fraction (words occurring exactly once —
+    * the classic productivity measure), and the Gini–Simpson diversity
+    * index 1 − Σ cᵢ(cᵢ−1) / (n(n−1)) — the probability two token draws
+    * without replacement are DIFFERENT words. Simpson is the log-free
+    * stand-in for entropy: `ln` is not correctly rounded in either
+    * engine, while Simpson is a ratio of exact integers (computed as one
+    * division (D−Σcᵢ(cᵢ−1))/D with D = n(n−1), so a single IEEE op
+    * separates the exact numerator and denominator).
+    *
+    * Scale shape: doc-local like [[repetition]] — ONE typed
+    * mapPartitions pass with a per-document hash map, zero shuffle,
+    * scan-bound and embarrassingly parallel at 100 TB. NULLs when a doc
+    * is too short for the measure (n = 0 for TTR/hapax, n < 2 for
+    * Simpson).
+    */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val counts = new java.util.HashMap[String, Long]()
+        it.map { case (id, text) =>
+          val ws = text.split(" ", -1) // limit -1: Catalyst/DuckDB split semantics
+          counts.clear()
+          var i = 0
+          while (i < ws.length) {
+            counts.merge(ws(i), 1L, (a, b) => a + b); i += 1
+          }
+          val n = ws.length.toLong
+          val types = counts.size.toLong
+          var hapax = 0L
+          var coll = 0L // Σ cᵢ(cᵢ−1)
+          val cit = counts.values.iterator
+          while (cit.hasNext) {
+            val c = cit.next()
+            if (c == 1L) hapax += 1L
+            coll += c * (c - 1L)
+          }
+          (id, n, types, hapax,
+            if (n == 0L) None else Some(types.toDouble / n.toDouble),
+            if (n == 0L) None else Some(hapax.toDouble / n.toDouble),
+            if (n < 2L) None
+            else Some((n * (n - 1L) - coll).toDouble / (n * (n - 1L)).toDouble))
+        }
+      }
+      .toDF("doc_id", "n_tokens", "n_types", "n_hapax",
+        "ttr", "hapax_frac", "simpson")
+  }
+
   /** DSIR-flavored importance weighting for domain-targeted resampling
     * (Xie et al., "Data Selection for Language Models via Importance
     * Resampling", 2023: upweight documents whose unigram mass looks like

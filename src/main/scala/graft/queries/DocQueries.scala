@@ -95,6 +95,10 @@ FROM documents"""
     // the twin) and the gate then verifies detection counts AND the
     // md5 of the redacted text — i.e. the exact replacement spans.
     "pii_scrub" -> ((s, d) => TextOps.piiScrub(piiInjected(docs(s, d)))),
+    // Vocabulary-richness quality signals (TTR, hapax fraction, log-free
+    // Gini-Simpson diversity); doc-local zero-shuffle typed map —
+    // TextOps.lexicalDiversity has the measure and scale arguments.
+    "lexical_diversity" -> ((s, d) => r6(TextOps.lexicalDiversity(docs(s, d)))),
     "text_vocab" -> ((s, d) => r6(TextOps.vocab(docs(s, d)))),
     "lang_id" -> ((s, d) => TextOps.langId(docs(s, d))),
     "fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
@@ -273,6 +277,35 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN bs ON d.doc_id = bs.doc_id
 LEFT JOIN ts ON d.doc_id = ts.doc_id"""
+
+  /** Twin of TextOps.lexicalDiversity: per-doc word multiplicities via
+    * unnest + GROUP BY (the oracle may shuffle; the Spark side is a
+    * doc-local map). n_tokens = Σcᵢ ≡ the split length; each ratio is
+    * one division of BIGINT-exact integers, 6-dp snapped; Simpson NULL
+    * below two tokens (guards mirror the Spark Options — n = 0 cannot
+    * occur since string_split('', ' ') is [''] in both engines, but the
+    * guard is kept identical anyway). */
+  private val lexicalDiversitySql =
+    s"""WITH c AS (
+  SELECT doc_id, word, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(count(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS n_hapax,
+         CAST(sum(c*(c-1)) AS BIGINT) AS coll
+  FROM c GROUP BY 1)
+SELECT doc_id, n_tokens, n_types, n_hapax,
+       CASE WHEN n_tokens > 0
+            THEN ${s6("n_types::DOUBLE / n_tokens::DOUBLE")} END AS ttr,
+       CASE WHEN n_tokens > 0
+            THEN ${s6("n_hapax::DOUBLE / n_tokens::DOUBLE")} END AS hapax_frac,
+       CASE WHEN n_tokens >= 2
+            THEN ${s6("(n_tokens*(n_tokens-1) - coll)::DOUBLE / (n_tokens*(n_tokens-1))::DOUBLE")}
+       END AS simpson
+FROM agg"""
 
   /** Twin of the importance_weights query: identical word-count algebra
     * in HUGEINT (DuckDB sums BIGINT exactly as HUGEINT; the final score
@@ -616,6 +649,7 @@ FROM documents GROUP BY 1, 2""",
 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)""",
     "text_stats" -> statsSql,
     "repetition_stats" -> repetitionSql,
+    "lexical_diversity" -> lexicalDiversitySql,
     "pii_scrub" -> piiScrubSql,
     "importance_weights" -> importanceWeightsSql,
     "lang_id" -> langIdSql,

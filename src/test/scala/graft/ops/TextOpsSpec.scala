@@ -154,6 +154,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!out(1L).getAs[Boolean]("upweight"))
   }
 
+  test("lexicalDiversity: hand-computed TTR/hapax/Simpson, NULL below 2 tokens") {
+    val out = TextOps.lexicalDiversity(docs(Seq(
+      (0L, "a a b c", "en"), // n=4 types=3 hapax=2 coll=2 D=12
+      (1L, "solo", "en")))) // single token: Simpson undefined
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d0 = out(0L)
+    assert(d0.getAs[Long]("n_tokens") == 4L)
+    assert(d0.getAs[Long]("n_types") == 3L)
+    assert(d0.getAs[Long]("n_hapax") == 2L)
+    assert(d0.getAs[Double]("ttr") == 0.75)
+    assert(d0.getAs[Double]("hapax_frac") == 0.5)
+    assert(d0.getAs[Double]("simpson") == 10.0 / 12.0)
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_tokens") == 1L)
+    assert(d1.getAs[Double]("ttr") == 1.0)
+    assert(d1.isNullAt(d1.fieldIndex("simpson")))
+  }
+
   test("piiScrub: sequencing — email digits are never recounted as phone/ip") {
     // an address whose local part and domain are digit-heavy: after the
     // email pass nothing digit-bearing survives for the later passes
