@@ -29,6 +29,76 @@ object CorpusQueries {
   private val SearchTerms = Seq("spark", "vector", "stream")
   private val SearchTopK = 20
 
+  // bow_cosine profile: query docs and result depth (shared constants).
+  private val BowQueryMax = 5
+  private val BowTopK = 10
+
+  /** Sparse bag-of-words cosine top-k — the term-vector complement of the
+    * dense-embedding ANN family: cosine over per-doc term-frequency
+    * vectors, scored through the inverted index (a query only ever meets
+    * documents SHARING a term — never a dense cross join). dot products
+    * and squared norms are exact Long sums of tf products; the cosine is
+    * the fixed sequence (double)dot / (√(double)qn² · √(double)n²) —
+    * sqrt is correctly rounded in both engines — snapped at 6 dp before
+    * the deterministic (cosine DESC, doc_id) rank.
+    *
+    * Scale shape: the tf build is one explode + partial/final aggregate;
+    * the query side ([[BowQueryMax]] docs) broadcasts; the dot-product
+    * aggregate is keyed by (qid, doc_id) — candidate count bounded by
+    * Σ_w df(w)·qtf-presence, i.e. postings the query actually touches,
+    * exactly how a sparse IR scorer runs at corpus scale. The corpus
+    * norm join is doc-dimension (one row per doc).
+    */
+  private def bowCosine(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val tf = base.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val norms = tf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("n2"))
+    val qtf = tf.filter(col("doc_id") < BowQueryMax)
+      .select(col("doc_id").as("qid"), col("word"), col("tf").as("qtf"))
+    val dots = tf.join(broadcast(qtf), Seq("word"))
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("qtf") * col("tf")).as("dot"))
+    val qn2 = norms.filter(col("doc_id") < BowQueryMax)
+      .select(col("doc_id").as("qid"), col("n2").as("qn2"))
+    val scored = dots.join(broadcast(qn2), Seq("qid")).join(norms, Seq("doc_id"))
+      .select(col("qid"), col("doc_id"), col("dot"),
+        Det.snap(col("dot").cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))), 6)
+          .as("cosine"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("doc_id")))
+        .cast("long"))
+      .filter(col("rnk") <= BowTopK)
+  }
+
+  private val bowCosineSql =
+    s"""WITH tf AS (
+  SELECT doc_id, word, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY 1, 2
+), norms AS (
+  SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS n2 FROM tf GROUP BY 1
+), q AS (
+  SELECT doc_id AS qid, word, tf AS qtf FROM tf WHERE doc_id < $BowQueryMax
+), dots AS (
+  SELECT q.qid, t.doc_id, CAST(sum(q.qtf * t.tf) AS BIGINT) AS dot
+  FROM tf t JOIN q USING (word)
+  WHERE t.doc_id <> q.qid
+  GROUP BY 1, 2
+), scored AS (
+  SELECT d.qid, d.doc_id, d.dot,
+         ${s6("CAST(d.dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(dn.n2 AS DOUBLE)))")} AS cosine
+  FROM dots d
+  JOIN norms qn ON qn.doc_id = d.qid
+  JOIN norms dn ON dn.doc_id = d.doc_id)
+SELECT qid, doc_id, dot, cosine, rnk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS BIGINT) AS rnk
+  FROM scored)
+WHERE rnk <= $BowTopK"""
+
   /** TF-IDF-style score without logarithms: tf · n_docs / df as the fixed
     * IEEE sequence (double)tf · (double)n / (double)df — log() is NOT
     * correctly rounded across engines, plain ratios are. Rank is over the
@@ -605,6 +675,7 @@ FROM tok t LEFT JOIN neww n USING (doc_id)"""
     "doc_chunks" -> ((s, d) =>
       Chunker.chunks(docs(s, d), ChunkWindow, ChunkStride)),
     "tfidf_terms" -> ((s, d) => tfidfTerms(s, d)),
+    "bow_cosine" -> ((s, d) => bowCosine(s, d)),
     "winsorize_chars" -> ((s, d) => winsorize(s, d)),
     "session_concurrency" -> ((s, d) => sessionConcurrency(s, d)),
     "keyword_search" -> ((s, d) => keywordSearch(s, d)),
@@ -622,6 +693,7 @@ FROM tok t LEFT JOIN neww n USING (doc_id)"""
   def oracleSql: Map[String, String] = Map(
     "doc_chunks" -> Chunker.chunksSql("documents", ChunkWindow, ChunkStride),
     "tfidf_terms" -> tfidfTermsSql,
+    "bow_cosine" -> bowCosineSql,
     "winsorize_chars" -> winsorizeSql,
     "session_concurrency" -> sessionConcurrencySql,
     "keyword_search" -> keywordSearchSql,
