@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate aggregates — the 100 TB path next to the exact contract
@@ -37,4 +38,54 @@ object Approx {
       .agg(percentile_approx(value, array(lit(0.5), lit(0.9), lit(0.99)),
         lit(accuracy)).as("approx_p"),
         count(value).as("n"))
+
+  /** 2^48 — the hash-fraction denominator of the KMV sketch (exactly
+    * representable: a power of two). */
+  val KmvScale: Double = 281474976710656.0
+
+  /** K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002) —
+    * the ONE cardinality sketch in this engine with engine-portable
+    * bits, hence a real DuckDB oracle twin (HLL++ sketch values are
+    * engine-internal; this one is pure md5 + exact integers). Per key:
+    * the exact distinct count, the k-th smallest 48-bit hash of the
+    * distinct values, the KMV estimate (k−1)/u₍ₖ₎ = (k−1)·2^48 / hvₖ,
+    * and its relative error — i.e. the estimator AND its own quality
+    * report in one row.
+    *
+    * Determinism: hv = the first 12 md5 hex digits as an exact integer
+    * (< 2^48 — both the `conv` parse here and the oracle's nibble sum
+    * are exact); the k-th pick orders by (hv, value) so even 48-bit
+    * collisions break identically; the estimate is one IEEE division of
+    * an exactly-representable constant by an exactly-converted long,
+    * 6-dp snapped. Groups holding fewer than k distinct values have no
+    * k-th hash and the sketch IS the exact count (the standard KMV
+    * small-cardinality rule).
+    *
+    * Scale shape: one distinct shuffle on (key, value) — the same
+    * exchange the exact count needs — then a per-key bottom-k
+    * (WindowGroupLimit prunes partials map-side); at 100 TB you keep
+    * ONLY the k smallest hashes per key per partition before the
+    * shuffle, which is exactly what the window-limit rewrite does. */
+  def kmvDistinct(df: DataFrame, key: Column, value: Column,
+                  k: Int = 16): DataFrame = {
+    val d = df.select(key.as("key"), value.cast("string").as("v")).distinct()
+      .select(col("key"), col("v"),
+        conv(substring(md5(col("v")), 1, 12), 16, 10).cast("long").as("hv"))
+    val ranked = d.withColumn("rn", row_number().over(
+      Window.partitionBy(col("key")).orderBy(col("hv"), col("v"))))
+    val exact = d.groupBy(col("key")).agg(count(lit(1)).as("n_exact"))
+    val kth = ranked.filter(col("rn") === k)
+      .select(col("key"), col("hv").as("kth_hv"))
+    val est = when(col("kth_hv").isNull, col("n_exact").cast("double"))
+      .otherwise(Det.snap(
+        lit((k - 1).toDouble * KmvScale) / col("kth_hv").cast("double"), 6))
+    exact.join(kth, Seq("key"), "left")
+      .withColumn("k", lit(k.toLong))
+      .withColumn("estimate", est)
+      .withColumn("rel_err", Det.snap(
+        (col("estimate") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 6))
+      .select(col("key"), col("n_exact"), col("k"), col("kth_hv"),
+        col("estimate"), col("rel_err"))
+  }
 }

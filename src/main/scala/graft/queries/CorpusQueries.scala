@@ -33,6 +33,44 @@ object CorpusQueries {
   private val BowQueryMax = 5
   private val BowTopK = 10
 
+  // kmv_distinct sketch size (shared Spark/oracle constant).
+  private val KmvK = 16
+
+  /** 48-bit hash of `$h` (an md5 hex string) as an exact integer — the
+    * oracle twin of Spark's `conv(substring(md5(v),1,12),16,10)`: the
+    * first 12 nibbles re-parsed positionally. */
+  private def hv48Sql(h: String): String =
+    (1 to 12).map(i =>
+      s"(strpos('0123456789abcdef', substring($h, $i, 1)) - 1) * ${1L << ((12 - i) * 4)}")
+      .mkString("(", " + ", ")")
+
+  /** Twin of Approx.kmvDistinct over the per-source vocabulary: same
+    * distinct → 48-bit hash → (hv, v)-ordered k-th pick → estimator
+    * sequence; the (k−1)·2^48 numerator crosses as a [[Det.dblLit]]
+    * (exactly representable: 4 significant bits · a power of two). */
+  private val kmvDistinctSql = {
+    val num = Det.dblLit((KmvK - 1).toDouble * graft.ops.Approx.KmvScale)
+    s"""WITH d AS (
+  SELECT DISTINCT source AS key, word AS v
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+), h AS (
+  SELECT key, v, CAST(${hv48Sql("md5(v)")} AS BIGINT) AS hv FROM d
+), r AS (
+  SELECT key, hv, row_number() OVER (PARTITION BY key ORDER BY hv, v) AS rn FROM h
+), ex AS (
+  SELECT key, count(*) AS n_exact FROM h GROUP BY 1
+), kth AS (
+  SELECT key, hv AS kth_hv FROM r WHERE rn = $KmvK
+), est AS (
+  SELECT ex.key, ex.n_exact, CAST($KmvK AS BIGINT) AS k, kth.kth_hv,
+         CASE WHEN kth.kth_hv IS NULL THEN CAST(ex.n_exact AS DOUBLE)
+              ELSE ${s6(s"$num / CAST(kth.kth_hv AS DOUBLE)")} END AS estimate
+  FROM ex LEFT JOIN kth USING (key))
+SELECT key, n_exact, k, kth_hv, estimate,
+       ${s6("(estimate - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)")} AS rel_err
+FROM est"""
+  }
+
   /** Sparse bag-of-words cosine top-k — the term-vector complement of the
     * dense-embedding ANN family: cosine over per-doc term-frequency
     * vectors, scored through the inverted index (a query only ever meets
@@ -676,6 +714,11 @@ FROM tok t LEFT JOIN neww n USING (doc_id)"""
       Chunker.chunks(docs(s, d), ChunkWindow, ChunkStride)),
     "tfidf_terms" -> ((s, d) => tfidfTerms(s, d)),
     "bow_cosine" -> ((s, d) => bowCosine(s, d)),
+    // KMV cardinality sketch with engine-portable bits — estimator and
+    // its own error report per source (Approx.kmvDistinct scaladoc).
+    "kmv_distinct" -> ((s, d) => graft.ops.Approx.kmvDistinct(
+      docs(s, d).select(col("source"), explode(split(col("text"), " ")).as("word")),
+      col("source"), col("word"), KmvK)),
     "winsorize_chars" -> ((s, d) => winsorize(s, d)),
     "session_concurrency" -> ((s, d) => sessionConcurrency(s, d)),
     "keyword_search" -> ((s, d) => keywordSearch(s, d)),
@@ -694,6 +737,7 @@ FROM tok t LEFT JOIN neww n USING (doc_id)"""
     "doc_chunks" -> Chunker.chunksSql("documents", ChunkWindow, ChunkStride),
     "tfidf_terms" -> tfidfTermsSql,
     "bow_cosine" -> bowCosineSql,
+    "kmv_distinct" -> kmvDistinctSql,
     "winsorize_chars" -> winsorizeSql,
     "session_concurrency" -> sessionConcurrencySql,
     "keyword_search" -> keywordSearchSql,

@@ -24,6 +24,36 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("kmvDistinct: estimate within 2/sqrt(k) of exact; small groups exact") {
+    val df = ((1 to 2000).map(i => ("big", s"v$i")) ++
+      (1 to 5).map(i => ("small", s"w$i"))).toDF("g", "v")
+    val rows = Approx.kmvDistinct(df, col("g"), col("v"), k = 64)
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    val big = rows("big")
+    assert(big.getAs[Long]("n_exact") == 2000L)
+    val est = big.getAs[Double]("estimate")
+    // KMV relative standard error is ~1/sqrt(k-2); allow 4 sigma
+    assert(math.abs(est - 2000.0) / 2000.0 <= 4.0 / math.sqrt(62.0),
+      s"estimate $est too far from 2000")
+    assert(big.getAs[Double]("rel_err") == ((est - 2000.0) match {
+      case d => math.floor(d / 2000.0 * 1e6 + 0.5) / 1e6
+    }))
+    // below-k group: sketch is exact, no k-th hash
+    val small = rows("small")
+    assert(small.getAs[Long]("n_exact") == 5L)
+    assert(small.isNullAt(small.fieldIndex("kth_hv")))
+    assert(small.getAs[Double]("estimate") == 5.0)
+    assert(small.getAs[Double]("rel_err") == 0.0)
+  }
+
+  test("kmvDistinct is partition-invariant (bit-identical)") {
+    val df = (1 to 500).map(i => (s"g${i % 3}", s"x$i")).toDF("g", "v")
+    val a = Approx.kmvDistinct(df, col("g"), col("v")).collect().map(_.toSeq).toSet
+    val b = Approx.kmvDistinct(df.repartition(7), col("g"), col("v"))
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("approx percentiles land within rank error of exact order statistics") {
     val n = 50000
     val xs = (1 to n).map(_.toDouble)
