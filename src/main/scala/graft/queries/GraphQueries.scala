@@ -350,7 +350,62 @@ SELECT degree, count(*) AS n_at_degree,
 FROM deg CROSS JOIN n
 GROUP BY degree, n.n_nodes"""
 
+  // k-core profile over the PART co-purchase graph (parts sharing ≥
+  // PartMinCo orders — denser and more degree-varied than the supplier
+  // graph, so the peel actually cascades). KCoreRounds covers the
+  // deepest measured cascade across the fixture scales (6 at sf0.1);
+  // extra rounds are no-ops at fixpoint.
+  private val PartMinCo = 2
+  private val KCoreK = 2
+  private val KCoreRounds = 6
+
+  /** k-core peel — see [[graft.ops.KCore.peel]] for semantics and the
+    * per-round aggregate + semi-join scale shape. */
+  private def kcore(s: SparkSession, d: String): DataFrame =
+    graft.ops.KCore.peel(
+      graft.ops.CoOccur.edges(t(s, d, "lineitem"), "l_orderkey", "l_partkey", PartMinCo),
+      KCoreK, KCoreRounds)
+      .select(col("node").as("part_id"), col("degree"))
+
+  /** Twin of [[kcore]]: the peel trajectory UNROLLED into generated CTE
+    * blocks from the same (k, rounds) constants — per round a degree
+    * aggregate, the survivor filter, and the endpoint-restricted edge
+    * set; the report joins last-round survivors to final residual
+    * degrees. All exact integers. Every e/s CTE is MATERIALIZED:
+    * DuckDB otherwise INLINES each reference, and e_r referencing
+    * e_{r−1} three times makes the expansion (and its parquet file
+    * handles) grow 3^rounds — the "too many open files" failure mode. */
+  private val kcoreSql = {
+    val e0 =
+      s"""e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS x, b.l_partkey AS y
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= $PartMinCo)"""
+    val blocks = (1 to KCoreRounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+  SELECT node, count(*) AS deg
+  FROM (SELECT x AS node FROM e${r - 1} UNION ALL SELECT y FROM e${r - 1})
+  GROUP BY 1),
+s$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= $KCoreK),
+e$r AS MATERIALIZED (
+  SELECT e.x, e.y FROM e${r - 1} e
+  JOIN s$r sx ON e.x = sx.node
+  JOIN s$r sy ON e.y = sy.node)"""
+    }.mkString(",\n")
+    s"""WITH $e0,
+$blocks,
+fin AS (
+  SELECT node, count(*) AS degree
+  FROM (SELECT x AS node FROM e$KCoreRounds UNION ALL SELECT y FROM e$KCoreRounds)
+  GROUP BY 1)
+SELECT s.node AS part_id, coalesce(f.degree, 0) AS degree
+FROM s$KCoreRounds s LEFT JOIN fin f USING (node)"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kcore" -> ((s, d) => kcore(s, d)),
     "degree_dist" -> ((s, d) => {
       import TickQueries.r6
       r6(degreeDist(s, d))
@@ -365,6 +420,7 @@ GROUP BY degree, n.n_nodes"""
   )
 
   def oracleSql: Map[String, String] = Map(
+    "kcore" -> kcoreSql,
     "degree_dist" -> degreeDistSql,
     "markov_transitions" -> markovSql,
     "autocorr" -> autocorrSql,
