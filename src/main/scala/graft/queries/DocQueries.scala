@@ -31,6 +31,16 @@ object DocQueries {
   /** dedup_containment keep threshold (shared Spark/oracle constant). */
   private val ContainTau = 0.5
 
+  /** dataset_split hash cuts on the 48-bit md5 fraction (exact integer
+    * thresholds ≈ 80 / 10 / 10 — the conventional train/val/test mix;
+    * shared Spark/oracle constants so the boundary is bit-identical).
+    * Salted ("split:" prefix) so the assignment is independent of every
+    * other md5-keyed decision in the pipeline (sampling, cluster quotas)
+    * — unsalted reuse would correlate the held-out set with them. */
+  private val SplitScale = 1L << 48
+  private val TrainCut = SplitScale / 10L * 8L
+  private val ValCut = SplitScale / 10L * 9L
+
   /** importance_weights target domain (shared Spark/oracle constant). */
   private val TargetSource = "src0"
 
@@ -152,6 +162,44 @@ FROM documents"""
     "multimodal_decode" -> ((s, d) =>
       Multimodal.decodeFrames(Multimodal.toBlobTable(docs(s, d)),
         FrameBytes, SampleEvery).toDF()),
+    // Deterministic train/val/test split — the reproducible holdout
+    // assignment every training-data pipeline needs: doc → split from
+    // the salted 48-bit md5 fraction against exact integer cuts (no RNG,
+    // no state; re-running on a grown corpus never reassigns an old
+    // doc). Report = per-(source, split) counts and within-source share
+    // — the leakage/balance audit a dataset card publishes. Assignment
+    // itself is a narrow codegen'd select; the report is one tiny
+    // aggregate + broadcast totals.
+    "dataset_split" -> ((s, d) => {
+      val hv = expr("cast(conv(substring(md5(concat('split:', cast(doc_id as string))), 1, 12), 16, 10) as long)")
+      val split = when(hv < TrainCut, "train")
+        .when(hv < ValCut, "val").otherwise(lit("test"))
+      val base = docs(s, d).select(col("source"), split.as("split"))
+      val counts = base.groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+      val totals = counts.groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("n_source"))
+      counts.join(broadcast(totals), Seq("source"))
+        .select(col("source"), col("split"), col("n_docs"),
+          Det.snap(col("n_docs").cast("double") / col("n_source").cast("double"), 6)
+            .as("share"))
+    }),
+    // Per-document n-gram novelty in doc_id order — the "is new data
+    // still new" memorization diagnostic at shingle granularity (the
+    // doc-level sibling of vocab_growth): fraction of a doc's distinct
+    // 3-grams first seen in THIS doc. One inverted-index min-aggregate
+    // (the same shuffle a dedup index build pays) + a doc-keyed count.
+    "ngram_novelty" -> ((s, d) => {
+      val sh = Shingles.exploded(docs(s, d), 3)
+      val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          Det.snap(col("n_novel").cast("double") / col("n_shingles").cast("double"), 6)
+            .as("novelty"))
+    }),
     // Numeric histogram: fixed-width document-length bins per language
     // (integer bin arithmetic — exact; one partial/final aggregate).
     "doc_histogram" -> ((s, d) =>
@@ -277,6 +325,43 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN bs ON d.doc_id = bs.doc_id
 LEFT JOIN ts ON d.doc_id = ts.doc_id"""
+
+  /** Twin of the dataset_split query: same salted 48-bit hash fraction
+    * (CorpusQueries.hv48Sql re-parses the md5 nibbles Spark's conv
+    * reads), same exact integer cuts, same share division. */
+  private val datasetSplitSql =
+    s"""WITH h AS (
+  SELECT source,
+         CAST(${CorpusQueries.hv48Sql("md5('split:' || CAST(doc_id AS VARCHAR))")} AS BIGINT) AS hv
+  FROM documents),
+a AS (
+  SELECT source,
+         CASE WHEN hv < $TrainCut THEN 'train'
+              WHEN hv < $ValCut THEN 'val'
+              ELSE 'test' END AS split
+  FROM h),
+c AS (SELECT source, split, count(*) AS n_docs FROM a GROUP BY 1, 2),
+t AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_source FROM c GROUP BY 1)
+SELECT c.source, c.split, c.n_docs,
+       ${s6("CAST(c.n_docs AS DOUBLE) / CAST(t.n_source AS DOUBLE)")} AS share
+FROM c JOIN t USING (source)"""
+
+  /** Twin of the ngram_novelty query: distinct 3-gram shingles per doc
+    * (Shingles.ofSql), corpus-wide first-seen doc per shingle, per-doc
+    * novel fraction. Docs under 3 words have no shingles and are absent
+    * on both sides. */
+  private val ngramNoveltySql =
+    s"""WITH sh AS (
+  SELECT doc_id, ${Shingles.ofSql("text", 3)} AS sh FROM documents
+), ex AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh
+), fs AS (
+  SELECT shingle, min(doc_id) AS first_doc FROM ex GROUP BY 1)
+SELECT e.doc_id, count(*) AS n_shingles,
+       CAST(count(CASE WHEN f.first_doc = e.doc_id THEN 1 END) AS BIGINT) AS n_novel,
+       ${s6("CAST(count(CASE WHEN f.first_doc = e.doc_id THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS novelty
+FROM ex e JOIN fs f USING (shingle)
+GROUP BY e.doc_id"""
 
   /** Twin of TextOps.lexicalDiversity: per-doc word multiplicities via
     * unnest + GROUP BY (the oracle may shuffle; the Spark side is a
@@ -650,6 +735,8 @@ FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)""",
     "text_stats" -> statsSql,
     "repetition_stats" -> repetitionSql,
     "lexical_diversity" -> lexicalDiversitySql,
+    "dataset_split" -> datasetSplitSql,
+    "ngram_novelty" -> ngramNoveltySql,
     "pii_scrub" -> piiScrubSql,
     "importance_weights" -> importanceWeightsSql,
     "lang_id" -> langIdSql,
