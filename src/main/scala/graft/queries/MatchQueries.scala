@@ -63,6 +63,57 @@ FROM n a JOIN n b USING (blk)
 WHERE a.p_name < b.p_name
   AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND $MaxDist"""
 
+  // ---------------------------------------------------- entity_clusters
+
+  /** Entity resolution end-to-end: the fuzzy-match pair stream promoted
+    * to canonical entities — fuzzy pairs become edges between name ids
+    * (min p_partkey per distinct name), connected components assign each
+    * name its min-id entity, unmatched names stay their own entity. The
+    * full record-linkage loop (block → compare → cluster → canonicalize)
+    * composed from the existing operators; output is the resolved
+    * dictionary a 100 TB fact table would then broadcast-join on.
+    *
+    * Scale shape: everything after the blocked comparator is
+    * dictionary-sized (distinct names), and the component step inherits
+    * ConnectedComponents' size-adaptive driver/distributed split. */
+  private def entityClusters(s: SparkSession, d: String): DataFrame = {
+    val dict = t(s, d, "part").groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).cast("long").as("nid"),
+        count(lit(1)).as("n_parts"))
+    val pairs = fuzzyMatch(s, d)
+      .join(dict.select(col("p_name").as("name_a"), col("nid").as("id_a")), Seq("name_a"))
+      .join(dict.select(col("p_name").as("name_b"), col("nid").as("id_b")), Seq("name_b"))
+      .select(col("id_a"), col("id_b"))
+    val cc = graft.ops.ConnectedComponents.clusters(pairs, "id_a", "id_b")
+    dict
+      .join(cc.select(col("id").as("nid"), col("cluster_id")), Seq("nid"), "left")
+      .select(col("p_name"), col("nid"),
+        coalesce(col("cluster_id"), col("nid")).as("entity_id"), col("n_parts"))
+      .withColumn("n_names",
+        count(lit(1)).over(Window.partitionBy(col("entity_id"))))
+  }
+
+  /** Twin of [[entityClusters]]: the same dictionary/edge mapping with
+    * the recursive-CTE component oracle (ConnectedComponents.clustersSql)
+    * over the fuzzy pair twin. */
+  private val entityClustersSql =
+    s"""WITH dict AS (
+  SELECT p_name, CAST(min(p_partkey) AS BIGINT) AS nid, count(*) AS n_parts
+  FROM part GROUP BY 1),
+edges AS (
+  SELECT da.nid AS id_a, db.nid AS id_b
+  FROM ($fuzzyMatchSql) f
+  JOIN dict da ON da.p_name = f.name_a
+  JOIN dict db ON db.p_name = f.name_b)
+SELECT p_name, nid, entity_id, n_parts,
+       count(*) OVER (PARTITION BY entity_id) AS n_names
+FROM (
+  SELECT d.p_name, d.nid, coalesce(cc.cluster_id, d.nid) AS entity_id, d.n_parts
+  FROM dict d
+  LEFT JOIN (${graft.ops.ConnectedComponents.clustersSql(
+      "SELECT * FROM edges", "id_a", "id_b")}) cc
+    ON cc.id = d.nid)"""
+
   // -------------------------------------------------------- attribution
 
   private def attribution(s: SparkSession, d: String): DataFrame = {
@@ -105,11 +156,13 @@ WHERE event_type = 'purchase' AND touch_id IS NOT NULL
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fuzzy_match" -> ((s, d) => fuzzyMatch(s, d)),
+    "entity_clusters" -> ((s, d) => entityClusters(s, d)),
     "attribution" -> ((s, d) => attribution(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
     "fuzzy_match" -> fuzzyMatchSql,
+    "entity_clusters" -> entityClustersSql,
     "attribution" -> attributionSql
   )
 }
