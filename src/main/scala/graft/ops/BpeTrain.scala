@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge training (Sennrich et al. 2016) — the
+  * tokenizer-vocabulary learner every LLM data pipeline runs over its
+  * corpus. Character-level over the word dictionary: each distinct word
+  * starts as its character sequence weighted by corpus frequency; each
+  * round counts adjacent symbol pairs (weighted, overlaps counted),
+  * picks the max-count pair with a (count DESC, left, right) tie-break,
+  * and applies it greedily LEFT-TO-RIGHT in every sequence (in a run of
+  * chained matches — "aaa" under (a,a) — the 1st, 3rd, 5th… positions
+  * merge; the oracle twin reproduces exactly this with a run-parity
+  * window). Output: the learned merge table (rank, pair, count) — the
+  * artifact a tokenizer ships.
+  *
+  * Scale shape — this is how distributed BPE actually runs: state is
+  * the WORD DICTIONARY (vocab-sized, not corpus-sized — the corpus
+  * collapses to (word, freq) in one aggregate up front); per round one
+  * map-side-combinable pair-count aggregate, a 1-row argmax collect,
+  * and a compiled per-word merge pass (typed map — invariant 4), with
+  * the sequence frame localCheckpoint'ed per round like every driver-
+  * orchestrated loop here. Rounds are fixed so the oracle can unroll
+  * the identical trajectory; training stops early only when no pair is
+  * left (mirrored: the twin's empty best CTE emits no row either).
+  *
+  * Determinism: counts are exact Longs; the argmax ordering and the
+  * greedy rewrite have no numeric content at all — both engines walk
+  * the same merge trajectory bit for bit.
+  */
+object BpeTrain {
+
+  /** Learn `rounds` merges from the corpus' text column. Output:
+    * (merge_rank, left_sym, right_sym, pair_count). */
+  def merges(docs: DataFrame, rounds: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var seq = docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      .as[(String, Long)]
+      .map { case (w, f) => (w, f, w.toCharArray.map(_.toString)) }
+      .toDF("word", "f", "syms")
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val pairs = seq.as[(String, Long, Seq[String])]
+        .flatMap { case (_, f, syms) =>
+          (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), f))
+        }
+        .toDF("a", "b", "f")
+        .groupBy(col("a"), col("b")).agg(sum(col("f")).as("c"))
+      val best = pairs.orderBy(col("c").desc, col("a"), col("b")).limit(1)
+        .as[(String, String, Long)].collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b, c) = best(0)
+        out += ((r + 1L, a, b, c))
+        seq = seq.as[(String, Long, Seq[String])]
+          .map { case (w, f, syms) =>
+            val buf = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+                buf += (a + b); i += 2 // greedy: the right symbol is consumed
+              } else { buf += syms(i); i += 1 }
+            }
+            (w, f, buf.toArray)
+          }
+          .toDF("word", "f", "syms")
+          .localCheckpoint(true)
+      }
+      r += 1
+    }
+    spark.createDataset(out.toSeq)
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
+}

@@ -137,6 +137,64 @@ SELECT qid, doc_id, dot, cosine, rnk FROM (
   FROM scored)
 WHERE rnk <= $BowTopK"""
 
+  // bpe_merges training depth (shared Spark/oracle constant).
+  private val BpeRounds = 8
+
+  /** Twin of graft.ops.BpeTrain.merges: the merge loop UNROLLED into
+    * generated CTE blocks (all MATERIALIZED — the seq chain would
+    * otherwise inline exponentially, the kcore lesson). Per round:
+    * weighted adjacent-pair counts, the (c DESC, a, b) argmax, candidate
+    * match positions, the GREEDY subset via run-parity (row_number
+    * twice: consecutive match positions share pos − rn; odd rank within
+    * a run merges — exactly the left-to-right scan of the Spark loop),
+    * then the rebuilt re-indexed sequence (merged symbol at the match,
+    * the consumed right neighbor dropped). */
+  private val bpeMergesSql = {
+    val head =
+      s"""w0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS f
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY 1),
+c0 AS MATERIALIZED (
+  SELECT word, f, CAST(unnest(range(1, len(word)+1)) AS BIGINT) AS pos FROM w0),
+seq0 AS MATERIALIZED (
+  SELECT word, f, pos, substring(word, CAST(pos AS INTEGER), 1) AS sym FROM c0)"""
+    val blocks = (1 to BpeRounds).map { r =>
+      val p = r - 1
+      s"""pc$r AS MATERIALIZED (
+  SELECT s.sym AS a, t.sym AS b, CAST(sum(s.f) AS BIGINT) AS c
+  FROM seq$p s JOIN seq$p t ON s.word = t.word AND t.pos = s.pos + 1
+  GROUP BY 1, 2),
+best$r AS MATERIALIZED (
+  SELECT a, b, c FROM pc$r ORDER BY c DESC, a, b LIMIT 1),
+m$r AS MATERIALIZED (
+  SELECT s.word, s.pos
+  FROM seq$p s JOIN seq$p t ON s.word = t.word AND t.pos = s.pos + 1
+  JOIN best$r x ON s.sym = x.a AND t.sym = x.b),
+mr$r AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           row_number() OVER (PARTITION BY word, pos - rn ORDER BY pos) AS rr
+    FROM (SELECT word, pos,
+                 row_number() OVER (PARTITION BY word ORDER BY pos) AS rn
+          FROM m$r))
+  WHERE rr % 2 = 1),
+seq$r AS MATERIALIZED (
+  SELECT s.word, s.f,
+         CAST(row_number() OVER (PARTITION BY s.word ORDER BY s.pos) AS BIGINT) AS pos,
+         CASE WHEN mm.pos IS NOT NULL THEN s.sym || (SELECT b FROM best$r)
+              ELSE s.sym END AS sym
+  FROM seq$p s
+  LEFT JOIN mr$r mm ON mm.word = s.word AND mm.pos = s.pos
+  LEFT JOIN mr$r cons ON cons.word = s.word AND cons.pos = s.pos - 1
+  WHERE cons.pos IS NULL)"""
+    }.mkString(",\n")
+    val rows = (1 to BpeRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, c AS pair_count FROM best$r")
+      .mkString("\nUNION ALL\n")
+    s"WITH $head,\n$blocks\n$rows"
+  }
+
   /** TF-IDF-style score without logarithms: tf · n_docs / df as the fixed
     * IEEE sequence (double)tf · (double)n / (double)df — log() is NOT
     * correctly rounded across engines, plain ratios are. Rank is over the
@@ -716,6 +774,11 @@ FROM tok t LEFT JOIN neww n USING (doc_id)"""
     "bow_cosine" -> ((s, d) => bowCosine(s, d)),
     // KMV cardinality sketch with engine-portable bits — estimator and
     // its own error report per source (Approx.kmvDistinct scaladoc).
+    // BPE merge training over the word dictionary — the tokenizer-
+    // vocabulary learner (BpeTrain.merges scaladoc has the distributed
+    // shape and the greedy-merge/run-parity equivalence argument).
+    "bpe_merges" -> ((s, d) =>
+      graft.ops.BpeTrain.merges(docs(s, d), BpeRounds)),
     "kmv_distinct" -> ((s, d) => graft.ops.Approx.kmvDistinct(
       docs(s, d).select(col("source"), explode(split(col("text"), " ")).as("word")),
       col("source"), col("word"), KmvK)),
@@ -738,6 +801,7 @@ FROM tok t LEFT JOIN neww n USING (doc_id)"""
     "tfidf_terms" -> tfidfTermsSql,
     "bow_cosine" -> bowCosineSql,
     "kmv_distinct" -> kmvDistinctSql,
+    "bpe_merges" -> bpeMergesSql,
     "winsorize_chars" -> winsorizeSql,
     "session_concurrency" -> sessionConcurrencySql,
     "keyword_search" -> keywordSearchSql,
