@@ -33,7 +33,34 @@ object BpeTrain {
 
   /** Learn `rounds` merges from the corpus' text column. Output:
     * (merge_rank, left_sym, right_sym, pair_count). */
-  def merges(docs: DataFrame, rounds: Int = 8): DataFrame = {
+  def merges(docs: DataFrame, rounds: Int = 8): DataFrame =
+    train(docs, rounds)._1
+
+  /** Tokenization report after applying the learned merges: per document
+    * the word count, the character total, the BPE symbol total (each
+    * word costs its final-sequence length × its occurrences), and the
+    * symbols-per-char compression ratio — the "how much does this
+    * vocabulary actually compress my corpus" readout that accompanies
+    * every tokenizer training run. The word→length table is vocab-sized
+    * and broadcast onto the doc→word stream; one doc-keyed aggregate. */
+  def tokenCounts(docs: DataFrame, rounds: Int = 8): DataFrame = {
+    val seq = train(docs, rounds)._2
+    val wordLens = seq.select(col("word"), size(col("syms")).cast("long").as("n_sym"),
+      length(col("word")).cast("long").as("n_char"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(wordLens), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_char")).as("n_chars"),
+        sum(col("n_sym")).as("n_bpe"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_bpe"),
+        Det.snap(col("n_bpe").cast("double") / col("n_chars").cast("double"), 6)
+          .as("compression"))
+  }
+
+  /** The training loop shared by [[merges]] and [[tokenCounts]]:
+    * returns (merge table, final per-word symbol sequences). */
+  private def train(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     var seq = docs.select(explode(split(col("text"), " ")).as("word"))
@@ -74,7 +101,7 @@ object BpeTrain {
       }
       r += 1
     }
-    spark.createDataset(out.toSeq)
-      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+    (spark.createDataset(out.toSeq)
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count"), seq)
   }
 }

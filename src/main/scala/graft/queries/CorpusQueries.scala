@@ -149,7 +149,9 @@ WHERE rnk <= $BowTopK"""
     * a run merges — exactly the left-to-right scan of the Spark loop),
     * then the rebuilt re-indexed sequence (merged symbol at the match,
     * the consumed right neighbor dropped). */
-  private val bpeMergesSql = {
+  /** The shared unrolled training chain (seq0 → seq$BpeRounds with a
+    * best$r per round), used by both the merge-table and tokenize twins. */
+  private val bpeChainSql = {
     val head =
       s"""w0 AS MATERIALIZED (
   SELECT word, CAST(count(*) AS BIGINT) AS f
@@ -189,11 +191,31 @@ seq$r AS MATERIALIZED (
   LEFT JOIN mr$r cons ON cons.word = s.word AND cons.pos = s.pos - 1
   WHERE cons.pos IS NULL)"""
     }.mkString(",\n")
+    s"$head,\n$blocks"
+  }
+
+  private val bpeMergesSql = {
     val rows = (1 to BpeRounds).map(r =>
       s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, c AS pair_count FROM best$r")
       .mkString("\nUNION ALL\n")
-    s"WITH $head,\n$blocks\n$rows"
+    s"WITH $bpeChainSql\n$rows"
   }
+
+  /** Twin of BpeTrain.tokenCounts: the same unrolled training chain, then
+    * per-word final symbol counts joined onto the doc→word stream. */
+  private val bpeTokenizeSql =
+    s"""WITH $bpeChainSql,
+wl AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_sym, CAST(len(word) AS BIGINT) AS n_char
+  FROM seq$BpeRounds GROUP BY word),
+dw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT dw.doc_id, count(*) AS n_words,
+       CAST(sum(wl.n_char) AS BIGINT) AS n_chars,
+       CAST(sum(wl.n_sym) AS BIGINT) AS n_bpe,
+       ${s6("CAST(sum(wl.n_sym) AS DOUBLE) / CAST(sum(wl.n_char) AS DOUBLE)")} AS compression
+FROM dw JOIN wl USING (word)
+GROUP BY dw.doc_id"""
 
   /** TF-IDF-style score without logarithms: tf · n_docs / df as the fixed
     * IEEE sequence (double)tf · (double)n / (double)df — log() is NOT
@@ -779,6 +801,11 @@ FROM tok t LEFT JOIN neww n USING (doc_id)"""
     // shape and the greedy-merge/run-parity equivalence argument).
     "bpe_merges" -> ((s, d) =>
       graft.ops.BpeTrain.merges(docs(s, d), BpeRounds)),
+    // The learned vocabulary APPLIED: per-doc BPE symbol totals and the
+    // symbols-per-char compression readout (vocab-sized length table
+    // broadcast onto the doc→word stream).
+    "bpe_tokenize" -> ((s, d) =>
+      graft.ops.BpeTrain.tokenCounts(docs(s, d), BpeRounds)),
     "kmv_distinct" -> ((s, d) => graft.ops.Approx.kmvDistinct(
       docs(s, d).select(col("source"), explode(split(col("text"), " ")).as("word")),
       col("source"), col("word"), KmvK)),
@@ -802,6 +829,7 @@ FROM tok t LEFT JOIN neww n USING (doc_id)"""
     "bow_cosine" -> bowCosineSql,
     "kmv_distinct" -> kmvDistinctSql,
     "bpe_merges" -> bpeMergesSql,
+    "bpe_tokenize" -> bpeTokenizeSql,
     "winsorize_chars" -> winsorizeSql,
     "session_concurrency" -> sessionConcurrencySql,
     "keyword_search" -> keywordSearchSql,

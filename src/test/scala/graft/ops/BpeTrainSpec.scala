@@ -32,6 +32,16 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(rows(out) == List((1L, "a", "b", 1L)))
   }
 
+  test("tokenCounts: fully merged words compress to one symbol each") {
+    // after the 3 learned merges, aaab and ab are both single symbols
+    val out = BpeTrain.tokenCounts(
+      docs(Seq((0L, "aaab aaab ab", "en"))), rounds = 5).head()
+    assert(out.getAs[Long]("n_words") == 3L)
+    assert(out.getAs[Long]("n_chars") == 10L)
+    assert(out.getAs[Long]("n_bpe") == 3L)
+    assert(out.getAs[Double]("compression") == 0.3)
+  }
+
   test("partition-invariant: repartitioned corpus learns identical merges") {
     val d = docs(Seq((0L, "spark scala spark", "en"), (1L, "scala spark streams", "en")))
     val a = rows(BpeTrain.merges(d, rounds = 4))
