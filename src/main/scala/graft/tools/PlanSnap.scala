@@ -59,7 +59,14 @@ object PlanSnap {
     // Round-8 curation additions.
     "repetition_stats",  // doc-local typed map — pin proves ZERO shuffle
     "importance_weights",// word-agg broadcast + scalar totals (no re-agg)
-    "zorder_layout"      // scan → 32-term bit project → one hash agg
+    "zorder_layout",     // scan → 32-term bit project → one hash agg
+    // Round-9 additions (this session's new operator families).
+    "bow_cosine",        // inverted-index sparse scorer: broadcast qtf +
+                         // (qid, doc)-keyed dot aggregate + norm join
+    "dedup_containment", // shared pairCounts postings under the maxDf cap
+    "lexical_diversity", // doc-local typed map — pin proves ZERO shuffle
+    "kmv_distinct",      // one distinct exchange + per-key bottom-k window
+    "ngram_novelty"      // inverted min-aggregate + doc-keyed recount
   )
 
   val SnapshotDir = "src/test/resources/plans"
