@@ -98,4 +98,17 @@ class EmptyInputSpec extends AnyFunSuite {
       noDocs.selectExpr("doc_id", "CAST(length(text) AS BIGINT) AS n"),
       Seq(col("doc_id")), "n", "cum").count() == 0)
   }
+
+  test("round-9 operators on empty input") {
+    import org.apache.spark.sql.functions.col
+    assert(Similarity.kmeansRefine(noVecs, k = 4, iters = 2).count() == 0)
+    assert(Dedup.containmentPairs(noDocs).count() == 0)
+    assert(TextOps.lexicalDiversity(noDocs).count() == 0)
+    assert(BpeTrain.merges(noDocs, rounds = 3).count() == 0)
+    assert(BpeTrain.tokenCounts(noDocs, rounds = 3).count() == 0)
+    assert(Approx.kmvDistinct(noDocs, col("lang"), col("text")).count() == 0)
+    assert(KCore.peel(
+      noTicks.selectExpr("sequence AS x", "sequence AS y"), k = 2, rounds = 2)
+      .count() == 0)
+  }
 }
