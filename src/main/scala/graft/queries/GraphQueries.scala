@@ -404,7 +404,87 @@ SELECT s.node AS part_id, coalesce(f.degree, 0) AS degree
 FROM s$KCoreRounds s LEFT JOIN fin f USING (node)"""
   }
 
+  /** Community structure report over the part co-purchase graph:
+    * connected components as the (deterministic) community assignment,
+    * then per community the node count, degree volume, internal edge
+    * count, within-community density 2e_c/(n_c(n_c−1)), and the
+    * Newman–Girvan modularity contribution e_c/m − (d_c/2m)² computed
+    * as the single exact-integer division (4m·e_c − d_c²)/4m² — the
+    * partition-quality readout clustering jobs publish. (Components
+    * have zero cut by construction, so conductance is identically 0
+    * and deliberately omitted.)
+    *
+    * Scale shape: the component step is the size-adaptive CC; the stats
+    * are two community-keyed aggregates (degrees, internal edges) over
+    * edge-list-sized frames; m is a scalar off the cached edge list.
+    * Envelope: 4m·e_c ≤ 4m² and d_c² ≤ 4m² stay far under 2^53 for any
+    * co-occurrence graph this side of 10^7 edges; the numerator is
+    * signed → signedDblSql on the oracle side. */
+  private def communities(s: SparkSession, d: String): DataFrame = {
+    val edges = graft.ops.CoOccur
+      .edges(t(s, d, "lineitem"), "l_orderkey", "l_partkey", PartMinCo)
+      .cache()
+    val m = edges.count()
+    val cc = graft.ops.ConnectedComponents.clusters(edges, "x", "y")
+      .select(col("id"), col("cluster_id").as("community"))
+    val deg = edges.select(col("x").as("node"))
+      .unionByName(edges.select(col("y").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val dc = deg.join(cc, deg("node") === cc("id"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("degree_sum"))
+    val ic = edges
+      .join(cc.select(col("id").as("x"), col("community")), Seq("x"))
+      .groupBy(col("community")).agg(count(lit(1)).as("internal_edges"))
+    val out = dc.join(ic, Seq("community"))
+      .select(col("community"), col("n_nodes"), col("degree_sum"),
+        col("internal_edges"),
+        when(col("n_nodes") >= 2, Det.snap(
+          (col("internal_edges") * 2L).cast("double") /
+            (col("n_nodes") * (col("n_nodes") - 1L)).cast("double"), 6))
+          .as("density"),
+        Det.snap(
+          (col("internal_edges") * (4L * m) - col("degree_sum") * col("degree_sum"))
+            .cast("double") / lit((4L * m * m).toDouble), 6)
+          .as("modularity_term"))
+      .localCheckpoint(true)
+    edges.unpersist(false)
+    out
+  }
+
+  /** Twin of [[communities]]: same edge list, recursive-CTE components,
+    * and exact-integer algebra (the scalar m crosses as a CTE; the
+    * signed modularity numerator goes through signedDblSql). */
+  private val communitiesSql =
+    s"""WITH e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS x, b.l_partkey AS y
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= $PartMinCo),
+cc AS MATERIALIZED (
+  SELECT id, cluster_id AS community
+  FROM (${graft.ops.ConnectedComponents.clustersSql("SELECT * FROM e0", "x", "y")})),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+deg AS (
+  SELECT node, count(*) AS deg
+  FROM (SELECT x AS node FROM e0 UNION ALL SELECT y FROM e0) GROUP BY 1),
+dc AS (
+  SELECT cc.community, count(*) AS n_nodes, CAST(sum(deg.deg) AS BIGINT) AS degree_sum
+  FROM deg JOIN cc ON cc.id = deg.node GROUP BY 1),
+ic AS (
+  SELECT cc.community, count(*) AS internal_edges
+  FROM e0 JOIN cc ON cc.id = e0.x GROUP BY 1)
+SELECT dc.community, dc.n_nodes, dc.degree_sum, ic.internal_edges,
+       CASE WHEN dc.n_nodes >= 2 THEN
+         ${s6("CAST(ic.internal_edges * 2 AS DOUBLE) / CAST(dc.n_nodes * (dc.n_nodes - 1) AS DOUBLE)")}
+       END AS density,
+       ${s6(s"${Det.signedDblSql("ic.internal_edges * 4 * mm.m - dc.degree_sum * dc.degree_sum")} / CAST(4 * mm.m * mm.m AS DOUBLE)")}
+         AS modularity_term
+FROM dc JOIN ic USING (community) CROSS JOIN mm"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_communities" -> ((s, d) => communities(s, d)),
     "kcore" -> ((s, d) => kcore(s, d)),
     "degree_dist" -> ((s, d) => {
       import TickQueries.r6
@@ -420,6 +500,7 @@ FROM s$KCoreRounds s LEFT JOIN fin f USING (node)"""
   )
 
   def oracleSql: Map[String, String] = Map(
+    "graph_communities" -> communitiesSql,
     "kcore" -> kcoreSql,
     "degree_dist" -> degreeDistSql,
     "markov_transitions" -> markovSql,
