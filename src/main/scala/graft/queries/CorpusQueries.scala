@@ -140,6 +140,95 @@ WHERE rnk <= $BowTopK"""
   // bpe_merges training depth (shared Spark/oracle constant).
   private val BpeRounds = 8
 
+  // vocab_coverage vocabulary budgets (shared Spark/oracle constants).
+  private val CoverNs = Seq(10, 100, 1000)
+
+  /** Token coverage of top-N word vocabularies — the OOV-rate audit run
+    * before fixing a tokenizer/vocab budget: what fraction of token
+    * OCCURRENCES the N most frequent words cover (rank ties broken by
+    * word, so the cut is deterministic). One inverted-index aggregate,
+    * one full-vocab rank (the vocabulary is the SMALL side — ranking it
+    * is dictionary-scale even at 100 TB), conditional exact sums, one
+    * summary row. */
+  private def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val wc = docs(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val ranked = wc.withColumn("rn",
+      row_number().over(Window.orderBy(col("c").desc, col("word"))).cast("long"))
+    val aggs =
+      Seq(count(lit(1)).as("vocab_size"), sum(col("c")).as("n_tokens")) ++
+        CoverNs.map(n => sum(when(col("rn") <= n, col("c")).otherwise(0L))
+          .as(s"covered_$n"))
+    val row = ranked.agg(aggs.head, aggs.tail: _*)
+    CoverNs.foldLeft(row) { (acc, n) =>
+      acc.withColumn(s"coverage_$n", Det.snap(
+        col(s"covered_$n").cast("double") / col("n_tokens").cast("double"), 6))
+    }
+  }
+
+  /** Twin of [[vocabCoverage]] — the single-partition rank is fine in
+    * the oracle; the Spark side's rank is dictionary-scale. */
+  private val vocabCoverageSql = {
+    val covered = CoverNs.map(n =>
+      s"CAST(sum(CASE WHEN rn <= $n THEN c ELSE 0 END) AS BIGINT) AS covered_$n")
+      .mkString(",\n       ")
+    val cov = CoverNs.map(n =>
+      s"${s6(s"CAST(covered_$n AS DOUBLE) / CAST(n_tokens AS DOUBLE)")} AS coverage_$n")
+      .mkString(",\n       ")
+    s"""WITH wc AS (
+  SELECT word, count(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY 1),
+ranked AS (
+  SELECT word, c, CAST(row_number() OVER (ORDER BY c DESC, word) AS BIGINT) AS rn
+  FROM wc),
+agg AS (
+  SELECT count(*) AS vocab_size, CAST(sum(c) AS BIGINT) AS n_tokens,
+       $covered
+  FROM ranked)
+SELECT vocab_size, n_tokens, ${CoverNs.map(n => s"covered_$n").mkString(", ")},
+       $cov
+FROM agg"""
+  }
+
+  /** Temperature-flattened source-mixture weights (the multilingual-
+    * sampling recipe: p_i ∝ share_i^(1/T); T = 2, so the reweight is
+    * √share — `sqrt` is correctly rounded in both engines). The
+    * normalizing sum over sources is made order-free by snapping each
+    * √share to an exact 1e-9 grid long FIRST (Det.kl) and summing
+    * integers; the final weight is one division of exactly-converted
+    * longs. Upweights the tail, downweights the head — the standard
+    * fix for head-domination in a multi-source corpus. */
+  private def mixtureTemperature(s: SparkSession, d: String): DataFrame = {
+    val counts = docs(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("n_total"))
+    val withShare = counts.crossJoin(broadcast(total))
+      .withColumn("share",
+        col("n_docs").cast("double") / col("n_total").cast("double"))
+      .withColumn("kw", Det.kl(sqrt(col("share")), 9))
+    val ksum = withShare.agg(sum(col("kw")).as("ktot"))
+    withShare.crossJoin(broadcast(ksum))
+      .select(col("source"), col("n_docs"), Det.snap(col("share"), 6).as("share"),
+        Det.snap(col("kw").cast("double") / col("ktot").cast("double"), 6)
+          .as("temp_weight"))
+  }
+
+  private val mixtureTemperatureSql =
+    s"""WITH c AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c),
+k AS (
+  SELECT source, n_docs,
+         CAST(n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share,
+         ${Det.klSql("sqrt(CAST(n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE))", 9)} AS kw
+  FROM c CROSS JOIN t),
+ks AS (SELECT CAST(sum(kw) AS BIGINT) AS ktot FROM k)
+SELECT source, n_docs, ${s6("share")} AS share,
+       ${s6("CAST(kw AS DOUBLE) / CAST(ks.ktot AS DOUBLE)")} AS temp_weight
+FROM k CROSS JOIN ks"""
+
   /** Twin of graft.ops.BpeTrain.merges: the merge loop UNROLLED into
     * generated CTE blocks (all MATERIALIZED — the seq chain would
     * otherwise inline exponentially, the kcore lesson). Per round:
@@ -799,6 +888,8 @@ FROM tok t LEFT JOIN neww n USING (doc_id)"""
     // BPE merge training over the word dictionary — the tokenizer-
     // vocabulary learner (BpeTrain.merges scaladoc has the distributed
     // shape and the greedy-merge/run-parity equivalence argument).
+    "vocab_coverage" -> ((s, d) => vocabCoverage(s, d)),
+    "mixture_temperature" -> ((s, d) => mixtureTemperature(s, d)),
     "bpe_merges" -> ((s, d) =>
       graft.ops.BpeTrain.merges(docs(s, d), BpeRounds)),
     // The learned vocabulary APPLIED: per-doc BPE symbol totals and the
@@ -829,6 +920,8 @@ FROM tok t LEFT JOIN neww n USING (doc_id)"""
     "bow_cosine" -> bowCosineSql,
     "kmv_distinct" -> kmvDistinctSql,
     "bpe_merges" -> bpeMergesSql,
+    "vocab_coverage" -> vocabCoverageSql,
+    "mixture_temperature" -> mixtureTemperatureSql,
     "bpe_tokenize" -> bpeTokenizeSql,
     "winsorize_chars" -> winsorizeSql,
     "session_concurrency" -> sessionConcurrencySql,
