@@ -38,11 +38,10 @@ object CorpusQueries {
 
   /** 48-bit hash of `$h` (an md5 hex string) as an exact integer — the
     * oracle twin of Spark's `conv(substring(md5(v),1,12),16,10)`: the
-    * first 12 nibbles re-parsed positionally. */
+    * first 12 nibbles re-parsed positionally (shared with the ops-level
+    * twins via graft.ops.CorpusHex). */
   private[queries] def hv48Sql(h: String): String =
-    (1 to 12).map(i =>
-      s"(strpos('0123456789abcdef', substring($h, $i, 1)) - 1) * ${1L << ((12 - i) * 4)}")
-      .mkString("(", " + ", ")")
+    graft.ops.CorpusHex.hv48Sql(h)
 
   /** Twin of Approx.kmvDistinct over the per-source vocabulary: same
     * distinct → 48-bit hash → (hv, v)-ordered k-th pick → estimator

@@ -174,7 +174,21 @@ SELECT z >> 16 AS bucket, count(*) AS n_rows,
 FROM z GROUP BY 1"""
   }
 
+  // bloom_prune profile (shared Spark/oracle constants): suppliers with
+  // acctbal over the cut are the "small side", lineitem rows probe.
+  private val BloomBalCut = 5000
+  private val BloomBits = 4096
+  private val BloomHashes = 3
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Bloom-filter semi-join prune with engine-portable md5 bits — the
+    // runtime-filter pushdown audited end-to-end (BloomPrune scaladoc
+    // has the one-scan/no-join shape and the no-false-negative proof).
+    "bloom_prune" -> ((s, d) => graft.ops.BloomPrune.audit(
+      t(s, d, "supplier").filter(col("s_acctbal") > BloomBalCut)
+        .select(col("s_suppkey").as("k")),
+      t(s, d, "lineitem").select(col("l_suppkey").as("k")),
+      BloomBits, BloomHashes)),
     "zorder_layout" -> ((s, d) => zorderLayout(s, d)),
     "rel_above_avg" -> ((s, d) => r6(aboveAvgOrders(s, d))),
     "rel_star_join" -> ((s, d) => r6(starJoin(s, d))),
@@ -186,6 +200,10 @@ FROM z GROUP BY 1"""
   )
 
   def oracleSql: Map[String, String] = Map(
+    "bloom_prune" -> graft.ops.BloomPrune.auditSql(
+      s"SELECT DISTINCT s_suppkey AS k FROM supplier WHERE s_acctbal > $BloomBalCut",
+      "SELECT l_suppkey AS k FROM lineitem",
+      BloomBits, BloomHashes),
     "zorder_layout" -> zorderLayoutSql,
     "rel_above_avg" -> aboveAvgOrdersSql,
     "rel_star_join" ->
