@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Batch-gradient integer perceptron — the in-engine trainer for the
+  * lightweight document classifiers curation pipelines lean on (the
+  * fastText-style language/quality gate of CCNet-family pipelines),
+  * here learning en-vs-rest from stopword-profile hit counts. All
+  * arithmetic is EXACT LONGS: features are integer counts, labels ±1,
+  * and each epoch's update is the batch rule w ← w + Σ_misclassified
+  * y·x (a single map-side-combinable aggregate), so the training
+  * trajectory — not just the final scores — is bit-identical in any
+  * engine and under any partitioning. Epochs are fixed so the oracle
+  * can unroll the same trajectory (the kmeans/BPE discipline).
+  *
+  * Scale shape: the feature build is a narrow codegen'd select; each
+  * epoch is ONE aggregate producing a k-vector of deltas (collected —
+  * the model is the broadcast-sized state, exactly like the k-means
+  * codebook), and the weights re-enter the next epoch as plan
+  * LITERALS, so the margin evaluation stays inside WholeStageCodegen
+  * with no join. Final scoring is one more scan.
+  *
+  * Decision rule: predict en iff margin > 0 (zero margin counts as
+  * misclassified during training AND predicts not-en — the convention
+  * the oracle mirrors).
+  *
+  * On the DRIVER FIXTURE the lang labels are synthetic (every document
+  * is the same word-soup distribution), so held-in accuracy hovers at
+  * the class prior — the contract verifies the TRAINING TRAJECTORY
+  * and scoring bits, not model quality; PerceptronSpec proves the same
+  * trainer reaches 100% on a corpus whose labels actually follow the
+  * features (the situation the real CCNet-style gate is trained in).
+  */
+object Perceptron {
+
+  /** Feature columns (exact integer counts; x0 is the bias). One
+    * definition shared by every epoch and the final scorer. */
+  private def features(docs: DataFrame): DataFrame = {
+    def hits(ws: Seq[String]): Column =
+      size(filter(split(col("text"), " "), w => w.isInCollection(ws))).cast("long")
+    val profiles = TextOps.langProfiles.map(_._2)
+    val xs = lit(1L).as("x0") +:
+      profiles.zipWithIndex.map { case (ws, i) => hits(ws).as(s"x${i + 1}") } :+
+      (octet_length(col("text")) - length(col("text"))).cast("long")
+        .as(s"x${profiles.size + 1}")
+    docs.select(
+      (col("doc_id") +:
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y") +:
+        xs): _*)
+  }
+
+  /** Number of features including bias. */
+  val NumFeatures: Int = TextOps.langProfiles.size + 2
+
+  /** Train `epochs` batch updates, then score every document with the
+    * final weights: (doc_id, y, margin, predicted_en, correct). */
+  def train(docs: DataFrame, epochs: Int = 3): DataFrame = {
+    val feats = features(docs).localCheckpoint(true)
+    val k = NumFeatures
+    var w = Array.fill(k)(0L)
+    var e = 0
+    while (e < epochs) {
+      val margin = (0 until k).map(j => lit(w(j)) * col(s"x$j")).reduce(_ + _)
+      val deltas = feats
+        .filter(col("y") * margin <= 0L)
+        .agg(sum(col("y") * col("x0")).as("d0"),
+          (1 until k).map(j => sum(col("y") * col(s"x$j")).as(s"d$j")): _*)
+        .collect()(0)
+      w = Array.tabulate(k)(j =>
+        w(j) + (if (deltas.isNullAt(j)) 0L else deltas.getLong(j)))
+      e += 1
+    }
+    val margin = (0 until k).map(j => lit(w(j)) * col(s"x$j")).reduce(_ + _)
+    feats.select(col("doc_id"), col("y"), margin.as("margin"),
+      (margin > 0L).as("predicted_en"),
+      ((margin > 0L) === (col("y") === 1L)).as("correct"))
+  }
+
+  /** Oracle twin: the same feature expressions over `documents`, the
+    * epoch loop unrolled into weight CTEs (one row of w0..wk each),
+    * deltas COALESCEd for the no-misclassification fixpoint. */
+  def trainSql(epochs: Int): String = {
+    val k = NumFeatures
+    def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+    val profileCols = TextOps.langProfiles.zipWithIndex.map { case ((_, ws), i) =>
+      s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ${inList(ws)})) AS BIGINT) AS x${i + 1}"
+    }.mkString(",\n         ")
+    val f =
+      s"""f AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         CAST(1 AS BIGINT) AS x0,
+         $profileCols,
+         CAST(strlen(text) - length(text) AS BIGINT) AS x${k - 1}
+  FROM documents)"""
+    val w0 = s"w0 AS (SELECT ${(0 until k).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")})"
+    def marginExpr(wAlias: String): String =
+      (0 until k).map(j => s"$wAlias.w$j * f.x$j").mkString(" + ")
+    val blocks = (1 to epochs).map { e =>
+      val p = e - 1
+      s"""d$e AS (
+  SELECT ${(0 until k).map(j => s"COALESCE(CAST(sum(f.y * f.x$j) AS BIGINT), 0) AS d$j").mkString(", ")}
+  FROM f CROSS JOIN w$p w
+  WHERE f.y * (${marginExpr("w")}) <= 0),
+w$e AS (
+  SELECT ${(0 until k).map(j => s"w.w$j + d.d$j AS w$j").mkString(", ")}
+  FROM w$p w CROSS JOIN d$e d)"""
+    }.mkString(",\n")
+    s"""WITH $f,
+$w0,
+$blocks
+SELECT f.doc_id, f.y, (${marginExpr("w")}) AS margin,
+       (${marginExpr("w")}) > 0 AS predicted_en,
+       ((${marginExpr("w")}) > 0) = (f.y = 1) AS correct
+FROM f CROSS JOIN w$epochs w"""
+  }
+}

@@ -31,6 +31,9 @@ object DocQueries {
   /** dedup_containment keep threshold (shared Spark/oracle constant). */
   private val ContainTau = 0.5
 
+  /** perceptron_lang training epochs (shared Spark/oracle constant). */
+  private val PerceptronEpochs = 3
+
   /** dataset_split hash cuts on the 48-bit md5 fraction (exact integer
     * thresholds ≈ 80 / 10 / 10 — the conventional train/val/test mix;
     * shared Spark/oracle constants so the boundary is bit-identical).
@@ -111,6 +114,12 @@ FROM documents"""
     "lexical_diversity" -> ((s, d) => r6(TextOps.lexicalDiversity(docs(s, d)))),
     "text_vocab" -> ((s, d) => r6(TextOps.vocab(docs(s, d)))),
     "lang_id" -> ((s, d) => TextOps.langId(docs(s, d))),
+    // In-engine classifier TRAINING: batch-gradient integer perceptron
+    // learning en-vs-rest from stopword-profile counts — the fastText-
+    // style filter gate, with a bit-exact training trajectory
+    // (Perceptron scaladoc has the epoch-aggregate scale shape).
+    "perceptron_lang" -> ((s, d) =>
+      Perceptron.train(docs(s, d), PerceptronEpochs)),
     "fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
     "dedup_jaccard" -> ((s, d) => Dedup.ngramJaccardTopK(docs(s, d))),
@@ -740,6 +749,7 @@ FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)""",
     "pii_scrub" -> piiScrubSql,
     "importance_weights" -> importanceWeightsSql,
     "lang_id" -> langIdSql,
+    "perceptron_lang" -> Perceptron.trainSql(PerceptronEpochs),
     "fingerprint" -> fingerprintSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
