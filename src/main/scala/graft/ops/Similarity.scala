@@ -182,6 +182,41 @@ object Similarity {
     ranked(scored, k).select(col("qid"), col("vec_id"), col("cosine"), col("rnk"))
   }
 
+  /** All-vectors kNN graph — every vector's top-k neighbors among its
+    * SRP-bucket mates: the backbone structure of graph-based ANN and of
+    * SemDeDup-style semantic curation (each doc's nearest semantic
+    * neighbors, corpus-wide — not just a sampled query set). Planes are
+    * sized from the ACTUAL corpus count ([[planesFor]]) so bucket
+    * populations track `targetBucketRows` at any scale.
+    *
+    * Scale shape: a bucket EQUI-SELF-JOIN — no broadcast side at all
+    * (the query set IS the corpus), so Catalyst shuffles both sides on
+    * the bucket key once and the pair space is Σ|bucket|², bounded by
+    * the auto-sized planes; per-vector top-k goes through the
+    * WindowGroupLimit partial rank. Recall is bucket-limited by
+    * construction, exactly like [[lshTopK]] — the eval for that trade
+    * is `ann_recall`.
+    */
+  def knnGraph(vectors: DataFrame, k: Int = 5,
+               targetBucketRows: Long = 32L): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val planes = planesFor(math.max(vectors.count(), 1L), targetBucketRows)
+    val base = vectors.select(col("vec_id"), col("embedding"),
+      dotL(col("embedding"), col("embedding")).as("nv"),
+      srpBucket(col("embedding"), planes).as("bucket"))
+    val nbrs = base.select(col("bucket"), col("vec_id").as("nbr_id"),
+      col("embedding").as("nbr_v"), col("nv").as("nn"))
+    base.join(nbrs, Seq("bucket"))
+      .filter(col("vec_id") =!= col("nbr_id") && col("nv") > 0 && col("nn") > 0)
+      .select(col("vec_id"), col("nbr_id"),
+        cosine(dotL(col("embedding"), col("nbr_v")), col("nv"), col("nn"))
+          .as("cosine"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("nbr_id")))
+        .cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Typed LSH-bucket entry for near-dup pair generation. */
   final case class VecNorm(vec_id: Long, embedding: Seq[Float], n: Long)
 

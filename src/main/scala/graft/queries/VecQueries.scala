@@ -38,6 +38,8 @@ object VecQueries {
   private val IvfNprobe = 3
   private val KmK = 8
   private val KmIters = 2
+  private val KnnK = 5
+  private val KnnTarget = 32L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_topk" -> ((s, d) => {
@@ -100,6 +102,11 @@ object VecQueries {
         .select(col("assigned_label"), col("rk"), col("vec_id"),
           col("cluster_n"))
     }),
+    // All-vectors kNN graph (SemDeDup/graph-ANN backbone): bucket
+    // equi-self-join with corpus-sized planes — Similarity.knnGraph has
+    // the no-broadcast scale argument.
+    "knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(vecs(s, d), KnnK, KnnTarget)),
     // Lloyd's k-means refinement (fixed iterations, deterministic
     // smallest-vec_id seeds) — the IVF codebook TRAINING loop as a
     // contract query; Similarity.kmeansRefine has the per-iteration
@@ -538,7 +545,30 @@ SELECT f.vec_id, CAST(f.cid AS BIGINT) AS cluster,
 FROM fin f JOIN sizes s USING (cid)"""
   }
 
+  /** Twin of Similarity.knnGraph: the same corpus-sized plane count
+    * (planesForSql of this corpus's count), dynamic bucket key, bucket
+    * self-join, per-vector (cosine DESC, nbr_id) rank ≤ KnnK. */
+  private def knnGraphSql =
+    s"""WITH pl AS (
+  SELECT ${planesForSql(s"(greatest(count(*), 1) + ${KnnTarget - 1}) // $KnnTarget")} AS planes
+  FROM embeddings
+), e AS (
+  SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n,
+         ${dynBucketSql("embedding")} AS bucket
+  FROM embeddings CROSS JOIN pl
+), scored AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id,
+         ${cosSql(dotSql("a.embedding", "b.embedding"), "a.n", "b.n")} AS cosine
+  FROM e a JOIN e b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  WHERE a.n > 0 AND b.n > 0)
+SELECT vec_id, nbr_id, cosine, rnk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rnk
+  FROM scored)
+WHERE rnk <= $KnnK"""
+
   def oracleSql: Map[String, String] = Map(
+    "knn_graph" -> knnGraphSql,
     "ann_recall" -> annRecallSql,
     "embed_quantize" -> quantizeSql,
     "dedup_embed" -> dedupEmbedSql,
