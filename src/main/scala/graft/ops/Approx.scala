@@ -66,6 +66,42 @@ object Approx {
     * (WindowGroupLimit prunes partials map-side); at 100 TB you keep
     * ONLY the k smallest hashes per key per partition before the
     * shuffle, which is exactly what the window-limit rewrite does. */
+  /** Count-Min frequency sketch audit (Cormode–Muthukrishnan 2005) —
+    * the second sketch with engine-portable bits: counters are EXACT
+    * order-free sums into md5-derived positions, and the estimate is a
+    * min over depth counters, so unlike Misra-Gries/SpaceSaving (whose
+    * state depends on arrival order) every number here is
+    * bit-reproducible and oracle-verifiable. Output: the true top-k
+    * values with their exact counts, CM estimates, and the
+    * overestimation bias (est ≥ true always — the one-sided error
+    * guarantee the audit re-checks on live data).
+    *
+    * Scale shape: the counter build is one map-side-combinable
+    * aggregate to a FIXED width·depth table (the whole point — O(1)
+    * memory per key-space at 100 TB); the probe side is top-k-sized.
+    */
+  def countMin(df: DataFrame, value: Column, width: Int = 256,
+               depth: Int = 3, topK: Int = 20): DataFrame = {
+    val vals = df.select(value.cast("string").as("v"))
+    def pos = expr(
+      s"cast(conv(substring(md5(concat(cast(h as string), ':', v)), 1, 12), 16, 10) as bigint) % $width")
+    val hs = explode(array((0 until depth).map(lit): _*)).as("h")
+    val cm = vals.select(col("v"), hs)
+      .select(col("h"), pos.as("pos"))
+      .groupBy(col("h"), col("pos")).agg(count(lit(1)).as("c"))
+    val top = vals.groupBy(col("v")).agg(count(lit(1)).as("true_c"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("true_c").desc, col("v"))).cast("long"))
+      .filter(col("rk") <= topK)
+    top.select(col("v"), col("true_c"), col("rk"), hs)
+      .withColumn("pos", pos)
+      .join(cm, Seq("h", "pos"))
+      .groupBy(col("v"), col("true_c"), col("rk"))
+      .agg(min(col("c")).as("est_c"))
+      .select(col("v").as("value"), col("rk"), col("true_c"), col("est_c"),
+        (col("est_c") - col("true_c")).as("overestimate"))
+  }
+
   def kmvDistinct(df: DataFrame, key: Column, value: Column,
                   k: Int = 16): DataFrame = {
     val d = df.select(key.as("key"), value.cast("string").as("v")).distinct()

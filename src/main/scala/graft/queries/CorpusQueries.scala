@@ -36,6 +36,38 @@ object CorpusQueries {
   // kmv_distinct sketch size (shared Spark/oracle constant).
   private val KmvK = 16
 
+  // countmin_words sketch geometry (shared Spark/oracle constants).
+  private val CmWidth = 256
+  private val CmDepth = 3
+  private val CmTopK = 20
+
+  /** Twin of Approx.countMin over the corpus word stream: the same
+    * exact counter table (md5 positions, order-free sums), the same
+    * (true_c DESC, v) top-k probe set, min-over-depth estimates. */
+  private val countMinSql =
+    s"""WITH vals AS (
+  SELECT unnest(string_split(text, ' ')) AS v FROM documents
+), hh AS (SELECT unnest(range(0, $CmDepth)) AS h),
+cm AS MATERIALIZED (
+  SELECT h, CAST(${hv48Sql("md5(CAST(h AS VARCHAR) || ':' || v)")} % $CmWidth AS BIGINT) AS pos,
+         count(*) AS c
+  FROM vals CROSS JOIN hh GROUP BY 1, 2),
+top AS (
+  SELECT v, true_c, rk FROM (
+    SELECT v, count(*) AS true_c,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, v) AS BIGINT) AS rk
+    FROM vals GROUP BY v)
+  WHERE rk <= $CmTopK),
+pr AS (
+  SELECT t.v, t.true_c, t.rk, hh.h,
+         CAST(${hv48Sql("md5(CAST(hh.h AS VARCHAR) || ':' || t.v)")} % $CmWidth AS BIGINT) AS pos
+  FROM top t CROSS JOIN hh)
+SELECT pr.v AS value, pr.rk, pr.true_c,
+       CAST(min(cm.c) AS BIGINT) AS est_c,
+       CAST(min(cm.c) - pr.true_c AS BIGINT) AS overestimate
+FROM pr JOIN cm ON cm.h = pr.h AND cm.pos = pr.pos
+GROUP BY 1, 2, 3"""
+
   /** 48-bit hash of `$h` (an md5 hex string) as an exact integer — the
     * oracle twin of Spark's `conv(substring(md5(v),1,12),16,10)`: the
     * first 12 nibbles re-parsed positionally (shared with the ops-level
@@ -896,6 +928,12 @@ FROM tok t LEFT JOIN neww n USING (doc_id)"""
     // broadcast onto the doc→word stream).
     "bpe_tokenize" -> ((s, d) =>
       graft.ops.BpeTrain.tokenCounts(docs(s, d), BpeRounds)),
+    // Count-Min frequency sketch audited against exact top-k counts —
+    // the order-free portable-bits companion to kmv_distinct
+    // (Approx.countMin scaladoc has the fixed-size-counter argument).
+    "countmin_words" -> ((s, d) => graft.ops.Approx.countMin(
+      docs(s, d).select(explode(split(col("text"), " ")).as("word")),
+      col("word"), CmWidth, CmDepth, CmTopK)),
     "kmv_distinct" -> ((s, d) => graft.ops.Approx.kmvDistinct(
       docs(s, d).select(col("source"), explode(split(col("text"), " ")).as("word")),
       col("source"), col("word"), KmvK)),
@@ -918,6 +956,7 @@ FROM tok t LEFT JOIN neww n USING (doc_id)"""
     "tfidf_terms" -> tfidfTermsSql,
     "bow_cosine" -> bowCosineSql,
     "kmv_distinct" -> kmvDistinctSql,
+    "countmin_words" -> countMinSql,
     "bpe_merges" -> bpeMergesSql,
     "vocab_coverage" -> vocabCoverageSql,
     "mixture_temperature" -> mixtureTemperatureSql,

@@ -54,6 +54,22 @@ class ApproxSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("countMin: one-sided error; wide sketch is exact, narrow overestimates") {
+    val df = (1 to 3000).map(i => s"w${i % 100}").toDF("v")
+    val wide = Approx.countMin(df, col("v"), width = 4096, depth = 3, topK = 10)
+      .collect()
+    assert(wide.length == 10)
+    wide.foreach { r =>
+      assert(r.getAs[Long]("est_c") >= r.getAs[Long]("true_c"))
+      assert(r.getAs[Long]("true_c") == 30L)
+    }
+    // 100 distinct values into 8 counters per row: collisions guaranteed
+    val narrow = Approx.countMin(df, col("v"), width = 8, depth = 2, topK = 10)
+      .collect()
+    assert(narrow.forall(r => r.getAs[Long]("overestimate") >= 0L))
+    assert(narrow.exists(r => r.getAs[Long]("overestimate") > 0L))
+  }
+
   test("approx percentiles land within rank error of exact order statistics") {
     val n = 50000
     val xs = (1 to n).map(_.toDouble)
