@@ -40,6 +40,8 @@ object VecQueries {
   private val KmIters = 2
   private val KnnK = 5
   private val KnnTarget = 32L
+  /** semantic_prune cosine threshold (crosses via Det.dblLit). */
+  private val SemTau = 0.2
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_topk" -> ((s, d) => {
@@ -107,6 +109,26 @@ object VecQueries {
     // the no-broadcast scale argument.
     "knn_graph" -> ((s, d) =>
       Similarity.knnGraph(vecs(s, d), KnnK, KnnTarget)),
+    // SemDeDup-style semantic pruning ON TOP of the kNN graph: a vector
+    // is dropped when a LOWER-ID vector sits within cosine >= tau among
+    // its bucket neighbors (min-id survivor rule — the same canonical
+    // convention as every dedup family here). Output: per vector the
+    // keep flag plus the nearest offending neighbor; the graph edges
+    // are knn_graph's, so the prune is one doc-dimension aggregate on
+    // an already-bounded frame.
+    "semantic_prune" -> ((s, d) => {
+      val g = Similarity.knnGraph(vecs(s, d), KnnK, KnnTarget)
+      val off = g.filter(col("cosine") >= SemTau && col("nbr_id") < col("vec_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("nbr_id"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("nbr_id").as("dup_nbr"),
+          col("cosine").as("dup_cosine"))
+      vecs(s, d).select(col("vec_id"))
+        .join(off, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("dup_nbr"), col("dup_cosine"),
+          col("dup_nbr").isNull.as("keep"))
+    }),
     // Lloyd's k-means refinement (fixed iterations, deterministic
     // smallest-vec_id seeds) — the IVF codebook TRAINING loop as a
     // contract query; Similarity.kmeansRefine has the per-iteration
@@ -567,7 +589,24 @@ SELECT vec_id, nbr_id, cosine, rnk FROM (
   FROM scored)
 WHERE rnk <= $KnnK"""
 
+  /** Twin of the semantic_prune composition: the knn_graph twin as the
+    * edge source, the same lower-id offending filter, (cosine DESC,
+    * nbr_id) pick, left join back onto the full id space. */
+  private def semanticPruneSql =
+    s"""WITH g AS ($knnGraphSql),
+off AS (
+  SELECT vec_id, nbr_id AS dup_nbr, cosine AS dup_cosine
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cosine DESC, nbr_id) AS rn
+    FROM g WHERE cosine >= ${Det.dblLit(SemTau)} AND nbr_id < vec_id)
+  WHERE rn = 1)
+SELECT e.vec_id, off.dup_nbr, off.dup_cosine,
+       off.dup_nbr IS NULL AS keep
+FROM embeddings e LEFT JOIN off ON off.vec_id = e.vec_id"""
+
   def oracleSql: Map[String, String] = Map(
+    "semantic_prune" -> semanticPruneSql,
     "knn_graph" -> knnGraphSql,
     "ann_recall" -> annRecallSql,
     "embed_quantize" -> quantizeSql,
