@@ -66,7 +66,9 @@ object PlanSnap {
     "dedup_containment", // shared pairCounts postings under the maxDf cap
     "lexical_diversity", // doc-local typed map — pin proves ZERO shuffle
     "kmv_distinct",      // one distinct exchange + per-key bottom-k window
-    "ngram_novelty"      // inverted min-aggregate + doc-keyed recount
+    "ngram_novelty",     // inverted min-aggregate + doc-keyed recount
+    "knn_graph",         // bucket equi-SELF-join, no broadcast side
+    "countmin_words"     // fixed-size counter aggregate + top-k probe join
   )
 
   val SnapshotDir = "src/test/resources/plans"
