@@ -110,6 +110,51 @@ object AnalyticsQueries {
       sampleRates, sampleDefault)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
 
+  /** sample_estimate rate: 1/rate is an exact integer so the Horvitz-
+    * Thompson scale-up stays in integer arithmetic. */
+  private val EstRate = 0.1
+  private val EstInv = 10L
+
+  /** Estimate-from-sample audit: corpus totals estimated from the
+    * deterministic 10% hash sample, scaled by 1/rate (Horvitz–Thompson
+    * with uniform inclusion — exact integers since 1/rate is whole),
+    * reported NEXT TO the exact totals with relative errors — the audit
+    * that tells you whether sampled profiling is good enough before you
+    * stop paying for exact scans at 100 TB. Two aggregates over one
+    * table; the sample side's filter is the same codegen'd md5 prefix
+    * compare every sampler here uses. */
+  private def sampleEstimate(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents")
+    val exact = base.agg(count(lit(1)).as("n_docs_exact"),
+      sum(col("n_chars")).as("n_chars_exact"))
+    val samp = base.filter(Sample.hashFilter(col("doc_id"), EstRate))
+      .agg(count(lit(1)).as("n_docs_sample"),
+        sum(col("n_chars")).as("n_chars_sample"))
+    exact.crossJoin(samp)
+      .select(col("n_docs_exact"), col("n_chars_exact"),
+        col("n_docs_sample"), col("n_chars_sample"),
+        (col("n_docs_sample") * EstInv).as("est_docs"),
+        (col("n_chars_sample") * EstInv).as("est_chars"),
+        Det.snap((col("n_docs_sample") * EstInv - col("n_docs_exact")).cast("double") /
+          col("n_docs_exact").cast("double"), 6).as("err_docs"),
+        Det.snap((col("n_chars_sample") * EstInv - col("n_chars_exact")).cast("double") /
+          col("n_chars_exact").cast("double"), 6).as("err_chars"))
+  }
+
+  private val sampleEstimateSql =
+    s"""WITH ex AS (
+  SELECT count(*) AS n_docs_exact, CAST(sum(n_chars) AS BIGINT) AS n_chars_exact
+  FROM documents),
+sa AS (
+  SELECT count(*) AS n_docs_sample, CAST(sum(n_chars) AS BIGINT) AS n_chars_sample
+  FROM documents WHERE ${Sample.hashFilterSql("doc_id", 0.1)})
+SELECT ex.n_docs_exact, ex.n_chars_exact, sa.n_docs_sample, sa.n_chars_sample,
+       sa.n_docs_sample * $EstInv AS est_docs,
+       sa.n_chars_sample * $EstInv AS est_chars,
+       ${Det.snapSql(s"${Det.signedDblSql(s"sa.n_docs_sample * $EstInv - ex.n_docs_exact")} / CAST(ex.n_docs_exact AS DOUBLE)", 6)} AS err_docs,
+       ${Det.snapSql(s"${Det.signedDblSql(s"sa.n_chars_sample * $EstInv - ex.n_chars_exact")} / CAST(ex.n_chars_exact AS DOUBLE)", 6)} AS err_chars
+FROM ex CROSS JOIN sa"""
+
   /** Deterministic exact-k reservoir sample per stratum: the first
     * ReservoirK documents of each lang in md5(doc_id) order. The hash
     * order is a fixed uniform permutation, so this IS reservoir sampling
@@ -274,6 +319,7 @@ GROUP BY 1, 2"""
     "rel_rollup" -> ((s, d) => r6(rollupOrders(s, d))),
     "rel_set_ops" -> ((s, d) => setOps(s, d)),
     "corpus_sample" -> ((s, d) => corpusSample(s, d)),
+    "sample_estimate" -> ((s, d) => sampleEstimate(s, d)),
     "rel_topk_per_group" -> ((s, d) => r6(topkPerGroup(s, d))),
     "rel_quantiles" -> ((s, d) => r6(quantiles(s, d))),
     "rel_quantiles_cont" -> ((s, d) => r6(quantilesCont(s, d))),
@@ -354,6 +400,7 @@ SELECT o_custkey, 'both' AS tag FROM (
     "corpus_sample" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
 WHERE ${Sample.stratifiedSql("doc_id", "lang", sampleRates, sampleDefault)}""",
+    "sample_estimate" -> sampleEstimateSql,
     "rel_topk_per_group" ->
       s"""SELECT c_mktsegment, rk, o_orderkey, ${s6("o_totalprice")} AS o_totalprice, c_name
 FROM (SELECT c_mktsegment, o_orderkey, o_totalprice, c_name,
