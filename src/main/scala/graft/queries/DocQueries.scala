@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ops._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, count, explode, expr, lit, max, min, split, sum, when}
+import org.apache.spark.sql.functions.{abs, broadcast, coalesce, col, concat, count, explode, expr, lit, max, min, row_number, split, sum, when}
 
 /** Driver-verifiable queries for the text-analysis + deduplication
   * operator families (TextOps, Dedup) over `documents.parquet`, each with
@@ -171,6 +171,38 @@ FROM documents"""
     "multimodal_decode" -> ((s, d) =>
       Multimodal.decodeFrames(Multimodal.toBlobTable(docs(s, d)),
         FrameBytes, SampleEvery).toDF()),
+    // Distribution-drift audit between two corpus slices (even vs odd
+    // doc_id playing "yesterday's batch vs today's"): EXACT total-
+    // variation distance over the word distributions — TV = ½Σ|p−q|
+    // computed as Σ|c_a·N_b − c_b·N_a| / (2·N_a·N_b), one division of
+    // exact integers — plus the top-10 drifting words. The drift gate a
+    // continuously-ingesting pipeline alarms on; log-free by design
+    // (KL needs ln, TV doesn't).
+    "dataset_drift" -> ((s, d) => {
+      val words = docs(s, d).select((col("doc_id") % 2 === 0).as("is_a"),
+        explode(split(col("text"), " ")).as("word"))
+      val wc = words.groupBy(col("word"))
+        .agg(count(when(col("is_a"), 1)).as("c_a"),
+          count(when(!col("is_a"), 1)).as("c_b"))
+      val tot = wc.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+      val scored = wc.crossJoin(broadcast(tot))
+        .withColumn("drift_num",
+          abs(col("c_a") * col("n_b") - col("c_b") * col("n_a")))
+      val tvRow = scored
+        .groupBy(col("n_a"), col("n_b"))
+        .agg(sum(col("drift_num")).as("tv_num"))
+        .select(Det.snap(col("tv_num").cast("double") /
+          (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("tv_distance"))
+      scored
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("drift_num").desc, col("word"))).cast("long"))
+        .filter(col("rk") <= 10)
+        .crossJoin(broadcast(tvRow))
+        .select(col("rk"), col("word"), col("c_a"), col("c_b"),
+          col("drift_num"), col("tv_distance"))
+    }),
     // Deterministic train/val/test split — the reproducible holdout
     // assignment every training-data pipeline needs: doc → split from
     // the salted 48-bit md5 fraction against exact integer cuts (no RNG,
@@ -334,6 +366,35 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN bs ON d.doc_id = bs.doc_id
 LEFT JOIN ts ON d.doc_id = ts.doc_id"""
+
+  /** Twin of the dataset_drift audit: same even/odd split, exact
+    * |c_a·N_b − c_b·N_a| drift numerators (HUGEINT-safe sums), the same
+    * left-associated TV finishing sequence, (drift DESC, word) top-10. */
+  private val datasetDriftSql =
+    s"""WITH words AS (
+  SELECT (doc_id % 2 = 0) AS is_a, unnest(string_split(text, ' ')) AS word
+  FROM documents),
+wc AS (
+  SELECT word,
+         CAST(count(CASE WHEN is_a THEN 1 END) AS BIGINT) AS c_a,
+         CAST(count(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS c_b
+  FROM words GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(c_a) AS BIGINT) AS n_a, CAST(sum(c_b) AS BIGINT) AS n_b FROM wc),
+scored AS (
+  SELECT wc.word, wc.c_a, wc.c_b,
+         abs(wc.c_a * tot.n_b - wc.c_b * tot.n_a) AS drift_num,
+         tot.n_a, tot.n_b
+  FROM wc CROSS JOIN tot),
+tv AS (
+  SELECT ${s6("CAST(sum(drift_num) AS DOUBLE) / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))")} AS tv_distance
+  FROM scored GROUP BY n_a, n_b)
+SELECT rk, word, c_a, c_b, CAST(drift_num AS BIGINT) AS drift_num, tv.tv_distance
+FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY drift_num DESC, word) AS BIGINT) AS rk
+  FROM scored)
+CROSS JOIN tv
+WHERE rk <= 10"""
 
   /** Twin of the dataset_split query: same salted 48-bit hash fraction
     * (CorpusQueries.hv48Sql re-parses the md5 nibbles Spark's conv
@@ -745,6 +806,7 @@ FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)""",
     "repetition_stats" -> repetitionSql,
     "lexical_diversity" -> lexicalDiversitySql,
     "dataset_split" -> datasetSplitSql,
+    "dataset_drift" -> datasetDriftSql,
     "ngram_novelty" -> ngramNoveltySql,
     "pii_scrub" -> piiScrubSql,
     "importance_weights" -> importanceWeightsSql,
