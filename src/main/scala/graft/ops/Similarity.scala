@@ -182,6 +182,46 @@ object Similarity {
     ranked(scored, k).select(col("qid"), col("vec_id"), col("cosine"), col("rnk"))
   }
 
+  /** Multi-PROBE SRP ANN top-k (Lv et al., VLDB 2007): each query
+    * searches its own bucket AND every 1-bit-flipped neighbor bucket —
+    * the third recall dial next to more planes (smaller buckets, lower
+    * recall) and more tables ([[lshTopKMulti]], extra indexing cost):
+    * multi-probe raises recall with NO extra index, paying only
+    * planes+1 probe joins per query. A flipped plane bit is exactly the
+    * "query near the hyperplane" failure mode of SRP, so the 1-bit
+    * neighborhood recovers most of the lost candidates.
+    *
+    * Shape: the query side explodes to planes+1 bucket keys (original +
+    * each single-bit surgery on the bit string); the probe keys are
+    * pairwise distinct and a corpus vector has ONE bucket, so a (query,
+    * vector) pair arises at most once — no dedup pass needed before the
+    * cosine kernel. The corpus side is untouched: same single bucket
+    * column as [[lshTopK]], no second index. */
+  def lshTopKProbe(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+                   planes: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val base = corpus.select(col("vec_id"), col("embedding"),
+      dotL(col("embedding"), col("embedding")).as("nv"),
+      srpBucket(col("embedding"), planes).as("bucket"))
+    val qb = col("qb")
+    def flip(i: Int) = concat(
+      substring(qb, 1, i - 1),
+      when(substring(qb, i, 1) === "1", "0").otherwise("1"),
+      substring(qb, i + 1, planes - i))
+    val probeKeys = array((col("qb") +: (1 to planes).map(flip)): _*)
+    val q = broadcast(queries.select(
+      col("vec_id").as("qid"), col("embedding").as("qv"),
+      dotL(col("embedding"), col("embedding")).as("nq"),
+      srpBucket(col("embedding"), planes).as("qb"))
+      .select(col("qid"), col("qv"), col("nq"),
+        explode(probeKeys).as("bucket")))
+    val scored = base.join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid") && col("nv") > 0 && col("nq") > 0)
+      .select(col("qid"), col("vec_id"),
+        cosine(dotL(col("qv"), col("embedding")), col("nq"), col("nv")).as("cosine"))
+    ranked(scored, k).select(col("qid"), col("vec_id"), col("cosine"), col("rnk"))
+  }
+
   /** All-vectors kNN graph — every vector's top-k neighbors among its
     * SRP-bucket mates: the backbone structure of graph-based ANN and of
     * SemDeDup-style semantic curation (each doc's nearest semantic

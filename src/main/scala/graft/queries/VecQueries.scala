@@ -50,6 +50,12 @@ object VecQueries {
     "embed_lsh_topk" -> ((s, d) => {
       val v = vecs(s, d); Similarity.lshTopK(q5(v), v)
     }),
+    // Multi-probe SRP ANN: home bucket + every 1-bit-flip neighbor —
+    // recall without a second index (Similarity.lshTopKProbe scaladoc
+    // has the three-dial recall/cost comparison).
+    "embed_lsh_probe" -> ((s, d) => {
+      val v = vecs(s, d); Similarity.lshTopKProbe(q5(v), v)
+    }),
     "embed_lsh_multi" -> ((s, d) => {
       val v = vecs(s, d)
       Similarity.lshTopKMulti(q5(v), v, k = 10,
@@ -392,6 +398,38 @@ SELECT p.assigned_label, p.rk, p.vec_id, s.cluster_n
 FROM picked p JOIN sizes s USING (assigned_label)
 WHERE p.rk <= $ClusterK"""
 
+  /** Twin of Similarity.lshTopKProbe: the same bit-string surgery —
+    * per plane i, flip character i of the query's bucket — giving the
+    * planes+1 pairwise-distinct probe keys (so no dedup is needed on
+    * either side), then the standard bucket join + exact-grid cosine
+    * rank. */
+  private val lshProbeSql = {
+    val planes = 8
+    val flips = (1 to planes).map(i =>
+      s"""substring(qb, 1, ${i - 1}) ||
+          (CASE WHEN substring(qb, $i, 1) = '1' THEN '0' ELSE '1' END) ||
+          substring(qb, ${i + 1}, ${planes - i})""")
+    val probeList = (Seq("qb") ++ flips).mkString("[", ",\n      ", "]")
+    s"""WITH base AS (
+  SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nv,
+         ${bucketSql("embedding")} AS bucket
+  FROM embeddings
+), q0 AS (
+  SELECT vec_id AS qid, embedding AS qv, nv AS nq, bucket AS qb
+  FROM base WHERE vec_id < 5
+), q AS (
+  SELECT qid, qv, nq, unnest($probeList) AS bucket FROM q0
+), scored AS (
+  SELECT q.qid, e.vec_id,
+         ${cosSql(dotSql("q.qv", "e.embedding"), "q.nq", "e.nv")} AS cosine
+  FROM q JOIN base e ON q.bucket = e.bucket
+  WHERE e.vec_id <> q.qid AND e.nv > 0 AND q.nq > 0)
+SELECT qid, vec_id, cosine, rnk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+  FROM scored)
+WHERE rnk <= 10"""
+  }
+
   /** Twin of Similarity.lshTopKMulti: a pair is a candidate when its
     * buckets collide in ANY of the `MultiTables` independent plane sets
     * (OR-join ≡ Spark's explode + dropDuplicates — each (qid, vec_id)
@@ -613,6 +651,7 @@ FROM embeddings e LEFT JOIN off ON off.vec_id = e.vec_id"""
     "dedup_embed" -> dedupEmbedSql,
     "embed_topk" -> topkSql,
     "embed_lsh_topk" -> lshTopkSql,
+    "embed_lsh_probe" -> lshProbeSql,
     "embed_lsh_multi" -> lshMultiSql,
     "embed_centroids" -> centroidsSql,
     "embed_ivf" -> ivfSql,

@@ -48,6 +48,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("vec_id")).toSet == expect)
   }
 
+  test("multi-probe candidates are a superset of the home-bucket candidates") {
+    val single = Similarity.lshTopK(
+      corpus.filter("vec_id = 0"), corpus, k = 7, planes = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val probe = Similarity.lshTopKProbe(
+      corpus.filter("vec_id = 0"), corpus, k = 7, planes = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(single.subsetOf(probe))
+    // 2 planes -> home + 2 flipped buckets = 3 of the 4 possible keys;
+    // on this fixture the wider probe must actually add candidates
+    assert(probe.size > single.size, s"probe $probe vs single $single")
+  }
+
   test("IVF assignment sends cluster members to their own centroid") {
     val cents = Similarity.centroidArrays(Similarity.centroids(corpus))
     val out = Similarity.ivfAssign(corpus, cents).collect()
