@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ops._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{abs, broadcast, coalesce, col, concat, count, explode, expr, lit, max, min, row_number, split, sum, when}
+import org.apache.spark.sql.functions.{abs, bin, broadcast, coalesce, col, concat, count, explode, expr, length, lit, max, min, row_number, split, sum, when}
 
 /** Driver-verifiable queries for the text-analysis + deduplication
   * operator families (TextOps, Dedup) over `documents.parquet`, each with
@@ -114,6 +114,24 @@ FROM documents"""
     "lexical_diversity" -> ((s, d) => r6(TextOps.lexicalDiversity(docs(s, d)))),
     "text_vocab" -> ((s, d) => r6(TextOps.vocab(docs(s, d)))),
     "lang_id" -> ((s, d) => TextOps.langId(docs(s, d))),
+    // Confusion matrix of the langId heuristic against the labeled
+    // `lang` column — the classifier-eval harness run before trusting a
+    // filter gate at corpus scale. One |langs|²-sized aggregate over the
+    // zero-shuffle langId scan; label totals via a window over the tiny
+    // cell table. Counts exact; recall share is one IEEE division of
+    // exact longs, 6-dp snapped.
+    "lang_confusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      TextOps.langId(docs(s, d))
+        .groupBy(col("label_lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("label_total",
+          sum(col("n_docs")).over(Window.partitionBy(col("label_lang"))))
+        .select(col("label_lang"), col("predicted_lang"), col("n_docs"),
+          col("label_total"),
+          Det.snap(col("n_docs").cast("double") / col("label_total").cast("double"), 6)
+            .as("share"))
+    }),
     // In-engine classifier TRAINING: batch-gradient integer perceptron
     // learning en-vs-rest from stopword-profile counts — the fastText-
     // style filter gate, with a bit-exact training trajectory
@@ -240,6 +258,23 @@ FROM documents"""
         .select(col("doc_id"), col("n_shingles"), col("n_novel"),
           Det.snap(col("n_novel").cast("double") / col("n_shingles").cast("double"), 6)
             .as("novelty"))
+    }),
+    // Shingle document-frequency profile: the tuning audit behind every
+    // Σdf²-bounded dedup operator — per ⌊log2 df⌋ bucket, how many
+    // distinct 3-gram shingles sit there, their posting mass Σdf, and
+    // their pair-generation mass Σdf² (the quantity the maxDf
+    // stop-shingle cap bounds; a crawl-scale corpus reads the top
+    // buckets off this table to SET maxDf). One inverted-index
+    // aggregate + a ⌊log2⌋-sized re-aggregate; the log2 is integer-
+    // exact via the binary string length (bin() is identical in both
+    // engines — no float log anywhere).
+    "shingle_profile" -> ((s, d) => {
+      val dfs = Shingles.exploded(docs(s, d), 3)
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      dfs.groupBy((length(bin(col("df"))) - 1).cast("long").as("df_bucket"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(col("df")).as("n_postings"),
+          sum(col("df") * col("df")).as("df2_mass"))
     }),
     // Numeric histogram: fixed-width document-length bins per language
     // (integer bin arithmetic — exact; one partial/final aggregate).
@@ -780,6 +815,34 @@ JOIN ($langIdSql) s2 USING (doc_id)
 JOIN ($dedupExactSql) s3 USING (doc_id)
 WHERE s1.quality_score >= 0.68 AND s2.predicted_lang = 'en' AND NOT s3.is_duplicate"""
 
+  /** Twin of lang_confusion: the langId twin aggregated to the
+    * |langs|²-cell confusion matrix, label totals via a window. */
+  private val langConfusionSql =
+    s"""WITH lang AS ($langIdSql),
+cm AS (
+  SELECT label_lang, predicted_lang, count(*) AS n_docs
+  FROM lang GROUP BY 1, 2)
+SELECT label_lang, predicted_lang, n_docs, label_total,
+       ${s6("CAST(n_docs AS DOUBLE) / CAST(label_total AS DOUBLE)")} AS share
+FROM (SELECT *, CAST(sum(n_docs) OVER (PARTITION BY label_lang) AS BIGINT) AS label_total
+      FROM cm)"""
+
+  /** Twin of shingle_profile: same distinct-shingle postings, df per
+    * shingle, ⌊log2 df⌋ via bin-string length; Σdf² in HUGEINT (CLAUDE
+    * invariant: oracle-side integer algebra stays HUGEINT). */
+  private val shingleProfileSql =
+    s"""WITH sh AS (
+  SELECT doc_id, ${Shingles.ofSql("text", 3)} AS sh FROM documents
+), ex AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh
+), dfs AS (
+  SELECT shingle, count(*) AS df FROM ex GROUP BY 1)
+SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS df_bucket,
+       count(*) AS n_shingles,
+       CAST(sum(df) AS BIGINT) AS n_postings,
+       CAST(sum(CAST(df AS HUGEINT) * df) AS BIGINT) AS df2_mass
+FROM dfs GROUP BY 1"""
+
   def oracleSql: Map[String, String] = Map(
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_decode" -> multimodalDecodeSql,
@@ -811,6 +874,8 @@ FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)""",
     "pii_scrub" -> piiScrubSql,
     "importance_weights" -> importanceWeightsSql,
     "lang_id" -> langIdSql,
+    "lang_confusion" -> langConfusionSql,
+    "shingle_profile" -> shingleProfileSql,
     "perceptron_lang" -> Perceptron.trainSql(PerceptronEpochs),
     "fingerprint" -> fingerprintSql,
     "dedup_exact" -> dedupExactSql,

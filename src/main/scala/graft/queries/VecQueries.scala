@@ -135,6 +135,46 @@ object VecQueries {
         .select(col("vec_id"), col("dup_nbr"), col("dup_cosine"),
           col("dup_nbr").isNull.as("keep"))
     }),
+    // Label homophily of the kNN graph — the intrinsic embedding-quality
+    // eval (a kNN classifier in disguise): per label, how often a
+    // vector's graph neighbors share its label. Edges are knn_graph's
+    // (already k·n-bounded); the id→label sides join keyed on the edge
+    // endpoints — at 100 TB the label map is corpus-dimension (NOT
+    // broadcastable) but narrow (id + int), so both lookups are ordinary
+    // shuffled equi-joins on already-bounded frames; the final aggregate
+    // is |labels|-sized. Counts exact; purity is one IEEE division of
+    // exact longs, 6-dp snapped.
+    "knn_purity" -> ((s, d) => {
+      val v = vecs(s, d).select(col("vec_id"), col("label"))
+      Similarity.knnGraph(vecs(s, d), KnnK, KnnTarget)
+        .join(v, Seq("vec_id"))
+        .join(v.select(col("vec_id").as("nbr_id"), col("label").as("nbr_label")),
+          Seq("nbr_id"))
+        .groupBy(col("label"))
+        .agg(
+          countDistinct(col("vec_id")).as("n_vectors"),
+          count(lit(1)).as("n_edges"),
+          count(when(col("nbr_label") === col("label"), 1)).as("n_agree"))
+        .select(col("label"), col("n_vectors"), col("n_edges"), col("n_agree"),
+          Det.snap(col("n_agree").cast("double") / col("n_edges").cast("double"), 6)
+            .as("purity"))
+    }),
+    // In-degree histogram of the kNN graph — the hubness audit (a
+    // heavy-tailed in-degree means a few "hub" vectors dominate
+    // everyone's neighbor lists and poison ANN recall; the classic
+    // high-dimensional pathology to check before trusting any
+    // graph-ANN index). Shapes: in-degree aggregate keyed on the edge
+    // target (k·n-bounded input), one corpus-dimension left join to
+    // count never-referenced vectors into the 0 bucket, final
+    // histogram |distinct in-degree|-sized. All exact integers.
+    "knn_indegree" -> ((s, d) => {
+      val ind = Similarity.knnGraph(vecs(s, d), KnnK, KnnTarget)
+        .groupBy(col("nbr_id")).agg(count(lit(1)).as("indeg"))
+      vecs(s, d).select(col("vec_id").as("nbr_id"))
+        .join(ind, Seq("nbr_id"), "left")
+        .select(coalesce(col("indeg"), lit(0L)).as("indeg"))
+        .groupBy(col("indeg")).agg(count(lit(1)).as("n_vectors"))
+    }),
     // Lloyd's k-means refinement (fixed iterations, deterministic
     // smallest-vec_id seeds) — the IVF codebook TRAINING loop as a
     // contract query; Similarity.kmeansRefine has the per-iteration
@@ -627,6 +667,29 @@ SELECT vec_id, nbr_id, cosine, rnk FROM (
   FROM scored)
 WHERE rnk <= $KnnK"""
 
+  /** Twin of the knn_purity eval: the knn_graph twin as the edge source,
+    * labels joined on both endpoints, |labels|-sized aggregate. */
+  private def knnPuritySql =
+    s"""WITH g AS ($knnGraphSql)
+SELECT e.label AS label,
+       count(DISTINCT g.vec_id) AS n_vectors,
+       count(*) AS n_edges,
+       count(CASE WHEN n2.label = e.label THEN 1 END) AS n_agree,
+       ${s6("CAST(count(CASE WHEN n2.label = e.label THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS purity
+FROM g
+JOIN embeddings e ON e.vec_id = g.vec_id
+JOIN embeddings n2 ON n2.vec_id = g.nbr_id
+GROUP BY 1"""
+
+  /** Twin of the knn_indegree hubness audit: in-degree per edge target,
+    * never-referenced vectors joined into the 0 bucket. */
+  private def knnIndegreeSql =
+    s"""WITH g AS ($knnGraphSql),
+ind AS (SELECT nbr_id, count(*) AS indeg FROM g GROUP BY 1)
+SELECT coalesce(ind.indeg, 0) AS indeg, count(*) AS n_vectors
+FROM embeddings e LEFT JOIN ind ON ind.nbr_id = e.vec_id
+GROUP BY 1"""
+
   /** Twin of the semantic_prune composition: the knn_graph twin as the
     * edge source, the same lower-id offending filter, (cosine DESC,
     * nbr_id) pick, left join back onto the full id space. */
@@ -646,6 +709,8 @@ FROM embeddings e LEFT JOIN off ON off.vec_id = e.vec_id"""
   def oracleSql: Map[String, String] = Map(
     "semantic_prune" -> semanticPruneSql,
     "knn_graph" -> knnGraphSql,
+    "knn_purity" -> knnPuritySql,
+    "knn_indegree" -> knnIndegreeSql,
     "ann_recall" -> annRecallSql,
     "embed_quantize" -> quantizeSql,
     "dedup_embed" -> dedupEmbedSql,
