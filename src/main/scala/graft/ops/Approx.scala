@@ -80,15 +80,30 @@ object Approx {
     * aggregate to a FIXED width·depth table (the whole point — O(1)
     * memory per key-space at 100 TB); the probe side is top-k-sized.
     */
+  private def cmPos(width: Int): Column = expr(
+    s"cast(conv(substring(md5(concat(cast(h as string), ':', v)), 1, 12), 16, 10) as bigint) % $width")
+
+  private def cmRows(depth: Int): Column =
+    explode(array((0 until depth).map(lit): _*)).as("h")
+
+  /** The width·depth counter table of the Count-Min sketch: one exact
+    * order-free count per (row h, position) cell. Counter sums are
+    * associative, so this is exactly the mergeable state a streaming
+    * ingest maintains incrementally — [[graft.streaming.StatefulCountMin]]
+    * keeps the same cells live and StatefulCountMinSpec pins
+    * latest-emission ≡ this table after any exactly-once prefix. */
+  def countMinCells(df: DataFrame, value: Column, width: Int = 256,
+                    depth: Int = 3): DataFrame =
+    df.select(value.cast("string").as("v"), cmRows(depth))
+      .select(col("h"), cmPos(width).as("pos"))
+      .groupBy(col("h"), col("pos")).agg(count(lit(1)).as("c"))
+
   def countMin(df: DataFrame, value: Column, width: Int = 256,
                depth: Int = 3, topK: Int = 20): DataFrame = {
     val vals = df.select(value.cast("string").as("v"))
-    def pos = expr(
-      s"cast(conv(substring(md5(concat(cast(h as string), ':', v)), 1, 12), 16, 10) as bigint) % $width")
-    val hs = explode(array((0 until depth).map(lit): _*)).as("h")
-    val cm = vals.select(col("v"), hs)
-      .select(col("h"), pos.as("pos"))
-      .groupBy(col("h"), col("pos")).agg(count(lit(1)).as("c"))
+    def pos = cmPos(width)
+    val hs = cmRows(depth)
+    val cm = countMinCells(df, value, width, depth)
     val top = vals.groupBy(col("v")).agg(count(lit(1)).as("true_c"))
       .withColumn("rk", row_number().over(
         Window.orderBy(col("true_c").desc, col("v"))).cast("long"))
