@@ -544,7 +544,7 @@ SELECT doc_id,
        md5(after_phone) AS redacted_md5
 FROM r3"""
 
-  private val statsSql = {
+  private[queries] val statsSql = {
     val q =
       """(least(n_tokens, 100)::DOUBLE / 100) * 0.3 +
          (n_distinct_tokens::DOUBLE / n_tokens::DOUBLE) * 0.3 +

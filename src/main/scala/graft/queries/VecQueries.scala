@@ -175,6 +175,30 @@ object VecQueries {
         .select(coalesce(col("indeg"), lit(0L)).as("indeg"))
         .groupBy(col("indeg")).agg(count(lit(1)).as("n_vectors"))
     }),
+    // Cross-table curation composition: per embedding-space cluster
+    // (IVF assignment), document count, token mass, and mean text
+    // quality — the "which semantic regions of the corpus are
+    // low-quality" audit that drives cluster-level filtering and
+    // mixture rebalancing (text joined to vectors on the shared id).
+    // Shapes: the quality side is the zero-shuffle stats scan; the
+    // assignment side is the compiled codebook argmin (no join); the
+    // id-keyed equi-join carries two narrow frames; the final aggregate
+    // is |clusters|-sized. Quality doubles ride Det.avgD (grid-snapped
+    // inputs, exact long sums); token sums exact.
+    "cluster_quality" -> ((s, d) => {
+      val v = vecs(s, d)
+      val assign = Similarity.ivfAssign(v,
+          Similarity.centroidArrays(Similarity.centroids(v)))
+        .select(col("vec_id"), col("assigned_label"))
+      val q = TextOps.stats(DocQueries.docs(s, d))
+        .select(col("doc_id").as("vec_id"), col("quality_score"),
+          col("n_tokens"))
+      assign.join(q, Seq("vec_id"))
+        .groupBy(col("assigned_label"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          Det.snap(Det.avgD(col("quality_score"), 6), 6).as("avg_quality"))
+    }),
     // Lloyd's k-means refinement (fixed iterations, deterministic
     // smallest-vec_id seeds) — the IVF codebook TRAINING loop as a
     // contract query; Similarity.kmeansRefine has the per-iteration
@@ -681,6 +705,16 @@ JOIN embeddings e ON e.vec_id = g.vec_id
 JOIN embeddings n2 ON n2.vec_id = g.nbr_id
 GROUP BY 1"""
 
+  /** Twin of cluster_quality: the IVF-assignment twin joined to the
+    * text-stats twin on the shared id, |clusters|-sized aggregate. */
+  private def clusterQualitySql =
+    s"""SELECT a.assigned_label,
+       count(*) AS n_docs,
+       CAST(sum(q.n_tokens) AS BIGINT) AS n_tokens,
+       ${s6(Det.avgDSql("q.quality_score", 6))} AS avg_quality
+FROM ($ivfSql) a JOIN (${DocQueries.statsSql}) q ON q.doc_id = a.vec_id
+GROUP BY 1"""
+
   /** Twin of the knn_indegree hubness audit: in-degree per edge target,
     * never-referenced vectors joined into the 0 bucket. */
   private def knnIndegreeSql =
@@ -711,6 +745,7 @@ FROM embeddings e LEFT JOIN off ON off.vec_id = e.vec_id"""
     "knn_graph" -> knnGraphSql,
     "knn_purity" -> knnPuritySql,
     "knn_indegree" -> knnIndegreeSql,
+    "cluster_quality" -> clusterQualitySql,
     "ann_recall" -> annRecallSql,
     "embed_quantize" -> quantizeSql,
     "dedup_embed" -> dedupEmbedSql,
