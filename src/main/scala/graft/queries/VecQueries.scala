@@ -40,6 +40,10 @@ object VecQueries {
   private val KmIters = 2
   private val KnnK = 5
   private val KnnTarget = 32L
+  /** embed_jl target dimension + plane salt (independent of the "srp"
+    * LSH planes — the projection must not correlate with the index). */
+  private val JlK = 16
+  private val JlSalt = "jl"
   /** semantic_prune cosine threshold (crosses via Det.dblLit). */
   private val SemTau = 0.2
 
@@ -174,6 +178,35 @@ object VecQueries {
         .join(ind, Seq("nbr_id"), "left")
         .select(coalesce(col("indeg"), lit(0L)).as("indeg"))
         .groupBy(col("indeg")).agg(count(lit(1)).as("n_vectors"))
+    }),
+    // Johnson–Lindenstrauss random projection to JlK dims with the
+    // md5-seeded ±1 (Achlioptas/Rademacher) matrix — THE classic
+    // dimensionality-reduction preprocessing before clustering/ANN at
+    // scale, here with its own distortion audit: per vector the JlK
+    // projected coordinates (exact 1e-12-grid longs — one codegen'd
+    // dotl_grid kernel per output dim, zero shuffle, scan-bound) and
+    // the norm-preservation ratio ‖y‖²/(k·‖x‖²·1e12) whose
+    // concentration around 1 is the JL guarantee being re-checked on
+    // live data. The squared terms leave the long grid (y² ~ 1e27),
+    // so the finishing chain runs in IEEE doubles in a FIXED
+    // left-associated order — bit-identical in both engines (each y
+    // is < 2^53, its int64→double conversion exact).
+    "embed_jl" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val signs = Similarity.planeSigns(JlK, 64, JlSalt)
+      val yCols = signs.zipWithIndex.map { case (sp, j) =>
+        Similarity.dotL(col("embedding"), typedLit(sp.toSeq)).as(s"y$j")
+      }
+      val base = vecs(s, d).select(
+        (col("vec_id") +:
+          Similarity.dotL(col("embedding"), col("embedding")).as("nx") +:
+          yCols.toSeq): _*)
+      val sumY2 = (0 until JlK)
+        .map(j => col(s"y$j").cast("double") * col(s"y$j").cast("double"))
+        .reduceLeft(_ + _)
+      base.withColumn("norm_ratio",
+        when(col("nx") > 0,
+          Det.snap(sumY2 / (col("nx").cast("double") * lit(1e12) * lit(JlK.toDouble)), 6)))
     }),
     // Cross-table curation composition: per embedding-space cluster
     // (IVF assignment), document count, token mass, and mean text
@@ -705,6 +738,31 @@ JOIN embeddings e ON e.vec_id = g.vec_id
 JOIN embeddings n2 ON n2.vec_id = g.nbr_id
 GROUP BY 1"""
 
+  /** Twin of embed_jl: per output dim the SAME grid dot against the SAME
+    * md5-seeded ±1 "jl" planes (one source of truth via planeSigns);
+    * the norm-ratio chain re-runs the identical left-associated IEEE
+    * double sequence. */
+  private def jlSql = {
+    val ys = Similarity.planeSigns(JlK, 64, JlSalt).zipWithIndex.map {
+      case (sp, j) =>
+        val signs = sp.map(_.toInt).mkString("[", ",", "]")
+        s"""CAST(list_sum([CAST(floor(CAST(embedding[i] AS DOUBLE)*(($signs)[i])*1e12+0.5) AS BIGINT)
+        for i in range(1, len(embedding)+1)]) AS BIGINT) AS y$j"""
+    }
+    val chain = (0 until JlK)
+      .map(j => s"CAST(y$j AS DOUBLE)*CAST(y$j AS DOUBLE)").mkString(" + ")
+    s"""WITH base AS (
+  SELECT vec_id,
+         CAST(${dotSql("embedding", "embedding")} AS BIGINT) AS nx,
+         ${ys.mkString(",\n         ")}
+  FROM embeddings)
+SELECT vec_id, nx, ${(0 until JlK).map(j => s"y$j").mkString(", ")},
+       CASE WHEN nx > 0
+            THEN ${s6(s"($chain) / (CAST(nx AS DOUBLE)*1e12*${JlK.toDouble})")}
+       END AS norm_ratio
+FROM base"""
+  }
+
   /** Twin of cluster_quality: the IVF-assignment twin joined to the
     * text-stats twin on the shared id, |clusters|-sized aggregate. */
   private def clusterQualitySql =
@@ -746,6 +804,7 @@ FROM embeddings e LEFT JOIN off ON off.vec_id = e.vec_id"""
     "knn_purity" -> knnPuritySql,
     "knn_indegree" -> knnIndegreeSql,
     "cluster_quality" -> clusterQualitySql,
+    "embed_jl" -> jlSql,
     "ann_recall" -> annRecallSql,
     "embed_quantize" -> quantizeSql,
     "dedup_embed" -> dedupEmbedSql,
