@@ -28,27 +28,35 @@ import org.apache.spark.sql.functions._
   */
 object BloomPrune {
 
+  /** md5-derived bit position of hash round `h` for key `k` — the shared
+    * kernel of the batch build, the SQL twin, and the streaming
+    * [[graft.streaming.StatefulBloom]] build. */
+  def bitPos(h: Int, k: Long, bits: Int): Int =
+    (graft.streaming.StatefulKmv.hv48(s"$h:$k") % bits).toInt
+
+  /** The packed word array of the Bloom filter over `keys`. Bit-ORs are
+    * idempotent, associative and commutative, so this is exactly the
+    * mergeable state a streaming ingest maintains incrementally
+    * (StatefulBloom; its spec pins latest-emission ≡ these words). */
+  def buildWords(keys: Iterable[Long], bits: Int, hashes: Int): Array[Long] = {
+    require(bits % 64 == 0, "bits must pack into 64-bit words")
+    val words = new Array[Long](bits / 64)
+    for (k <- keys; h <- 0 until hashes) {
+      val bp = bitPos(h, k, bits)
+      words(bp >> 6) |= 1L << (bp & 63)
+    }
+    words
+  }
+
   /** Audit the Bloom prune of `big`'s `k` column against `small`'s `k`
     * column. One summary row. */
   def audit(small: DataFrame, big: DataFrame,
             bits: Int = 4096, hashes: Int = 3): DataFrame = {
-    require(bits % 64 == 0, "bits must pack into 64-bit words")
     val spark = small.sparkSession
     import spark.implicits._
     val keys: Array[Long] =
       small.select(col("k").cast("long")).distinct().as[Long].collect().sorted
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def hex12(s: String): Long = {
-      val d = md.digest(s.getBytes("UTF-8"))
-      val sb = new StringBuilder(12)
-      d.take(6).foreach(b => sb.append(f"${b & 0xff}%02x"))
-      java.lang.Long.parseLong(sb.toString, 16)
-    }
-    val words = new Array[Long](bits / 64)
-    for (k <- keys; h <- 0 until hashes) {
-      val bp = (hex12(s"$h:$k") % bits).toInt
-      words(bp >> 6) |= 1L << (bp & 63)
-    }
+    val words = buildWords(keys, bits, hashes)
     def probe(h: Int): String =
       s"(cast(conv(substring(md5(concat('$h:', cast(k as string))), 1, 12), 16, 10) as bigint) % $bits)"
     def test(h: Int): String =
