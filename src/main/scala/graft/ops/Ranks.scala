@@ -97,6 +97,24 @@ object Ranks {
     // the sorted frame once — both jobs then read the same blocks. On a
     // cluster swap for reliable checkpoint() — same shape, same cost
     // class as the shuffle it pins.
+    val (tagged, total) = globalRn(df, order, nPart)
+    val q = total / k
+    val r = total % k
+    tagged
+      // standard NTILE: first r tiles have q+1 rows, the rest q
+      .withColumn(out, expr(
+        s"CASE WHEN _rn <= ${r * (q + 1)} THEN (_rn - 1) div ${q + 1} + 1 " +
+        s"ELSE $r + (_rn - ${r * (q + 1)} - 1) div ${math.max(q, 1L)} + 1 END"))
+      .select(df.columns.map(col).toIndexedSeq :+ col(out): _*)
+  }
+
+  /** The shared distributed-rank core: range-sorted frame with the exact
+    * global 1-based row number in `_rn` (plus the total row count) —
+    * see ntileByRange's scaladoc for why the eager localCheckpoint is
+    * CORRECTNESS (one evaluation under both the counts job and the
+    * assignment job), not hygiene. */
+  private def globalRn(df: DataFrame, order: Seq[Column],
+                       nPart: Int): (DataFrame, Long) = {
     val tagged = df.repartitionByRange(nPart, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("_mid", monotonically_increasing_id())
@@ -106,16 +124,32 @@ object Ranks {
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     val offsets = offsetsOf(counts, nPart)
     val total = counts.map(_._2).sum
-    val q = total / k
-    val r = total % k
     val offCol = element_at(
       array(offsets.take(nPart).map(lit).toIndexedSeq: _*), col("_pid") + 1)
-    tagged
-      .withColumn("_rn", offCol + pmod(col("_mid"), lit(1L << 33)) + lit(1L))
-      // standard NTILE: first r tiles have q+1 rows, the rest q
-      .withColumn(out, expr(
-        s"CASE WHEN _rn <= ${r * (q + 1)} THEN (_rn - 1) div ${q + 1} + 1 " +
-        s"ELSE $r + (_rn - ${r * (q + 1)} - 1) div ${math.max(q, 1L)} + 1 END"))
+    (tagged.withColumn("_rn",
+      offCol + pmod(col("_mid"), lit(1L << 33)) + lit(1L)), total)
+  }
+
+  /** Exact global 1-based row number under a total order — the bare
+    * TeraSort-style two-pass rank (`ntileByRange` without the tile):
+    * range-partitioned parallel external sorts, one tiny per-partition
+    * count job, offsets back as literals, assignment in a pure codegen'd
+    * project. Bit-identical to `row_number() OVER (ORDER BY …)` because
+    * the number depends only on the total order, never on where the
+    * range boundaries fell; the same size-adaptive flip as ntileByRange
+    * keeps toy inputs on the single window. The generic scale form for
+    * deterministic global orderings (epoch shuffles, offset assignment,
+    * cumulative ids). */
+  def rowNumberByRange(df: DataFrame, order: Seq[Column], out: String,
+                       partitions: Option[Int] = None,
+                       smallBytes: Long = defaultSmallBytes): DataFrame = {
+    val spark = df.sparkSession
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= smallBytes)
+      return df.withColumn(out,
+        row_number().over(Window.orderBy(order: _*)).cast("long"))
+    val nPart = partitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val (tagged, _) = globalRn(df, order, nPart)
+    tagged.withColumn(out, col("_rn"))
       .select(df.columns.map(col).toIndexedSeq :+ col(out): _*)
   }
 

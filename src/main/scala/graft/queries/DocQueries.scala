@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ops._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{abs, bin, broadcast, coalesce, col, concat, count, explode, expr, length, lit, max, min, row_number, split, sum, when}
+import org.apache.spark.sql.functions.{abs, array, bin, broadcast, coalesce, col, concat, count, explode, expr, length, lit, max, md5, min, row_number, split, sum, when}
 
 /** Driver-verifiable queries for the text-analysis + deduplication
   * operator families (TextOps, Dedup) over `documents.parquet`, each with
@@ -46,6 +46,9 @@ object DocQueries {
 
   /** importance_weights target domain (shared Spark/oracle constant). */
   private val TargetSource = "src0"
+
+  /** epoch_shuffle epoch count (shared Spark/oracle constant). */
+  private val ShuffleEpochs = 2
 
   def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -258,6 +261,27 @@ FROM documents"""
         .select(col("doc_id"), col("n_shingles"), col("n_novel"),
           Det.snap(col("n_novel").cast("double") / col("n_shingles").cast("double"), 6)
             .as("novelty"))
+    }),
+    // Deterministic per-epoch training shuffle: every (doc, epoch) gets
+    // a reproducible random-looking position — the data-loader shuffle
+    // made auditable at corpus scale (same order on every run, retry,
+    // and engine; epoch-salted md5 keys decorrelate epochs). The global
+    // order is ONE two-pass range rank over (epoch, key) —
+    // Ranks.rowNumberByRange, no single-partition window even at E×
+    // corpus size — and the per-epoch position is global_rn − epoch·N
+    // (epochs are equal-sized by construction; N is one scalar count
+    // job, the same cost class as the rank's own counts pass).
+    "epoch_shuffle" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"))
+      val n = base.count()
+      val ep = base
+        .withColumn("epoch", explode(array((0 until ShuffleEpochs).map(lit): _*)))
+        .withColumn("skey", md5(concat(lit("ep"), col("epoch").cast("string"),
+          lit(":"), col("doc_id").cast("string"))))
+      Ranks.rowNumberByRange(ep,
+          Seq(col("epoch"), col("skey"), col("doc_id")), "grn")
+        .select(col("doc_id"), col("epoch"), col("skey"),
+          (col("grn") - col("epoch").cast("long") * n).as("position"))
     }),
     // Shingle document-frequency profile: the tuning audit behind every
     // Σdf²-bounded dedup operator — per ⌊log2 df⌋ bucket, how many
@@ -827,6 +851,18 @@ SELECT label_lang, predicted_lang, n_docs, label_total,
 FROM (SELECT *, CAST(sum(n_docs) OVER (PARTITION BY label_lang) AS BIGINT) AS label_total
       FROM cm)"""
 
+  /** Twin of epoch_shuffle: same epoch-salted md5 keys; the per-epoch
+    * row_number equals the Spark side's global-rank-minus-offset because
+    * epochs are equal-sized and lead the total order. */
+  private val epochShuffleSql =
+    s"""WITH ep AS (
+  SELECT doc_id, epoch,
+         md5('ep' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS skey
+  FROM documents, (SELECT unnest([${(0 until ShuffleEpochs).mkString(",")}]) AS epoch) e)
+SELECT doc_id, epoch, skey,
+       CAST(row_number() OVER (PARTITION BY epoch ORDER BY skey, doc_id) AS BIGINT) AS position
+FROM ep"""
+
   /** Twin of shingle_profile: same distinct-shingle postings, df per
     * shingle, ⌊log2 df⌋ via bin-string length; Σdf² in HUGEINT (CLAUDE
     * invariant: oracle-side integer algebra stays HUGEINT). */
@@ -876,6 +912,7 @@ FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)""",
     "lang_id" -> langIdSql,
     "lang_confusion" -> langConfusionSql,
     "shingle_profile" -> shingleProfileSql,
+    "epoch_shuffle" -> epochShuffleSql,
     "perceptron_lang" -> Perceptron.trainSql(PerceptronEpochs),
     "fingerprint" -> fingerprintSql,
     "dedup_exact" -> dedupExactSql,

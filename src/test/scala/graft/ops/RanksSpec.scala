@@ -80,6 +80,20 @@ class RanksSpec extends AnyFunSuite {
         smallBytes = small).count() == 0)
   }
 
+  test("rowNumberByRange equals the global window row_number — both paths") {
+    for ((n, ties) <- Seq((97, true), (100, false), (1, false));
+         small <- Seq(Long.MaxValue, -1L)) {
+      val df = fixture(n)
+      val got = Ranks.rowNumberByRange(df, Seq(col("v"), col("id")), "rn",
+          partitions = Some(8), smallBytes = small)
+        .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = df.withColumn("rn",
+          row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+        .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"row number mismatch at n=$n smallBytes=$small")
+    }
+  }
+
   test("runningSumByRange equals the global window prefix sum") {
     val s = spark
     import s.implicits._
