@@ -68,7 +68,14 @@ object PlanSnap {
     "kmv_distinct",      // one distinct exchange + per-key bottom-k window
     "ngram_novelty",     // inverted min-aggregate + doc-keyed recount
     "knn_graph",         // bucket equi-SELF-join, no broadcast side
-    "countmin_words"     // fixed-size counter aggregate + top-k probe join
+    "countmin_words",    // fixed-size counter aggregate + top-k probe join
+    // Round-10 additions.
+    "embed_jl",          // JL projection — pin proves ZERO shuffle (17
+                         // grid kernels inside one scan-side codegen span)
+    "cluster_quality",   // codebook argmin (no join) + id equi-join +
+                         // |clusters|-sized aggregate
+    "epoch_shuffle",     // rowNumberByRange window path at fixture scale
+    "shingle_profile"    // inverted-index df agg + log2-bucket re-agg
   )
 
   val SnapshotDir = "src/test/resources/plans"
