@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ops._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{abs, array, bin, broadcast, coalesce, col, concat, count, explode, expr, length, lit, max, md5, min, row_number, split, sum, when}
+import org.apache.spark.sql.functions.{abs, array, bin, broadcast, coalesce, col, concat, count, countDistinct, explode, expr, greatest, least, length, lit, max, md5, min, row_number, split, sum, when}
 
 /** Driver-verifiable queries for the text-analysis + deduplication
   * operator families (TextOps, Dedup) over `documents.parquet`, each with
@@ -261,6 +261,68 @@ FROM documents"""
         .select(col("doc_id"), col("n_shingles"), col("n_novel"),
           Det.snap(col("n_novel").cast("double") / col("n_shingles").cast("double"), 6)
             .as("novelty"))
+    }),
+    // Cross-source duplication matrix: near-dup pairs rolled up by
+    // (source, source) — the dataset-card "which sources copy from each
+    // other" table that decides whether a source earns its mixture
+    // weight. Pair endpoints take their source via two id-keyed joins
+    // (pair frame is LSH-bounded, source map is narrow); the pair key
+    // canonicalizes by least/greatest so the matrix is triangular; the
+    // final aggregate is |sources|²-sized.
+    "dedup_sources" -> ((s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"))
+      Dedup.minhashLshPairs(docs(s, d)).select(col("doc_a"), col("doc_b"))
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+          Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+          Seq("doc_b"))
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("cross_source", col("source_a") =!= col("source_b"))
+    }),
+    // Train/test contamination audit: near-dup pairs rolled up by the
+    // SPLIT assignment of their endpoints — a cross-split cell
+    // (train×test, train×val) is leakage the decontamination pass must
+    // remove before eval numbers mean anything. Same LSH-bounded pair
+    // frame + two narrow joins; the split comes from the identical
+    // salted-hash cut as dataset_split (one source of truth).
+    "split_leakage" -> ((s, d) => {
+      val hv = expr("cast(conv(substring(md5(concat('split:', cast(doc_id as string))), 1, 12), 16, 10) as long)")
+      val sp = docs(s, d).select(col("doc_id"),
+        when(hv < TrainCut, "train").when(hv < ValCut, "val")
+          .otherwise(lit("test")).as("split"))
+      Dedup.minhashLshPairs(docs(s, d)).select(col("doc_a"), col("doc_b"))
+        .join(sp.select(col("doc_id").as("doc_a"), col("split").as("pa")),
+          Seq("doc_a"))
+        .join(sp.select(col("doc_id").as("doc_b"), col("split").as("pb")),
+          Seq("doc_b"))
+        .select(least(col("pa"), col("pb")).as("split_a"),
+          greatest(col("pa"), col("pb")).as("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("cross_split", col("split_a") =!= col("split_b"))
+    }),
+    // Quality-vs-duplication calibration: per quality quintile, the
+    // exact-duplicate rate — answers "does the quality gate already
+    // remove the dup mass, or are the two filters orthogonal?" before
+    // spending a dedup pass at corpus scale. Quintiles ride
+    // Ranks.ntileByRange (no single-partition sort; size-adaptive, the
+    // forced run takes the two-pass branch); the dup flag joins back
+    // id-keyed; the output is 5 rows.
+    "quality_dup" -> ((s, d) => {
+      val q = TextOps.stats(docs(s, d)).select(col("doc_id"), col("quality_score"))
+      val binned = Ranks.ntileByRange(q,
+        Seq(col("quality_score"), col("doc_id")), 5, "q_bin")
+      binned.join(Dedup.exact(docs(s, d)).select(col("doc_id"), col("is_duplicate")),
+          Seq("doc_id"))
+        .groupBy(col("q_bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("is_duplicate"), 1)).as("n_dup"),
+          Det.snap(count(when(col("is_duplicate"), 1)).cast("double") /
+            count(lit(1)).cast("double"), 6).as("dup_rate"),
+          Det.snap(Det.avgD(col("quality_score"), 6), 6).as("avg_quality"))
     }),
     // Deterministic per-epoch training shuffle: every (doc, epoch) gets
     // a reproducible random-looking position — the data-loader shuffle
@@ -863,6 +925,59 @@ SELECT doc_id, epoch, skey,
        CAST(row_number() OVER (PARTITION BY epoch ORDER BY skey, doc_id) AS BIGINT) AS position
 FROM ep"""
 
+  /** Twin of dedup_sources: the MinHash-banding pair twin joined to the
+    * source map on both endpoints, least/greatest-canonicalized. */
+  private val dedupSourcesSql =
+    s"""WITH p AS (SELECT doc_a, doc_b FROM ($dedupMinhashSql)),
+s AS (SELECT doc_id, source FROM documents),
+j AS (
+  SELECT least(sa.source, sb.source) AS source_a,
+         greatest(sa.source, sb.source) AS source_b
+  FROM p
+  JOIN s sa ON sa.doc_id = p.doc_a
+  JOIN s sb ON sb.doc_id = p.doc_b)
+SELECT source_a, source_b, count(*) AS n_pairs,
+       source_a <> source_b AS cross_source
+FROM j GROUP BY 1, 2"""
+
+  /** Twin of split_leakage: the same salted-hash split cut as
+    * dataset_split, applied to both pair endpoints. */
+  private val splitLeakageSql =
+    s"""WITH p AS (SELECT doc_a, doc_b FROM ($dedupMinhashSql)),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN hv < $TrainCut THEN 'train'
+              WHEN hv < $ValCut THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               CAST(${CorpusQueries.hv48Sql("md5('split:' || CAST(doc_id AS VARCHAR))")} AS BIGINT) AS hv
+        FROM documents)),
+j AS (
+  SELECT least(sa.split, sb.split) AS split_a,
+         greatest(sa.split, sb.split) AS split_b
+  FROM p
+  JOIN sp sa ON sa.doc_id = p.doc_a
+  JOIN sp sb ON sb.doc_id = p.doc_b)
+SELECT split_a, split_b, count(*) AS n_pairs,
+       split_a <> split_b AS cross_split
+FROM j GROUP BY 1, 2"""
+
+  /** Twin of quality_dup: quality quintiles via the window ntile the
+    * two-pass rank is bit-equal to, dup flags from the exact-dedup twin. */
+  private val qualityDupSql =
+    s"""WITH st AS ($statsSql),
+b AS (
+  SELECT doc_id, quality_score,
+         CAST(ntile(5) OVER (ORDER BY quality_score, doc_id) AS BIGINT) AS q_bin
+  FROM st),
+d AS (SELECT doc_id, is_duplicate FROM ($dedupExactSql))
+SELECT q_bin, count(*) AS n_docs,
+       count(CASE WHEN is_duplicate THEN 1 END) AS n_dup,
+       ${s6("CAST(count(CASE WHEN is_duplicate THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS dup_rate,
+       ${s6(Det.avgDSql("quality_score", 6))} AS avg_quality
+FROM b JOIN d USING (doc_id)
+GROUP BY 1"""
+
   /** Twin of shingle_profile: same distinct-shingle postings, df per
     * shingle, ⌊log2 df⌋ via bin-string length; Σdf² in HUGEINT (CLAUDE
     * invariant: oracle-side integer algebra stays HUGEINT). */
@@ -913,6 +1028,9 @@ FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)""",
     "lang_confusion" -> langConfusionSql,
     "shingle_profile" -> shingleProfileSql,
     "epoch_shuffle" -> epochShuffleSql,
+    "dedup_sources" -> dedupSourcesSql,
+    "split_leakage" -> splitLeakageSql,
+    "quality_dup" -> qualityDupSql,
     "perceptron_lang" -> Perceptron.trainSql(PerceptronEpochs),
     "fingerprint" -> fingerprintSql,
     "dedup_exact" -> dedupExactSql,
