@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{AsofJoin, Det, Funnel, RangeJoin, Retention, Sample}
+import graft.ops.{AsofJoin, Det, Funnel, RangeJoin, Ranks, Retention, Sample}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -322,6 +322,29 @@ GROUP BY 1, 2"""
     "sample_estimate" -> ((s, d) => sampleEstimate(s, d)),
     "rel_topk_per_group" -> ((s, d) => r6(topkPerGroup(s, d))),
     "rel_quantiles" -> ((s, d) => r6(quantiles(s, d))),
+    // Exact GLOBAL order statistics without a single-partition sort:
+    // the selection problem done TeraSort-style — Ranks.rowNumberByRange
+    // assigns exact global ranks (range-partitioned parallel sorts; the
+    // distributed branch is forced-run proven), the five target ranks
+    // are EXACT integer ceils (n·k+99) div 100 computed from one scalar
+    // count and interpolated as literals, and only those ≤5 rows reach
+    // the final one-row aggregate. rel_quantiles' per-group window form
+    // is the right shape when groups bound the sort; THIS is the shape
+    // when the order is global and the table is 100 TB.
+    "global_quantiles" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      val n = li.count()
+      def target(k: Int): Long = (n * k + 99L) / 100L
+      val ranked = Ranks.rowNumberByRange(li,
+        Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")), "rn")
+      def pick(k: Int) =
+        max(when(col("rn") === target(k), col("l_extendedprice"))).as(s"p$k")
+      r6(ranked
+        .filter(col("rn").isInCollection(Seq(25, 50, 75, 95, 99).map(target)))
+        .agg(lit(n).as("n_rows"), pick(25), pick(50), pick(75), pick(95),
+          pick(99)))
+    }),
     "rel_quantiles_cont" -> ((s, d) => r6(quantilesCont(s, d))),
     "latency_metrics" -> ((s, d) => latencyMetrics(s, d)),
     "sample_reservoir" -> ((s, d) => sampleReservoir(s, d))
@@ -408,6 +431,18 @@ FROM (SELECT c_mktsegment, o_orderkey, o_totalprice, c_name,
                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
       FROM orders JOIN customer ON o_custkey = c_custkey)
 WHERE rk <= 3""",
+    "global_quantiles" ->
+      s"""WITH r AS (
+  SELECT l_extendedprice,
+         row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+  FROM lineitem),
+n AS (SELECT count(*) AS n FROM lineitem)
+SELECT n.n AS n_rows,
+       ${Seq(25, 50, 75, 95, 99).map(k =>
+        s6(s"max(CASE WHEN rn = (n.n * $k + 99) // 100 THEN l_extendedprice END)") +
+          s" AS p$k").mkString(",\n       ")}
+FROM r, n
+GROUP BY n.n""",
     "rel_quantiles" ->
       s"""SELECT l_returnflag, count(*) AS n_rows,
        ${s6("max(CASE WHEN rn = ceil(0.5*n) THEN l_extendedprice END)")} AS p50,
