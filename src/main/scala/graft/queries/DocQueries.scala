@@ -50,6 +50,10 @@ object DocQueries {
   /** epoch_shuffle epoch count (shared Spark/oracle constant). */
   private val ShuffleEpochs = 2
 
+  /** dedup_sweep banding grid (numHashes, bands) — rows-per-band 8/4/2/4
+    * walks the LSH precision↔recall dial (shared Spark/oracle constant). */
+  private val SweepConfigs = Seq((8, 1), (8, 2), (8, 4), (16, 4))
+
   def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -261,6 +265,43 @@ FROM documents"""
         .select(col("doc_id"), col("n_shingles"), col("n_novel"),
           Det.snap(col("n_novel").cast("double") / col("n_shingles").cast("double"), 6)
             .as("novelty"))
+    }),
+    // LSH banding parameter sweep: precision/recall of FOUR banding
+    // configs against the same true-Jaccard truth in one output — the
+    // tuning CURVE (dedup_recall is one point on it) a curator reads
+    // before spending a corpus-scale dedup pass; rows-per-band 8→2
+    // walks the P[candidate] = j^(hashes/bands) dial. Shapes: each
+    // config pays its own signature aggregate (inherent — different
+    // hash/band geometry), the tagged candidate union joins the truth
+    // frame ONCE (left join, marker count), and the config dimension
+    // frame left-joins back so a zero-candidate config still emits its
+    // row (mirroring the oracle's per-config scalar counts).
+    "dedup_sweep" -> ((s, d) => {
+      import s.implicits._
+      val truth = Dedup.jaccardPairs(docs(s, d), tau = RecallTau)
+        .select(col("doc_a"), col("doc_b")).withColumn("t", lit(1))
+      val cands = SweepConfigs.map { case (h, b) =>
+        Dedup.minhashLshPairs(docs(s, d), numHashes = h, bands = b)
+          .select(col("doc_a"), col("doc_b"))
+          .withColumn("num_hashes", lit(h)).withColumn("bands", lit(b))
+      }.reduce(_ unionByName _)
+      val agg = cands.join(truth, Seq("doc_a", "doc_b"), "left")
+        .groupBy(col("num_hashes"), col("bands"))
+        .agg(count(lit(1)).as("n_candidates"), count(col("t")).as("n_hits"))
+      SweepConfigs.toDF("num_hashes", "bands")
+        .join(agg, Seq("num_hashes", "bands"), "left")
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .select(col("num_hashes"), col("bands"), col("n_truth"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .select(col("num_hashes"), col("bands"), col("n_truth"),
+          col("n_candidates"), col("n_hits"),
+          when(col("n_candidates") > 0, Det.snap(
+            col("n_hits").cast("double") / col("n_candidates").cast("double"), 6))
+            .as("precision_lsh"),
+          when(col("n_truth") > 0, Det.snap(
+            col("n_hits").cast("double") / col("n_truth").cast("double"), 6))
+            .as("recall_lsh"))
     }),
     // Cross-source duplication matrix: near-dup pairs rolled up by
     // (source, source) — the dataset-card "which sources copy from each
@@ -742,15 +783,24 @@ WHERE greatest(containment_a, containment_b) >= ${Det.dblLit(ContainTau)}"""
 ORDER BY jaccard DESC, doc_a, doc_b
 LIMIT 50"""
 
-  private[queries] val dedupMinhashSql = {
-    val H = 8
-    val mins = (0 until H)
+  /** Twin of Dedup.minhashLshPairs at any (numHashes, bands) geometry —
+    * same md5-slice min-hashes, same '|'-joined band keys. The fixed
+    * contract twin [[dedupMinhashSql]] and the dedup_sweep grid both
+    * instantiate this one builder. */
+  private def dedupMinhashSqlFor(numHashes: Int, bands: Int): String = {
+    require(numHashes % bands == 0 && numHashes % 4 == 0)
+    val rows = numHashes / bands
+    val mins = (0 until numHashes)
       .map(h => s"min(substring(md5('${h / 4}:' || shingle), ${(h % 4) * 8 + 1}, 8)) AS m$h")
       .mkString(",\n         ")
-    val eqs = (0 until H)
+    val bandCase = (0 until bands).map { i =>
+      val key = (0 until rows).map(r => s"m${i * rows + r}").mkString(" || '|' || ")
+      s"WHEN b.idx = $i THEN md5($key)"
+    }.mkString("\n              ")
+    val eqs = (0 until numHashes)
       .map(h => s"CASE WHEN a.m$h = b.m$h THEN 1 ELSE 0 END AS eq$h")
       .mkString(",\n         ")
-    val agree = (0 until H).map(h => s"eq$h").mkString(" + ")
+    val agree = (0 until numHashes).map(h => s"eq$h").mkString(" + ")
     s"""WITH sh AS (
   SELECT doc_id, ${Shingles.ofSql("text", 3)} AS sh FROM documents
 ), sigs AS (
@@ -760,9 +810,8 @@ LIMIT 50"""
   GROUP BY doc_id
 ), banded AS (
   SELECT s.*, b.idx AS band_idx,
-         CASE WHEN b.idx = 0 THEN md5(m0 || '|' || m1 || '|' || m2 || '|' || m3)
-              ELSE md5(m4 || '|' || m5 || '|' || m6 || '|' || m7) END AS band_key
-  FROM sigs s, (SELECT unnest([0, 1]) AS idx) b
+         CASE $bandCase END AS band_key
+  FROM sigs s, (SELECT unnest([${(0 until bands).mkString(", ")}]) AS idx) b
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          $eqs
@@ -770,9 +819,11 @@ LIMIT 50"""
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, CAST($agree AS BIGINT) AS n_agree,
-       ${s6(s"($agree)::DOUBLE / $H")} AS est_jaccard
+       ${s6(s"($agree)::DOUBLE / $numHashes")} AS est_jaccard
 FROM cand"""
   }
+
+  private[queries] val dedupMinhashSql = dedupMinhashSqlFor(8, 2)
 
   /** Shared SimHash fingerprint CTE chain (twin of Dedup.simhash's
     * fingerprint computation) ending in `fp(doc_id, simhash)`. */
@@ -925,6 +976,36 @@ SELECT doc_id, epoch, skey,
        CAST(row_number() OVER (PARTITION BY epoch ORDER BY skey, doc_id) AS BIGINT) AS position
 FROM ep"""
 
+  /** Twin of dedup_sweep: one MATERIALIZED candidate CTE per banding
+    * config (DuckDB inlines plain CTEs — the truth frame is referenced
+    * 2× per config and would re-run its Σdf² posting join each time),
+    * per-config scalar counts, UNION ALL of the four rows. */
+  private val dedupSweepSql = {
+    val cfgCtes = SweepConfigs.zipWithIndex.map { case ((h, b), i) =>
+      s"c$i AS MATERIALIZED (SELECT doc_a, doc_b FROM (${dedupMinhashSqlFor(h, b)}))"
+    }.mkString(",\n")
+    val rows = SweepConfigs.zipWithIndex.map { case ((h, b), i) =>
+      s"""SELECT $h AS num_hashes, $b AS bands, tt.n_truth,
+       (SELECT count(*) FROM c$i) AS n_candidates,
+       (SELECT count(*) FROM c$i JOIN truth USING (doc_a, doc_b)) AS n_hits
+FROM tt"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH truth AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ($jaccardPairsSqlBase)
+  WHERE jaccard >= ${Det.dblLit(RecallTau)}
+),
+$cfgCtes,
+tt AS (SELECT count(*) AS n_truth FROM truth)
+SELECT num_hashes, bands, n_truth, n_candidates, n_hits,
+       CASE WHEN n_candidates > 0
+            THEN ${s6("CAST(n_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE)")}
+       END AS precision_lsh,
+       CASE WHEN n_truth > 0
+            THEN ${s6("CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE)")}
+       END AS recall_lsh
+FROM ($rows)"""
+  }
+
   /** Twin of dedup_sources: the MinHash-banding pair twin joined to the
     * source map on both endpoints, least/greatest-canonicalized. */
   private val dedupSourcesSql =
@@ -1029,6 +1110,7 @@ FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)""",
     "shingle_profile" -> shingleProfileSql,
     "epoch_shuffle" -> epochShuffleSql,
     "dedup_sources" -> dedupSourcesSql,
+    "dedup_sweep" -> dedupSweepSql,
     "split_leakage" -> splitLeakageSql,
     "quality_dup" -> qualityDupSql,
     "perceptron_lang" -> Perceptron.trainSql(PerceptronEpochs),
