@@ -83,25 +83,103 @@ object History {
       .repartitionByRange(nOut, col("product_id"), col("event_time"))
       .sortWithinPartitions(col("product_id"), col("event_time"))
       .write.mode("overwrite").parquet(tmp.toString)
+    swapInPlace(fs, dayDir, backup, tmp)
+    val after = fs.listStatus(dayDir).count(_.getPath.getName.endsWith(".parquet"))
+    (parts.length, after)
+  }
+
+  /** The checked two-rename directory swap shared by [[compactDay]] and
+    * [[upsertDay]]. Hadoop rename() reports failure by RETURNING FALSE,
+    * not throwing — every return is checked; aborting always leaves a
+    * readable copy: either the live dir (first rename failed → nothing
+    * moved) or the backup (second rename failed → restore attempted,
+    * backup retained; entry-time restore then self-heals). */
+  private def swapInPlace(fs: org.apache.hadoop.fs.FileSystem,
+                          dayDir: org.apache.hadoop.fs.Path,
+                          backup: org.apache.hadoop.fs.Path,
+                          tmp: org.apache.hadoop.fs.Path): Unit = {
     // live dir exists, so any backup here is leftover from a crash AFTER
     // a completed swap (old data already superseded) — safe to drop
     fs.delete(backup, true)
-    // Hadoop rename() reports failure by RETURNING FALSE, not throwing —
-    // every return is checked; aborting always leaves a readable copy:
-    // either the live dir (first rename failed → nothing moved) or the
-    // backup (second rename failed → restore attempted, backup retained).
     if (!fs.rename(dayDir, backup))
       throw new java.io.IOException(
-        s"compactDay: rename $dayDir -> $backup failed; day left untouched")
+        s"swap: rename $dayDir -> $backup failed; day left untouched")
     if (!fs.rename(tmp, dayDir)) {
       val restored = fs.rename(backup, dayDir)
       throw new java.io.IOException(
-        s"compactDay: rename $tmp -> $dayDir failed; " +
+        s"swap: rename $tmp -> $dayDir failed; " +
           (if (restored) s"original restored at $dayDir"
            else s"ORIGINAL STILL IN $backup — restore it before reading this day"))
     }
     fs.delete(backup, true)
-    val after = fs.listStatus(dayDir).count(_.getPath.getName.endsWith(".parquet"))
-    (parts.length, after)
+  }
+
+  /** Idempotent MERGE (upsert) of late or corrected rows into ONE day
+    * partition — the warehouse's answer to `MERGE INTO` for a
+    * single-writer parquet layout: incoming rows REPLACE existing rows
+    * with the same `keyCols` (last-write-wins), everything else appends,
+    * and the day is rewritten sorted through the same crash-safe
+    * checked-rename swap as [[compactDay]] (entry restores a stranded
+    * backup first). Re-running with the same slice is a content no-op —
+    * the retry-safety a late-data backfill job needs.
+    *
+    * Determinism: duplicate keys WITHIN the incoming slice would make
+    * "which row wins" arrival-order-dependent, so the slice is deduped
+    * by a deterministic (key, all-columns) order first. Incoming rows
+    * are filtered to the target date — a mis-dated row cannot leak into
+    * the wrong partition.
+    *
+    * Scale shape: one left-anti join of the day against the (small)
+    * update slice + one union rewrite of ONE day — never touches the
+    * rest of the warehouse; the anti join broadcasts the update side.
+    * Returns (rows_before, rows_incoming, rows_after). */
+  def upsertDay(spark: SparkSession, path: String, date: String,
+                updates: DataFrame,
+                keyCols: Seq[String] = Seq("product_id", "event_time", "sequence"),
+                timeCol: String = "event_time",
+                targetBytes: Long = 128L * 1024 * 1024): (Long, Long, Long) = {
+    val dayDir = new org.apache.hadoop.fs.Path(s"$path/event_date=$date")
+    val fs = dayDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new org.apache.hadoop.fs.Path(s"$path/.old-event_date=$date")
+    if (!fs.exists(dayDir) && fs.exists(backup) &&
+        !fs.rename(backup, dayDir))
+      throw new java.io.IOException(
+        s"upsertDay: restoring crashed-swap backup $backup -> $dayDir failed")
+    val allCols = updates.columns.filter(_ != "event_date").map(col).toIndexedSeq
+    val incoming = {
+      import org.apache.spark.sql.expressions.Window
+      updates.filter(to_date(col(timeCol)) === to_date(lit(date)))
+        .select(allCols: _*)
+        .withColumn("_rk", row_number().over(
+          Window.partitionBy(keyCols.map(col): _*)
+            .orderBy(allCols.map(_.desc): _*)))
+        .filter(col("_rk") === 1).drop("_rk")
+    }
+    val nIn = incoming.count()
+    if (!fs.exists(dayDir)) {
+      if (nIn == 0) return (0L, 0L, 0L)
+      incoming
+        .repartitionByRange(col("product_id"), col(timeCol))
+        .sortWithinPartitions(col("product_id"), col(timeCol))
+        .write.mode("overwrite").parquet(dayDir.toString)
+      return (0L, nIn, nIn)
+    }
+    val existing = spark.read.parquet(dayDir.toString)
+    val nBefore = existing.count()
+    if (nIn == 0) return (nBefore, 0L, nBefore)
+    val merged = existing
+      .join(broadcast(incoming.select(keyCols.map(col): _*)), keyCols, "left_anti")
+      .unionByName(incoming)
+    val totalBytes = fs.listStatus(dayDir)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.upsert-event_date=$date")
+    merged
+      .repartitionByRange(nOut, col("product_id"), col(timeCol))
+      .sortWithinPartitions(col("product_id"), col(timeCol))
+      .write.mode("overwrite").parquet(tmp.toString)
+    swapInPlace(fs, dayDir, backup, tmp)
+    val nAfter = spark.read.parquet(dayDir.toString).count()
+    (nBefore, nIn, nAfter)
   }
 }

@@ -108,6 +108,49 @@ class HistorySpec extends AnyFunSuite {
     assert(History.read(spark, dir).orderBy("sequence").collect().toSeq == before)
   }
 
+  test("upsertDay merges late rows, replaces collided keys, and is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString + "/ticks"
+    accrete(dir) // fixture spans midnight: 220 rows on day one, 20 on day two
+    def dateOf(secs: Long): String =
+      java.time.Instant.ofEpochMilli(1700000000000L + secs * 1000L)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    val date = dateOf(0L)
+    val before = History.slice(spark, dir, date, "A").count()
+
+    // a correction for an existing key (seq 5 re-priced) + two new rows
+    // (t=6300/6301 stay before the fixture's midnight at t=6400)
+    val updates = ticks(Seq(
+      ("A", 5L, 5L, 999.0, Option(998.0), Option(1000.0)),     // replaces
+      ("A", 6300L, 9001L, 50.0, Option(49.0), Option(51.0)),   // new
+      ("A", 6301L, 9002L, 51.0, Option(50.0), Option(52.0))))  // new
+    val (b1, in1, a1) = History.upsertDay(spark, dir, date, updates)
+    assert(b1 == before && in1 == 3 && a1 == before + 2,
+      s"merge counts off: ($b1, $in1, $a1) vs before=$before")
+    val rePriced = History.slice(spark, dir, date, "A")
+      .filter(org.apache.spark.sql.functions.col("sequence") === 5L)
+      .select("price").collect().map(_.getDouble(0)).toSeq
+    assert(rePriced == Seq(999.0), "incoming row must replace the matched key")
+
+    // idempotent: the same slice again changes nothing
+    val content1 = History.read(spark, dir).orderBy("sequence", "event_time")
+      .collect().toSeq
+    val (b2, in2, a2) = History.upsertDay(spark, dir, date, updates)
+    assert(b2 == a1 && in2 == 3 && a2 == a1, "re-run must be a content no-op")
+    val content2 = History.read(spark, dir).orderBy("sequence", "event_time")
+      .collect().toSeq
+    assert(content2 == content1, "idempotent upsert must preserve content")
+
+    // mis-dated rows cannot leak into the wrong partition
+    val wrongDay = ticks(Seq(("A", 20 * 86400L, 7777L, 1.0, None, None)))
+    val (_, in3, a3) = History.upsertDay(spark, dir, date, wrongDay)
+    assert(in3 == 0 && a3 == a1, "other-day rows must be filtered out")
+
+    // creating a missing day from scratch
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-upsert2").toString + "/ticks"
+    val (b4, in4, a4) = History.upsertDay(spark, dir2, dateOf(20 * 86400L), wrongDay)
+    assert(b4 == 0 && a4 == in4 && in4 == 1)
+  }
+
   test("backtest over a warehouse slice equals the strategy on the same ticks (T8)") {
     import graft.{Backtest, TestSpark}
     import graft.config.StrategyConfig
