@@ -64,7 +64,12 @@ class ThresholdForcingSpec extends AnyFunSuite {
     "ntile_bins",          // partitioned window — must be flip-inert
     "session_concurrency", // runningSumByRange window vs two-pass range
     "seq_packing",         // runningSumByRange over doc_id order
-    "vocab_growth"         // 2× runningSumByRange in TextOps
+    "vocab_growth",        // 2× runningSumByRange in TextOps
+    "epoch_shuffle",       // rowNumberByRange window vs two-pass range
+    "global_quantiles",    // rowNumberByRange rank-selection picks
+    "quality_dup",         // ntileByRange quality quintiles
+    "entity_clusters",     // ConnectedComponents inside record linkage
+    "graph_communities"    // ConnectedComponents + community aggregates
   )
 
   for (name <- bitIdentical)
