@@ -518,6 +518,62 @@ HAVING count(*) >= 5"""
   // buckets, the tick-based VPIN variant).
   private val VpinBucket = 50L
 
+  /** dollar_bars notional-clock target, in price cents per bar (shared
+    * Spark/oracle constant). */
+  private val DollarTargetCents = 3000000L
+
+  /** Notional-clock (dollar) bars — information-driven bar sampling
+    * (López de Prado): instead of wall-clock hours (ohlc_bars) or equal
+    * tick counts (vpin's clock), a bar closes when ~DollarTargetCents of
+    * notional has printed, so bars carry comparable information content
+    * across slow and frantic regimes. The clock is a per-key running sum
+    * of EXACT cent-grid prices (associative longs — partitioning cannot
+    * move a bar boundary), bar id = (cum−1) div target, then the ohlc
+    * pick aggregate per (instrument, bar). Same single per-instrument
+    * Exchange as every rolling operator; the aggregate ships one partial
+    * state per bar. */
+  private def dollarBars(s: SparkSession, d: String): DataFrame =
+    TickQueries.ticks(s, d)
+      .withColumn("cents", expr("cast(floor(price * 100 + 0.5) as long)"))
+      .withColumn("bar",
+        expr(s"(sum(cents) over (partition by product_id order by event_time, sequence rows between unbounded preceding and current row) - 1) div $DollarTargetCents"))
+      .groupBy(col("product_id"), col("bar"))
+      .agg(
+        min_by(col("price"), struct(col("event_time"), col("sequence"))).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), struct(col("event_time"), col("sequence"))).as("close"),
+        count(lit(1)).as("n_ticks"),
+        sum(col("cents")).as("notional_cents"))
+
+  private val dollarBarsSql =
+    s"""WITH t AS (
+  SELECT product_id, event_time, sequence, price,
+         CAST(floor(price * 100 + 0.5) AS BIGINT) AS cents
+  FROM (${TickQueries.liveTicksSql}) lt),
+c AS (
+  SELECT *,
+         CAST((sum(cents) OVER (PARTITION BY product_id
+                 ORDER BY event_time, sequence
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+              // $DollarTargetCents AS BIGINT) AS bar
+  FROM t),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY product_id, bar
+                            ORDER BY event_time, sequence) AS rn_a,
+         row_number() OVER (PARTITION BY product_id, bar
+                            ORDER BY event_time DESC, sequence DESC) AS rn_d
+  FROM c)
+SELECT product_id, bar,
+       ${s6("max(CASE WHEN rn_a = 1 THEN price END)")} AS open,
+       ${s6("max(price)")} AS high,
+       ${s6("min(price)")} AS low,
+       ${s6("max(CASE WHEN rn_d = 1 THEN price END)")} AS close,
+       count(*) AS n_ticks,
+       CAST(sum(cents) AS BIGINT) AS notional_cents
+FROM r GROUP BY product_id, bar"""
+
   /** Volume-synchronized order-flow toxicity (tick-based VPIN): classify
     * ticks with the same Lee–Ready sign chain as [[tickImbalance]], cut
     * each instrument's classified stream into equal-count buckets (the
@@ -803,6 +859,7 @@ FROM d GROUP BY product_id"""
     "seasonality" -> ((s, d) => r6(seasonality(s, d))),
     "spread_stats" -> ((s, d) => r6(spreadStats(s, d))),
     "ohlc_bars" -> ((s, d) => r6(ohlc(s, d))),
+    "dollar_bars" -> ((s, d) => r6(dollarBars(s, d))),
     "twap" -> ((s, d) => r6(twap(s, d))),
     "rolling_median" -> ((s, d) => rollingMedian(s, d)),
     "cusum" -> ((s, d) => r6(cusum(s, d))),
@@ -812,6 +869,7 @@ FROM d GROUP BY product_id"""
 
   def oracleSql: Map[String, String] = Map(
     "vpin" -> vpinSql,
+    "dollar_bars" -> dollarBarsSql,
     "kyle_lambda" -> kyleLambdaSql,
     "realized_variance" -> realizedVarianceSql,
     "roll_spread" -> rollSpreadSql,
