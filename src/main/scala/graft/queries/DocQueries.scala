@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ops._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{abs, array, bin, broadcast, coalesce, col, concat, count, countDistinct, explode, expr, greatest, least, length, lit, max, md5, min, row_number, split, sum, when}
+import org.apache.spark.sql.functions.{abs, array, bin, broadcast, coalesce, col, concat, count, countDistinct, explode, expr, greatest, least, length, levenshtein, lit, max, md5, min, row_number, split, sum, when}
 
 /** Driver-verifiable queries for the text-analysis + deduplication
   * operator families (TextOps, Dedup) over `documents.parquet`, each with
@@ -302,6 +302,28 @@ FROM documents"""
           when(col("n_truth") > 0, Det.snap(
             col("n_hits").cast("double") / col("n_truth").cast("double"), 6))
             .as("recall_lsh"))
+    }),
+    // Candidate VERIFICATION stage of the dedup pipeline: LSH surfaces
+    // candidates cheaply; each candidate pair then pays one exact
+    // Levenshtein comparison (identical DP definition in both engines)
+    // and only verified pairs survive. This is the standard
+    // generate-then-verify split at corpus scale — the quadratic
+    // comparator runs on the LSH-bounded pair frame, never the corpus;
+    // the two text lookups are id-keyed joins of narrow frames.
+    "dedup_verify" -> ((s, d) => {
+      val txt = docs(s, d).select(col("doc_id"), col("text"))
+      Dedup.minhashLshPairs(docs(s, d))
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+        .join(txt.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+          Seq("doc_a"))
+        .join(txt.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("lev_dist"),
+          greatest(length(col("ta")), length(col("tb"))).cast("long")
+            .as("max_len"))
+        .withColumn("verified",
+          col("lev_dist") * 5 <= col("max_len")) // ≤20% of the longer doc
     }),
     // Cross-source duplication matrix: near-dup pairs rolled up by
     // (source, source) — the dataset-card "which sources copy from each
@@ -1006,6 +1028,20 @@ SELECT num_hashes, bands, n_truth, n_candidates, n_hits,
 FROM ($rows)"""
   }
 
+  /** Twin of dedup_verify: the banding twin's pairs + DuckDB's
+    * levenshtein (same DP definition as Spark's), same 20% budget. */
+  private val dedupVerifySql =
+    s"""WITH p AS (SELECT doc_a, doc_b, est_jaccard FROM ($dedupMinhashSql)),
+t AS (SELECT doc_id, text FROM documents)
+SELECT p.doc_a, p.doc_b, p.est_jaccard,
+       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev_dist,
+       CAST(greatest(length(ta.text), length(tb.text)) AS BIGINT) AS max_len,
+       CAST(levenshtein(ta.text, tb.text) AS BIGINT) * 5 <=
+         CAST(greatest(length(ta.text), length(tb.text)) AS BIGINT) AS verified
+FROM p
+JOIN t ta ON ta.doc_id = p.doc_a
+JOIN t tb ON tb.doc_id = p.doc_b"""
+
   /** Twin of dedup_sources: the MinHash-banding pair twin joined to the
     * source map on both endpoints, least/greatest-canonicalized. */
   private val dedupSourcesSql =
@@ -1111,6 +1147,7 @@ FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)""",
     "epoch_shuffle" -> epochShuffleSql,
     "dedup_sources" -> dedupSourcesSql,
     "dedup_sweep" -> dedupSweepSql,
+    "dedup_verify" -> dedupVerifySql,
     "split_leakage" -> splitLeakageSql,
     "quality_dup" -> qualityDupSql,
     "perceptron_lang" -> Perceptron.trainSql(PerceptronEpochs),
