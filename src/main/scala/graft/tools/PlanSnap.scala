@@ -75,7 +75,10 @@ object PlanSnap {
     "cluster_quality",   // codebook argmin (no join) + id equi-join +
                          // |clusters|-sized aggregate
     "epoch_shuffle",     // rowNumberByRange window path at fixture scale
-    "shingle_profile"    // inverted-index df agg + log2-bucket re-agg
+    "shingle_profile",   // inverted-index df agg + log2-bucket re-agg
+    "dollar_bars",       // one keyed Exchange: prefix clock + pick agg
+    "dedup_verify",      // LSH pair frame + two id-keyed text joins
+    "global_quantiles"   // rank selection: filter + one-row aggregate
   )
 
   val SnapshotDir = "src/test/resources/plans"
