@@ -546,6 +546,110 @@ HAVING count(*) >= 5"""
         count(lit(1)).as("n_ticks"),
         sum(col("cents")).as("notional_cents"))
 
+  /** imbalance_bars close threshold: |Σdir since bar start| ≥ T closes
+    * the bar (shared Spark/oracle constant). */
+  private val ImbalanceT = 4L
+
+  /** Tick-IMBALANCE bars — the third information clock (López de Prado):
+    * a bar closes when the tick-rule order-flow imbalance since the bar
+    * opened reaches ±[[ImbalanceT]], so bars align with bursts of
+    * one-sided flow. Unlike dollar_bars' prefix clock, the ±T reset is a
+    * GENUINE reset recurrence (no closed form — CUSUM's prefix-min trick
+    * does not apply to a two-sided threshold), so this is the
+    * secondary-sort fold pattern: the tick-rule direction chain comes
+    * from the shared per-instrument window Exchange (same chain as
+    * vpin), then ONE compiled pass per key folds the all-integer
+    * (imb, bar, counts) state — O(1) state, keys contiguous after the
+    * sort, a key's history streams through the external sort. Integer
+    * arithmetic end-to-end ⇒ engine-exact with no Det grid; the oracle
+    * replays the identical fold via a LIST-accumulator list_reduce
+    * (closed bars accumulate in the list tail, the partial tail bar
+    * appends at the end — the holt_forecast oracle pattern). */
+  private def imbalanceBars(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("product_id"))
+      .orderBy(col("event_time"), col("sequence"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val diff = col("price") - lag(col("price"), 1).over(w)
+    val spark = s
+    import spark.implicits._
+    TickQueries.ticks(s, d)
+      .withColumn("raw_sign", when(diff > 0, 1L).when(diff < 0, -1L))
+      .withColumn("dir", last(col("raw_sign"), ignoreNulls = true).over(run))
+      .filter(col("dir").isNotNull)
+      .select(col("product_id"), col("event_time"), col("sequence"),
+        col("dir").cast("int"))
+      .as[(String, java.sql.Timestamp, Long, Int)]
+      .repartition(col("product_id"))
+      .sortWithinPartitions(col("product_id"), col("event_time"), col("sequence"))
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long, Long)]()
+        var cur: String = null
+        var imb = 0L; var bar = 0L; var n = 0L; var nb = 0L; var ns = 0L
+        def flush(): Unit = if (cur != null && n > 0) out += ((cur, bar, n, nb, ns))
+        for ((k, _, _, dir) <- it) {
+          if (k != cur) { flush(); cur = k; imb = 0; bar = 0; n = 0; nb = 0; ns = 0 }
+          imb += dir; n += 1; if (dir > 0) nb += 1 else ns += 1
+          if (math.abs(imb) >= ImbalanceT) {
+            out += ((cur, bar, n, nb, ns)); bar += 1; imb = 0; n = 0; nb = 0; ns = 0
+          }
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("product_id", "bar", "n_ticks", "n_buy", "n_sell")
+      .withColumn("net", col("n_buy") - col("n_sell"))
+  }
+
+  private val imbalanceBarsSql = {
+    val T = ImbalanceT
+    // state list: [imb, bar, n, nbuy, nsell] header + closed bars in the
+    // tail as (bar, n, nbuy, nsell) quads
+    val buy = "CASE WHEN e[1] > 0 THEN 1 ELSE 0 END"
+    val sell = "CASE WHEN e[1] < 0 THEN 1 ELSE 0 END"
+    s"""WITH b AS (
+  SELECT product_id, event_time, sequence,
+         last_value(CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 END IGNORE NULLS)
+           OVER (PARTITION BY product_id ORDER BY event_time, sequence
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dir
+  FROM (SELECT product_id, event_time, sequence, price,
+               price - lag(price, 1) OVER (PARTITION BY product_id
+                   ORDER BY event_time, sequence) AS d
+        FROM (${TickQueries.liveTicksSql}) lt) t),
+l AS (
+  SELECT product_id,
+         list(CAST(dir AS BIGINT) ORDER BY event_time, sequence) AS ds
+  FROM b WHERE dir IS NOT NULL GROUP BY 1),
+f AS (
+  SELECT product_id,
+         list_reduce(
+           list_prepend(CAST([0, 0, 0, 0, 0] AS BIGINT[]),
+                        [[d] for d in ds]),
+           (s, e) -> CASE WHEN abs(s[1] + e[1]) >= $T
+             THEN [CAST(0 AS BIGINT), s[2] + 1, 0, 0, 0] || s[6:]
+                  || [s[2], s[3] + 1, s[4] + $buy, s[5] + $sell]
+             ELSE [s[1] + e[1], s[2], s[3] + 1, s[4] + $buy, s[5] + $sell]
+                  || s[6:]
+           END) AS st
+  FROM l),
+c AS (
+  SELECT product_id,
+         st[6:] || (CASE WHEN st[3] > 0
+                         THEN [st[2], st[3], st[4], st[5]]
+                         ELSE CAST([] AS BIGINT[]) END) AS closed
+  FROM f),
+g AS (
+  SELECT product_id, closed,
+         unnest([i for i in range(0, CAST(len(closed) // 4 AS BIGINT))]) AS i
+  FROM c)
+SELECT product_id,
+       closed[4 * i + 1] AS bar,
+       closed[4 * i + 2] AS n_ticks,
+       closed[4 * i + 3] AS n_buy,
+       closed[4 * i + 4] AS n_sell,
+       closed[4 * i + 3] - closed[4 * i + 4] AS net
+FROM g"""
+  }
+
   private val dollarBarsSql =
     s"""WITH t AS (
   SELECT product_id, event_time, sequence, price,
@@ -860,6 +964,7 @@ FROM d GROUP BY product_id"""
     "spread_stats" -> ((s, d) => r6(spreadStats(s, d))),
     "ohlc_bars" -> ((s, d) => r6(ohlc(s, d))),
     "dollar_bars" -> ((s, d) => r6(dollarBars(s, d))),
+    "imbalance_bars" -> ((s, d) => imbalanceBars(s, d)),
     "twap" -> ((s, d) => r6(twap(s, d))),
     "rolling_median" -> ((s, d) => rollingMedian(s, d)),
     "cusum" -> ((s, d) => r6(cusum(s, d))),
@@ -870,6 +975,7 @@ FROM d GROUP BY product_id"""
   def oracleSql: Map[String, String] = Map(
     "vpin" -> vpinSql,
     "dollar_bars" -> dollarBarsSql,
+    "imbalance_bars" -> imbalanceBarsSql,
     "kyle_lambda" -> kyleLambdaSql,
     "realized_variance" -> realizedVarianceSql,
     "roll_spread" -> rollSpreadSql,
