@@ -322,6 +322,28 @@ GROUP BY 1, 2"""
     "sample_estimate" -> ((s, d) => sampleEstimate(s, d)),
     "rel_topk_per_group" -> ((s, d) => r6(topkPerGroup(s, d))),
     "rel_quantiles" -> ((s, d) => r6(quantiles(s, d))),
+    // Semi-structured schema discovery over the JSON props column: per
+    // event type, which keys exist and how their values distribute —
+    // the profiling pass run before declaring a schema on ingested
+    // JSON. Key discovery (json_object_keys) and extraction
+    // (get_json_object) are codegen'd native expressions on the scan;
+    // the aggregate is |types·keys·values|-sized; type totals via a
+    // window over the tiny cell table.
+    "props_profile" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$d/events.parquet")
+        .select(col("event_type"),
+          explode(json_object_keys(col("props"))).as("prop_key"),
+          col("props"))
+        .withColumn("prop_value",
+          expr("get_json_object(props, concat('$.', prop_key))"))
+        .groupBy(col("event_type"), col("prop_key"), col("prop_value"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("type_total",
+          sum(col("n_events")).over(Window.partitionBy(col("event_type"))))
+        .withColumn("share", Det.snap(
+          col("n_events").cast("double") / col("type_total").cast("double"), 6))
+    }),
     // Exact GLOBAL order statistics without a single-partition sort:
     // the selection problem done TeraSort-style — Ranks.rowNumberByRange
     // assigns exact global ranks (range-partitioned parallel sorts; the
@@ -431,6 +453,20 @@ FROM (SELECT c_mktsegment, o_orderkey, o_totalprice, c_name,
                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
       FROM orders JOIN customer ON o_custkey = c_custkey)
 WHERE rk <= 3""",
+    "props_profile" ->
+      s"""WITH k AS (
+  SELECT event_type, props, unnest(json_keys(props)) AS prop_key FROM events
+), v AS (
+  SELECT event_type, prop_key,
+         json_extract_string(props, '$$.' || prop_key) AS prop_value
+  FROM k
+), c AS (
+  SELECT event_type, prop_key, prop_value, count(*) AS n_events
+  FROM v GROUP BY 1, 2, 3)
+SELECT event_type, prop_key, prop_value, n_events, type_total,
+       ${s6("CAST(n_events AS DOUBLE) / CAST(type_total AS DOUBLE)")} AS share
+FROM (SELECT *, CAST(sum(n_events) OVER (PARTITION BY event_type) AS BIGINT) AS type_total
+      FROM c)""",
     "global_quantiles" ->
       s"""WITH r AS (
   SELECT l_extendedprice,

@@ -303,6 +303,26 @@ FROM documents"""
             col("n_hits").cast("double") / col("n_truth").cast("double"), 6))
             .as("recall_lsh"))
     }),
+    // Redundancy audit of the quality-signal battery: exact Pearson
+    // correlations among the four base signals — a pair correlating
+    // ~1 means one signal is paying scan cost for no extra filtering
+    // information. One zero-shuffle stats scan + ONE map-side-combined
+    // aggregate computing all six pairs (Det.corrD exact moments).
+    "quality_corr" -> ((s, d) => {
+      val st = TextOps.stats(docs(s, d)).select(
+        col("n_tokens").cast("double").as("t"),
+        col("n_distinct_tokens").cast("double").as("u"),
+        col("n_stopwords").cast("double").as("w"),
+        col("n_chars").cast("double").as("c"))
+      st.agg(
+        count(lit(1)).as("n_docs"),
+        Det.snap(Det.corrD(col("t"), col("u"), 2), 6).as("corr_tokens_distinct"),
+        Det.snap(Det.corrD(col("t"), col("w"), 2), 6).as("corr_tokens_stop"),
+        Det.snap(Det.corrD(col("t"), col("c"), 2), 6).as("corr_tokens_chars"),
+        Det.snap(Det.corrD(col("u"), col("w"), 2), 6).as("corr_distinct_stop"),
+        Det.snap(Det.corrD(col("u"), col("c"), 2), 6).as("corr_distinct_chars"),
+        Det.snap(Det.corrD(col("w"), col("c"), 2), 6).as("corr_stop_chars"))
+    }),
     // Candidate VERIFICATION stage of the dedup pipeline: LSH surfaces
     // candidates cheaply; each candidate pair then pays one exact
     // Levenshtein comparison (identical DP definition in both engines)
@@ -1028,6 +1048,25 @@ SELECT num_hashes, bands, n_truth, n_candidates, n_hits,
 FROM ($rows)"""
   }
 
+  /** Twin of quality_corr: the stats twin's integer signals through the
+    * same Det.corrD pairs. */
+  private val qualityCorrSql =
+    s"""WITH st AS ($statsSql),
+sig AS (
+  SELECT CAST(n_tokens AS DOUBLE) AS t,
+         CAST(n_distinct_tokens AS DOUBLE) AS u,
+         CAST(n_stopwords AS DOUBLE) AS w,
+         CAST(n_chars AS DOUBLE) AS c
+  FROM st)
+SELECT count(*) AS n_docs,
+       ${s6(Det.corrDSql("t", "u", 2))} AS corr_tokens_distinct,
+       ${s6(Det.corrDSql("t", "w", 2))} AS corr_tokens_stop,
+       ${s6(Det.corrDSql("t", "c", 2))} AS corr_tokens_chars,
+       ${s6(Det.corrDSql("u", "w", 2))} AS corr_distinct_stop,
+       ${s6(Det.corrDSql("u", "c", 2))} AS corr_distinct_chars,
+       ${s6(Det.corrDSql("w", "c", 2))} AS corr_stop_chars
+FROM sig"""
+
   /** Twin of dedup_verify: the banding twin's pairs + DuckDB's
     * levenshtein (same DP definition as Spark's), same 20% budget. */
   private val dedupVerifySql =
@@ -1148,6 +1187,7 @@ FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)""",
     "dedup_sources" -> dedupSourcesSql,
     "dedup_sweep" -> dedupSweepSql,
     "dedup_verify" -> dedupVerifySql,
+    "quality_corr" -> qualityCorrSql,
     "split_leakage" -> splitLeakageSql,
     "quality_dup" -> qualityDupSql,
     "perceptron_lang" -> Perceptron.trainSql(PerceptronEpochs),

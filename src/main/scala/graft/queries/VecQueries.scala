@@ -208,6 +208,22 @@ object VecQueries {
         when(col("nx") > 0,
           Det.snap(sumY2 / (col("nx").cast("double") * lit(1e12) * lit(JlK.toDouble)), 6)))
     }),
+    // Per-dimension embedding statistics — the feature-scaling audit
+    // (dead dimensions, scale imbalance, mean offset) run before any
+    // standardization/PQ/JL step. posexplode is a codegen'd generator on
+    // the scan; one |dims|-keyed aggregate; Det grids (scale 6: k²
+    // sums stay inside 2^63 to ~10^6 rows/dim per the envelope —
+    // raise to a two-pass mean-shifted form beyond that).
+    "embed_dim_stats" -> ((s, d) =>
+      vecs(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim"), col("v").cast("double").as("v"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+          Det.snap(Det.avgD(col("v"), 6), 6).as("mean"),
+          Det.snap(Det.stddevPopD(col("v"), 6), 6).as("stddev"),
+          Det.snap(min(col("v")), 6).as("min_v"),
+          Det.snap(max(col("v")), 6).as("max_v"))),
     // Cross-table curation composition: per embedding-space cluster
     // (IVF assignment), document count, token mass, and mean text
     // quality — the "which semantic regions of the corpus are
@@ -763,6 +779,21 @@ SELECT vec_id, nx, ${(0 until JlK).map(j => s"y$j").mkString(", ")},
 FROM base"""
   }
 
+  /** Twin of embed_dim_stats: list-comprehension unpivot (0-based dim
+    * matching posexplode), same Det grids. */
+  private def dimStatsSql =
+    s"""WITH u AS (
+  SELECT CAST(i - 1 AS INTEGER) AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM (SELECT embedding,
+               unnest([i for i in range(1, len(embedding) + 1)]) AS i
+        FROM embeddings))
+SELECT dim, count(*) AS n,
+       ${s6(Det.avgDSql("v", 6))} AS mean,
+       ${s6(Det.stddevPopDSql("v", 6))} AS stddev,
+       ${s6("min(v)")} AS min_v,
+       ${s6("max(v)")} AS max_v
+FROM u GROUP BY dim"""
+
   /** Twin of cluster_quality: the IVF-assignment twin joined to the
     * text-stats twin on the shared id, |clusters|-sized aggregate. */
   private def clusterQualitySql =
@@ -805,6 +836,7 @@ FROM embeddings e LEFT JOIN off ON off.vec_id = e.vec_id"""
     "knn_indegree" -> knnIndegreeSql,
     "cluster_quality" -> clusterQualitySql,
     "embed_jl" -> jlSql,
+    "embed_dim_stats" -> dimStatsSql,
     "ann_recall" -> annRecallSql,
     "embed_quantize" -> quantizeSql,
     "dedup_embed" -> dedupEmbedSql,
