@@ -303,6 +303,30 @@ FROM documents"""
             col("n_hits").cast("double") / col("n_truth").cast("double"), 6))
             .as("recall_lsh"))
     }),
+    // Quality-aware canonical selection: within each near-dup cluster
+    // keep the HIGHEST-QUALITY member (ties → lowest id) — the keep
+    // rule production dedup actually uses, vs the min-id convention the
+    // cluster queries standardize on for verification. Singletons keep
+    // themselves (cluster = own id via the left join). The rank window
+    // runs per cluster (cluster-sized partitions); quality doubles are
+    // bit-identical in both engines so the DESC order is engine-stable.
+    "dedup_keep_best" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cl = ConnectedComponents.clusters(
+          Dedup.minhashLshPairs(docs(s, d)), "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val q = TextOps.stats(docs(s, d)).select(col("doc_id"), col("quality_score"))
+      docs(s, d).select(col("doc_id"))
+        .join(cl, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .join(q, Seq("doc_id"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("cluster_id"))
+            .orderBy(col("quality_score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("cluster_id"),
+          Det.snap(col("quality_score"), 6).as("quality_score"),
+          (col("rk") === 1).as("keep"))
+    }),
     // Redundancy audit of the quality-signal battery: exact Pearson
     // correlations among the four base signals — a pair correlating
     // ~1 means one signal is paying scan cost for no extra filtering
@@ -1048,6 +1072,26 @@ SELECT num_hashes, bands, n_truth, n_candidates, n_hits,
 FROM ($rows)"""
   }
 
+  /** Twin of dedup_keep_best: the cluster twin left-joined onto the id
+    * space (singletons self-cluster), quality from the stats twin, same
+    * (quality DESC, doc_id) pick. */
+  private val dedupKeepBestSql =
+    s"""WITH cl AS (
+  SELECT id AS doc_id, cluster_id
+  FROM (${ConnectedComponents.clustersSql(dedupMinhashSql, "doc_a", "doc_b")}) cc
+), q AS (SELECT doc_id, quality_score FROM ($statsSql) st),
+j AS (
+  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+         q.quality_score
+  FROM documents d
+  LEFT JOIN cl ON cl.doc_id = d.doc_id
+  JOIN q ON q.doc_id = d.doc_id)
+SELECT doc_id, cluster_id, ${s6("quality_score")} AS quality_score,
+       rk = 1 AS keep
+FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+              ORDER BY quality_score DESC, doc_id) AS rk
+      FROM j)"""
+
   /** Twin of quality_corr: the stats twin's integer signals through the
     * same Det.corrD pairs. */
   private val qualityCorrSql =
@@ -1188,6 +1232,7 @@ FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)""",
     "dedup_sweep" -> dedupSweepSql,
     "dedup_verify" -> dedupVerifySql,
     "quality_corr" -> qualityCorrSql,
+    "dedup_keep_best" -> dedupKeepBestSql,
     "split_leakage" -> splitLeakageSql,
     "quality_dup" -> qualityDupSql,
     "perceptron_lang" -> Perceptron.trainSql(PerceptronEpochs),
