@@ -222,6 +222,22 @@ object Det {
     when(dy > 0, exactDbl(num) / exactDbl(dy))
   }
 
+  /** Windowed [[betaD]] over a frame — the rolling-regression form. The
+    * moment sums are frame window aggregates over the same exact grid
+    * longs, so the frame split points cannot change a bit (associative
+    * integer sums); the finishing sequence is identical to the grouped
+    * form. */
+  def betaD(x: Column, y: Column, e: Int, frame: WindowSpec): Column = {
+    val kx = kl(x, e)
+    val ky = kl(y, e)
+    val n = count(x).over(frame).cast(DecimalType(19, 0))
+    def dec(c: Column) = c.cast(DecimalType(19, 0))
+    val s1x = dec(sum(kx).over(frame)); val s1y = dec(sum(ky).over(frame))
+    val num = (n * dec(sum(kx * ky).over(frame)) - s1x * s1y).cast(DecimalType(38, 0))
+    val dy = (n * dec(sum(ky * ky).over(frame)) - s1y * s1y).cast(DecimalType(38, 0))
+    when(dy > 0, exactDbl(num) / exactDbl(dy))
+  }
+
   // -------------------------------------------------------------------
   // DuckDB-SQL twins (same formulas, same grids). DuckDB sums BIGINT as
   // HUGEINT — exact like the long sums (wider, in fact). HUGEINT→DOUBLE
@@ -294,12 +310,12 @@ object Det {
   }
 
   /** Twin of [[betaD]]. */
-  def betaDSql(x: String, y: String, e: Int): String = {
+  def betaDSql(x: String, y: String, e: Int, over: String = ""): String = {
     val kx = klSql(x, e)
     val ky = klSql(y, e)
-    val n = s"CAST(count($x) AS HUGEINT)"
-    val num = s"($n * sum($kx*$ky) - sum($kx) * sum($ky))"
-    val dy = s"($n * sum($ky*$ky) - sum($ky) * sum($ky))"
+    val n = s"CAST(count($x)$over AS HUGEINT)"
+    val num = s"($n * sum($kx*$ky)$over - sum($kx)$over * sum($ky)$over)"
+    val dy = s"($n * sum($ky*$ky)$over - sum($ky)$over * sum($ky)$over)"
     s"""(CASE WHEN $dy > 0
       THEN ${signedDblSql(num)} / CAST($dy AS DOUBLE) END)"""
   }

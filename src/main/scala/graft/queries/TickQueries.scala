@@ -2,10 +2,10 @@ package graft.queries
 
 import graft.config.StrategyConfig
 import graft.ops._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Driver-verifiable queries for the tick/signals pipeline (SURVEY §2.2-2.8)
   * over `events.parquet` mapped to the reference's tick schema
@@ -31,6 +31,10 @@ object TickQueries {
   val cfgBreakout: StrategyConfig = StrategyConfig(
     strategyRunId = "mock-breakout",
     smaFastWindow = 5, smaSlowWindow = 30, smaConfirmationWindow = 2)
+
+  /** Variance-ratio horizons (grid hours) — shared by the Spark query and
+    * its oracle twin. */
+  private val VrQs = Seq(2, 4, 8)
 
   /** events.parquet → reference raw-tick shape.
     *
@@ -237,6 +241,72 @@ object TickQueries {
           Det.betaD(col("price"), col("mkt"), 4).as("beta"),
           (Det.avgD(col("price"), 9) -
             Det.betaD(col("price"), col("mkt"), 4) * Det.avgD(col("mkt"), 9)).as("alpha")))
+    }),
+    "rolling_beta" -> ((s, d) => {
+      // Rolling 24-hour CAPM beta — market_beta's regression re-run on a
+      // trailing frame per grid hour, the time-varying exposure series a
+      // risk system actually tracks. Same single grid build + broadcast-
+      // free per-instant market mean; the frame moment sums are exact
+      // grid longs (associative — frame split points cannot move a bit)
+      // feeding betaD's fixed finishing sequence. Two window passes on
+      // orthogonal partitionings (per-instant mean, per-instrument
+      // frame) = two keyed Exchanges, the momentum_ranks shape.
+      val filled = GapFill(uniqTicks(s, d),
+        Seq("product_id"), "event_time", "1 hour",
+        Seq("price" -> "price"), truncUnit = "hour")
+        .filter(col("price").isNotNull)
+      val withMkt = filled.withColumn("mkt",
+        Det.avgD(col("price"), 9, Window.partitionBy(col("grid_ts"))))
+      val frame = Window.partitionBy(col("product_id"))
+        .orderBy(col("grid_ts")).rowsBetween(-23, Window.currentRow)
+      r6(withMkt
+        .withColumn("n_obs", count(lit(1)).over(frame))
+        .withColumn("beta24", Det.betaD(col("price"), col("mkt"), 4, frame))
+        .select(col("product_id"), col("grid_ts"), col("n_obs"),
+          col("beta24")))
+    }),
+    "variance_ratio" -> ((s, d) => {
+      // Lo–MacKinlay variance-ratio test on the hourly filled grid: for
+      // horizon q, VR(q) = Var_pop(q-period price diff) / (q · Var_pop
+      // (1-period diff)); VR<1 flags mean reversion, VR>1 trending. All
+      // moments are exact cent-grid longs (q-diffs telescope over the
+      // same grid, so every sum is integer-exact); each VR finishes as
+      // ONE division of two string-routed integer→double casts —
+      // correctly rounded in both engines at any magnitude. One grid
+      // build, one window Exchange carrying all four lags, one
+      // |products|-sized aggregate. Envelope: |d|≤1e6 (price span ·1e4),
+      // Σd² <2^63 to ~9e6 rows/instrument; num ≈ n³·Σd² stays under
+      // 1e37 < min(DECIMAL(38), HUGEINT) at the 10× fixture.
+      val filled = GapFill(uniqTicks(s, d),
+        Seq("product_id"), "event_time", "1 hour",
+        Seq("price" -> "price"), truncUnit = "hour")
+        .filter(col("price").isNotNull)
+      val w = Window.partitionBy(col("product_id")).orderBy(col("grid_ts"))
+      val base = filled.withColumn("k", Det.kl(col("price"), 4))
+      val diffs = (1 +: VrQs).foldLeft(base) { (df, q) =>
+        df.withColumn(s"d$q", col("k") - lag(col("k"), q).over(w))
+      }
+      val aggExprs =
+        count(col("d1")).as("n1") +: sum(col("d1")).as("s1") +:
+          sum(col("d1") * col("d1")).as("s2") +:
+          VrQs.flatMap(q => Seq(
+            count(col(s"d$q")).as(s"n$q"),
+            sum(col(s"d$q")).as(s"t1_$q"),
+            sum(col(s"d$q") * col(s"d$q")).as(s"t2_$q")))
+      val m = diffs.groupBy(col("product_id")).agg(aggExprs.head, aggExprs.tail: _*)
+      def dec(c: Column) = c.cast(DecimalType(19, 0))
+      def exact(c: Column) = c.cast("string").cast("double")
+      val perQ = VrQs.map { q =>
+        val n1 = dec(col("n1")); val s1 = dec(col("s1")); val s2 = dec(col("s2"))
+        val nq = dec(col(s"n$q")); val t1 = dec(col(s"t1_$q")); val t2 = dec(col(s"t2_$q"))
+        val num = (n1 * n1 * (nq * t2 - t1 * t1)).cast(DecimalType(38, 0))
+        val den = (lit(q) * nq * nq * (n1 * s2 - s1 * s1)).cast(DecimalType(38, 0))
+        struct(lit(q).as("q"), col(s"n$q").as("n_pairs"),
+          when(den > 0, Det.snap(exact(num) / exact(den), 6)).as("vr"))
+      }
+      m.select(col("product_id"), explode(array(perQ: _*)).as("r"))
+        .select(col("product_id"), col("r.q").as("q"),
+          col("r.n_pairs").as("n_pairs"), col("r.vr").as("vr"))
     }),
     "pairs_spread" -> ((s, d) => {
       // Pairs-trading spread signal: align the TWO longest-history
@@ -617,6 +687,74 @@ FROM g ASOF LEFT JOIN t
         val base = Ewma.finalPerKeySql(s"($liveTicksSql) t", "product_id",
           "event_time", "sequence", "price")
         s"""SELECT product_id, n_ticks, ${s6("ewma")} AS ewma FROM ($base) ewma_out"""
+      },
+      "rolling_beta" ->
+        s"""WITH t AS ($uniqTicksSql),
+bounds AS (
+  SELECT product_id, date_trunc('hour', min(event_time)) AS s, max(event_time) AS e
+  FROM t GROUP BY 1),
+g AS (
+  SELECT product_id, unnest(generate_series(s, e, INTERVAL '1 hour')) AS grid_ts
+  FROM bounds),
+filled AS (
+  SELECT g.product_id, g.grid_ts, t.price
+  FROM g ASOF LEFT JOIN t
+    ON g.product_id = t.product_id AND g.grid_ts >= t.event_time
+  WHERE t.price IS NOT NULL),
+withmkt AS (
+  SELECT product_id, grid_ts, price,
+         ${Det.avgDSql("price", 9, " OVER (PARTITION BY grid_ts)")} AS mkt
+  FROM filled)
+SELECT product_id, grid_ts,
+       CAST(count(*) OVER f AS BIGINT) AS n_obs,
+       ${s6(Det.betaDSql("price", "mkt", 4, " OVER f"))} AS beta24
+FROM withmkt
+WINDOW f AS (PARTITION BY product_id ORDER BY grid_ts
+             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""",
+      "variance_ratio" -> {
+        // All integer algebra in HUGEINT (sum(BIGINT) already IS
+        // HUGEINT); num/den are non-negative by construction (variance
+        // numerators × counts), so the direct HUGEINT→DOUBLE cast is
+        // correctly rounded — the one final division mirrors the Spark
+        // side's string-routed casts bit for bit.
+        val lagSel = (1 +: VrQs)
+          .map(q => s"k - lag(k, $q) OVER w AS d$q").mkString(",\n         ")
+        val mSel = (s"count(d1) AS n1, sum(d1) AS s1, sum(d1*d1) AS s2" +:
+          VrQs.map(q =>
+            s"count(d$q) AS n$q, sum(d$q) AS t1_$q, sum(d$q*d$q) AS t2_$q"))
+          .mkString(",\n         ")
+        val arms = VrQs.map(q =>
+          s"""SELECT product_id, $q AS q, n$q AS n_pairs,
+         CAST(n1 AS HUGEINT)*n1*(CAST(n$q AS HUGEINT)*t2_$q - CAST(t1_$q AS HUGEINT)*t1_$q) AS num,
+         $q*CAST(n$q AS HUGEINT)*n$q*(CAST(n1 AS HUGEINT)*s2 - CAST(s1 AS HUGEINT)*s1) AS den
+  FROM m""").mkString("\n  UNION ALL\n  ")
+        s"""WITH t AS ($uniqTicksSql),
+bounds AS (
+  SELECT product_id, date_trunc('hour', min(event_time)) AS s, max(event_time) AS e
+  FROM t GROUP BY 1),
+g AS (
+  SELECT product_id, unnest(generate_series(s, e, INTERVAL '1 hour')) AS grid_ts
+  FROM bounds),
+filled AS (
+  SELECT g.product_id, g.grid_ts, t.price
+  FROM g ASOF LEFT JOIN t
+    ON g.product_id = t.product_id AND g.grid_ts >= t.event_time
+  WHERE t.price IS NOT NULL),
+seq AS (
+  SELECT product_id, grid_ts, ${Det.klSql("price", 4)} AS k FROM filled),
+diffs AS (
+  SELECT product_id,
+         $lagSel
+  FROM seq WINDOW w AS (PARTITION BY product_id ORDER BY grid_ts)),
+m AS (
+  SELECT product_id,
+         $mSel
+  FROM diffs GROUP BY 1),
+un AS (
+  $arms)
+SELECT product_id, q, n_pairs,
+       CASE WHEN den > 0 THEN ${s6("CAST(num AS DOUBLE)/CAST(den AS DOUBLE)")} END AS vr
+FROM un"""
       },
       "market_beta" ->
         s"""WITH t AS ($uniqTicksSql),

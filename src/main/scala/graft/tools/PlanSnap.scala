@@ -78,7 +78,8 @@ object PlanSnap {
     "shingle_profile",   // inverted-index df agg + log2-bucket re-agg
     "dollar_bars",       // one keyed Exchange: prefix clock + pick agg
     "dedup_verify",      // LSH pair frame + two id-keyed text joins
-    "global_quantiles"   // rank selection: filter + one-row aggregate
+    "global_quantiles",  // rank selection: filter + one-row aggregate
+    "rolling_beta"       // gapfill + two orthogonal window Exchanges
   )
 
   val SnapshotDir = "src/test/resources/plans"

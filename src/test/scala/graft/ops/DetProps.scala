@@ -55,6 +55,22 @@ object DetProps extends Properties("Det") {
       agg2(ps, 1) == agg2(scala.util.Random.shuffle(ps), 7)
     }
 
+  property("windowed betaD over an unbounded frame equals grouped betaD") =
+    Prop.forAll(pairsGen) { ps =>
+      import org.apache.spark.sql.expressions.Window
+      val df = ps.zipWithIndex.map { case ((x, y), i) => (i, x, y) }
+        .toDF("i", "x", "y").repartition(5)
+      val grouped = df.agg(Det.betaD(col("x"), col("y"), 4).as("b")).head()
+      val frame = Window.orderBy(col("i"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val windowed = df
+        .select(Det.betaD(col("x"), col("y"), 4, frame).as("b"))
+        .distinct().collect()
+      def opt(r: org.apache.spark.sql.Row) =
+        if (r.isNullAt(0)) None else Some(r.getDouble(0))
+      windowed.length == 1 && opt(windowed.head) == opt(grouped)
+    }
+
   // bounded operands keep the exact numerator below 2^53 (the decimal→
   // double cast boundary CLAUDE.md documents) so the BigInt replay and
   // the Spark cast are both correctly rounded conversions
