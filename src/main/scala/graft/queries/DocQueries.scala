@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ops._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{abs, array, bin, broadcast, coalesce, col, concat, count, countDistinct, explode, expr, greatest, least, length, levenshtein, lit, max, md5, min, row_number, split, sum, when}
+import org.apache.spark.sql.functions.{abs, array, bin, broadcast, coalesce, col, concat, count, countDistinct, explode, expr, greatest, least, length, levenshtein, lit, max, md5, min, row_number, split, struct, sum, when}
 
 /** Driver-verifiable queries for the text-analysis + deduplication
   * operator families (TextOps, Dedup) over `documents.parquet`, each with
@@ -56,6 +56,10 @@ object DocQueries {
 
   def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** quality_sweep candidate cutoffs (shared Spark/oracle constant; each
+    * crosses engines as the same decimal string → same double bits). */
+  private val QualityTaus = Seq(0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8)
 
   /** pii_scrub fixture: splice synthetic PII into the (digit-free) corpus
     * text with pure doc_id arithmetic — every doc gets one email and one
@@ -527,6 +531,43 @@ FROM documents"""
     }),
     // Composite curation pipeline: quality × language × dedup filters —
     // the canonical LLM-corpus cleaning pass, composed from the same ops.
+    "quality_sweep" -> ((s, d) => {
+      // Quality-threshold ablation curve — the tuning pass a curation
+      // pipeline runs BEFORE fixing its filter cutoff: for each
+      // candidate tau, how many docs/tokens survive and how good are
+      // the survivors. ONE stats scan feeding ONE map-side-combined
+      // aggregate that carries all |taus|·3 conditional sums (no
+      // per-threshold re-scan, no explode multiplying the corpus); the
+      // one-row result then unpivots to the curve. Per-row quality
+      // doubles are bit-identical across engines (rational arithmetic),
+      // so every tau-compare partitions docs identically; survivor
+      // means go through the exact 1e-6 quality grid.
+      val st = TextOps.stats(docs(s, d))
+        .select(col("n_tokens"), col("quality_score"),
+          Det.kl(col("quality_score"), 6).as("ql"))
+      val aggExprs =
+        count(lit(1)).as("n_docs") +: sum(col("n_tokens")).as("n_tok") +:
+          QualityTaus.zipWithIndex.flatMap { case (t, i) => Seq(
+            sum(when(col("quality_score") >= t, 1L)).as(s"k_$i"),
+            sum(when(col("quality_score") >= t, col("n_tokens"))).as(s"kt_$i"),
+            sum(when(col("quality_score") >= t, col("ql"))).as(s"kq_$i")) }
+      val m = st.agg(aggExprs.head, aggExprs.tail: _*)
+      val arms = QualityTaus.zipWithIndex.map { case (t, i) =>
+        val k = coalesce(col(s"k_$i"), lit(0L))
+        val kt = coalesce(col(s"kt_$i"), lit(0L))
+        val kq = col(s"kq_$i")
+        struct(lit(t).as("tau"),
+          k.as("n_kept"),
+          Det.snap(k.cast("double") / col("n_docs").cast("double"), 6)
+            .as("retention"),
+          when(col("n_tok") > 0,
+            Det.snap(kt.cast("double") / col("n_tok").cast("double"), 6))
+            .as("token_share"),
+          when(k > 0, Det.snap(kq.cast("double") / lit(1e6) / col(s"k_$i"), 6))
+            .as("avg_quality_kept"))
+      }
+      m.select(explode(array(arms: _*)).as("r")).select(col("r.*"))
+    }),
     "corpus_clean" -> ((s, d) => {
       val base = docs(s, d)
       r6(TextOps.stats(base))
@@ -1199,6 +1240,30 @@ FROM dfs GROUP BY 1"""
     "multimodal_decode" -> multimodalDecodeSql,
     "curation_report" -> curationReportSql,
     "corpus_clean" -> corpusCleanSql,
+    "quality_sweep" -> {
+      // Survivor quality means ride the exact 1e-6 grid; count/token
+      // ratios are single divisions of correctly-rounded non-negative
+      // casts. Sums surface as BIGINT to match Spark's long dtype.
+      val condSel = QualityTaus.zipWithIndex.map { case (t, i) =>
+        val cond = s"quality_score >= ${Det.dblLit(t)}"
+        s"""sum(CASE WHEN $cond THEN 1 END) AS k_$i,
+         sum(CASE WHEN $cond THEN n_tokens END) AS kt_$i,
+         sum(CASE WHEN $cond THEN ${Det.klSql("quality_score", 6)} END) AS kq_$i"""
+      }.mkString(",\n         ")
+      val arms = QualityTaus.zipWithIndex.map { case (t, i) =>
+        s"""SELECT ${Det.dblLit(t)} AS tau,
+       CAST(COALESCE(k_$i, 0) AS BIGINT) AS n_kept,
+       ${s6(s"CAST(COALESCE(k_$i, 0) AS DOUBLE) / CAST(n_docs AS DOUBLE)")} AS retention,
+       CASE WHEN n_tok > 0 THEN ${s6(s"CAST(COALESCE(kt_$i, 0) AS DOUBLE) / CAST(n_tok AS DOUBLE)")} END AS token_share,
+       CASE WHEN COALESCE(k_$i, 0) > 0 THEN ${s6(s"CAST(kq_$i AS DOUBLE)/1e6/k_$i")} END AS avg_quality_kept
+  FROM m""" }.mkString("\n  UNION ALL\n  ")
+      s"""WITH st AS (SELECT n_tokens, quality_score FROM ($statsSql) stx),
+m AS (
+  SELECT count(*) AS n_docs, sum(n_tokens) AS n_tok,
+         $condSel
+  FROM st)
+  $arms"""
+    },
     "decontaminate" -> Decontaminate.reportSql("documents", "source = 'src0'"),
     "dedup_clusters" ->
       s"""SELECT id AS doc_id, cluster_id,
