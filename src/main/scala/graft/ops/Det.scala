@@ -238,6 +238,23 @@ object Det {
     when(dy > 0, exactDbl(num) / exactDbl(dy))
   }
 
+  /** Windowed [[corrD]] over a frame — the rolling-correlation form.
+    * Same exact-grid frame sums as the windowed [[betaD]]; sqrt is
+    * IEEE-correctly-rounded in every conforming engine, so the finishing
+    * sequence num/√dx/√dy is bit-stable. */
+  def corrD(x: Column, y: Column, e: Int, frame: WindowSpec): Column = {
+    val kx = kl(x, e)
+    val ky = kl(y, e)
+    val n = count(x).over(frame).cast(DecimalType(19, 0))
+    def dec(c: Column) = c.cast(DecimalType(19, 0))
+    val s1x = dec(sum(kx).over(frame)); val s1y = dec(sum(ky).over(frame))
+    val num = (n * dec(sum(kx * ky).over(frame)) - s1x * s1y).cast(DecimalType(38, 0))
+    val dx = (n * dec(sum(kx * kx).over(frame)) - s1x * s1x).cast(DecimalType(38, 0))
+    val dy = (n * dec(sum(ky * ky).over(frame)) - s1y * s1y).cast(DecimalType(38, 0))
+    when(dx > 0 && dy > 0,
+      exactDbl(num) / sqrt(exactDbl(dx)) / sqrt(exactDbl(dy)))
+  }
+
   // -------------------------------------------------------------------
   // DuckDB-SQL twins (same formulas, same grids). DuckDB sums BIGINT as
   // HUGEINT — exact like the long sums (wider, in fact). HUGEINT→DOUBLE
@@ -321,13 +338,13 @@ object Det {
   }
 
   /** Twin of [[corrD]]. */
-  def corrDSql(x: String, y: String, e: Int): String = {
+  def corrDSql(x: String, y: String, e: Int, over: String = ""): String = {
     val kx = klSql(x, e)
     val ky = klSql(y, e)
-    val n = s"CAST(count($x) AS HUGEINT)"
-    val num = s"($n * sum($kx*$ky) - sum($kx) * sum($ky))"
-    val dx = s"($n * sum($kx*$kx) - sum($kx) * sum($kx))"
-    val dy = s"($n * sum($ky*$ky) - sum($ky) * sum($ky))"
+    val n = s"CAST(count($x)$over AS HUGEINT)"
+    val num = s"($n * sum($kx*$ky)$over - sum($kx)$over * sum($ky)$over)"
+    val dx = s"($n * sum($kx*$kx)$over - sum($kx)$over * sum($kx)$over)"
+    val dy = s"($n * sum($ky*$ky)$over - sum($ky)$over * sum($ky)$over)"
     s"""(CASE WHEN $dx > 0 AND $dy > 0
       THEN ${signedDblSql(num)} / sqrt(CAST($dx AS DOUBLE)) / sqrt(CAST($dy AS DOUBLE)) END)"""
   }

@@ -308,6 +308,22 @@ object TickQueries {
         .select(col("product_id"), col("r.q").as("q"),
           col("r.n_pairs").as("n_pairs"), col("r.vr").as("vr"))
     }),
+    "rolling_corr" -> ((s, d) => {
+      // Rolling 24-hour correlation of the top-2 pair — the time-varying
+      // co-movement series behind pairs_spread's static z-score: a pairs
+      // desk watches rolling corr to see the relationship (and the
+      // strategy premise) decay. Same aligned-pair grid; frame moment
+      // sums are exact grid longs feeding corrD's fixed num/√dx/√dy
+      // finish (sqrt is IEEE-correctly-rounded in both engines). The
+      // single-pair series makes the lit(1) window partition
+      // time-bounded, not data-bounded.
+      val frame = Window.partitionBy(lit(1)).orderBy(col("grid_ts"))
+        .rowsBetween(-23, Window.currentRow)
+      r6(alignPair(s, d)
+        .withColumn("n_obs", count(lit(1)).over(frame))
+        .withColumn("corr24", Det.corrD(col("xa"), col("xb"), 4, frame))
+        .select(col("grid_ts"), col("n_obs"), col("corr24")))
+    }),
     "pairs_spread" -> ((s, d) => {
       // Pairs-trading spread signal: align the TWO longest-history
       // instruments (deterministic pick: filled-grid length DESC,
@@ -778,6 +794,33 @@ SELECT product_id, count(*) AS n_obs,
        ${s6(s"(${Det.avgDSql("price", 9)} - ${Det.betaDSql("price", "mkt", 4)} * ${Det.avgDSql("mkt", 9)})")} AS alpha
 FROM withmkt
 GROUP BY product_id""",
+      "rolling_corr" ->
+        s"""WITH t AS ($uniqTicksSql),
+bounds AS (
+  SELECT product_id, date_trunc('hour', min(event_time)) AS s, max(event_time) AS e
+  FROM t GROUP BY 1),
+g AS (
+  SELECT product_id, unnest(generate_series(s, e, INTERVAL '1 hour')) AS grid_ts
+  FROM bounds),
+filled AS (
+  SELECT g.product_id, g.grid_ts, t.price
+  FROM g ASOF LEFT JOIN t
+    ON g.product_id = t.product_id AND g.grid_ts >= t.event_time
+  WHERE t.price IS NOT NULL),
+top2 AS (
+  SELECT product_id, rk FROM (
+    SELECT product_id, row_number() OVER (ORDER BY count(*) DESC, product_id) AS rk
+    FROM filled GROUP BY product_id) r
+  WHERE rk <= 2),
+aligned AS (
+  SELECT a.grid_ts, a.price AS xa, b.price AS xb
+  FROM (SELECT f.grid_ts, f.price FROM filled f JOIN top2 ON f.product_id = top2.product_id AND top2.rk = 1) a
+  JOIN (SELECT f.grid_ts, f.price FROM filled f JOIN top2 ON f.product_id = top2.product_id AND top2.rk = 2) b
+    ON a.grid_ts = b.grid_ts)
+SELECT grid_ts, CAST(count(*) OVER f AS BIGINT) AS n_obs,
+       ${s6(Det.corrDSql("xa", "xb", 4, " OVER f"))} AS corr24
+FROM aligned
+WINDOW f AS (ORDER BY grid_ts ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""",
       "pairs_spread" ->
         s"""WITH t AS ($uniqTicksSql),
 bounds AS (
