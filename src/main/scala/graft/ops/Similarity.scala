@@ -53,6 +53,65 @@ object Similarity {
         .cast("long"))
       .filter(col("rnk") <= k)
 
+  /** Maximal-Marginal-Relevance diversification of the brute-force
+    * top-`n` candidate set: per query, greedily pick `k` results
+    * maximizing `lam·sim(q,c) − oml·max_{s∈picked} sim(c,s)` — the
+    * classic redundancy-aware re-ranking a retrieval layer applies
+    * before surfacing results (or a curation pipeline before sampling
+    * exemplars). Round 1 is the plain cosine argmax; later rounds
+    * penalize similarity to the already-picked set.
+    *
+    * Scale + determinism shape: the candidate frame is structurally
+    * bounded (|queries|·n rows) and the pair frame |queries|·n² — both
+    * eagerly localCheckpoint'ed so the k−1 greedy rounds (each a small
+    * anti-join + max-aggregate + argmax window) re-read materialized
+    * rows instead of re-scanning the corpus k times. Candidate and pair
+    * cosines are snapped to the 1e-6 grid BEFORE the greedy arithmetic,
+    * so `lam·simq − oml·ms` runs on identical double bits in any
+    * engine; ranking uses the raw score with a vec_id tie-break. The
+    * oracle twin unrolls the same k rounds as MATERIALIZED CTEs
+    * (VecQueries.mmrSql).
+    */
+  def mmrDiversify(queries: DataFrame, corpus: DataFrame,
+                   n: Int, k: Int, lam: Double, oml: Double): DataFrame = {
+    val cand = bruteForceTopK(queries, corpus, n)
+      .select(col("qid"), col("vec_id"), col("cosine").as("simq"), col("rnk"))
+      .localCheckpoint(true)
+    val emb = corpus.select(col("vec_id"), col("embedding"),
+      dotL(col("embedding"), col("embedding")).as("nrm"))
+    val ce = cand.select(col("qid"), col("vec_id")).join(emb, "vec_id")
+    val pairs = ce.select(col("qid"), col("vec_id").as("a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      .join(ce.select(col("qid"), col("vec_id").as("b"),
+        col("embedding").as("eb"), col("nrm").as("nb")), Seq("qid"))
+      .filter(col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"),
+        cosine(dotL(col("ea"), col("eb")), col("na"), col("nb")).as("psim"))
+      .localCheckpoint(true)
+    val first = cand.filter(col("rnk") === 1)
+      .select(col("qid"), lit(1).as("pick"), col("vec_id"),
+        Det.snap(lit(lam) * col("simq"), 6).as("mmr_score"))
+    val sel = (2 to k).foldLeft(first) { (sel, r) =>
+      val remaining = cand.join(
+        sel.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"), "left_anti")
+      val ms = pairs
+        .join(sel.select(col("qid"), col("vec_id").as("b")), Seq("qid", "b"))
+        .groupBy(col("qid"), col("a")).agg(max(col("psim")).as("ms"))
+        .withColumnRenamed("a", "vec_id")
+      val pickR = remaining.join(ms, Seq("qid", "vec_id"))
+        .withColumn("score", lit(lam) * col("simq") - lit(oml) * col("ms"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))))
+        .filter(col("rn") === 1)
+        .select(col("qid"), lit(r).as("pick"), col("vec_id"),
+          Det.snap(col("score"), 6).as("mmr_score"))
+      sel.union(pickR)
+    }
+    val out = sel.localCheckpoint(true)
+    cand.unpersist(); pairs.unpersist()
+    out
+  }
+
   /** Exact cosine top-k of `corpus` rows for each row of `queries`
     * (both need vec_id + embedding). Self-matches excluded. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10): DataFrame = {

@@ -46,6 +46,13 @@ object VecQueries {
   private val JlSalt = "jl"
   /** semantic_prune cosine threshold (crosses via Det.dblLit). */
   private val SemTau = 0.2
+  /** mmr_diversify: candidate pool, picks, relevance/diversity weights
+    * (weights cross engines via Det.dblLit — never derive one from the
+    * other with engine arithmetic: 1.0−0.7 ≠ the parsed literal 0.3). */
+  private val MmrN = 20
+  private val MmrK = 5
+  private val MmrLam = 0.7
+  private val MmrOml = 0.3
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_topk" -> ((s, d) => {
@@ -260,6 +267,13 @@ object VecQueries {
       Similarity.scalarQuantize(vecs(s, d), QuantLevels)),
     // Recall@10 of EVERY approximate path vs brute-force truth — the eval
     // a user runs before trusting any of the four ANN branches.
+    "mmr_diversify" -> ((s, d) => {
+      // Redundancy-aware re-ranking: MMR-pick MmrK of the top-MmrN
+      // cosine candidates per query (Similarity.mmrDiversify scaladoc
+      // has the shape + determinism story).
+      val v = vecs(s, d)
+      Similarity.mmrDiversify(q5(v), v, MmrN, MmrK, MmrLam, MmrOml)
+    }),
     "ann_recall" -> ((s, d) => {
       val v = vecs(s, d)
       val cents = Similarity.centroidArrays(Similarity.centroids(v))
@@ -829,7 +843,61 @@ SELECT e.vec_id, off.dup_nbr, off.dup_cosine,
        off.dup_nbr IS NULL AS keep
 FROM embeddings e LEFT JOIN off ON off.vec_id = e.vec_id"""
 
+  /** Twin of Similarity.mmrDiversify: the k−1 greedy rounds unrolled as
+    * MATERIALIZED CTEs (CLAUDE.md iterative-twin rule — a plain CTE
+    * referencing its predecessor would inline exponentially). Candidate
+    * and pair cosines are snapped before the greedy arithmetic, so
+    * `lam·simq − oml·ms` sees identical double bits; ranking uses the
+    * raw score with the vec_id tie-break, exactly as the Spark side. */
+  private val mmrSql = {
+    val lam = Det.dblLit(MmrLam); val oml = Det.dblLit(MmrOml)
+    val rounds = (2 to MmrK).map { r =>
+      s"""sel$r AS MATERIALIZED (
+  SELECT qid, $r AS pick, vec_id, ${s6("score")} AS mmr_score FROM (
+    SELECT c.qid, c.vec_id, $lam*c.simq - $oml*m.ms AS score,
+           row_number() OVER (PARTITION BY c.qid
+               ORDER BY $lam*c.simq - $oml*m.ms DESC, c.vec_id) AS rn
+    FROM cand c
+    JOIN (SELECT p.qid, p.a, max(p.psim) AS ms
+          FROM pairs p JOIN all${r - 1} s ON p.qid = s.qid AND p.b = s.vec_id
+          GROUP BY 1, 2) m
+      ON c.qid = m.qid AND c.vec_id = m.a
+    WHERE NOT EXISTS (SELECT 1 FROM all${r - 1} s2
+                      WHERE s2.qid = c.qid AND s2.vec_id = c.vec_id)) t
+  WHERE rn = 1),
+all$r AS MATERIALIZED (
+  SELECT * FROM all${r - 1} UNION ALL SELECT * FROM sel$r)"""
+    }.mkString(",\n")
+    s"""WITH base AS MATERIALIZED (
+  SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nv FROM embeddings
+), q AS MATERIALIZED (
+  SELECT vec_id AS qid, embedding AS qv, nv AS nq FROM base WHERE vec_id < 5
+), scored AS MATERIALIZED (
+  SELECT q.qid, e.vec_id, ${cosSql(dotSql("q.qv", "e.embedding"), "q.nq", "e.nv")} AS simq,
+         e.embedding, e.nv
+  FROM q, base e
+  WHERE e.vec_id <> q.qid AND e.nv > 0 AND q.nq > 0
+), cand AS MATERIALIZED (
+  SELECT qid, vec_id, simq, embedding, nv FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY simq DESC, vec_id) AS rnk
+    FROM scored) t
+  WHERE rnk <= $MmrN
+), pairs AS MATERIALIZED (
+  SELECT a.qid, a.vec_id AS a, b.vec_id AS b,
+         ${cosSql(dotSql("a.embedding", "b.embedding"), "a.nv", "b.nv")} AS psim
+  FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+), sel1 AS MATERIALIZED (
+  SELECT qid, 1 AS pick, vec_id, ${s6(s"$lam*simq")} AS mmr_score
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY simq DESC, vec_id) AS rn
+        FROM cand) t
+  WHERE rn = 1),
+all1 AS MATERIALIZED (SELECT * FROM sel1),
+$rounds
+SELECT qid, pick, vec_id, mmr_score FROM all$MmrK"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "mmr_diversify" -> mmrSql,
     "semantic_prune" -> semanticPruneSql,
     "knn_graph" -> knnGraphSql,
     "knn_purity" -> knnPuritySql,
