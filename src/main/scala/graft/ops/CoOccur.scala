@@ -17,10 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object CoOccur {
 
-  /** Thresholded co-occurrence edge list: undirected edges (x, y), x < y,
-    * between items sharing ≥ `minCo` groups. Both columns Long. */
-  def edges(fact: DataFrame, groupCol: String, itemCol: String,
-            minCo: Int): DataFrame = {
+  /** Undirected co-occurrence pairs with their shared-group counts:
+    * (x, y, c), x < y, c = number of groups both items appear in. Both
+    * id columns Long, c Long. The unthresholded base under [[edges]]
+    * and the percentile edge rule (GraphQueries.linkPrediction). */
+  def pairCounts(fact: DataFrame, groupCol: String,
+                 itemCol: String): DataFrame = {
     val spark = fact.sparkSession
     import spark.implicits._
     fact
@@ -35,9 +37,15 @@ object CoOccur {
       .toDF("x", "y")
       .groupBy(col("x"), col("y"))
       .agg(count(lit(1)).as("c"))
+  }
+
+  /** Thresholded co-occurrence edge list: undirected edges (x, y), x < y,
+    * between items sharing ≥ `minCo` groups. Both columns Long. */
+  def edges(fact: DataFrame, groupCol: String, itemCol: String,
+            minCo: Int): DataFrame =
+    pairCounts(fact, groupCol, itemCol)
       .filter(col("c") >= minCo)
       .select(col("x"), col("y"))
-  }
 
   /** Triangle / wedge census over an undirected edge list (x < y): one
     * row (n_edges, n_wedges, n_triangles, wedge_closure). Two plans off

@@ -146,6 +146,100 @@ FROM un GROUP BY user_id, lag_k"""
     out
   }
 
+  /** Common-neighbor link prediction on the supplier co-occurrence graph:
+    * for NON-adjacent pairs, shared-neighbor count plus the exact Jaccard
+    * of neighborhoods cn/(deg_a+deg_b−cn) — the classic "which edge forms
+    * next" probe (and the quality eval for graph embeddings). Candidate
+    * enumeration is the same Σdeg² wedge bound as [[triangles]]
+    * (Schank–Wagner); everything but one final division is exact integer
+    * arithmetic; the global top-20 goes through TakeOrdered (ORDER BY +
+    * LIMIT — no single-partition window over the full candidate set),
+    * with ranks replayed by a window over the 20 survivors. */
+  private def linkPrediction(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Decile edge rule: keep the strongest ~10% of co-occurring pairs —
+    // T = max{v : |{c ≥ v}| ≥ ⌈N/10⌉}. A fixed absolute floor (MinCo)
+    // saturates: at small SFs every supplier pair co-occurs and the
+    // graph goes complete (no pair left to predict). The threshold is
+    // histogram-sized integer algebra (|distinct c| rows) broadcast
+    // back onto the pair table — no global sort of the pairs.
+    val pc = graft.ops.CoOccur
+      .pairCounts(t(s, d, "lineitem"), "l_orderkey", "l_suppkey")
+      .localCheckpoint(true)
+    val hist = pc.groupBy(col("c")).agg(count(lit(1)).as("m"))
+    val tot = hist.agg(sum(col("m")).as("n"))
+    val thr = hist.crossJoin(broadcast(tot))
+      .withColumn("ge", sum(col("m")).over(
+        Window.orderBy(col("c").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("ge") >= expr("(n + 9) div 10"))
+      .agg(max(col("c")).as("t"))
+    val edges = pc.join(broadcast(thr), col("c") >= col("t"))
+      .select(col("x"), col("y"))
+      .localCheckpoint(true)
+    val adj = edges.union(edges.select(col("y").as("x"), col("x").as("y")))
+    val cn = adj.select(col("x").as("a"), col("y").as("n"))
+      .join(adj.select(col("x").as("n"), col("y").as("b")), "n")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+    val nonAdj = cn.join(
+      edges.select(col("x").as("a"), col("y").as("b")), Seq("a", "b"), "left_anti")
+    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val scored = nonAdj
+      .join(deg.select(col("x").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("x").as("b"), col("deg").as("degb")), "b")
+      .withColumn("jaccard", Det.snap(col("cn").cast("double") /
+        (col("dega") + col("degb") - col("cn")).cast("double"), 6))
+    val out = scored
+      .orderBy(col("cn").desc, col("a"), col("b")).limit(20)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cn").desc, col("a"), col("b"))).cast("long"))
+      .select(col("rk"), col("a"), col("b"), col("cn"), col("jaccard"))
+      .localCheckpoint(true)
+    pc.unpersist(); edges.unpersist()
+    out
+  }
+
+  private val linkPredictionSql =
+    s"""WITH os AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), p0 AS (
+  SELECT a.l_suppkey AS x, b.l_suppkey AS y, count(*) AS c
+  FROM os a JOIN os b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+), hist AS (
+  SELECT c, count(*) AS m FROM p0 GROUP BY 1
+), tot AS (
+  SELECT sum(m) AS n FROM hist
+), ge AS (
+  SELECT c, sum(m) OVER (ORDER BY c DESC) AS ge FROM hist
+), thr AS (
+  SELECT max(c) AS t FROM ge, tot WHERE ge.ge >= (tot.n + 9) // 10
+), edges AS (
+  SELECT x, y FROM p0, thr WHERE c >= thr.t
+), adj AS (
+  SELECT x, y FROM edges UNION ALL SELECT y AS x, x AS y FROM edges
+), cn AS (
+  SELECT l.x AS a, r.y AS b, count(*) AS cn
+  FROM adj l JOIN adj r ON l.y = r.x AND l.x < r.y
+  GROUP BY 1, 2
+), nonadj AS (
+  SELECT c2.a, c2.b, c2.cn FROM cn c2
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.x = c2.a AND e.y = c2.b)
+), deg AS (
+  SELECT x, count(*) AS deg FROM adj GROUP BY 1
+), scored AS (
+  SELECT n.a, n.b, n.cn, da.deg AS dega, db.deg AS degb
+  FROM nonadj n JOIN deg da ON da.x = n.a JOIN deg db ON db.x = n.b)
+SELECT rk, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(cn AS BIGINT) AS cn,
+       ${s6("CAST(cn AS DOUBLE) / CAST(dega + degb - cn AS DOUBLE)")} AS jaccard
+FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY cn DESC, a, b) AS BIGINT) AS rk
+  FROM scored) t
+WHERE rk <= 20"""
+
   private val trianglesSql =
     s"""WITH os AS (
   SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
@@ -493,6 +587,7 @@ FROM dc JOIN ic USING (community) CROSS JOIN mm"""
     "markov_transitions" -> ((s, d) => markov(s, d)),
     "autocorr" -> ((s, d) => autocorr(s, d)),
     "triangle_count" -> ((s, d) => triangles(s, d)),
+    "link_prediction" -> ((s, d) => linkPrediction(s, d)),
     "pagerank" -> ((s, d) => {
       import TickQueries.r6
       r6(pagerank(s, d))
@@ -506,6 +601,7 @@ FROM dc JOIN ic USING (community) CROSS JOIN mm"""
     "markov_transitions" -> markovSql,
     "autocorr" -> autocorrSql,
     "triangle_count" -> trianglesSql,
+    "link_prediction" -> linkPredictionSql,
     "pagerank" -> pagerankSql
   )
 }
