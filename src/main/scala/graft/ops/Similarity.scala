@@ -475,6 +475,82 @@ object Similarity {
         col("max_abs_err"), col("mse"))
   }
 
+  /** Top principal component of the embedding covariance via max-norm
+    * power iteration on EXACT integer grids — the missing member of the
+    * dimensionality family ([[centroids]]/k-means pick cluster structure,
+    * embed_jl projects randomly; PCA finds the axis of maximum
+    * variance for whitening / dominant-direction audits).
+    *
+    * Determinism design (every step engine-portable):
+    *  - coordinates snap to the 1e-6 grid (k = floor(x·1e6+0.5), Long);
+    *  - the covariance NUMERATOR M = n·Σkkᵀ − (Σk)(Σk)ᵀ is exact integer
+    *    algebra (the covD formula per cell), accumulated as upper-
+    *    triangle per-partition Long partials (|k|≤6e5 ⇒ products ≤3.6e11,
+    *    no per-partition overflow) and combined in BigInt on the driver —
+    *    the collected state is dim²-bounded like the IVF codebook, never
+    *    data-sized;
+    *  - each power iteration is w = M·v with v an integer 1e-6-grid
+    *    vector ⇒ w is an exact integer (order-free sums); the ONLY
+    *    floating ops per round are one correctly-rounded division by
+    *    max|w| (both operands cross int→double via exact decimal
+    *    strings) and the IEEE snap back to the 1e-6 grid;
+    *  - the oracle (VecQueries.pcaSql) unrolls the same rounds as
+    *    MATERIALIZED CTEs over a (j,k,m) HUGEINT cell table.
+    * v₀ = all-ones grid; `iters` fixed (no convergence test — unrollable
+    * trajectories, CLAUDE.md iterative-twin rule). Output: (dim [1-based],
+    * loading = v_final/1e6) — max-norm scaled, sign-stable for v₀ > 0.
+    */
+  def pcaTopComponent(vectors: DataFrame, dim: Int, iters: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val nTri = dim * (dim + 1) / 2
+    val partials = vectors.select(col("embedding")).as[Seq[Float]]
+      .mapPartitions { it =>
+        val sp = new Array[Long](nTri); val s1 = new Array[Long](dim); var n = 0L
+        it.foreach { v =>
+          val k = new Array[Long](dim)
+          var j = 0
+          while (j < dim) { k(j) = math.floor(v(j).toDouble * 1e6 + 0.5).toLong; j += 1 }
+          var idx = 0; j = 0
+          while (j < dim) {
+            s1(j) += k(j)
+            var l = j
+            while (l < dim) { sp(idx) += k(j) * k(l); idx += 1; l += 1 }
+            j += 1
+          }
+          n += 1
+        }
+        Iterator.single((n, s1.toSeq, sp.toSeq))
+      }.collect()
+    val n = BigInt(partials.map(_._1).sum)
+    val s1 = Array.tabulate(dim)(j => partials.map(p => BigInt(p._2(j))).sum)
+    val sp = Array.tabulate(nTri)(i => partials.map(p => BigInt(p._3(i))).sum)
+    // symmetric covariance-numerator lookup from the upper triangle
+    val triIdx = Array.ofDim[Int](dim, dim)
+    var triI = 0
+    for (j <- 0 until dim; l <- j until dim) {
+      triIdx(j)(l) = triI; triIdx(l)(j) = triI; triI += 1
+    }
+    def m(j: Int, l: Int): BigInt = n * sp(triIdx(j)(l)) - s1(j) * s1(l)
+    // exact decimal-string route: correctly rounded at ANY magnitude
+    // (JVM BigDecimal.doubleValue / BigInt.toDouble are not)
+    def dbl(b: BigInt): Double = java.lang.Double.parseDouble(b.toString)
+    var v = Array.fill(dim)(1000000L)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim) { j =>
+        var acc = BigInt(0)
+        for (l <- 0 until dim) acc += m(j, l) * BigInt(v(l))
+        acc
+      }
+      val mx = w.map(_.abs).max
+      v = if (mx == 0) Array.fill(dim)(0L)
+      else w.map(wj => math.floor(dbl(wj) / dbl(mx) * 1e6 + 0.5).toLong)
+    }
+    spark.createDataFrame(
+      (0 until dim).map(j => (j + 1, v(j).toDouble / 1e6)))
+      .toDF("dim", "loading")
+  }
+
   /** Per-label centroids as (label, pos [1-based], c) rows — exact
     * deterministic means per coordinate. */
   def centroids(vectors: DataFrame): DataFrame =

@@ -46,6 +46,10 @@ object VecQueries {
   private val JlSalt = "jl"
   /** semantic_prune cosine threshold (crosses via Det.dblLit). */
   private val SemTau = 0.2
+  /** pca_power: embedding dimension and fixed power-iteration rounds
+    * (no convergence test — the oracle unrolls the trajectory). */
+  private val PcaDim = 64
+  private val PcaIters = 3
   /** mmr_diversify: candidate pool, picks, relevance/diversity weights
     * (weights cross engines via Det.dblLit — never derive one from the
     * other with engine arithmetic: 1.0−0.7 ≠ the parsed literal 0.3). */
@@ -267,6 +271,12 @@ object VecQueries {
       Similarity.scalarQuantize(vecs(s, d), QuantLevels)),
     // Recall@10 of EVERY approximate path vs brute-force truth — the eval
     // a user runs before trusting any of the four ANN branches.
+    "pca_power" -> ((s, d) => {
+      // Top principal component via exact-integer max-norm power
+      // iteration (Similarity.pcaTopComponent scaladoc has the full
+      // determinism + scale story).
+      Similarity.pcaTopComponent(vecs(s, d), PcaDim, PcaIters)
+    }),
     "mmr_diversify" -> ((s, d) => {
       // Redundancy-aware re-ranking: MMR-pick MmrK of the top-MmrN
       // cosine candidates per query (Similarity.mmrDiversify scaladoc
@@ -896,7 +906,54 @@ $rounds
 SELECT qid, pick, vec_id, mmr_score FROM all$MmrK"""
   }
 
+  /** Twin of Similarity.pcaTopComponent: covariance-numerator cells as a
+    * HUGEINT (j,k,m) table, then the fixed power-iteration rounds
+    * unrolled as MATERIALIZED CTEs. Every per-round sum is exact integer
+    * algebra; the only floating ops are the signed int→double casts
+    * (Det.signedDblSql — DuckDB misrounds negative HUGEINT→DOUBLE), one
+    * division by max|w|, and the IEEE snap back to the 1e-6 grid —
+    * matching the Spark driver's decimal-string-routed sequence bit for
+    * bit. */
+  private val pcaSql = {
+    val rounds = (1 to PcaIters).map { r =>
+      s"""w$r AS MATERIALIZED (
+  SELECT s.a AS j, sum(s.m * v.kv) AS w
+  FROM msym s JOIN v${r - 1} v ON s.b = v.j GROUP BY 1),
+mx$r AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM w$r),
+v$r AS MATERIALIZED (
+  SELECT j, CASE WHEN mx > 0
+       THEN CAST(floor(${Det.signedDblSql("w")} / CAST(mx AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+       ELSE 0 END AS kv
+  FROM w$r, mx$r)"""
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+  SELECT [CAST(floor(CAST(x AS DOUBLE)*1e6+0.5) AS BIGINT) for x in embedding] AS k
+  FROM embeddings
+), cells AS MATERIALIZED (
+  SELECT g1.j, g2.l, sum(k[g1.j] * k[g2.l]) AS sp
+  FROM e, generate_series(1, $PcaDim) g1(j), generate_series(1, $PcaDim) g2(l)
+  WHERE g1.j <= g2.l
+  GROUP BY 1, 2
+), s1 AS MATERIALIZED (
+  SELECT g.j, sum(k[g.j]) AS s1 FROM e, generate_series(1, $PcaDim) g(j) GROUP BY 1
+), tot AS (SELECT count(*) AS n FROM e),
+mm AS MATERIALIZED (
+  SELECT c.j AS a, c.l AS b, tot.n * c.sp - sa.s1 * sb.s1 AS m
+  FROM cells c
+  CROSS JOIN tot
+  JOIN s1 sa ON sa.j = c.j
+  JOIN s1 sb ON sb.j = c.l
+), msym AS MATERIALIZED (
+  SELECT a, b, m FROM mm UNION ALL SELECT b AS a, a AS b, m FROM mm WHERE a <> b
+), v0 AS MATERIALIZED (
+  SELECT g.j, CAST(1000000 AS BIGINT) AS kv FROM generate_series(1, $PcaDim) g(j)
+),
+$rounds
+SELECT CAST(j AS INTEGER) AS dim, CAST(kv AS DOUBLE) / 1e6 AS loading FROM v$PcaIters"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "pca_power" -> pcaSql,
     "mmr_diversify" -> mmrSql,
     "semantic_prune" -> semanticPruneSql,
     "knn_graph" -> knnGraphSql,
