@@ -531,6 +531,41 @@ FROM documents"""
     }),
     // Composite curation pipeline: quality × language × dedup filters —
     // the canonical LLM-corpus cleaning pass, composed from the same ops.
+    "ks_drift" -> ((s, d) => {
+      // Pairwise two-sample Kolmogorov–Smirnov over the doc-length
+      // distribution of every source pair — the exact continuous
+      // complement to dataset_drift's bucketed total-variation: D =
+      // max_v |F_a(v) − F_b(v)| = max_v |c_a·n_b − c_b·n_a| / (n_a·n_b)
+      // stays ALL-INTEGER until one final division of a non-negative
+      // exact value. Shape: a DENSE |sources|×|distinct values| ECDF
+      // grid (missing (source, value) cells must exist with the carried
+      // cumulative count, or the ECDF compare is wrong), then a
+      // per-VALUE pair join — |values|·|sources|² cells, never doc×doc.
+      // For a truly continuous column at 100 TB, bucket first (as
+      // dataset_drift does); n_chars is already integral. Envelope:
+      // c·n < 2^63 holds to ~3e9 docs/source.
+      val d0 = docs(s, d).select(col("source"), col("n_chars"))
+      val counts = d0.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("m"))
+      val vals = d0.select(col("n_chars")).distinct()
+      val totals = d0.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val grid = vals.crossJoin(broadcast(totals))
+        .join(counts, Seq("source", "n_chars"), "left")
+        .withColumn("m", coalesce(col("m"), lit(0L)))
+      val cells = grid.withColumn("c", sum(col("m")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("n_chars"))))
+      val pairs = cells.as("a").join(cells.as("b"),
+          col("a.n_chars") === col("b.n_chars") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          col("a.n").as("n_a"), col("b.n").as("n_b"),
+          abs(col("a.c") * col("b.n") - col("b.c") * col("a.n")).as("num"))
+      pairs.groupBy(col("src_a"), col("src_b"), col("n_a"), col("n_b"))
+        .agg(max(col("num")).as("num"))
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          Det.snap(col("num").cast("double") /
+            (col("n_a") * col("n_b")).cast("double"), 6).as("ks_d"))
+    }),
     "quality_sweep" -> ((s, d) => {
       // Quality-threshold ablation curve — the tuning pass a curation
       // pipeline runs BEFORE fixing its filter cutoff: for each
@@ -1240,6 +1275,28 @@ FROM dfs GROUP BY 1"""
     "multimodal_decode" -> multimodalDecodeSql,
     "curation_report" -> curationReportSql,
     "corpus_clean" -> corpusCleanSql,
+    "ks_drift" ->
+      s"""WITH d0 AS (SELECT source, n_chars FROM documents),
+counts AS (SELECT source, n_chars, count(*) AS m FROM d0 GROUP BY 1, 2),
+vals AS (SELECT DISTINCT n_chars FROM d0),
+srcs AS (SELECT source, count(*) AS n FROM d0 GROUP BY 1),
+grid AS (
+  SELECT s.source, v.n_chars, s.n, COALESCE(c.m, 0) AS m
+  FROM vals v CROSS JOIN srcs s
+  LEFT JOIN counts c ON c.source = s.source AND c.n_chars = v.n_chars),
+cells AS (
+  SELECT source, n_chars, n,
+         sum(m) OVER (PARTITION BY source ORDER BY n_chars) AS c
+  FROM grid),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b,
+         abs(a.c * b.n - b.c * a.n) AS num
+  FROM cells a JOIN cells b
+    ON a.n_chars = b.n_chars AND a.source < b.source)
+SELECT src_a, src_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       ${s6("CAST(max_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)")} AS ks_d
+FROM (SELECT src_a, src_b, n_a, n_b, max(num) AS max_num
+      FROM pairs GROUP BY 1, 2, 3, 4) t""",
     "quality_sweep" -> {
       // Survivor quality means ride the exact 1e-6 grid; count/token
       // ratios are single divisions of correctly-rounded non-negative
