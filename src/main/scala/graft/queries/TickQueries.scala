@@ -36,6 +36,9 @@ object TickQueries {
     * its oracle twin. */
   private val VrQs = Seq(2, 4, 8)
 
+  /** hurst_rs block lengths (grid hours) — shared Spark/oracle constant. */
+  private val RsLens = Seq(32, 64, 128)
+
   /** events.parquet → reference raw-tick shape.
     *
     * `ts` has shipped as both parquet TIMESTAMP(NANOS) — which Spark only
@@ -307,6 +310,53 @@ object TickQueries {
       m.select(col("product_id"), explode(array(perQ: _*)).as("r"))
         .select(col("product_id"), col("r.q").as("q"),
           col("r.n_pairs").as("n_pairs"), col("r.vr").as("vr"))
+    }),
+    "hurst_rs" -> ((s, d) => {
+      // Rescaled-range (R/S) analysis — the long-memory diagnostic
+      // behind the Hurst exponent: per instrument and block length L,
+      // the mean over full blocks of R/S = range(cumulative deviation
+      // from block mean) / block stddev. The cumulative deviation rides
+      // an ALL-INTEGER trick: D_i = L·P_i − i·T (P prefix sum, T block
+      // total of cent-grid longs) is L× the cumdev, exact, so
+      // R = (maxD−minD)/(L·1e4) needs only one non-negative cast and a
+      // division by an exactly-representable literal; S is the Det
+      // block stddev; block R/S values snap to 1e-6 and average on the
+      // exact grid. The log-log slope (the exponent itself) is left to
+      // the caller — ln is not engine-portable, the R/S curve is.
+      // Each arm: one Exchange per (product,block) window family.
+      val filled = GapFill(uniqTicks(s, d),
+        Seq("product_id"), "event_time", "1 hour",
+        Seq("price" -> "price"), truncUnit = "hour")
+        .filter(col("price").isNotNull)
+      val wp = Window.partitionBy(col("product_id")).orderBy(col("grid_ts"))
+      val seq0 = filled.withColumn("k", Det.kl(col("price"), 4))
+        .withColumn("rn", row_number().over(wp))
+        .withColumn("ntot", count(lit(1)).over(Window.partitionBy(col("product_id"))))
+      val arms = RsLens.map { l =>
+        val base = seq0
+          .withColumn("blk", expr(s"(rn - 1) div $l"))
+          .withColumn("i", expr(s"(rn - 1) % $l + 1"))
+          .filter(col("blk") < expr(s"ntot div $l"))
+        val wb = Window.partitionBy(col("product_id"), col("blk")).orderBy(col("i"))
+        val wball = Window.partitionBy(col("product_id"), col("blk"))
+        val withD = base
+          .withColumn("p", sum(col("k")).over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("t", sum(col("k")).over(wball))
+          .withColumn("dd", lit(l) * col("p") - col("i") * col("t"))
+        val blocks = withD.groupBy(col("product_id"), col("blk"))
+          .agg((max(col("dd")) - min(col("dd"))).as("rr"),
+            Det.stddevPopD(col("price"), 4).as("sd"))
+          .filter(col("sd") > 0)
+          .withColumn("rs", Det.snap(
+            col("rr").cast("double") / lit(l * 1e4) / col("sd"), 6))
+        blocks.groupBy(col("product_id"))
+          .agg(count(lit(1)).as("n_blocks"),
+            Det.snap(Det.avgD(col("rs"), 6), 6).as("mean_rs"))
+          .select(col("product_id"), lit(l).as("block_len"),
+            col("n_blocks"), col("mean_rs"))
+      }
+      arms.reduce(_ union _)
     }),
     "rolling_corr" -> ((s, d) => {
       // Rolling 24-hour correlation of the top-2 pair — the time-varying
@@ -794,6 +844,50 @@ SELECT product_id, count(*) AS n_obs,
        ${s6(s"(${Det.avgDSql("price", 9)} - ${Det.betaDSql("price", "mkt", 4)} * ${Det.avgDSql("mkt", 9)})")} AS alpha
 FROM withmkt
 GROUP BY product_id""",
+      "hurst_rs" -> {
+        val armCtes = RsLens.map { l =>
+          s"""a$l AS (
+  SELECT product_id, (rn - 1) // $l AS blk, (rn - 1) % $l + 1 AS i, price, k
+  FROM seq WHERE (rn - 1) // $l < ntot // $l),
+d$l AS (
+  SELECT product_id, blk, price,
+         $l * sum(k) OVER (PARTITION BY product_id, blk ORDER BY i)
+           - i * sum(k) OVER (PARTITION BY product_id, blk) AS dd
+  FROM a$l),
+b$l AS (
+  SELECT product_id, blk, max(dd) - min(dd) AS rr,
+         ${Det.stddevPopDSql("price", 4)} AS sd
+  FROM d$l GROUP BY 1, 2),
+r$l AS (
+  SELECT product_id,
+         ${s6(s"CAST(rr AS DOUBLE) / ${Det.dblLit(l * 1e4)} / sd")} AS rs
+  FROM b$l WHERE sd > 0)"""
+        }.mkString(",\n")
+        val armSelects = RsLens.map { l =>
+          s"""SELECT product_id, $l AS block_len, count(*) AS n_blocks,
+       ${s6(Det.avgDSql("rs", 6))} AS mean_rs
+  FROM r$l GROUP BY product_id"""
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH t AS ($uniqTicksSql),
+bounds AS (
+  SELECT product_id, date_trunc('hour', min(event_time)) AS s, max(event_time) AS e
+  FROM t GROUP BY 1),
+g AS (
+  SELECT product_id, unnest(generate_series(s, e, INTERVAL '1 hour')) AS grid_ts
+  FROM bounds),
+filled AS (
+  SELECT g.product_id, g.grid_ts, t.price
+  FROM g ASOF LEFT JOIN t
+    ON g.product_id = t.product_id AND g.grid_ts >= t.event_time
+  WHERE t.price IS NOT NULL),
+seq AS (
+  SELECT product_id, grid_ts, price, ${Det.klSql("price", 4)} AS k,
+         row_number() OVER (PARTITION BY product_id ORDER BY grid_ts) AS rn,
+         count(*) OVER (PARTITION BY product_id) AS ntot
+  FROM filled),
+$armCtes
+$armSelects"""
+      },
       "rolling_corr" ->
         s"""WITH t AS ($uniqTicksSql),
 bounds AS (
