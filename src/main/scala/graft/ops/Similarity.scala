@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
   * column (`Array[Float]`), three ways:
@@ -502,6 +503,58 @@ object Similarity {
     */
   def pcaTopComponent(vectors: DataFrame, dim: Int, iters: Int): DataFrame = {
     val spark = vectors.sparkSession
+    val (v, _) = pcaState(vectors, dim, iters)
+    spark.createDataFrame(
+      (0 until dim).map(j => (j + 1, v(j).toDouble / 1e6)))
+      .toDF("dim", "loading")
+  }
+
+  /** PC1 transform + explained-variance share: per-vector principal
+    * score sc = kᵀv (exact integer — k on the 1e-6 coordinate grid, v
+    * the 1e-6 loading grid, so pc1 = sc/1e12), and the fraction of
+    * total variance the component explains. The share rides the
+    * identity n·Σsc² − (Σsc)² = vᵀMv: numerator aggregated in-engine
+    * as DECIMAL(38) (sc² ≈ 1e27 outgrows Long), denominator
+    * vᵀv·trace(M) is driver-exact BigInt crossing as a correctly-
+    * rounded double literal; both are non-negative so every cast is
+    * correctly rounded without the signed detour. One extra scan over
+    * the vectors beyond [[pcaTopComponent]]'s moment pass; the scalar
+    * share broadcast-joins onto the scores. */
+  def pcaScores(vectors: DataFrame, dim: Int, iters: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val (v, trace) = pcaState(vectors, dim, iters)
+    val scores = vectors.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, emb) =>
+        var acc = 0L; var j = 0
+        while (j < dim) {
+          acc += math.floor(emb(j).toDouble * 1e6 + 0.5).toLong * v(j); j += 1
+        }
+        (id, acc)
+      }.toDF("vec_id", "sc")
+    val den = v.map(x => BigInt(x) * BigInt(x)).sum * trace
+    val denD = java.lang.Double.parseDouble(den.toString)
+    val scd = col("sc").cast(DecimalType(38, 0))
+    val expl = scores.agg(
+        count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+        sum(scd).as("s1"), sum(scd * scd).as("s2"))
+      .select(when(lit(den.signum > 0), Det.snap(
+        (col("n") * col("s2") - col("s1") * col("s1"))
+          .cast(DecimalType(38, 0)).cast("string").cast("double") / lit(denD), 6))
+        .as("explained"))
+    scores.crossJoin(broadcast(expl))
+      .select(col("vec_id"),
+        Det.snap(col("sc").cast("double") / lit(1e12), 6).as("pc1"),
+        col("explained"))
+  }
+
+  /** Shared driver state for the PCA family: the max-norm-iterated
+    * loading grid v (Longs on the 1e-6 grid) and trace(M) of the exact
+    * covariance numerator. See [[pcaTopComponent]] for the design. */
+  private def pcaState(vectors: DataFrame, dim: Int,
+                       iters: Int): (Array[Long], BigInt) = {
+    val spark = vectors.sparkSession
     import spark.implicits._
     val nTri = dim * (dim + 1) / 2
     val partials = vectors.select(col("embedding")).as[Seq[Float]]
@@ -546,9 +599,7 @@ object Similarity {
       v = if (mx == 0) Array.fill(dim)(0L)
       else w.map(wj => math.floor(dbl(wj) / dbl(mx) * 1e6 + 0.5).toLong)
     }
-    spark.createDataFrame(
-      (0 until dim).map(j => (j + 1, v(j).toDouble / 1e6)))
-      .toDF("dim", "loading")
+    (v, (0 until dim).map(j => m(j, j)).sum)
   }
 
   /** Per-label centroids as (label, pos [1-based], c) rows — exact

@@ -277,6 +277,11 @@ object VecQueries {
       // determinism + scale story).
       Similarity.pcaTopComponent(vecs(s, d), PcaDim, PcaIters)
     }),
+    "pca_scores" -> ((s, d) => {
+      // PC1 transform + explained-variance share (the usable end of the
+      // PCA family — Similarity.pcaScores scaladoc).
+      Similarity.pcaScores(vecs(s, d), PcaDim, PcaIters)
+    }),
     "mmr_diversify" -> ((s, d) => {
       // Redundancy-aware re-ranking: MMR-pick MmrK of the top-MmrN
       // cosine candidates per query (Similarity.mmrDiversify scaladoc
@@ -914,7 +919,7 @@ SELECT qid, pick, vec_id, mmr_score FROM all$MmrK"""
     * division by max|w|, and the IEEE snap back to the 1e-6 grid —
     * matching the Spark driver's decimal-string-routed sequence bit for
     * bit. */
-  private val pcaSql = {
+  private val pcaCtes = {
     val rounds = (1 to PcaIters).map { r =>
       s"""w$r AS MATERIALIZED (
   SELECT s.a AS j, sum(s.m * v.kv) AS w
@@ -926,8 +931,9 @@ v$r AS MATERIALIZED (
        ELSE 0 END AS kv
   FROM w$r, mx$r)"""
     }.mkString(",\n")
-    s"""WITH e AS MATERIALIZED (
-  SELECT [CAST(floor(CAST(x AS DOUBLE)*1e6+0.5) AS BIGINT) for x in embedding] AS k
+    s"""e AS MATERIALIZED (
+  SELECT vec_id,
+         [CAST(floor(CAST(x AS DOUBLE)*1e6+0.5) AS BIGINT) for x in embedding] AS k
   FROM embeddings
 ), cells AS MATERIALIZED (
   SELECT g1.j, g2.l, sum(k[g1.j] * k[g2.l]) AS sp
@@ -948,12 +954,39 @@ mm AS MATERIALIZED (
 ), v0 AS MATERIALIZED (
   SELECT g.j, CAST(1000000 AS BIGINT) AS kv FROM generate_series(1, $PcaDim) g(j)
 ),
-$rounds
-SELECT CAST(j AS INTEGER) AS dim, CAST(kv AS DOUBLE) / 1e6 AS loading FROM v$PcaIters"""
+$rounds"""
   }
+
+  private val pcaSql =
+    s"""WITH $pcaCtes
+SELECT CAST(j AS INTEGER) AS dim, CAST(kv AS DOUBLE) / 1e6 AS loading FROM v$PcaIters"""
+
+  /** Twin of Similarity.pcaScores: sc = kᵀv per vector (exact HUGEINT),
+    * explained = (n·Σsc² − (Σsc)²)/(vᵀv·trace M) — both sides of the
+    * ratio non-negative exact integers, so the direct casts are
+    * correctly rounded and match Spark's decimal-string route. */
+  private val pcaScoresSql =
+    s"""WITH $pcaCtes,
+scores AS MATERIALIZED (
+  SELECT t.vec_id, sum(t.kj * v.kv) AS sc
+  FROM (SELECT e.vec_id, g.j, k[g.j] AS kj
+        FROM e, generate_series(1, $PcaDim) g(j)) t
+  JOIN v$PcaIters v ON v.j = t.j
+  GROUP BY 1),
+den AS (
+  SELECT (SELECT sum(kv * kv) FROM v$PcaIters) *
+         (SELECT sum(m) FROM mm WHERE a = b) AS den),
+ex AS (
+  SELECT CASE WHEN den.den > 0
+       THEN ${s6("CAST(agg.num AS DOUBLE) / CAST(den.den AS DOUBLE)")} END AS explained
+  FROM (SELECT CAST(count(*) AS HUGEINT) * sum(sc * sc) - sum(sc) * sum(sc) AS num
+        FROM scores) agg, den)
+SELECT s.vec_id, ${s6(s"${Det.signedDblSql("s.sc")} / 1e12")} AS pc1, ex.explained
+FROM scores s, ex"""
 
   def oracleSql: Map[String, String] = Map(
     "pca_power" -> pcaSql,
+    "pca_scores" -> pcaScoresSql,
     "mmr_diversify" -> mmrSql,
     "semantic_prune" -> semanticPruneSql,
     "knn_graph" -> knnGraphSql,
