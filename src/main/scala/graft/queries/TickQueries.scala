@@ -39,6 +39,9 @@ object TickQueries {
   /** hurst_rs block lengths (grid hours) — shared Spark/oracle constant. */
   private val RsLens = Seq(32, 64, 128)
 
+  /** vol_signature sampling intervals (grid hours) — shared constant. */
+  private val SigDeltas = Seq(1, 2, 4, 8, 24)
+
   /** events.parquet → reference raw-tick shape.
     *
     * `ts` has shipped as both parquet TIMESTAMP(NANOS) — which Spark only
@@ -310,6 +313,65 @@ object TickQueries {
       m.select(col("product_id"), explode(array(perQ: _*)).as("r"))
         .select(col("product_id"), col("r.q").as("q"),
           col("r.n_pairs").as("n_pairs"), col("r.vr").as("vr"))
+    }),
+    "lee_ready" -> ((s, d) => {
+      // Lee–Ready trade classification: above-mid → buy, below-mid →
+      // sell, at-mid or quoteless → tick test with the last nonzero
+      // sign carried forward (the W6 ignore-nulls forward-fill
+      // pattern). Every comparison is on identical double bits in both
+      // engines (mid is the same bid/ask arithmetic; the tick sign is
+      // exact), and the signed flow rides the Det cent grid. One keyed
+      // window Exchange + one |products|-sized aggregate.
+      val w = Window.partitionBy(col("product_id"))
+        .orderBy(col("event_time"), col("sequence"))
+      val base = ticks(s, d)
+        .withColumn("mid", (col("best_bid") + col("best_ask")) / 2)
+        .withColumn("prev", lag(col("price"), 1).over(w))
+        .withColumn("tick0",
+          when(col("price") > col("prev"), 1)
+            .when(col("price") < col("prev"), -1))
+        .withColumn("tick", last(col("tick0"), ignoreNulls = true).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("dir",
+          when(col("mid").isNotNull && col("price") > col("mid"), 1)
+            .when(col("mid").isNotNull && col("price") < col("mid"), -1)
+            .otherwise(col("tick")))
+      base.groupBy(col("product_id")).agg(
+        count(lit(1)).as("n_ticks"),
+        count(when(col("dir") === 1, 1)).as("n_buys"),
+        count(when(col("dir") === -1, 1)).as("n_sells"),
+        count(when(col("dir").isNull, 1)).as("n_unclassified"),
+        Det.snap(Det.sumD(when(col("dir").isNotNull,
+          col("dir") * col("price")), 4), 6).as("signed_flow"))
+    }),
+    "vol_signature" -> ((s, d) => {
+      // Volatility signature plot — realized variance per hour at
+      // non-overlapping sampling intervals Δ∈{1,2,4,8,24} grid hours,
+      // the classic microstructure diagnostic (RV(Δ) flat ⇒ noise-free
+      // diffusion; rising at small Δ ⇒ microstructure noise). Each arm
+      // sub-samples every Δ-th grid row (exact rn arithmetic — no
+      // re-bucketing), diffs the cent grid, and reduces to one
+      // |products|-sized aggregate; Σd² is an exact long whose
+      // non-negative cast is correctly rounded in both engines.
+      val filled = GapFill(uniqTicks(s, d),
+        Seq("product_id"), "event_time", "1 hour",
+        Seq("price" -> "price"), truncUnit = "hour")
+        .filter(col("price").isNotNull)
+      val wp = Window.partitionBy(col("product_id")).orderBy(col("grid_ts"))
+      val seq0 = filled.withColumn("k", Det.kl(col("price"), 4))
+        .withColumn("rn", row_number().over(wp))
+      val arms = SigDeltas.map { dl =>
+        seq0.filter(expr(s"(rn - 1) % $dl = 0"))
+          .withColumn("d", col("k") - lag(col("k"), 1).over(wp))
+          .filter(col("d").isNotNull)
+          .groupBy(col("product_id"))
+          .agg(count(lit(1)).as("n_obs"),
+            sum(col("d") * col("d")).as("ss"))
+          .select(col("product_id"), lit(dl).as("delta_h"), col("n_obs"),
+            Det.snap(col("ss").cast("double") / lit(1e8) /
+              (col("n_obs") * dl).cast("double"), 6).as("rv_per_hour"))
+      }
+      arms.reduce(_ union _)
     }),
     "hurst_rs" -> ((s, d) => {
       // Rescaled-range (R/S) analysis — the long-memory diagnostic
@@ -844,6 +906,58 @@ SELECT product_id, count(*) AS n_obs,
        ${s6(s"(${Det.avgDSql("price", 9)} - ${Det.betaDSql("price", "mkt", 4)} * ${Det.avgDSql("mkt", 9)})")} AS alpha
 FROM withmkt
 GROUP BY product_id""",
+      "lee_ready" ->
+        s"""WITH t AS ($liveTicksSql),
+s1 AS (
+  SELECT product_id, event_time, sequence, price,
+         (best_bid + best_ask) / 2 AS mid,
+         CASE WHEN price > lag(price, 1) OVER w THEN 1
+              WHEN price < lag(price, 1) OVER w THEN -1 END AS tick0
+  FROM t WINDOW w AS (PARTITION BY product_id ORDER BY event_time, sequence)),
+s2 AS (
+  SELECT product_id, price, mid,
+         last_value(tick0 IGNORE NULLS) OVER (
+             PARTITION BY product_id ORDER BY event_time, sequence
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tick
+  FROM s1),
+s3 AS (
+  SELECT product_id, price,
+         CASE WHEN mid IS NOT NULL AND price > mid THEN 1
+              WHEN mid IS NOT NULL AND price < mid THEN -1
+              ELSE tick END AS dir
+  FROM s2)
+SELECT product_id, count(*) AS n_ticks,
+       count(CASE WHEN dir = 1 THEN 1 END) AS n_buys,
+       count(CASE WHEN dir = -1 THEN 1 END) AS n_sells,
+       count(CASE WHEN dir IS NULL THEN 1 END) AS n_unclassified,
+       ${s6(Det.sumDSql("CASE WHEN dir IS NOT NULL THEN dir * price END", 4))} AS signed_flow
+FROM s3 GROUP BY product_id""",
+      "vol_signature" -> {
+        val arms = SigDeltas.map { dl =>
+          s"""SELECT product_id, $dl AS delta_h, count(*) AS n_obs,
+       ${s6(s"(CAST(sum(d*d) AS DOUBLE) / 1e8) / CAST(count(*) * $dl AS DOUBLE)")} AS rv_per_hour
+  FROM (SELECT product_id, k - lag(k, 1) OVER (PARTITION BY product_id ORDER BY rn) AS d
+        FROM seq WHERE (rn - 1) % $dl = 0) a$dl
+  WHERE d IS NOT NULL GROUP BY product_id"""
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH t AS ($uniqTicksSql),
+bounds AS (
+  SELECT product_id, date_trunc('hour', min(event_time)) AS s, max(event_time) AS e
+  FROM t GROUP BY 1),
+g AS (
+  SELECT product_id, unnest(generate_series(s, e, INTERVAL '1 hour')) AS grid_ts
+  FROM bounds),
+filled AS (
+  SELECT g.product_id, g.grid_ts, t.price
+  FROM g ASOF LEFT JOIN t
+    ON g.product_id = t.product_id AND g.grid_ts >= t.event_time
+  WHERE t.price IS NOT NULL),
+seq AS (
+  SELECT product_id, ${Det.klSql("price", 4)} AS k,
+         row_number() OVER (PARTITION BY product_id ORDER BY grid_ts) AS rn
+  FROM filled)
+$arms"""
+      },
       "hurst_rs" -> {
         val armCtes = RsLens.map { l =>
           s"""a$l AS (
