@@ -353,6 +353,13 @@ object TickQueries {
       // re-bucketing), diffs the cent grid, and reduces to one
       // |products|-sized aggregate; Σd² is an exact long whose
       // non-negative cast is correctly rounded in both engines.
+      // Single-pass shape: on the sampled sub-series the lag-1 partner
+      // IS the full-series row Δ back (sampled rns are 1, Δ+1, 2Δ+1, …),
+      // so all five arms ride ONE window carrying lag(k, Δ) per Δ, then
+      // stack → one aggregate — not five grid rebuilds (at 100 TB that
+      // would be five scans). Exact integers throughout, so the rewrite
+      // cannot move a bit vs the per-arm form (the oracle keeps the
+      // per-arm algebra).
       val filled = GapFill(uniqTicks(s, d),
         Seq("product_id"), "event_time", "1 hour",
         Seq("price" -> "price"), truncUnit = "hour")
@@ -360,18 +367,20 @@ object TickQueries {
       val wp = Window.partitionBy(col("product_id")).orderBy(col("grid_ts"))
       val seq0 = filled.withColumn("k", Det.kl(col("price"), 4))
         .withColumn("rn", row_number().over(wp))
-      val arms = SigDeltas.map { dl =>
-        seq0.filter(expr(s"(rn - 1) % $dl = 0"))
-          .withColumn("d", col("k") - lag(col("k"), 1).over(wp))
-          .filter(col("d").isNotNull)
-          .groupBy(col("product_id"))
-          .agg(count(lit(1)).as("n_obs"),
-            sum(col("d") * col("d")).as("ss"))
-          .select(col("product_id"), lit(dl).as("delta_h"), col("n_obs"),
-            Det.snap(col("ss").cast("double") / lit(1e8) /
-              (col("n_obs") * dl).cast("double"), 6).as("rv_per_hour"))
+      val withD = SigDeltas.foldLeft(seq0) { (df, dl) =>
+        df.withColumn(s"d$dl", when(expr(s"(rn - 1) % $dl = 0"),
+          col("k") - lag(col("k"), dl).over(wp)))
       }
-      arms.reduce(_ union _)
+      val stackArgs = SigDeltas.map(dl => s"$dl, d$dl").mkString(", ")
+      withD
+        .selectExpr("product_id",
+          s"stack(${SigDeltas.size}, $stackArgs) AS (delta_h, d)")
+        .filter(col("d").isNotNull)
+        .groupBy(col("product_id"), col("delta_h"))
+        .agg(count(lit(1)).as("n_obs"), sum(col("d") * col("d")).as("ss"))
+        .select(col("product_id"), col("delta_h"), col("n_obs"),
+          Det.snap(col("ss").cast("double") / lit(1e8) /
+            (col("n_obs") * col("delta_h")).cast("double"), 6).as("rv_per_hour"))
     }),
     "hurst_rs" -> ((s, d) => {
       // Rescaled-range (R/S) analysis — the long-memory diagnostic
@@ -391,9 +400,13 @@ object TickQueries {
         Seq("price" -> "price"), truncUnit = "hour")
         .filter(col("price").isNotNull)
       val wp = Window.partitionBy(col("product_id")).orderBy(col("grid_ts"))
+      // one grid build materialized for the three block-length arms
+      // (each arm re-windows on its own (product,block) keying — that
+      // Exchange is inherent, the grid build is not)
       val seq0 = filled.withColumn("k", Det.kl(col("price"), 4))
         .withColumn("rn", row_number().over(wp))
         .withColumn("ntot", count(lit(1)).over(Window.partitionBy(col("product_id"))))
+        .localCheckpoint(true)
       val arms = RsLens.map { l =>
         val base = seq0
           .withColumn("blk", expr(s"(rn - 1) div $l"))
@@ -418,7 +431,9 @@ object TickQueries {
           .select(col("product_id"), lit(l).as("block_len"),
             col("n_blocks"), col("mean_rs"))
       }
-      arms.reduce(_ union _)
+      val out = arms.reduce(_ union _).localCheckpoint(true)
+      seq0.unpersist()
+      out
     }),
     "rolling_corr" -> ((s, d) => {
       // Rolling 24-hour correlation of the top-2 pair — the time-varying

@@ -79,7 +79,14 @@ object PlanSnap {
     "dollar_bars",       // one keyed Exchange: prefix clock + pick agg
     "dedup_verify",      // LSH pair frame + two id-keyed text joins
     "global_quantiles",  // rank selection: filter + one-row aggregate
-    "rolling_beta"       // gapfill + two orthogonal window Exchanges
+    "rolling_beta",      // gapfill + two orthogonal window Exchanges
+    "variance_ratio",    // one multi-lag window + one agg + q-arm explode
+    "ks_drift",          // dense ECDF grid + per-value pair join
+    // hurst_rs is NOT pinned: its eager output checkpoint (hygiene for
+    // the shared grid checkpoint) reduces the observable plan to an RDD
+    // scan — a 1-op pin asserts nothing.
+    "lee_ready",         // one keyed window chain + hash aggregate
+    "vol_signature"      // five rn-subsample arms off one window pass
   )
 
   val SnapshotDir = "src/test/resources/plans"
