@@ -39,6 +39,12 @@ object IndicatorQueries {
 
   private def ticksSql = TickQueries.liveTicksSql
 
+  /** Ichimoku periods (tenkan/kijun/senkou-B lookbacks, displacement). */
+  private val IchiT = 9
+  private val IchiK = 26
+  private val IchiS = 52
+  private val IchiD = 26
+
   // ---------------------------------------------------------------- RSI
 
   private def rsi(s: SparkSession, d: String): DataFrame =
@@ -320,7 +326,67 @@ SELECT product_id, CAST(len(xs) AS BIGINT) AS n_bars,
 FROM per"""
   }
 
+  // ----------------------------------------------------------- Ichimoku
+
+  /** Ichimoku cloud: midpoint lines (max+min)/2 over 9/26/52 lookbacks,
+    * the cloud legs displaced 26 forward (so at row t they are the
+    * 26-back values), the lagging span 26 ahead (NULL near series end —
+    * that is the indicator's real shape, emitted as-is). Each midpoint
+    * is an exact-pick sum of two identical-bit doubles halved (÷2 is an
+    * exponent decrement — exact); all frames and shifts share ONE
+    * (product_id, event_time, sequence) window family, so the whole
+    * indicator rides a single Exchange+Sort like stochastic. */
+  private def ichimoku(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("product_id"))
+      .orderBy(col("event_time"), col("sequence"))
+    def mid(n: Int) = {
+      val f = w.rowsBetween(-(n - 1), Window.currentRow)
+      (max(col("price")).over(f) + min(col("price")).over(f)) / lit(2.0)
+    }
+    TickQueries.ticks(s, d)
+      .withColumn("tenkan", mid(IchiT))
+      .withColumn("kijun", mid(IchiK))
+      .withColumn("senkou_a",
+        lag((col("tenkan") + col("kijun")) / lit(2.0), IchiD).over(w))
+      .withColumn("senkou_b", lag(mid(IchiS), IchiD).over(w))
+      .withColumn("chikou", lead(col("price"), IchiD).over(w))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") >= IchiS + IchiD)
+      .select(col("product_id"), col("event_time"), col("sequence"),
+        col("tenkan"), col("kijun"), col("senkou_a"), col("senkou_b"),
+        col("chikou"))
+  }
+
+  private val ichimokuSql =
+    s"""WITH base AS (
+  SELECT product_id, event_time, sequence, price,
+         (max(price) OVER ft + min(price) OVER ft) / CAST(2 AS DOUBLE) AS tenkan,
+         (max(price) OVER fk + min(price) OVER fk) / CAST(2 AS DOUBLE) AS kijun,
+         (max(price) OVER fs + min(price) OVER fs) / CAST(2 AS DOUBLE) AS mid52,
+         row_number() OVER wo AS rn
+  FROM ($ticksSql) t
+  WINDOW wo AS (PARTITION BY product_id ORDER BY event_time, sequence),
+         ft AS (PARTITION BY product_id ORDER BY event_time, sequence
+                ROWS BETWEEN ${IchiT - 1} PRECEDING AND CURRENT ROW),
+         fk AS (PARTITION BY product_id ORDER BY event_time, sequence
+                ROWS BETWEEN ${IchiK - 1} PRECEDING AND CURRENT ROW),
+         fs AS (PARTITION BY product_id ORDER BY event_time, sequence
+                ROWS BETWEEN ${IchiS - 1} PRECEDING AND CURRENT ROW)),
+shifted AS (
+  SELECT product_id, event_time, sequence, rn, tenkan, kijun,
+         lag((tenkan + kijun) / CAST(2 AS DOUBLE), $IchiD) OVER wo AS senkou_a,
+         lag(mid52, $IchiD) OVER wo AS senkou_b,
+         lead(price, $IchiD) OVER wo AS chikou
+  FROM base
+  WINDOW wo AS (PARTITION BY product_id ORDER BY event_time, sequence))
+SELECT product_id, event_time, sequence,
+       ${s6("tenkan")} AS tenkan, ${s6("kijun")} AS kijun,
+       ${s6("senkou_a")} AS senkou_a, ${s6("senkou_b")} AS senkou_b,
+       ${s6("chikou")} AS chikou
+FROM shifted WHERE rn >= ${IchiS + IchiD}"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ichimoku" -> ((s, d) => r6(ichimoku(s, d))),
     "kama" -> ((s, d) => r6(kama(s, d))),
     "rsi" -> ((s, d) => r6(rsi(s, d))),
     "macd" -> ((s, d) => r6(macd(s, d))),
@@ -330,6 +396,7 @@ FROM per"""
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ichimoku" -> ichimokuSql,
     "kama" -> kamaSql,
     "rsi" -> rsiSql,
     "macd" -> macdSql,
