@@ -326,6 +326,121 @@ SELECT product_id, CAST(len(xs) AS BIGINT) AS n_bars,
 FROM per"""
   }
 
+  // ---------------------------------------------------------------- ADX
+
+  /** Average Directional Index over the hourly bars — Wilder-smoothed
+    * ±DM and TR, DI± = 100·sDM/sTR, DX = 100·|DI⁺−DI⁻|/(DI⁺+DI⁻)
+    * (sTR cancels in DX, so DX needs only the smoothed DMs), ADX =
+    * Wilder-smoothed DX seeded at the second bar. One final row per
+    * instrument, like [[atr]].
+    *
+    * Determinism: the per-key fold replays the IDENTICAL IEEE sequence
+    * as the oracle's list_reduce — the accumulator is a DOUBLE list
+    * (n, ph, pl, pc, sTR, s+DM, s−DM, adx) with every slot computed
+    * from the PREVIOUS accumulator only (snapshot-safe per CLAUDE.md's
+    * struct-aliasing rule; the smoothed-DM formulas are repeated inside
+    * DX rather than read back), and each element is pre-shaped as its
+    * own seed state so list_reduce needs no separate init. Scale: the
+    * fold input is the ALREADY-REDUCED bar table (|keys|·|hours|). */
+  private def adx(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val a = AtrAlpha; val b = 1.0 - AtrAlpha
+    val bars = TickQueries.ticks(s, d)
+      .groupBy(col("product_id"),
+        date_trunc("hour", col("event_time")).as("bar_ts"))
+      .agg(max(col("price")).as("high"), min(col("price")).as("low"),
+        max_by(col("price"), struct(col("event_time"), col("sequence"))).as("close"))
+    bars
+      .select(col("product_id").cast("string"), col("bar_ts"),
+        col("high").cast("double"), col("low").cast("double"),
+        col("close").cast("double"))
+      .as[(String, java.sql.Timestamp, Double, Double, Double)]
+      .repartition(col("product_id"))
+      .sortWithinPartitions(col("product_id"), col("bar_ts"))
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, Option[Double], Option[Double], Double)]
+        var cur: String = null
+        var n = 0L; var ph = 0.0; var pl = 0.0; var pc = 0.0
+        var str = 0.0; var spdm = 0.0; var sndm = 0.0; var adx = 0.0
+        def flush(): Unit = if (cur != null && n > 0) {
+          val dip = if (str > 0) Some(100.0 * spdm / str) else None
+          val din = if (str > 0) Some(100.0 * sndm / str) else None
+          out += ((cur, n, dip, din, adx))
+        }
+        it.foreach { case (k, _, h, l, c) =>
+          if (k != cur) { flush(); cur = k; n = 0L }
+          if (n == 0L) { str = h - l; spdm = 0.0; sndm = 0.0; adx = 0.0 }
+          else {
+            val tr = math.max(h - l, math.max(math.abs(h - pc), math.abs(l - pc)))
+            val up = h - ph; val down = pl - l
+            val pdm = if (up > down && up > 0) up else 0.0
+            val ndm = if (down > up && down > 0) down else 0.0
+            str = tr * a + str * b
+            spdm = pdm * a + spdm * b
+            sndm = ndm * a + sndm * b
+            val dsum = spdm + sndm
+            val dx = if (dsum > 0) 100.0 * math.abs(spdm - sndm) / dsum else 0.0
+            adx = if (n == 1L) dx else dx * a + adx * b
+          }
+          ph = h; pl = l; pc = c; n += 1L
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("product_id", "n_bars", "di_plus", "di_minus", "adx")
+  }
+
+  private val adxSql = {
+    val A = Det.dblLit(AtrAlpha)
+    val B = Det.dblLit(1.0 - AtrAlpha)
+    // element e is its own seed state [1, h, l, c, h-l, 0, 0, 0];
+    // acc slots: 1=n 2=ph 3=pl 4=pc 5=sTR 6=s+DM 7=s-DM 8=adx.
+    // Every expression reads acc (previous state) only — snapshot-safe.
+    val tr = "greatest(e[2] - e[3], abs(e[2] - acc[4]), abs(e[3] - acc[4]))"
+    val pdm = "(CASE WHEN e[2] - acc[2] > acc[3] - e[3] AND e[2] - acc[2] > 0 " +
+      "THEN e[2] - acc[2] ELSE CAST(0 AS DOUBLE) END)"
+    val ndm = "(CASE WHEN acc[3] - e[3] > e[2] - acc[2] AND acc[3] - e[3] > 0 " +
+      "THEN acc[3] - e[3] ELSE CAST(0 AS DOUBLE) END)"
+    val spdm2 = s"($pdm * $A + acc[6] * $B)"
+    val sndm2 = s"($ndm * $A + acc[7] * $B)"
+    val dsum = s"($spdm2 + $sndm2)"
+    val dx = s"(CASE WHEN $dsum > 0 THEN CAST(100 AS DOUBLE) * abs($spdm2 - $sndm2) / $dsum " +
+      s"ELSE CAST(0 AS DOUBLE) END)"
+    s"""WITH t AS (
+  SELECT product_id, date_trunc('hour', event_time) AS bar_ts, price,
+         row_number() OVER (PARTITION BY product_id, date_trunc('hour', event_time)
+                            ORDER BY event_time DESC, sequence DESC) AS rn_d
+  FROM ($ticksSql) lt),
+bars AS (
+  SELECT product_id, bar_ts, max(price) AS high, min(price) AS low,
+         max(CASE WHEN rn_d = 1 THEN price END) AS close
+  FROM t GROUP BY product_id, bar_ts),
+per AS (
+  SELECT product_id,
+         list([CAST(1 AS DOUBLE), high, low, close, high - low,
+               CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]
+              ORDER BY bar_ts) AS xs
+  FROM bars GROUP BY product_id),
+m AS (
+  SELECT product_id,
+         list_reduce(xs, (acc, e) -> [
+           acc[1] + 1,
+           e[2], e[3], e[4],
+           $tr * $A + acc[5] * $B,
+           $spdm2,
+           $sndm2,
+           CASE WHEN acc[1] = 1 THEN $dx ELSE $dx * $A + acc[8] * $B END
+         ]) AS st
+  FROM per)
+SELECT product_id, CAST(st[1] AS BIGINT) AS n_bars,
+       CASE WHEN st[5] > 0 THEN ${s6("CAST(100 AS DOUBLE) * st[6] / st[5]")} END AS di_plus,
+       CASE WHEN st[5] > 0 THEN ${s6("CAST(100 AS DOUBLE) * st[7] / st[5]")} END AS di_minus,
+       ${s6("st[8]")} AS adx
+FROM m"""
+  }
+
   // ----------------------------------------------------------- Ichimoku
 
   /** Ichimoku cloud: midpoint lines (max+min)/2 over 9/26/52 lookbacks,
@@ -386,6 +501,7 @@ SELECT product_id, event_time, sequence,
 FROM shifted WHERE rn >= ${IchiS + IchiD}"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "adx" -> ((s, d) => r6(adx(s, d))),
     "ichimoku" -> ((s, d) => r6(ichimoku(s, d))),
     "kama" -> ((s, d) => r6(kama(s, d))),
     "rsi" -> ((s, d) => r6(rsi(s, d))),
@@ -396,6 +512,7 @@ FROM shifted WHERE rn >= ${IchiS + IchiD}"""
   )
 
   def oracleSql: Map[String, String] = Map(
+    "adx" -> adxSql,
     "ichimoku" -> ichimokuSql,
     "kama" -> kamaSql,
     "rsi" -> rsiSql,
