@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.ops.{Det, ZOrder}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational/serving queries over the TPC-H-ish tables, standing in for
@@ -190,6 +191,36 @@ FROM z GROUP BY 1"""
       t(s, d, "lineitem").select(col("l_suppkey").as("k")),
       BloomBits, BloomHashes)),
     "zorder_layout" -> ((s, d) => zorderLayout(s, d)),
+    "scd2_intervals" -> ((s, d) => {
+      // Slowly-changing-dimension (type 2) build from a change log:
+      // per customer, collapse consecutive equal order statuses into
+      // versioned validity intervals [valid_from, valid_to) — the
+      // standard warehouse dimension-history transformation (the
+      // relational cousin of signal_runs' gaps-and-islands). Both
+      // windows and the island aggregate key on o_custkey, so the whole
+      // build rides ONE keyed Exchange; all values are exact
+      // (timestamps, ints, strings).
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val prev = lag(col("o_orderstatus"), 1).over(w)
+      val marked = t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderstatus"), col("o_orderdate"))
+        .withColumn("chg",
+          when(prev.isNull || prev =!= col("o_orderstatus"), 1).otherwise(0))
+        .withColumn("ver", sum(col("chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val islands = marked
+        .groupBy(col("o_custkey"), col("ver"), col("o_orderstatus"))
+        .agg(min(col("o_orderdate")).as("valid_from"),
+          count(lit(1)).as("n_orders"))
+      islands
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(
+          Window.partitionBy(col("o_custkey")).orderBy(col("ver"))))
+        .select(col("o_custkey"), col("ver").cast("long").as("version"),
+          col("o_orderstatus"), col("valid_from"), col("valid_to"),
+          col("n_orders"))
+    }),
     "rel_above_avg" -> ((s, d) => r6(aboveAvgOrders(s, d))),
     "rel_star_join" -> ((s, d) => r6(starJoin(s, d))),
     "rel_revenue_by_segment" -> ((s, d) => r6(revenueBySegment(s, d))),
@@ -205,6 +236,27 @@ FROM z GROUP BY 1"""
       "SELECT l_suppkey AS k FROM lineitem",
       BloomBits, BloomHashes),
     "zorder_layout" -> zorderLayoutSql,
+    "scd2_intervals" ->
+      """WITH marked AS (
+  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+         CASE WHEN lag(o_orderstatus, 1) OVER w IS NULL
+                OR lag(o_orderstatus, 1) OVER w <> o_orderstatus
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+vers AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate,
+         sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver
+  FROM marked),
+islands AS (
+  SELECT o_custkey, CAST(ver AS BIGINT) AS version, o_orderstatus,
+         min(o_orderdate) AS valid_from, count(*) AS n_orders
+  FROM vers GROUP BY 1, 2, 3)
+SELECT o_custkey, version, o_orderstatus, valid_from,
+       lead(valid_from, 1) OVER (PARTITION BY o_custkey ORDER BY version) AS valid_to,
+       n_orders
+FROM islands""",
     "rel_above_avg" -> aboveAvgOrdersSql,
     "rel_star_join" ->
       s"""SELECT r_name, CAST(year(o_orderdate) AS INT) AS order_year,
