@@ -66,6 +66,72 @@ SELECT from_type, to_type, c,
        ${s6("CAST(c AS DOUBLE) / CAST(sum(c) OVER (PARTITION BY from_type) AS DOUBLE)")} AS p_cond
 FROM counts"""
 
+  /** Time-split next-event prediction eval — train a first-order Markov
+    * argmax predictor on the first half of the time range (threshold =
+    * exact integer midpoint of epoch-micros bounds), score it on the
+    * second half: per from-state, the predicted next type, eval-pair
+    * count, hits, and exact accuracy. The ML-eval companion to
+    * [[markov]]'s transition matrix: counts and the time split are exact
+    * integers, the predictor pick is an argmax window with a string
+    * tie-break, accuracy is one division of exact counts. Transitions
+    * whose from-state never appears in training drop out via the inner
+    * join (coverage is visible as Σn_eval). Two passes over the pair
+    * frame (train grouping vs eval join) — deliberately NOT checkpointed:
+    * the pair frame is event-sized, and two scans beat materializing it
+    * at 100 TB. */
+  private def markovEval(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs0 = AnalyticsQueries.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .withColumn("nxt_us", lead(expr("unix_micros(ts)"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+    val bounds = pairs0.agg(min(col("us")).as("lo"), max(col("nxt_us")).as("hi"))
+    val pairs = pairs0.crossJoin(broadcast(bounds))
+      .withColumn("thr", expr("lo + (hi - lo) div 2"))
+    val train = pairs.filter(col("nxt_us") <= col("thr"))
+      .groupBy(col("event_type"), col("nxt")).agg(count(lit(1)).as("c"))
+    val pred = train.withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("c").desc, col("nxt"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("nxt").as("predicted"))
+    pairs.filter(col("nxt_us") > col("thr"))
+      .join(pred, Seq("event_type"))
+      .groupBy(col("event_type"), col("predicted"))
+      .agg(count(lit(1)).as("n_eval"),
+        count(when(col("nxt") === col("predicted"), 1)).as("n_correct"))
+      .select(col("event_type"), col("predicted"), col("n_eval"),
+        col("n_correct"),
+        Det.snap(col("n_correct").cast("double") /
+          col("n_eval").cast("double"), 6).as("accuracy"))
+  }
+
+  private val markovEvalSql =
+    s"""WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         lead(event_type, 1) OVER w AS nxt,
+         lead(epoch_us(ts), 1) OVER w AS nxt_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+p AS (SELECT * FROM ev WHERE nxt IS NOT NULL),
+b AS (SELECT min(us) AS lo, max(nxt_us) AS hi FROM p),
+pairs AS (SELECT p.*, (b.lo + (b.hi - b.lo) // 2) AS thr FROM p, b),
+train AS (
+  SELECT event_type, nxt, count(*) AS c
+  FROM pairs WHERE nxt_us <= thr GROUP BY 1, 2),
+pred AS (
+  SELECT event_type, nxt AS predicted FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY c DESC, nxt) AS rk
+    FROM train) t
+  WHERE rk = 1)
+SELECT e.event_type, pr.predicted, count(*) AS n_eval,
+       count(CASE WHEN e.nxt = pr.predicted THEN 1 END) AS n_correct,
+       ${s6("CAST(count(CASE WHEN e.nxt = pr.predicted THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS accuracy
+FROM (SELECT * FROM pairs WHERE nxt_us > thr) e
+JOIN pred pr USING (event_type)
+GROUP BY 1, 2"""
+
   /** Per-user autocorrelation of `value` at lags 1..3 — exact Pearson
     * (Det.corrD) over (value, lag_k(value)) pairs, the stationarity probe
     * behind seasonality/regime detection. One window pass computes all
@@ -585,6 +651,7 @@ FROM dc JOIN ic USING (community) CROSS JOIN mm"""
       r6(degreeDist(s, d))
     }),
     "markov_transitions" -> ((s, d) => markov(s, d)),
+    "markov_eval" -> ((s, d) => markovEval(s, d)),
     "autocorr" -> ((s, d) => autocorr(s, d)),
     "triangle_count" -> ((s, d) => triangles(s, d)),
     "link_prediction" -> ((s, d) => linkPrediction(s, d)),
@@ -599,6 +666,7 @@ FROM dc JOIN ic USING (community) CROSS JOIN mm"""
     "kcore" -> kcoreSql,
     "degree_dist" -> degreeDistSql,
     "markov_transitions" -> markovSql,
+    "markov_eval" -> markovEvalSql,
     "autocorr" -> autocorrSql,
     "triangle_count" -> trianglesSql,
     "link_prediction" -> linkPredictionSql,
