@@ -139,4 +139,55 @@ object Approx {
       .select(col("key"), col("n_exact"), col("k"), col("kth_hv"),
         col("estimate"), col("rel_err"))
   }
+
+  /** α_m·m²·2^43 — the raw-HLL estimator numerator, computed ONCE in
+    * Scala so the Spark literal and the oracle's [[Det.dblLit]] carry
+    * identical double bits. */
+  def hllAlphaNum(m: Int): Double =
+    0.7213 / (1.0 + 1.079 / m) * m * m * (1L << 43).toDouble
+
+  /** Raw HyperLogLog distinct estimate audited against the exact count —
+    * the fixed-register companion to [[kmvDistinct]] (m registers per
+    * key REGARDLESS of cardinality; KMV keeps k order statistics, HLL
+    * keeps max trailing-zero ranks).
+    *
+    * Engine-portable by integer construction: the 48-bit md5 hash
+    * splits into bucket = hv % m and payload x = hv div m < 2^42; the
+    * sentinel x' = x + 2^42 bounds the rank; the lowest-set-bit
+    * g = x' & −x' IS 2^tz exactly, so the register indicator 2^{−M_j}
+    * scales to the exact integer 2^43/(2·gmax_j) (gmax divides 2^43 —
+    * the division is exact), empty registers contribute 2^43, and the
+    * harmonic denominator S ≤ m·2^43 < 2^53 sums exactly. The ONE
+    * floating op is αm²·2^43 / (double)S. No small/large-range bias
+    * corrections (they need ln, which is not engine-portable) — the
+    * audit's rel_err column IS the bias readout.
+    */
+  def hllDistinct(df: DataFrame, key: Column, value: Column,
+                  m: Int = 64): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, "m must be a power of two")
+    val z = 1L << 43
+    val d = df.select(key.as("key"), value.cast("string").as("v")).distinct()
+      .select(col("key"),
+        conv(substring(md5(col("v")), 1, 12), 16, 10).cast("long").as("hv"))
+    val regs = d
+      .select(col("key"), expr(s"hv % $m").as("bucket"),
+        expr(s"(hv div $m) + ${1L << 42}L").as("x"))
+      .withColumn("g", expr("x & -x"))
+      .groupBy(col("key"), col("bucket")).agg(max(col("g")).as("gmax"))
+    val ex = d.groupBy(col("key")).agg(count(lit(1)).as("n_exact"))
+    val den = regs.groupBy(col("key")).agg(
+        count(lit(1)).as("nb"),
+        sum(expr(s"${z}L div (2 * gmax)")).as("s1"))
+      .select(col("key"), (lit(m.toLong) - col("nb")).as("n_empty"),
+        (col("s1") + (lit(m.toLong) - col("nb")) * z).as("sden"))
+    ex.join(den, Seq("key"))
+      .withColumn("m", lit(m.toLong))
+      .withColumn("estimate",
+        Det.snap(lit(hllAlphaNum(m)) / col("sden").cast("double"), 6))
+      .withColumn("rel_err", Det.snap(
+        (col("estimate") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 6))
+      .select(col("key"), col("n_exact"), col("m"), col("n_empty"),
+        col("estimate"), col("rel_err"))
+  }
 }

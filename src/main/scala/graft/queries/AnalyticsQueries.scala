@@ -311,6 +311,14 @@ FROM g WHERE gap_us IS NOT NULL
 GROUP BY 1, 2"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Raw HLL audited against the exact count — the fixed-register
+    // sketch beside kmv_distinct's order statistics, on a column whose
+    // per-key cardinality (distinct event_ids per type, thousands+) is
+    // in raw HLL's unbiased regime (Approx.hllDistinct scaladoc has
+    // the all-integer register construction).
+    "hll_distinct" -> ((s, d) => graft.ops.Approx.hllDistinct(
+      events(s, d).select(col("event_type"), col("event_id")),
+      col("event_type"), col("event_id"), CorpusQueries.HllM)),
     "retention" -> ((s, d) => Retention.matrix(events(s, d), "user_id", "ts")),
     "funnel" -> ((s, d) => funnel(s, d)),
     "asof_join" -> ((s, d) => r6(asofJoin(s, d))),
@@ -373,6 +381,7 @@ GROUP BY 1, 2"""
   )
 
   def oracleSql: Map[String, String] = Map(
+    "hll_distinct" -> CorpusQueries.hllDistinctSql,
     "retention" -> Retention.matrixSql("events", "user_id", "ts"),
     "funnel" -> Funnel.threeStepSql("events", "user_id", "ts", "event_type",
       "view", "click", "purchase", horizonSec = 86400L),

@@ -35,6 +35,8 @@ object CorpusQueries {
 
   // kmv_distinct sketch size (shared Spark/oracle constant).
   private val KmvK = 16
+  /** hll_distinct register count (shared Spark/oracle constant). */
+  private[queries] val HllM = 64
 
   // countmin_words sketch geometry (shared Spark/oracle constants).
   private val CmWidth = 256
@@ -98,6 +100,38 @@ GROUP BY 1, 2, 3"""
               ELSE ${s6(s"$num / CAST(kth.kth_hv AS DOUBLE)")} END AS estimate
   FROM ex LEFT JOIN kth USING (key))
 SELECT key, n_exact, k, kth_hv, estimate,
+       ${s6("(estimate - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)")} AS rel_err
+FROM est"""
+  }
+
+  /** Twin of Approx.hllDistinct over events (placed here for
+    * [[hv48Sql]]; the query registers in AnalyticsQueries): distinct
+    * event_ids per event_type — cardinalities ≫ 2.5·m, the regime where
+    * raw HLL (no linear-counting correction — ln is not portable) is
+    * actually unbiased. */
+  private[queries] val hllDistinctSql = {
+    val m = HllM; val z = 1L << 43
+    val alphaNum = Det.dblLit(graft.ops.Approx.hllAlphaNum(m))
+    s"""WITH d AS (
+  SELECT DISTINCT event_type AS key, CAST(event_id AS VARCHAR) AS v
+  FROM events
+), h AS (
+  SELECT key, CAST(${hv48Sql("md5(v)")} AS BIGINT) AS hv FROM d
+), b AS (
+  SELECT key, hv % $m AS bucket, (hv // $m) + ${1L << 42} AS x FROM h
+), regs AS (
+  SELECT key, bucket, max(x & -x) AS gmax FROM b GROUP BY 1, 2
+), ex AS (
+  SELECT key, count(*) AS n_exact FROM h GROUP BY 1
+), s AS (
+  SELECT key, CAST($m - count(*) AS BIGINT) AS n_empty,
+         CAST(sum($z // (2 * gmax)) + ($m - count(*)) * $z AS BIGINT) AS sden
+  FROM regs GROUP BY key
+), est AS (
+  SELECT ex.key, ex.n_exact, CAST($m AS BIGINT) AS m, s.n_empty,
+         ${s6(s"$alphaNum / CAST(sden AS DOUBLE)")} AS estimate
+  FROM ex JOIN s USING (key))
+SELECT key, n_exact, m, n_empty, estimate,
        ${s6("(estimate - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)")} AS rel_err
 FROM est"""
   }
