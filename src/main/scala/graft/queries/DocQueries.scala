@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ops._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{abs, array, bin, broadcast, coalesce, col, concat, count, countDistinct, explode, expr, greatest, least, length, levenshtein, lit, max, md5, min, row_number, split, struct, sum, when}
+import org.apache.spark.sql.functions.{abs, array, array_join, bin, broadcast, coalesce, col, concat, count, countDistinct, explode, expr, greatest, least, length, levenshtein, lit, max, md5, min, row_number, slice, split, struct, sum, when}
 
 /** Driver-verifiable queries for the text-analysis + deduplication
   * operator families (TextOps, Dedup) over `documents.parquet`, each with
@@ -60,6 +60,10 @@ object DocQueries {
   /** quality_sweep candidate cutoffs (shared Spark/oracle constant; each
     * crosses engines as the same decimal string → same double bits). */
   private val QualityTaus = Seq(0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8)
+
+  /** boilerplate_detect prefix length (tokens) and report size. */
+  private val BpfxTokens = 3
+  private val BpfxTopK = 50
 
   /** pii_scrub fixture: splice synthetic PII into the (digit-free) corpus
     * text with pure doc_id arithmetic — every doc gets one email and one
@@ -531,6 +535,32 @@ FROM documents"""
     }),
     // Composite curation pipeline: quality × language × dedup filters —
     // the canonical LLM-corpus cleaning pass, composed from the same ops.
+    "boilerplate_detect" -> ((s, d) => {
+      // Template/boilerplate detection — the curation pass that finds
+      // repeated document openings (shared headers, scraped templates)
+      // BEFORE they skew dedup and quality stats: group docs by their
+      // first-BpfxTokens-token prefix, keep prefixes appearing ≥ 2
+      // times, report doc counts, how many sources they span (a
+      // cross-source prefix is template, not topical), and corpus
+      // share. One explode-free scan (slice of the split array) + one
+      // prefix-keyed aggregate; global top-k via rank over the
+      // already-|prefixes|-sized survivor table.
+      val pfx = array_join(
+        slice(split(col("text"), " "), 1, BpfxTokens), " ")
+      val base = docs(s, d).select(pfx.as("prefix"), col("source"))
+      val tot = base.agg(count(lit(1)).as("n_total"))
+      base.groupBy(col("prefix"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))
+        .filter(col("n_docs") >= 2)
+        .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+          .Window.orderBy(col("n_docs").desc, col("prefix"))).cast("long"))
+        .filter(col("rk") <= BpfxTopK)
+        .crossJoin(broadcast(tot))
+        .select(col("rk"), col("prefix"), col("n_docs"), col("n_sources"),
+          Det.snap(col("n_docs").cast("double") /
+            col("n_total").cast("double"), 6).as("doc_share"))
+    }),
     "ks_drift" -> ((s, d) => {
       // Pairwise two-sample Kolmogorov–Smirnov over the doc-length
       // distribution of every source pair — the exact continuous
@@ -1275,6 +1305,19 @@ FROM dfs GROUP BY 1"""
     "multimodal_decode" -> multimodalDecodeSql,
     "curation_report" -> curationReportSql,
     "corpus_clean" -> corpusCleanSql,
+    "boilerplate_detect" ->
+      s"""WITH p AS (
+  SELECT array_to_string(string_split(text, ' ')[1:$BpfxTokens], ' ') AS prefix, source
+  FROM documents),
+tot AS (SELECT count(*) AS n_total FROM p),
+g AS (
+  SELECT prefix, count(*) AS n_docs, count(DISTINCT source) AS n_sources
+  FROM p GROUP BY 1 HAVING count(*) >= 2)
+SELECT rk, prefix, n_docs, n_sources,
+       ${s6("CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)")} AS doc_share
+FROM (SELECT *, CAST(row_number() OVER (ORDER BY n_docs DESC, prefix) AS BIGINT) AS rk
+      FROM g) t, tot
+WHERE rk <= $BpfxTopK""",
     "ks_drift" ->
       s"""WITH d0 AS (SELECT source, n_chars FROM documents),
 counts AS (SELECT source, n_chars, count(*) AS m FROM d0 GROUP BY 1, 2),
