@@ -58,4 +58,52 @@ object RangeJoin {
       .filter(col("__bt") >= col("__lo") && col("__bt") < col("__hi"))
       .drop("__lo", "__hi", "__bucket", "__bt")
   }
+
+  /** Interval×interval OVERLAP join — pair every left interval with the
+    * right intervals of the same key that overlap it (half-open
+    * `[lo, hi)` semantics), emitting the exact overlap length in
+    * microseconds as `overlap_us`.
+    *
+    * Scale shape: both sides explode to the fixed-width buckets their
+    * interval covers (⌈span/width⌉+1 rows — pick `widthSec` near the
+    * typical interval length) and the join is a plain equi-join on
+    * (key, bucket). An overlapping pair shares EVERY bucket the overlap
+    * covers, so without care the pair would duplicate; the
+    * start-bucket trick — keep the pair only in the bucket containing
+    * `max(l.lo, r.lo)`, the overlap's first instant — makes each
+    * surviving pair unique with NO post-join distinct (a distinct would
+    * be a second shuffle of the full pair stream). Residual overlap
+    * test + start-bucket test are exact integer micros, so results are
+    * bit-identical to the oracle's naive inequality join.
+    *
+    * Intervals must be non-empty (hi > lo) — callers clamp point
+    * intervals with a +1 µs end. */
+  def overlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftLo: String, leftHi: String,
+              rightLo: String, rightHi: String,
+              widthSec: Long, rightCols: Seq[(String, String)]): DataFrame = {
+    require(widthSec > 0, "widthSec must be positive")
+    val outNames = rightCols.map(_._2)
+    require(outNames.intersect(left.columns.toSeq).isEmpty,
+      s"right output names ${outNames.intersect(left.columns.toSeq)} collide with left columns")
+    val w = widthSec * 1000000L
+    val keyCols: Seq[Column] = keys.map(col)
+    val l = left
+      .withColumn("__llo", unix_micros(col(leftLo)))
+      .withColumn("__lhi", unix_micros(col(leftHi)))
+      .withColumn("__bucket", explode(sequence(
+        floor(col("__llo") / w), floor((col("__lhi") - 1) / w))))
+    val r = right.select(
+      keyCols ++ Seq(unix_micros(col(rightLo)).as("__rlo"),
+        unix_micros(col(rightHi)).as("__rhi")) ++
+        rightCols.map { case (c, o) => col(c).as(o) }: _*)
+      .withColumn("__bucket", explode(sequence(
+        floor(col("__rlo") / w), floor((col("__rhi") - 1) / w))))
+    l.join(r, keys :+ "__bucket")
+      .filter(col("__llo") < col("__rhi") && col("__rlo") < col("__lhi"))
+      .filter(floor(greatest(col("__llo"), col("__rlo")) / w) === col("__bucket"))
+      .withColumn("overlap_us",
+        least(col("__lhi"), col("__rhi")) - greatest(col("__llo"), col("__rlo")))
+      .drop("__llo", "__lhi", "__rlo", "__rhi", "__bucket")
+  }
 }

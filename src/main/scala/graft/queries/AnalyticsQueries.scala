@@ -320,6 +320,27 @@ GROUP BY 1, 2"""
       events(s, d).select(col("event_type"), col("event_id")),
       col("event_type"), col("event_id"), CorpusQueries.HllM)),
     "retention" -> ((s, d) => Retention.matrix(events(s, d), "user_id", "ts")),
+    "interval_overlap" -> ((s, d) => {
+      // Incident correlation via the interval×interval OVERLAP join
+      // (RangeJoin.overlap scaladoc: bucketed equi-join + start-bucket
+      // dedup — no per-key nested loop, no post-join distinct): per-user
+      // DAILY ACTIVITY intervals [first event, last event + 1µs)
+      // against the same user's ±5-minute ERROR windows, with the exact
+      // overlap length in micros. All bounds are exact integer micros.
+      val ev = events(s, d)
+      val a = ev.groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(min(col("ts")).as("a_start"),
+          expr("timestampadd(MICROSECOND, 1, max(ts))").as("a_end"))
+      val b = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"),
+          expr("timestampadd(MINUTE, -5, ts)").as("b_start"),
+          expr("timestampadd(MINUTE, 5, ts)").as("b_end"))
+      RangeJoin.overlap(a, b, Seq("user_id"),
+          "a_start", "a_end", "b_start", "b_end", 86400L,
+          Seq("event_id" -> "err_event"))
+        .select(col("user_id"), col("day"), col("err_event"),
+          col("overlap_us"))
+    }),
     "funnel" -> ((s, d) => funnel(s, d)),
     "asof_join" -> ((s, d) => r6(asofJoin(s, d))),
     "asof_nearest" -> ((s, d) => r6(asofNearest(s, d))),
@@ -382,6 +403,18 @@ GROUP BY 1, 2"""
 
   def oracleSql: Map[String, String] = Map(
     "hll_distinct" -> CorpusQueries.hllDistinctSql,
+    "interval_overlap" ->
+      """WITH a AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         epoch_us(min(ts)) AS llo, epoch_us(max(ts)) + 1 AS lhi
+  FROM events GROUP BY 1, 2),
+b AS (
+  SELECT user_id, event_id AS err_event,
+         epoch_us(ts) - 300000000 AS rlo, epoch_us(ts) + 300000000 AS rhi
+  FROM events WHERE event_type = 'error')
+SELECT a.user_id, a.day, b.err_event,
+       least(lhi, rhi) - greatest(llo, rlo) AS overlap_us
+FROM a JOIN b ON a.user_id = b.user_id AND llo < rhi AND rlo < lhi""",
     "retention" -> Retention.matrixSql("events", "user_id", "ts"),
     "funnel" -> Funnel.threeStepSql("events", "user_id", "ts", "event_type",
       "view", "click", "purchase", horizonSec = 86400L),
