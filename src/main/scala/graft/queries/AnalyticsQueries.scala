@@ -310,7 +310,99 @@ SELECT event_type, date_trunc('hour', ts) AS bucket,
 FROM g WHERE gap_us IS NOT NULL
 GROUP BY 1, 2"""
 
+  /** fifo_pnl horizon: events per user entering the backtest (bounds the
+    * oracle's list-accumulator fold — the Spark fold itself is O(n)). */
+  private val FifoCap = 2000
+
+  /** FIFO lot matching — the inventory-accounting recurrence behind
+    * realized-P&L reporting: per user, buy one unit at each 'view'
+    * price, sell FIFO at each 'purchase' price (skipped when flat — no
+    * shorts), over the first [[FifoCap]] events. Realized P&L, matched/
+    * skipped counts, and the open inventory (quantity + cost basis) are
+    * ALL exact cent-grid integers — the queue holds lot prices as grid
+    * longs, each match adds an exact difference, so the only floating
+    * ops are the final /1e4 conversions of |values| < 2^53.
+    *
+    * Scale shape: one keyed Exchange + a typed per-key fold with an
+    * O(open-lots) queue (the rsiPerKey secondary-sort pattern); the
+    * oracle replays the identical trajectory as a BIGINT list_reduce
+    * whose accumulator is [realized, n_buys, n_sells, n_skipped] ++
+    * queue (seed prepended; DuckDB's per-step list copy is why the
+    * horizon is capped — the Spark side has no such quadratic). */
+  private def fifoPnl(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trades = events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= FifoCap)
+      .select(col("user_id").cast("long"), col("ts"), col("event_id"),
+        when(col("event_type") === "view", 1).otherwise(2).as("kind"),
+        Det.kl(col("value") + lit(100.0), 4).as("px"))
+      .as[(Long, java.sql.Timestamp, Long, Int, Long)]
+    trades
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Double, Long, Double)]
+        var cur = Long.MinValue
+        var realized = 0L; var nb = 0L; var ns = 0L; var nk = 0L
+        val q = scala.collection.mutable.Queue.empty[Long]
+        def flush(): Unit = if (cur != Long.MinValue) {
+          out += ((cur, nb, ns, nk, realized.toDouble / 1e4,
+            q.size.toLong, q.sum.toDouble / 1e4))
+        }
+        it.foreach { case (u, _, _, kind, px) =>
+          if (u != cur) {
+            flush(); cur = u
+            realized = 0L; nb = 0L; ns = 0L; nk = 0L; q.clear()
+          }
+          if (kind == 1) { q.enqueue(px); nb += 1L }
+          else if (q.nonEmpty) { realized += px - q.dequeue(); ns += 1L }
+          else nk += 1L
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("user_id", "n_buys", "n_sells", "n_skipped",
+        "realized_pnl", "open_qty", "open_cost")
+  }
+
+  private val fifoPnlSql =
+    s"""WITH t AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 2 END AS kind,
+         ${Det.klSql("value + 100.0", 4)} AS px,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type IN ('view', 'purchase')),
+per AS (
+  SELECT user_id, list([kind, px] ORDER BY ts, event_id) AS xs
+  FROM t WHERE rn <= $FifoCap GROUP BY user_id),
+m AS (
+  SELECT user_id,
+         list_reduce(
+           list_concat([CAST([0, 0, 0, 0] AS BIGINT[])], [CAST(x AS BIGINT[]) for x in xs]),
+           (acc, e) -> CASE
+             WHEN e[1] = 1 THEN
+               list_concat([acc[1], acc[2] + 1, acc[3], acc[4]],
+                           list_append(acc[5:], e[2]))
+             WHEN len(acc) >= 5 THEN
+               list_concat([acc[1] + (e[2] - acc[5]), acc[2], acc[3] + 1, acc[4]],
+                           acc[6:])
+             ELSE [acc[1], acc[2], acc[3], acc[4] + 1]
+           END) AS st
+  FROM per)
+SELECT user_id,
+       st[2] AS n_buys, st[3] AS n_sells, st[4] AS n_skipped,
+       CAST(st[1] AS DOUBLE) / 1e4 AS realized_pnl,
+       CAST(len(st) - 4 AS BIGINT) AS open_qty,
+       CAST(COALESCE(list_sum(st[5:]), 0) AS DOUBLE) / 1e4 AS open_cost
+FROM m"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fifo_pnl" -> ((s, d) => fifoPnl(s, d)),
     // Raw HLL audited against the exact count — the fixed-register
     // sketch beside kmv_distinct's order statistics, on a column whose
     // per-key cardinality (distinct event_ids per type, thousands+) is
@@ -402,6 +494,7 @@ GROUP BY 1, 2"""
   )
 
   def oracleSql: Map[String, String] = Map(
+    "fifo_pnl" -> fifoPnlSql,
     "hll_distinct" -> CorpusQueries.hllDistinctSql,
     "interval_overlap" ->
       """WITH a AS (
