@@ -314,6 +314,54 @@ object TickQueries {
         .select(col("product_id"), col("r.q").as("q"),
           col("r.n_pairs").as("n_pairs"), col("r.vr").as("vr"))
     }),
+    "ewma_var" -> ((s, d) => {
+      // RiskMetrics-style EWMA variance: σ²_t = λσ²_{t−1} + (1−λ)r²_t
+      // per instrument over raw tick returns, λ = 15/16 (α = 1/16 — an
+      // exact dyadic, so the bare SQL literal cannot misround the way
+      // an arbitrary decimal can). Per-row r and r² are identical
+      // double bits in both engines; the fold rides the Ewma
+      // secondary-sort kernel (one Exchange, O(1) state/key); vol is
+      // one correctly-rounded sqrt of the final value.
+      val w = Window.partitionBy(col("product_id"))
+        .orderBy(col("event_time"), col("sequence"))
+      val r2f = ticks(s, d)
+        .withColumn("r", col("price") - lag(col("price"), 1).over(w))
+        .filter(col("r").isNotNull)
+        .withColumn("r2", col("r") * col("r"))
+      r6(Ewma.finalPerKey(r2f, "product_id", "event_time", "sequence",
+          "r2", 0.0625)
+        .withColumnRenamed("ewma", "var_ewma")
+        .withColumn("vol", sqrt(col("var_ewma"))))
+    }),
+    "spearman_corr" -> ((s, d) => {
+      // Spearman rank correlation of each instrument vs the equal-weight
+      // market on the filled grid — the monotone-co-movement companion
+      // to market_corr's Pearson (robust to outliers and nonlinearity).
+      // Ranks are row_numbers with a (value, grid_ts) tie-break
+      // (tie-broken Spearman, documented), so Σd² is an EXACT long and
+      // ρ = 1 − 6Σd²/(n(n²−1)) is plain IEEE on exact operands —
+      // n(n²−1) ≤ ~4e11 at the 10× fixture, well inside long. Three
+      // window passes, all keyed on (grid_ts) or (product_id).
+      val filled = GapFill(uniqTicks(s, d),
+        Seq("product_id"), "event_time", "1 hour",
+        Seq("price" -> "price"), truncUnit = "hour")
+        .filter(col("price").isNotNull)
+      val withMkt = filled.withColumn("mkt",
+        Det.avgD(col("price"), 9, Window.partitionBy(col("grid_ts"))))
+      val ranked = withMkt
+        .withColumn("rp", row_number().over(Window.partitionBy(col("product_id"))
+          .orderBy(col("price"), col("grid_ts"))).cast("long"))
+        .withColumn("rm", row_number().over(Window.partitionBy(col("product_id"))
+          .orderBy(col("mkt"), col("grid_ts"))).cast("long"))
+        .withColumn("dd", col("rp") - col("rm"))
+      ranked.groupBy(col("product_id"))
+        .agg(count(lit(1)).as("n_obs"), sum(col("dd") * col("dd")).as("sd2"))
+        .filter(col("n_obs") >= 2)
+        .select(col("product_id"), col("n_obs"),
+          Det.snap(lit(1.0) - lit(6.0) * col("sd2").cast("double") /
+            (col("n_obs") * (col("n_obs") * col("n_obs") - 1)).cast("double"), 6)
+            .as("spearman"))
+    }),
     "lee_ready" -> ((s, d) => {
       // Lee–Ready trade classification: above-mid → buy, below-mid →
       // sell, at-mid or quoteless → tick test with the last nonzero
@@ -921,6 +969,47 @@ SELECT product_id, count(*) AS n_obs,
        ${s6(s"(${Det.avgDSql("price", 9)} - ${Det.betaDSql("price", "mkt", 4)} * ${Det.avgDSql("mkt", 9)})")} AS alpha
 FROM withmkt
 GROUP BY product_id""",
+      "ewma_var" -> {
+        val base = s"""(SELECT product_id, event_time, sequence, r * r AS r2
+  FROM (SELECT product_id, event_time, sequence,
+               price - lag(price, 1) OVER (PARTITION BY product_id
+                   ORDER BY event_time, sequence) AS r
+        FROM ($liveTicksSql) lt0) lt1
+  WHERE r IS NOT NULL) rsq"""
+        val inner = Ewma.finalPerKeySql(base, "product_id", "event_time",
+          "sequence", "r2", 0.0625)
+        s"""SELECT product_id, n_ticks, ${s6("ewma")} AS var_ewma,
+       ${s6("sqrt(ewma)")} AS vol
+FROM ($inner) e"""
+      },
+      "spearman_corr" ->
+        s"""WITH t AS ($uniqTicksSql),
+bounds AS (
+  SELECT product_id, date_trunc('hour', min(event_time)) AS s, max(event_time) AS e
+  FROM t GROUP BY 1),
+g AS (
+  SELECT product_id, unnest(generate_series(s, e, INTERVAL '1 hour')) AS grid_ts
+  FROM bounds),
+filled AS (
+  SELECT g.product_id, g.grid_ts, t.price
+  FROM g ASOF LEFT JOIN t
+    ON g.product_id = t.product_id AND g.grid_ts >= t.event_time
+  WHERE t.price IS NOT NULL),
+withmkt AS (
+  SELECT product_id, grid_ts, price,
+         ${Det.avgDSql("price", 9, " OVER (PARTITION BY grid_ts)")} AS mkt
+  FROM filled),
+ranked AS (
+  SELECT product_id,
+         CAST(row_number() OVER (PARTITION BY product_id ORDER BY price, grid_ts) AS BIGINT)
+           - CAST(row_number() OVER (PARTITION BY product_id ORDER BY mkt, grid_ts) AS BIGINT) AS dd
+  FROM withmkt),
+agg AS (
+  SELECT product_id, count(*) AS n_obs, CAST(sum(dd * dd) AS BIGINT) AS sd2
+  FROM ranked GROUP BY 1)
+SELECT product_id, n_obs,
+       ${s6("CAST(1 AS DOUBLE) - CAST(6 AS DOUBLE) * CAST(sd2 AS DOUBLE) / CAST(n_obs * (n_obs * n_obs - 1) AS DOUBLE)")} AS spearman
+FROM agg WHERE n_obs >= 2""",
       "lee_ready" ->
         s"""WITH t AS ($liveTicksSql),
 s1 AS (
