@@ -314,6 +314,35 @@ object TickQueries {
         .select(col("product_id"), col("r.q").as("q"),
           col("r.n_pairs").as("n_pairs"), col("r.vr").as("vr"))
     }),
+    "kendall_tau" -> ((s, d) => {
+      // Kendall's τ_a of the aligned top-2 pair — completing the
+      // correlation trio (Pearson market_corr, Spearman spearman_corr):
+      // all concordant/discordant/tied pair counts are EXACT integers
+      // from sign comparisons on identical double bits, and τ_a =
+      // (C−D)/(n(n−1)/2) is one division of exact operands. The
+      // all-pairs frame is TIME-bounded (one instrument pair's grid —
+      // |grid|² comparisons, 27M at the 10× fixture), not data-bounded;
+      // for the all-instruments case use spearman_corr, which is
+      // O(n log n) by ranks.
+      val al = alignPair(s, d).localCheckpoint(true)
+      val pairs = al.select(col("grid_ts").as("t1"), col("xa").as("a1"), col("xb").as("b1"))
+        .join(al.select(col("grid_ts").as("t2"), col("xa").as("a2"), col("xb").as("b2")),
+          col("t1") < col("t2"))
+        .select(
+          (signum(col("a2") - col("a1")) * signum(col("b2") - col("b1")))
+            .cast("int").as("sg"))
+      val out = pairs.agg(
+          count(lit(1)).as("n_pairs"),
+          count(when(col("sg") === 1, 1)).as("concordant"),
+          count(when(col("sg") === -1, 1)).as("discordant"),
+          count(when(col("sg") === 0, 1)).as("tied"))
+        .select(col("n_pairs"), col("concordant"), col("discordant"), col("tied"),
+          Det.snap((col("concordant") - col("discordant")).cast("double") /
+            col("n_pairs").cast("double"), 6).as("tau_a"))
+        .localCheckpoint(true)
+      al.unpersist()
+      out
+    }),
     "ewma_var" -> ((s, d) => {
       // RiskMetrics-style EWMA variance: σ²_t = λσ²_{t−1} + (1−λ)r²_t
       // per instrument over raw tick returns, λ = 15/16 (α = 1/16 — an
@@ -969,6 +998,41 @@ SELECT product_id, count(*) AS n_obs,
        ${s6(s"(${Det.avgDSql("price", 9)} - ${Det.betaDSql("price", "mkt", 4)} * ${Det.avgDSql("mkt", 9)})")} AS alpha
 FROM withmkt
 GROUP BY product_id""",
+      "kendall_tau" ->
+        s"""WITH t AS ($uniqTicksSql),
+bounds AS (
+  SELECT product_id, date_trunc('hour', min(event_time)) AS s, max(event_time) AS e
+  FROM t GROUP BY 1),
+g AS (
+  SELECT product_id, unnest(generate_series(s, e, INTERVAL '1 hour')) AS grid_ts
+  FROM bounds),
+filled AS (
+  SELECT g.product_id, g.grid_ts, t.price
+  FROM g ASOF LEFT JOIN t
+    ON g.product_id = t.product_id AND g.grid_ts >= t.event_time
+  WHERE t.price IS NOT NULL),
+top2 AS (
+  SELECT product_id, rk FROM (
+    SELECT product_id, row_number() OVER (ORDER BY count(*) DESC, product_id) AS rk
+    FROM filled GROUP BY product_id) r
+  WHERE rk <= 2),
+aligned AS (
+  SELECT a.grid_ts, a.price AS xa, b.price AS xb
+  FROM (SELECT f.grid_ts, f.price FROM filled f JOIN top2 ON f.product_id = top2.product_id AND top2.rk = 1) a
+  JOIN (SELECT f.grid_ts, f.price FROM filled f JOIN top2 ON f.product_id = top2.product_id AND top2.rk = 2) b
+    ON a.grid_ts = b.grid_ts),
+sg AS (
+  SELECT CAST(sign(p2.xa - p1.xa) * sign(p2.xb - p1.xb) AS INTEGER) AS sg
+  FROM aligned p1 JOIN aligned p2 ON p1.grid_ts < p2.grid_ts),
+agg AS (
+  SELECT count(*) AS n_pairs,
+         count(CASE WHEN sg = 1 THEN 1 END) AS concordant,
+         count(CASE WHEN sg = -1 THEN 1 END) AS discordant,
+         count(CASE WHEN sg = 0 THEN 1 END) AS tied
+  FROM sg)
+SELECT n_pairs, concordant, discordant, tied,
+       ${s6("CAST(concordant - discordant AS DOUBLE) / CAST(n_pairs AS DOUBLE)")} AS tau_a
+FROM agg""",
       "ewma_var" -> {
         val base = s"""(SELECT product_id, event_time, sequence, r * r AS r2
   FROM (SELECT product_id, event_time, sequence,
