@@ -63,54 +63,121 @@ object Similarity {
     * penalize similarity to the already-picked set.
     *
     * Scale + determinism shape: the candidate frame is structurally
-    * bounded (|queries|·n rows) and the pair frame |queries|·n² — both
-    * eagerly localCheckpoint'ed so the k−1 greedy rounds (each a small
-    * anti-join + max-aggregate + argmax window) re-read materialized
-    * rows instead of re-scanning the corpus k times. Candidate and pair
-    * cosines are snapped to the 1e-6 grid BEFORE the greedy arithmetic,
-    * so `lam·simq − oml·ms` runs on identical double bits in any
-    * engine; ranking uses the raw score with a vec_id tie-break. The
+    * bounded (|queries|·n rows) and the pair frame |queries|·n². When
+    * the pool fits the driver gate (the Adaptive pattern —
+    * [[Adaptive.threshold]]), the greedy loop runs ON THE DRIVER over
+    * the collected pool + pair sims (one Spark job for candidates, one
+    * for pairs, zero for the k−1 rounds — vs 24 sequential argmax jobs
+    * for a 25-row pool); the distributed branch keeps the per-round
+    * anti-join + max-aggregate + argmax-window form, localCheckpoint'ed
+    * every round so the union lineage never re-evaluates earlier rounds
+    * (and stays live under SPARK_GRAFT_FORCE_DISTRIBUTED — proven
+    * bit-identical in ThresholdForcingSpec). Both branches run the SAME
+    * IEEE sequence: candidate and pair cosines are snapped to the 1e-6
+    * grid BEFORE the greedy arithmetic, `lam·simq − oml·ms` is the fixed
+    * mul/mul/sub order, ranking uses the raw score with a vec_id
+    * tie-break (primitive `>`/`==`, so −0.0 ties like Spark's
+    * comparator), and the emitted score is the same floor-snap. The
     * oracle twin unrolls the same k rounds as MATERIALIZED CTEs
     * (VecQueries.mmrSql).
     */
   def mmrDiversify(queries: DataFrame, corpus: DataFrame,
                    n: Int, k: Int, lam: Double, oml: Double): DataFrame = {
+    import org.apache.spark.sql.types.LongType
     val cand = bruteForceTopK(queries, corpus, n)
       .select(col("qid"), col("vec_id"), col("cosine").as("simq"), col("rnk"))
       .localCheckpoint(true)
     val emb = corpus.select(col("vec_id"), col("embedding"),
       dotL(col("embedding"), col("embedding")).as("nrm"))
     val ce = cand.select(col("qid"), col("vec_id")).join(emb, "vec_id")
-    val pairs = ce.select(col("qid"), col("vec_id").as("a"),
+    val pairsDf = ce.select(col("qid"), col("vec_id").as("a"),
         col("embedding").as("ea"), col("nrm").as("na"))
       .join(ce.select(col("qid"), col("vec_id").as("b"),
         col("embedding").as("eb"), col("nrm").as("nb")), Seq("qid"))
       .filter(col("a") =!= col("b"))
       .select(col("qid"), col("a"), col("b"),
         cosine(dotL(col("ea"), col("eb")), col("na"), col("nb")).as("psim"))
-      .localCheckpoint(true)
-    val first = cand.filter(col("rnk") === 1)
-      .select(col("qid"), lit(1).as("pick"), col("vec_id"),
-        Det.snap(lit(lam) * col("simq"), 6).as("mmr_score"))
-    val sel = (2 to k).foldLeft(first) { (sel, r) =>
-      val remaining = cand.join(
-        sel.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"), "left_anti")
-      val ms = pairs
-        .join(sel.select(col("qid"), col("vec_id").as("b")), Seq("qid", "b"))
-        .groupBy(col("qid"), col("a")).agg(max(col("psim")).as("ms"))
-        .withColumnRenamed("a", "vec_id")
-      val pickR = remaining.join(ms, Seq("qid", "vec_id"))
-        .withColumn("score", lit(lam) * col("simq") - lit(oml) * col("ms"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))))
-        .filter(col("rn") === 1)
-        .select(col("qid"), lit(r).as("pick"), col("vec_id"),
-          Det.snap(col("score"), 6).as("mmr_score"))
-      sel.union(pickR)
+    val idsAreLong = cand.schema("qid").dataType == LongType &&
+      cand.schema("vec_id").dataType == LongType
+    if (idsAreLong && cand.count() <= Adaptive.threshold(20000L)) {
+      // Driver greedy: pool ≤ 20k rows ⇒ pairs ≤ 20k·(n−1) rows — both
+      // qid-bounded by construction, never corpus-sized.
+      val out = mmrGreedyDriver(corpus.sparkSession,
+        cand.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))),
+        pairsDf.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))),
+        k, lam, oml)
+      cand.unpersist()
+      out
+    } else {
+      val pairs = pairsDf.localCheckpoint(true)
+      val first = cand.filter(col("rnk") === 1)
+        .select(col("qid"), lit(1).as("pick"), col("vec_id"),
+          Det.snap(lit(lam) * col("simq"), 6).as("mmr_score"))
+        .localCheckpoint(true)
+      var inter = List(first)
+      val sel = (2 to k).foldLeft(first) { (sel, r) =>
+        val remaining = cand.join(
+          sel.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"), "left_anti")
+        val ms = pairs
+          .join(sel.select(col("qid"), col("vec_id").as("b")), Seq("qid", "b"))
+          .groupBy(col("qid"), col("a")).agg(max(col("psim")).as("ms"))
+          .withColumnRenamed("a", "vec_id")
+        val pickR = remaining.join(ms, Seq("qid", "vec_id"))
+          .withColumn("score", lit(lam) * col("simq") - lit(oml) * col("ms"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))))
+          .filter(col("rn") === 1)
+          .select(col("qid"), lit(r).as("pick"), col("vec_id"),
+            Det.snap(col("score"), 6).as("mmr_score"))
+        val next = sel.union(pickR).localCheckpoint(true)
+        inter ::= next
+        next
+      }
+      cand.unpersist(); pairs.unpersist(); inter.tail.foreach(_.unpersist())
+      sel
     }
-    val out = sel.localCheckpoint(true)
-    cand.unpersist(); pairs.unpersist()
-    out
+  }
+
+  /** Driver-side greedy loop of [[mmrDiversify]] — the SAME IEEE op
+    * sequence as the distributed branch, on the collected pool. */
+  private def mmrGreedyDriver(spark: org.apache.spark.sql.SparkSession,
+      cand: Array[(Long, Long, Double, Long)],
+      pairs: Array[(Long, Long, Long, Double)],
+      k: Int, lam: Double, oml: Double): DataFrame = {
+    // Det.snap(c, 6) twin: floor → exact long → correctly-rounded double
+    // (Spark's floor(double) yields BIGINT, then the long/1e6 divide).
+    def snap6(x: Double): Double = math.floor(x * 1e6 + 0.5).toLong.toDouble / 1e6
+    val psim = new scala.collection.mutable.HashMap[(Long, Long, Long), Double]
+    pairs.foreach { case (q, a, b, s) => psim((q, a, b)) = s }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+    cand.groupBy(_._1).foreach { case (qid, pool0) =>
+      val pool = pool0.sortBy(_._4) // by rnk: head is the round-1 argmax
+      out += ((qid, 1, pool.head._2, snap6(lam * pool.head._3)))
+      var picked = List(pool.head._2)
+      var remaining = pool.tail.map(c => (c._2, c._3)) // (vec_id, simq)
+      var r = 2
+      while (r <= k && remaining.nonEmpty) {
+        var bestV = Long.MaxValue; var bestScore = Double.NegativeInfinity
+        remaining.foreach { case (vid, simq) =>
+          var ms = Double.NegativeInfinity
+          picked.foreach { p =>
+            val s = psim((qid, vid, p)); if (s > ms) ms = s
+          }
+          val score = lam * simq - oml * ms
+          // row_number orderBy(score desc, vec_id asc): primitive >/==
+          // treats −0.0 == 0.0 exactly like Spark's double ordering
+          if (score > bestScore || (score == bestScore && vid < bestV)) {
+            bestScore = score; bestV = vid
+          }
+        }
+        out += ((qid, r, bestV, snap6(bestScore)))
+        picked ::= bestV
+        remaining = remaining.filter(_._1 != bestV)
+        r += 1
+      }
+    }
+    spark.createDataFrame(out.toSeq)
+      .toDF("qid", "pick", "vec_id", "mmr_score")
   }
 
   /** Exact cosine top-k of `corpus` rows for each row of `queries`

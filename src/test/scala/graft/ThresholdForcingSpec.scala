@@ -69,7 +69,8 @@ class ThresholdForcingSpec extends AnyFunSuite {
     "global_quantiles",    // rowNumberByRange rank-selection picks
     "quality_dup",         // ntileByRange quality quintiles
     "entity_clusters",     // ConnectedComponents inside record linkage
-    "graph_communities"    // ConnectedComponents + community aggregates
+    "graph_communities",   // ConnectedComponents + community aggregates
+    "mmr_diversify"        // driver greedy vs per-round distributed argmax
   )
 
   for (name <- bitIdentical)
