@@ -57,7 +57,7 @@ object Dedup {
     */
   def ngramJaccardTopK(docs: DataFrame, n: Int = 3, topK: Int = 50,
                        maxDf: Int = 500): DataFrame =
-    pairsJaccard(docs, n, maxDf)
+    pairsJaccard(Shingles.exploded(docs, n), maxDf)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(topK)
 
@@ -69,17 +69,25 @@ object Dedup {
     * post-aggregation predicate on pair-dimension rows. */
   def jaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
                    maxDf: Int = 500): DataFrame =
-    pairsJaccard(docs, n, maxDf).filter(col("jaccard") >= tau)
+    pairsJaccard(Shingles.exploded(docs, n), maxDf).filter(col("jaccard") >= tau)
+
+  /** [[jaccardPairs]] over a pre-built (doc_id, sz, shingle) frame —
+    * shingling is independent of every banding/threshold parameter, so
+    * queries that evaluate SEVERAL dedup configs (dedup_sweep,
+    * dedup_recall) build the shingle frame ONCE (localCheckpoint'ed)
+    * instead of re-scanning + re-shingling the corpus per config. */
+  def jaccardPairsOf(shingled: DataFrame, tau: Double = 0.5,
+                     maxDf: Int = 500): DataFrame =
+    pairsJaccard(shingled, maxDf).filter(col("jaccard") >= tau)
 
   /** Shared inverted-index pair counter: one row per unordered document
     * pair sharing ≥1 (capped) shingle, with both distinct-shingle sizes
     * and the intersection count — the common core of the Jaccard and
     * containment measures. Cost is Σ df(shingle)² under the `maxDf`
     * stop-shingle cap (the class scaladoc's scale argument). */
-  private def pairCounts(docs: DataFrame, n: Int, maxDf: Int): DataFrame = {
-    val spark = docs.sparkSession
+  private def pairCounts(shingled: DataFrame, maxDf: Int): DataFrame = {
+    val spark = shingled.sparkSession
     import spark.implicits._
-    val shingled = Shingles.exploded(docs, n)
     val postings = shingled
       .groupBy(col("shingle"))
       .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
@@ -120,15 +128,15 @@ object Dedup {
                        maxDf: Int = 500): DataFrame = {
     val ca = Det.snap(col("intersection").cast("double") / col("sz_a").cast("double"), 6)
     val cb = Det.snap(col("intersection").cast("double") / col("sz_b").cast("double"), 6)
-    pairCounts(docs, n, maxDf)
+    pairCounts(Shingles.exploded(docs, n), maxDf)
       .select(col("doc_a"), col("doc_b"), col("intersection"),
         col("sz_a"), col("sz_b"),
         ca.as("containment_a"), cb.as("containment_b"))
       .filter(greatest(col("containment_a"), col("containment_b")) >= tau)
   }
 
-  private def pairsJaccard(docs: DataFrame, n: Int, maxDf: Int): DataFrame =
-    pairCounts(docs, n, maxDf)
+  private def pairsJaccard(shingled: DataFrame, maxDf: Int): DataFrame =
+    pairCounts(shingled, maxDf)
       .select(
         col("doc_a"), col("doc_b"), col("intersection"),
         (col("sz_a") + col("sz_b") - col("intersection")).as("union_size"),
@@ -143,9 +151,13 @@ object Dedup {
     * md5((h/4) || ':' || shingle); min is over the 8-hex string
     * (lexicographic = numeric for fixed-width hex).
     */
-  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
+  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame =
+    minhashSignaturesOf(Shingles.exploded(docs, n), numHashes)
+
+  /** [[minhashSignatures]] over a pre-built shingle frame (see
+    * [[jaccardPairsOf]] for why the frame is shareable). */
+  def minhashSignaturesOf(sh: DataFrame, numHashes: Int): DataFrame = {
     require(numHashes % 4 == 0, "numHashes must be a multiple of 4 (md5 slicing)")
-    val sh = Shingles.exploded(docs, n)
     val sigs = (0 until numHashes).map { h =>
       min(substring(md5(concat(lit(s"${h / 4}:"), col("shingle"))),
         (h % 4) * 8 + 1, 8)).as(s"m$h")
@@ -163,12 +175,18 @@ object Dedup {
     * sizes stay small by LSH construction (P[collide] ≈ jaccard^rows).
     */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 8,
-                      bands: Int = 2): DataFrame = {
+                      bands: Int = 2): DataFrame =
+    minhashLshPairsOf(Shingles.exploded(docs, n), numHashes, bands)
+
+  /** [[minhashLshPairs]] over a pre-built shingle frame (see
+    * [[jaccardPairsOf]] for the multi-config sharing rationale). */
+  def minhashLshPairsOf(shingled: DataFrame, numHashes: Int = 8,
+                        bands: Int = 2): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val spark = docs.sparkSession
+    val spark = shingled.sparkSession
     import spark.implicits._
-    val sigs = minhashSignatures(docs, n, numHashes)
+    val sigs = minhashSignaturesOf(shingled, numHashes)
     val banded = sigs.select(
       Seq(struct(col("doc_id"),
         array((0 until numHashes).map(h => col(s"m$h")): _*).as("sigs")).as("d"),

@@ -178,16 +178,20 @@ FROM documents"""
     // pipelines (sum-df-squared postings, banded buckets); the hit join
     // is pair-dimension-keyed.
     "dedup_recall" -> ((s, d) => {
-      val base = docs(s, d)
-      val truth = Dedup.jaccardPairs(base, tau = RecallTau)
-        .select(col("doc_a"), col("doc_b"))
-      val cand = Dedup.minhashLshPairs(base)
-        .select(col("doc_a"), col("doc_b"))
+      // Shingles are banding-independent: ONE checkpointed shingle frame
+      // feeds both the exact-Jaccard truth and the LSH candidate side
+      // (vs two corpus scans + shingle rebuilds); truth/cand are each
+      // read twice below (count + hit join), so they materialize too.
+      val sh = Shingles.exploded(docs(s, d), 3).localCheckpoint(true)
+      val truth = Dedup.jaccardPairsOf(sh, tau = RecallTau)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+      val cand = Dedup.minhashLshPairsOf(sh)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
       val tt = truth.agg(count(lit(1)).as("n_truth"))
       val cc = cand.agg(count(lit(1)).as("n_candidates"))
       val hh = truth.join(cand, Seq("doc_a", "doc_b"))
         .agg(count(lit(1)).as("n_hits"))
-      tt.crossJoin(cc).crossJoin(hh)
+      val res = tt.crossJoin(cc).crossJoin(hh)
         .select(col("n_truth"), col("n_candidates"), col("n_hits"),
           when(col("n_candidates") > 0, Det.snap(
             col("n_hits").cast("double") / col("n_candidates").cast("double"), 6))
@@ -195,6 +199,9 @@ FROM documents"""
           when(col("n_truth") > 0, Det.snap(
             col("n_hits").cast("double") / col("n_truth").cast("double"), 6))
             .as("recall_lsh"))
+        .localCheckpoint(true)
+      sh.unpersist(); truth.unpersist(); cand.unpersist()
+      res
     }),
     "multimodal_features" -> ((s, d) =>
       Multimodal.features(Multimodal.toBlobTable(docs(s, d)))),
@@ -280,23 +287,27 @@ FROM documents"""
     // before spending a corpus-scale dedup pass; rows-per-band 8→2
     // walks the P[candidate] = j^(hashes/bands) dial. Shapes: each
     // config pays its own signature aggregate (inherent — different
-    // hash/band geometry), the tagged candidate union joins the truth
+    // hash/band geometry) over ONE checkpointed shingle frame (shingling
+    // is geometry-independent, so the corpus is scanned + shingled once,
+    // not once per config), the tagged candidate union joins the truth
     // frame ONCE (left join, marker count), and the config dimension
     // frame left-joins back so a zero-candidate config still emits its
     // row (mirroring the oracle's per-config scalar counts).
     "dedup_sweep" -> ((s, d) => {
       import s.implicits._
-      val truth = Dedup.jaccardPairs(docs(s, d), tau = RecallTau)
+      val sh = Shingles.exploded(docs(s, d), 3).localCheckpoint(true)
+      val truth = Dedup.jaccardPairsOf(sh, tau = RecallTau)
         .select(col("doc_a"), col("doc_b")).withColumn("t", lit(1))
+        .localCheckpoint(true)
       val cands = SweepConfigs.map { case (h, b) =>
-        Dedup.minhashLshPairs(docs(s, d), numHashes = h, bands = b)
+        Dedup.minhashLshPairsOf(sh, numHashes = h, bands = b)
           .select(col("doc_a"), col("doc_b"))
           .withColumn("num_hashes", lit(h)).withColumn("bands", lit(b))
       }.reduce(_ unionByName _)
       val agg = cands.join(truth, Seq("doc_a", "doc_b"), "left")
         .groupBy(col("num_hashes"), col("bands"))
         .agg(count(lit(1)).as("n_candidates"), count(col("t")).as("n_hits"))
-      SweepConfigs.toDF("num_hashes", "bands")
+      val res = SweepConfigs.toDF("num_hashes", "bands")
         .join(agg, Seq("num_hashes", "bands"), "left")
         .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
         .select(col("num_hashes"), col("bands"), col("n_truth"),
@@ -310,6 +321,9 @@ FROM documents"""
           when(col("n_truth") > 0, Det.snap(
             col("n_hits").cast("double") / col("n_truth").cast("double"), 6))
             .as("recall_lsh"))
+        .localCheckpoint(true)
+      sh.unpersist(); truth.unpersist()
+      res
     }),
     // Quality-aware canonical selection: within each near-dup cluster
     // keep the HIGHEST-QUALITY member (ties → lowest id) — the keep
