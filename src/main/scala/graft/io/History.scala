@@ -167,8 +167,18 @@ object History {
     val existing = spark.read.parquet(dayDir.toString)
     val nBefore = existing.count()
     if (nIn == 0) return (nBefore, 0L, nBefore)
+    // Broadcast the anti-join key side only while it is provably small:
+    // a routine late-data slice is a few thousand keys, but a bulk
+    // backfill could exceed the driver's broadcast ceiling — above the
+    // gate, leave the join unhinted and let AQE pick (it will still
+    // broadcast if the runtime size allows). 2M keys ≈ tens of MB of
+    // (product_id, ts) pairs, far under the 8 GB broadcast limit.
+    val keysIn = incoming.select(keyCols.map(col): _*)
+    val antiSide =
+      if (nIn <= graft.ops.Adaptive.threshold(2000000L)) broadcast(keysIn)
+      else keysIn
     val merged = existing
-      .join(broadcast(incoming.select(keyCols.map(col): _*)), keyCols, "left_anti")
+      .join(antiSide, keyCols, "left_anti")
       .unionByName(incoming)
     val totalBytes = fs.listStatus(dayDir)
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum

@@ -104,10 +104,14 @@ object Approx {
     def pos = cmPos(width)
     val hs = cmRows(depth)
     val cm = countMinCells(df, value, width, depth)
+    // Heavy-hitter selection via TakeOrdered (the distinct-value frame
+    // is unbounded at scale; no global-sort window), then rank the
+    // ≤topK serving rows — (true_c desc, v) is a total order, so the
+    // set and ranks match the windowed form exactly.
     val top = vals.groupBy(col("v")).agg(count(lit(1)).as("true_c"))
+      .orderBy(col("true_c").desc, col("v")).limit(topK)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("true_c").desc, col("v"))).cast("long"))
-      .filter(col("rk") <= topK)
     top.select(col("v"), col("true_c"), col("rk"), hs)
       .withColumn("pos", pos)
       .join(cm, Seq("h", "pos"))

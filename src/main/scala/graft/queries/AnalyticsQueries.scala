@@ -458,6 +458,15 @@ FROM m"""
           col("props"))
         .withColumn("prop_value",
           expr("get_json_object(props, concat('$.', prop_key))"))
+        // Scalar-only guard: nested objects/arrays re-serialize
+        // engine-specifically (whitespace, key order), so their text is
+        // not twin-safe. Both engines serialize them with a '{'/'['
+        // first char, so this prefix filter selects the SAME cell set on
+        // both sides regardless of interior text (NULLs kept: JSON null
+        // extracts to SQL NULL identically in both engines).
+        .filter(col("prop_value").isNull ||
+          (!col("prop_value").startsWith("{") &&
+            !col("prop_value").startsWith("[")))
         .groupBy(col("event_type"), col("prop_key"), col("prop_value"))
         .agg(count(lit(1)).as("n_events"))
         .withColumn("type_total",
@@ -591,10 +600,14 @@ WHERE rk <= 3""",
     "props_profile" ->
       s"""WITH k AS (
   SELECT event_type, props, unnest(json_keys(props)) AS prop_key FROM events
-), v AS (
+), v0 AS (
   SELECT event_type, prop_key,
          json_extract_string(props, '$$.' || prop_key) AS prop_value
   FROM k
+), v AS (
+  SELECT * FROM v0
+  WHERE prop_value IS NULL
+     OR (prop_value NOT LIKE '{%' AND prop_value NOT LIKE '[%')
 ), c AS (
   SELECT event_type, prop_key, prop_value, count(*) AS n_events
   FROM v GROUP BY 1, 2, 3)

@@ -211,21 +211,26 @@ WHERE rnk <= $BowTopK"""
   /** Token coverage of top-N word vocabularies — the OOV-rate audit run
     * before fixing a tokenizer/vocab budget: what fraction of token
     * OCCURRENCES the N most frequent words cover (rank ties broken by
-    * word, so the cut is deterministic). One inverted-index aggregate,
-    * one full-vocab rank (the vocabulary is the SMALL side — ranking it
-    * is dictionary-scale even at 100 TB), conditional exact sums, one
-    * summary row. */
+    * word, so the cut is deterministic). One inverted-index aggregate;
+    * only ranks ≤ max(CoverNs) matter for the covered sums, so the
+    * head is a TakeOrdered top-max(N) frame (no full-vocab sort or
+    * global window — the vocabulary is dictionary-scale but this makes
+    * the rank cost CoverN-bounded regardless); totals come from a
+    * separate whole-vocab aggregate, joined as two 1-row frames. */
   private def vocabCoverage(s: SparkSession, d: String): DataFrame = {
     val wc = docs(s, d)
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("c"))
-    val ranked = wc.withColumn("rn",
-      row_number().over(Window.orderBy(col("c").desc, col("word"))).cast("long"))
-    val aggs =
-      Seq(count(lit(1)).as("vocab_size"), sum(col("c")).as("n_tokens")) ++
-        CoverNs.map(n => sum(when(col("rn") <= n, col("c")).otherwise(0L))
-          .as(s"covered_$n"))
-    val row = ranked.agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true)
+    val ranked = wc.orderBy(col("c").desc, col("word")).limit(CoverNs.max)
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("c").desc, col("word"))).cast("long"))
+    val covAggs = CoverNs.map(n =>
+      sum(when(col("rn") <= n, col("c")).otherwise(0L)).as(s"covered_$n"))
+    val covered = ranked.agg(covAggs.head, covAggs.tail: _*)
+    val totals = wc.agg(count(lit(1)).as("vocab_size"), sum(col("c")).as("n_tokens"))
+    val row = totals.crossJoin(broadcast(covered)).localCheckpoint(true)
+    wc.unpersist()
     CoverNs.foldLeft(row) { (acc, n) =>
       acc.withColumn(s"coverage_$n", Det.snap(
         col(s"covered_$n").cast("double") / col("n_tokens").cast("double"), 6))

@@ -557,8 +557,9 @@ FROM documents"""
       // times, report doc counts, how many sources they span (a
       // cross-source prefix is template, not topical), and corpus
       // share. One explode-free scan (slice of the split array) + one
-      // prefix-keyed aggregate; global top-k via rank over the
-      // already-|prefixes|-sized survivor table.
+      // prefix-keyed aggregate; global top-k via TakeOrdered (the
+      // survivor table is |distinct prefixes|-sized — unbounded at
+      // corpus scale), rank window only on the ≤TopK serving frame.
       val pfx = array_join(
         slice(split(col("text"), " "), 1, BpfxTokens), " ")
       val base = docs(s, d).select(pfx.as("prefix"), col("source"))
@@ -567,9 +568,9 @@ FROM documents"""
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("source")).as("n_sources"))
         .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("prefix")).limit(BpfxTopK)
         .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
           .Window.orderBy(col("n_docs").desc, col("prefix"))).cast("long"))
-        .filter(col("rk") <= BpfxTopK)
         .crossJoin(broadcast(tot))
         .select(col("rk"), col("prefix"), col("n_docs"), col("n_sources"),
           Det.snap(col("n_docs").cast("double") /

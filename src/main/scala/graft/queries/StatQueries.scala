@@ -119,10 +119,15 @@ WHERE rk <= $BalanceN"""
         struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
       .select(concat_ws(">",
         expr("transform(evs, e -> e.event_type)")).as("path"))
+    // Top-K without a global-sort window: orderBy+limit is TakeOrdered
+    // (per-partition heaps, driver merge of K rows — the distinct-path
+    // frame is unbounded at corpus scale), then the rank window runs on
+    // the ≤K-row serving frame only. The (desc, path) key is a total
+    // order, so set + ranks are identical to the windowed form.
     paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(PathTopK)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("n_sessions").desc, col("path"))))
-      .filter(col("rk") <= PathTopK)
   }
 
   private val sessionPathsSql =
