@@ -1,0 +1,210 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Exact Kendall concordance counts WITHOUT the all-pairs self-join —
+  * the distributed form of Knight's O(n log n) algorithm (W. R. Knight,
+  * JASA 1966: τ via merge-sort inversion counting).
+  *
+  * For n observations (a, b) the τ_a ingredients are exact integers:
+  *   P = n(n−1)/2 total pairs,
+  *   T = pairs tied in a OR b      (T_a + T_b − T_ab, each Σ g(g−1)/2),
+  *   D = discordant pairs          (a_x < a_y ∧ b_x > b_y, both strict),
+  *   C = P − D − T concordant.
+  *
+  * D is the number of strict inversions of the b sequence once rows are
+  * sorted by (a asc, b asc, t asc): an a-tied pair sorts b-ascending so
+  * it can never count, and a b-tied pair is never a STRICT inversion —
+  * so the sort order handles all tie exclusions structurally. The
+  * distributed split:
+  *
+  *   - WITHIN a range partition of the (a, b, t) sort: a per-partition
+  *     merge-sort inversion count (each partition counts its own pairs
+  *     sequentially — O(p log p) per partition, no shuffle).
+  *   - ACROSS partitions: a pair (x ∈ earlier partition, y ∈ later)
+  *     inverts iff b_x > b_y (a_x ≤ a_y holds by the range sort, and
+  *     equality would force b_x ≤ b_y — impossible with b_x > b_y). So
+  *     the cross count is a 2-D dominance count, done with ONE more
+  *     range pass keyed on b alone (ties co-locate): a tiny
+  *     (b-partition × a-partition) count-matrix job gives each scan its
+  *     starting "rows with smaller b per a-partition" offsets, then a
+  *     single sequential sweep per b-partition accumulates, for every
+  *     row, how many rows of STRICTLY greater b sit in STRICTLY earlier
+  *     a-partitions (equal-b runs are buffered so ties never count).
+  *
+  * Driver state is bounded by partitions² longs (the count matrix) —
+  * never by n — and every job is a shuffle Spark already had to do to
+  * sort. Counts are exact longs, so τ_a = (C−D)/P has identical bits to
+  * the all-pairs form (KendallSpec proves count equality against the
+  * brute force on random tied data; the contract oracle keeps the
+  * quadratic SQL as the cross-engine check).
+  */
+object Kendall {
+
+  /** One-row frame (n_pairs, concordant, discordant, tied, tau_a) for
+    * the numeric columns `aCol`/`bCol` with tie-break column `tCol`
+    * (any ordered type; only used to fix the sort, never compared). */
+  def counts(df: DataFrame, aCol: String, bCol: String, tCol: String,
+             partitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = math.max(1, partitions.getOrElse(
+      spark.sessionState.conf.numShufflePartitions))
+    val base = df.select(col(aCol).cast("double").as("a"),
+      col(bCol).cast("double").as("b"), col(tCol).as("t"))
+
+    // Tie counts: Σ g(g−1) div 2 per equal-value group — three grouped
+    // aggregates on exact longs (`div` keeps the halving integral).
+    def tiePairs(keys: String*): Long = {
+      val r = base.groupBy(keys.map(col): _*).agg(count(lit(1)).as("g"))
+        .agg(coalesce(sum(expr("(g * (g - 1)) div 2")), lit(0L)).as("tp"))
+        .head()
+      r.getLong(0)
+    }
+    val ta = tiePairs("a")
+    val tb = tiePairs("b")
+    val tab = tiePairs("a", "b")
+    val tied = ta + tb - tab
+
+    // Pass 1: range sort by (a, b, t); tag rows with their physical
+    // partition id (range order == id order) and keep only (apid, b).
+    val tagged = base
+      .repartitionByRange(nPart, col("a"), col("b"), col("t"))
+      .sortWithinPartitions(col("a"), col("b"), col("t"))
+      .select(spark_partition_id().as("apid"), col("b"))
+      .localCheckpoint(true)
+
+    val n = tagged.count()
+    if (n < 2) {
+      tagged.unpersist()
+      return resultFrame(spark, 0L, 0L, 0L, 0L)
+    }
+
+    // Within-partition strict inversions, sequential merge count per
+    // partition (checkpointed rows keep their sorted order).
+    val bIdx = tagged.schema.fieldIndex("b")
+    val withinD = tagged.queryExecution.toRdd.mapPartitions { it =>
+      val arr = scala.collection.mutable.ArrayBuilder.make[Double]
+      while (it.hasNext) arr += it.next().getDouble(bIdx)
+      Iterator.single(strictInversions(arr.result()))
+    }.fold(0L)(_ + _)
+
+    // Pass 2: range partition by b ALONE (equal b co-locate, so an
+    // equal-b run never spans partitions), sorted by b within.
+    val bSorted = tagged
+      .repartitionByRange(nPart, col("b"))
+      .sortWithinPartitions(col("b"))
+      .select(spark_partition_id().as("bpid"), col("apid"), col("b"))
+      .localCheckpoint(true)
+    tagged.unpersist()
+
+    // Tiny count-matrix job: rows per (b-partition, a-partition).
+    val cells = bSorted.groupBy(col("bpid"), col("apid"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val bp = if (cells.isEmpty) 1 else cells.keys.map(_._1).max + 1
+    val ap = if (cells.isEmpty) 1 else cells.keys.map(_._2).max + 1
+    // smaller(bq)(p) = rows of a-partition p in b-partitions before bq
+    // (strictly smaller b than anything in bq) — cumulative build, so
+    // the driver cost is O(bp·ap), bounded by partitions², never by n.
+    val smaller = Array.ofDim[Long](bp + 1, ap)
+    var bq = 1
+    while (bq <= bp) {
+      var p = 0
+      while (p < ap) {
+        smaller(bq)(p) = smaller(bq - 1)(p) + cells.getOrElse((bq - 1, p), 0L)
+        p += 1
+      }
+      bq += 1
+    }
+    val totals = smaller(bp)
+
+    val apIdx = bSorted.schema.fieldIndex("apid")
+    val bIdx2 = bSorted.schema.fieldIndex("b")
+    val totB = spark.sparkContext.broadcast(totals)
+    val smallB = spark.sparkContext.broadcast(smaller)
+    // Sweep each b-partition in ascending-b order: `seen(p)` = rows of
+    // a-partition p with b strictly below the current run; a row y in
+    // a-partition q gains Σ_{p<q} (total(p) − seen(p) − run(p)) — the
+    // rows with strictly greater b in strictly earlier a-partitions.
+    val crossD = bSorted.queryExecution.toRdd.mapPartitionsWithIndex { (bq, it) =>
+      val total = totB.value
+      val seen = smallB.value(bq).clone()
+      val nA = total.length
+      var acc = 0L
+      val runAp = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var runB = 0.0
+      var runOpen = false
+      def flushRun(): Unit = {
+        if (runOpen) {
+          val runCnt = new Array[Long](nA)
+          runAp.foreach(p => runCnt(p) += 1L)
+          // prefix(q) = Σ_{p<q} (total(p) − seen(p) − runCnt(p))
+          val prefix = new Array[Long](nA + 1)
+          var p = 0
+          while (p < nA) {
+            prefix(p + 1) = prefix(p) + (total(p) - seen(p) - runCnt(p))
+            p += 1
+          }
+          runAp.foreach(q => acc += prefix(q))
+          var i = 0
+          while (i < nA) { seen(i) += runCnt(i); i += 1 }
+          runAp.clear()
+        }
+      }
+      while (it.hasNext) {
+        val r = it.next()
+        val b = r.getDouble(bIdx2)
+        val p = r.getInt(apIdx)
+        if (!runOpen || b != runB) { flushRun(); runB = b; runOpen = true }
+        runAp += p
+      }
+      flushRun()
+      Iterator.single(acc)
+    }.fold(0L)(_ + _)
+    bSorted.unpersist()
+
+    val nPairs = n * (n - 1) / 2
+    val discordant = withinD + crossD
+    val concordant = nPairs - discordant - tied
+    resultFrame(spark, nPairs, concordant, discordant, tied)
+  }
+
+  private def resultFrame(spark: org.apache.spark.sql.SparkSession,
+      nPairs: Long, c: Long, d: Long, t: Long): DataFrame = {
+    import spark.implicits._
+    Seq((nPairs, c, d, t))
+      .toDF("n_pairs", "concordant", "discordant", "tied")
+      .select(col("n_pairs"), col("concordant"), col("discordant"), col("tied"),
+        when(col("n_pairs") > 0,
+          Det.snap((col("concordant") - col("discordant")).cast("double") /
+            col("n_pairs").cast("double"), 6)).as("tau_a"))
+  }
+
+  /** Strict inversions of `arr` (#{i < j : arr(i) > arr(j)}) by the
+    * classic merge count; equal elements never count (left side is
+    * consumed first on ties). */
+  private[ops] def strictInversions(arr: Array[Double]): Long = {
+    val buf = new Array[Double](arr.length)
+    def merge(lo: Int, mid: Int, hi: Int): Long = {
+      var inv = 0L
+      var i = lo; var j = mid; var k = lo
+      while (i < mid && j < hi) {
+        if (arr(i) <= arr(j)) { buf(k) = arr(i); i += 1 }
+        else { buf(k) = arr(j); j += 1; inv += (mid - i) }
+        k += 1
+      }
+      while (i < mid) { buf(k) = arr(i); i += 1; k += 1 }
+      while (j < hi) { buf(k) = arr(j); j += 1; k += 1 }
+      System.arraycopy(buf, lo, arr, lo, hi - lo)
+      inv
+    }
+    def sort(lo: Int, hi: Int): Long =
+      if (hi - lo < 2) 0L
+      else {
+        val mid = (lo + hi) >>> 1
+        sort(lo, mid) + sort(mid, hi) + merge(lo, mid, hi)
+      }
+    sort(0, arr.length)
+  }
+}

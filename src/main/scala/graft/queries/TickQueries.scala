@@ -314,35 +314,17 @@ object TickQueries {
         .select(col("product_id"), col("r.q").as("q"),
           col("r.n_pairs").as("n_pairs"), col("r.vr").as("vr"))
     }),
-    "kendall_tau" -> ((s, d) => {
+    "kendall_tau" -> ((s, d) =>
       // Kendall's τ_a of the aligned top-2 pair — completing the
-      // correlation trio (Pearson market_corr, Spearman spearman_corr):
-      // all concordant/discordant/tied pair counts are EXACT integers
-      // from sign comparisons on identical double bits, and τ_a =
-      // (C−D)/(n(n−1)/2) is one division of exact operands. The
-      // all-pairs frame is TIME-bounded (one instrument pair's grid —
-      // |grid|² comparisons, 27M at the 10× fixture), not data-bounded;
-      // for the all-instruments case use spearman_corr, which is
-      // O(n log n) by ranks.
-      val al = alignPair(s, d).localCheckpoint(true)
-      val pairs = al.select(col("grid_ts").as("t1"), col("xa").as("a1"), col("xb").as("b1"))
-        .join(al.select(col("grid_ts").as("t2"), col("xa").as("a2"), col("xb").as("b2")),
-          col("t1") < col("t2"))
-        .select(
-          (signum(col("a2") - col("a1")) * signum(col("b2") - col("b1")))
-            .cast("int").as("sg"))
-      val out = pairs.agg(
-          count(lit(1)).as("n_pairs"),
-          count(when(col("sg") === 1, 1)).as("concordant"),
-          count(when(col("sg") === -1, 1)).as("discordant"),
-          count(when(col("sg") === 0, 1)).as("tied"))
-        .select(col("n_pairs"), col("concordant"), col("discordant"), col("tied"),
-          Det.snap((col("concordant") - col("discordant")).cast("double") /
-            col("n_pairs").cast("double"), 6).as("tau_a"))
-        .localCheckpoint(true)
-      al.unpersist()
-      out
-    }),
+      // correlation trio (Pearson market_corr, Spearman spearman_corr).
+      // Concordant/discordant/tied counts are EXACT integers, computed
+      // DATA-bounded by graft.ops.Kendall (distributed Knight: merge
+      // inversion counts within range partitions + a partition²-bounded
+      // cross-dominance pass — no |grid|² self-join; KendallSpec proves
+      // count equality vs brute force), so τ_a = (C−D)/(n(n−1)/2) has
+      // the same bits as the all-pairs form. The ORACLE keeps the
+      // quadratic SQL as the cross-engine check.
+      Kendall.counts(alignPair(s, d), "xa", "xb", "grid_ts")),
     "ewma_var" -> ((s, d) => {
       // RiskMetrics-style EWMA variance: σ²_t = λσ²_{t−1} + (1−λ)r²_t
       // per instrument over raw tick returns, λ = 15/16 (α = 1/16 — an

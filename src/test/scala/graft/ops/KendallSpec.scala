@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Knight-style distributed Kendall vs the brute-force all-pairs count.
+  * The operator's claim is COUNT equality (exact longs) — τ bits follow
+  * for free because both forms divide the same integers. Random data
+  * includes heavy ties in a, b, and (a, b) jointly so every tie branch
+  * (within-partition sort exclusion, equal-b run buffering, the
+  * a-tie-across-partitions impossibility argument) is exercised, and
+  * partition counts far exceeding the data force the cross-partition
+  * machinery onto many tiny partitions.
+  */
+class KendallSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def brute(rows: Seq[(Double, Double)]): (Long, Long, Long, Long) = {
+    var c = 0L; var d = 0L; var t = 0L
+    val a = rows.toIndexedSeq
+    for (i <- a.indices; j <- (i + 1) until a.size) {
+      val s = math.signum(a(j)._1 - a(i)._1) * math.signum(a(j)._2 - a(i)._2)
+      if (s > 0) c += 1 else if (s < 0) d += 1 else t += 1
+    }
+    (a.size.toLong * (a.size - 1) / 2, c, d, t)
+  }
+
+  private def run(rows: Seq[(Double, Double)], nPart: Int): (Long, Long, Long, Long) = {
+    val df = rows.zipWithIndex
+      .map { case ((a, b), i) => (a, b, i.toLong) }
+      .toDF("a", "b", "t")
+      .repartition(4) // arbitrary incoming layout
+    val r = Kendall.counts(df, "a", "b", "t", Some(nPart)).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  test("strictInversions: merge count equals quadratic on tied data") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 20) {
+      val arr = Array.fill(rnd.nextInt(50) + 1)(rnd.nextInt(8).toDouble)
+      val want = (for (i <- arr.indices; j <- (i + 1) until arr.length
+                       if arr(i) > arr(j)) yield 1L).sum
+      assert(Kendall.strictInversions(arr.clone()) == want)
+    }
+  }
+
+  test("counts equal brute force on random tied data, many partitionings") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 6) {
+      val n = 40 + rnd.nextInt(120)
+      // coarse value grids => many ties in a, b, and (a, b)
+      val rows = Seq.fill(n)((rnd.nextInt(12).toDouble / 2.0,
+        rnd.nextInt(12).toDouble / 2.0))
+      val want = brute(rows)
+      for (nPart <- Seq(1, 3, 8, 32)) {
+        assert(run(rows, nPart) == want,
+          s"trial $trial nPart $nPart: got ${run(rows, nPart)} want $want")
+      }
+    }
+  }
+
+  test("monotone and anti-monotone extremes") {
+    val inc = (1 to 50).map(i => (i.toDouble, i.toDouble))
+    val (p1, c1, d1, t1) = run(inc, 8)
+    assert((c1, d1, t1) == (p1, 0L, 0L))
+    val dec = (1 to 50).map(i => (i.toDouble, -i.toDouble))
+    val (p2, c2, d2, t2) = run(dec, 8)
+    assert((c2, d2, t2) == (0L, p2, 0L))
+  }
+
+  test("all-tied input: every pair tied, tau computed over full n_pairs") {
+    val flat = Seq.fill(30)((1.0, 2.0))
+    val (p, c, d, t) = run(flat, 8)
+    assert((c, d, t) == (0L, 0L, p))
+  }
+
+  test("degenerate inputs: empty and single row") {
+    assert(run(Seq.empty, 4) == (0L, 0L, 0L, 0L))
+    assert(run(Seq((1.0, 1.0)), 4) == (0L, 0L, 0L, 0L))
+  }
+
+  test("tau_a matches the direct snap of (C-D)/P") {
+    val rnd = new scala.util.Random(9)
+    val rows = Seq.fill(80)((rnd.nextInt(10).toDouble, rnd.nextInt(10).toDouble))
+    val df = rows.zipWithIndex.map { case ((a, b), i) => (a, b, i.toLong) }
+      .toDF("a", "b", "t")
+    val r = Kendall.counts(df, "a", "b", "t", Some(8))
+      .select(col("tau_a"),
+        Det.snap((col("concordant") - col("discordant")).cast("double") /
+          col("n_pairs").cast("double"), 6).as("direct"))
+      .head()
+    assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(r.getDouble(1)))
+  }
+}
