@@ -1001,6 +1001,17 @@ object Similarity {
     ranked(scored, k)
   }
 
+  /** Compiled nearest-centroid argmin on the exact 1e-12 grid distance
+    * (ties keep the first = smallest cluster id in a sorted codebook) —
+    * THE cell-assignment kernel, shared by the batch k-means loop, the
+    * IVF read path, and [[graft.streaming.StatefulKmeans]] so the
+    * streaming refresh can never assign a vector differently than the
+    * batch recomputation. Forwards to [[VecKernels]], a Serializable
+    * holder, so task closures capture only the tiny kernel object. */
+  private[graft] def argminCell(cb: Array[(Int, Array[Double])],
+                                e: Array[Float]): (Int, Long) =
+    VecKernels.argminCell(cb, e)
+
   /** One k-means assignment row (d2 snapped to the 1e-6 grid). */
   final case class KmeansRow(vec_id: Long, cluster: Long, d2: Double)
 
@@ -1041,23 +1052,11 @@ object Similarity {
       .map { case ((_, emb), i) => (i, emb.toArray.map(_.toDouble)) }
 
     // compiled argmin over the closure codebook (sorted → tie keeps
-    // the smaller cluster id, matching the oracle's ORDER BY d2l, cid)
-    def argmin(cb: Array[(Int, Array[Double])], e: Array[Float]): (Int, Long) = {
-      var bestCid = -1; var bestD = Long.MaxValue
-      var ci = 0
-      while (ci < cb.length) {
-        val cv = cb(ci)._2
-        var s = 0L; var i = 0
-        while (i < e.length) {
-          val d = e(i).toDouble - cv(i)
-          s += math.floor(d * d * 1e12 + 0.5).toLong
-          i += 1
-        }
-        if (s < bestD) { bestD = s; bestCid = cb(ci)._1 }
-        ci += 1
-      }
-      (bestCid, bestD)
-    }
+    // the smaller cluster id, matching the oracle's ORDER BY d2l, cid);
+    // VecKernels directly — the Serializable holder — so the task
+    // closure never drags the Similarity object in.
+    def argmin(cb: Array[(Int, Array[Double])], e: Array[Float]): (Int, Long) =
+      VecKernels.argminCell(cb, e)
 
     var it = 0
     while (it < iters) {
