@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Classical additive seasonal decomposition on a filled hourly grid —
+  * the moving-average STL ancestor (trend = centered 2×24 MA, seasonal =
+  * per-hour-of-day mean of the detrended series, remainder variability
+  * per seasonal slot), done entirely in EXACT integer arithmetic so the
+  * DuckDB twin reproduces every bit.
+  *
+  * Exactness design: with k = floor(price·10⁴ + 0.5) grid longs, the
+  * centered even-period MA has the classic half-weight ends —
+  * trend_t = (k_{t−12} + 2·Σ_{t−11..t+11} k + k_{t+12}) / 48 / 10⁴ —
+  * so N_t = 2·S_inner + k_{t−12} + k_{t+12} IS 48·10⁴·trend as an exact
+  * long, and the detrended series y_t = 48·k_t − N_t is exact on the
+  * 48·10⁴ grid. Per (instrument, hour-of-day) slot the seasonal mean is
+  * (double)Σy / 48 / 10⁴ / n (one signed long → correctly-rounded double
+  * in both engines), and the within-slot variability rides the exact
+  * population-variance numerator n·Σy² − (Σy)² in DECIMAL(38)/HUGEINT,
+  * finished through an exact decimal STRING cast (the > 2⁵³ rule) and
+  * one correctly-rounded sqrt. Slots need the FULL ±12 window (count
+  * = 25), so boundary rows never contribute a partial trend.
+  *
+  * Scale shape: two keyed window passes over the grid (one Exchange on
+  * product_id), one grouped aggregate on (product_id, hour) — 24 rows
+  * per instrument out. No collect, no global sort; the hour dimension
+  * bounds the output, the grid bounds the windows.
+  */
+object Seasonal {
+
+  /** `filled`: (product_id, grid_ts timestamp, price double) — a
+    * gap-filled hourly grid (no missing hours inside each instrument's
+    * span, e.g. from [[GapFill]]). Output: one row per (product_id,
+    * hour_od) with n_obs, the seasonal mean and within-slot stddev. */
+  def hourOfDayProfile(filled: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("product_id")).orderBy(col("grid_ts"))
+    val inner = w.rowsBetween(-11, 11)
+    val full = w.rowsBetween(-12, 12)
+    def dec(c: Column) = c.cast(DecimalType(19, 0))
+    def exact(c: Column) = c.cast("string").cast("double")
+
+    val y = filled
+      .withColumn("k", Det.kl(col("price"), 4))
+      .withColumn("cnt", count(col("k")).over(full))
+      .withColumn("num48",
+        lit(2L) * sum(col("k")).over(inner) +
+          lag(col("k"), 12).over(w) + lead(col("k"), 12).over(w))
+      .filter(col("cnt") === 25)
+      .select(col("product_id"),
+        hour(col("grid_ts")).cast("long").as("hour_od"),
+        (lit(48L) * col("k") - col("num48")).as("y"))
+
+    val agg = y.groupBy(col("product_id"), col("hour_od"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("y")).as("sy"),
+        sum(dec(col("y")) * dec(col("y"))).as("sy2"))
+    val vnum = dec(col("n_obs")) * col("sy2") - dec(col("sy")) * dec(col("sy"))
+    agg.select(col("product_id"), col("hour_od"), col("n_obs"),
+      Det.snap(col("sy").cast("double") / 48 / 10000 / col("n_obs"), 6)
+        .as("seasonal"),
+      Det.snap(sqrt(exact(vnum)) / (lit(480000.0) * col("n_obs")), 6)
+        .as("sd_within"))
+  }
+}

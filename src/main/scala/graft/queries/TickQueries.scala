@@ -344,6 +344,19 @@ object TickQueries {
         .withColumnRenamed("ewma", "var_ewma")
         .withColumn("vol", sqrt(col("var_ewma"))))
     }),
+    "seasonal_decompose" -> ((s, d) => {
+      // Additive seasonal decomposition of each instrument's filled
+      // hourly grid (ops.Seasonal scaladoc has the exact-grid design):
+      // centered 2x24 MA trend, per-hour-of-day seasonal means of the
+      // detrended series, within-slot stddev — the classical STL
+      // ancestor, 24 rows per instrument, everything on exact integer
+      // grids so both engines agree bit-for-bit.
+      val filled = GapFill(uniqTicks(s, d),
+        Seq("product_id"), "event_time", "1 hour",
+        Seq("price" -> "price"), truncUnit = "hour")
+        .filter(col("price").isNotNull)
+      Seasonal.hourOfDayProfile(filled)
+    }),
     "spearman_corr" -> ((s, d) => {
       // Spearman rank correlation of each instrument vs the equal-weight
       // market on the filled grid — the monotone-co-movement companion
@@ -1028,6 +1041,44 @@ FROM agg""",
        ${s6("sqrt(ewma)")} AS vol
 FROM ($inner) e"""
       },
+      "seasonal_decompose" ->
+        s"""WITH t AS ($uniqTicksSql),
+bounds AS (
+  SELECT product_id, date_trunc('hour', min(event_time)) AS s, max(event_time) AS e
+  FROM t GROUP BY 1),
+g AS (
+  SELECT product_id, unnest(generate_series(s, e, INTERVAL '1 hour')) AS grid_ts
+  FROM bounds),
+filled AS (
+  SELECT g.product_id, g.grid_ts, t.price
+  FROM g ASOF LEFT JOIN t
+    ON g.product_id = t.product_id AND g.grid_ts >= t.event_time
+  WHERE t.price IS NOT NULL),
+kk AS (
+  SELECT product_id, grid_ts, ${Det.klSql("price", 4)} AS k FROM filled),
+win AS (
+  SELECT product_id, grid_ts, k,
+         count(k) OVER w25 AS cnt,
+         CAST(sum(k) OVER w23 AS BIGINT) AS sinner,
+         lag(k, 12) OVER wp AS lag12, lead(k, 12) OVER wp AS lead12
+  FROM kk
+  WINDOW wp AS (PARTITION BY product_id ORDER BY grid_ts),
+         w23 AS (PARTITION BY product_id ORDER BY grid_ts
+                 ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING),
+         w25 AS (PARTITION BY product_id ORDER BY grid_ts
+                 ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+y AS (
+  SELECT product_id, CAST(hour(grid_ts) AS BIGINT) AS hour_od,
+         48 * k - (2 * sinner + lag12 + lead12) AS y
+  FROM win WHERE cnt = 25),
+agg AS (
+  SELECT product_id, hour_od, CAST(count(*) AS BIGINT) AS n_obs,
+         sum(y) AS sy, sum(y * y) AS sy2
+  FROM y GROUP BY 1, 2)
+SELECT product_id, hour_od, n_obs,
+       ${s6(s"${Det.signedDblSql("sy")} / 48 / 10000 / n_obs")} AS seasonal,
+       ${s6("sqrt(CAST(CAST(n_obs * sy2 - sy * sy AS VARCHAR) AS DOUBLE)) / (CAST(480000 AS DOUBLE) * n_obs)")} AS sd_within
+FROM agg""",
       "spearman_corr" ->
         s"""WITH t AS ($uniqTicksSql),
 bounds AS (
