@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Exact Kendall concordance counts WITHOUT the all-pairs self-join —
@@ -53,17 +53,23 @@ object Kendall {
     val base = df.select(col(aCol).cast("double").as("a"),
       col(bCol).cast("double").as("b"), col(tCol).as("t"))
 
-    // Tie counts: Σ g(g−1) div 2 per equal-value group — three grouped
-    // aggregates on exact longs (`div` keeps the halving integral).
-    def tiePairs(keys: String*): Long = {
-      val r = base.groupBy(keys.map(col): _*).agg(count(lit(1)).as("g"))
-        .agg(coalesce(sum(expr("(g * (g - 1)) div 2")), lit(0L)).as("tp"))
-        .head()
-      r.getLong(0)
+    // Tie counts: Σ g(g−1) div 2 per equal-value group. ONE corpus pass
+    // builds the (a, b) count table; ta/tb/tab all derive from it (its
+    // row count is |distinct (a,b)| ≤ n, and the three reductions over
+    // it are cheap re-aggregations of an already-shuffled frame).
+    val ab = base.groupBy(col("a"), col("b")).agg(count(lit(1)).as("g"))
+      .localCheckpoint(true)
+    def tieOver(ks: Seq[String]): Long = {
+      val grouped =
+        if (ks == Seq("a", "b")) ab
+        else ab.groupBy(ks.map(col): _*).agg(sum(col("g")).as("g"))
+      grouped.agg(coalesce(sum(expr("(g * (g - 1)) div 2")), lit(0L)))
+        .head().getLong(0)
     }
-    val ta = tiePairs("a")
-    val tb = tiePairs("b")
-    val tab = tiePairs("a", "b")
+    val ta = tieOver(Seq("a"))
+    val tb = tieOver(Seq("b"))
+    val tab = tieOver(Seq("a", "b"))
+    ab.unpersist()
     val tied = ta + tb - tab
 
     // Pass 1: range sort by (a, b, t); tag rows with their physical
@@ -168,6 +174,88 @@ object Kendall {
     val discordant = withinD + crossD
     val concordant = nPairs - discordant - tied
     resultFrame(spark, nPairs, concordant, discordant, tied)
+  }
+
+  /** Per-key exact Kendall counts + τ_b — the grouped companion of
+    * [[counts]] for the "every instrument vs the market" shape
+    * (spearman_corr's frame). One hash Exchange on the key, then each
+    * group is counted SEQUENTIALLY inside its partition with the same
+    * merge-sort inversion kernel (per-group memory = the group's rows —
+    * the per-instrument series is time-bounded, the same justification
+    * as every keyed window in the repo; the KEY dimension is what
+    * scales, and that is the partitioned axis). Tie corrections are
+    * exact run counts; τ_b = (C−D)/√((P−T_a)(P−T_b)) with the product
+    * routed through the exact decimal-string cast (it can pass 2⁵³). */
+  def countsByKey(df: DataFrame, keyCol: String, aCol: String, bCol: String,
+                  tCol: String, partitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val nPart = math.max(1, partitions.getOrElse(
+      spark.sessionState.conf.numShufflePartitions))
+    val sorted = df.select(col(keyCol).cast("string").as("k"),
+        col(aCol).cast("double").as("a"), col(bCol).cast("double").as("b"),
+        col(tCol).as("t"))
+      .repartition(nPart, col("k"))
+      .sortWithinPartitions(col("k"), col("a"), col("b"), col("t"))
+    val perKey = sorted.queryExecution.toRdd.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long, Long, Long)]
+      var key: String = null
+      val bs = scala.collection.mutable.ArrayBuilder.make[Double]
+      var n = 0L; var ta = 0L; var tab = 0L
+      var prevA = 0.0; var prevB = 0.0
+      // incremental tie pairs: each row in a g-run adds its 1..g−1
+      // predecessors, so runs sum to g(g−1)/2 with no close step
+      var runLenA = 0L; var runLenAB = 0L
+      def closeGroup(): Unit = if (key != null) {
+        val arr = bs.result()
+        val d = strictInversions(arr.clone())
+        java.util.Arrays.sort(arr)
+        var tb = 0L; var i = 0
+        while (i < arr.length) {
+          var j = i + 1
+          while (j < arr.length && arr(j) == arr(i)) j += 1
+          val g = (j - i).toLong
+          tb += g * (g - 1) / 2
+          i = j
+        }
+        out += ((key, n, d, ta, tb, tab))
+        bs.clear(); n = 0L; ta = 0L; tab = 0L
+      }
+      while (it.hasNext) {
+        val r = it.next()
+        val k = r.getUTF8String(0).toString
+        val a = r.getDouble(1); val b = r.getDouble(2)
+        if (key == null || k != key) {
+          closeGroup(); key = k; runLenA = 1L; runLenAB = 1L
+        } else if (a == prevA) {
+          ta += runLenA; runLenA += 1L
+          if (b == prevB) { tab += runLenAB; runLenAB += 1L }
+          else runLenAB = 1L
+        } else { runLenA = 1L; runLenAB = 1L }
+        prevA = a; prevB = b
+        bs += b; n += 1L
+      }
+      closeGroup()
+      out.iterator
+    }
+    val agg = spark.createDataset(perKey)(
+      org.apache.spark.sql.Encoders.product[(String, Long, Long, Long, Long, Long)])
+      .toDF("product_key", "n_obs", "discordant", "tied_a", "tied_b", "tied_ab")
+    def dec(c: Column) = c.cast(DecimalType(19, 0))
+    def exact(c: Column) = c.cast("string").cast("double")
+    val p = expr("(n_obs * (n_obs - 1)) div 2")
+    val withP = agg.withColumn("n_pairs", p)
+      .withColumn("tied", col("tied_a") + col("tied_b") - col("tied_ab"))
+      .withColumn("concordant",
+        col("n_pairs") - col("discordant") - col("tied"))
+      .withColumn("pa", col("n_pairs") - col("tied_a"))
+      .withColumn("pb", col("n_pairs") - col("tied_b"))
+    withP.select(col("product_key"), col("n_obs"), col("n_pairs"),
+      col("concordant"), col("discordant"), col("tied_a"), col("tied_b"),
+      when(col("pa") > 0 && col("pb") > 0, Det.snap(
+        (col("concordant") - col("discordant")).cast("double") /
+          sqrt(exact(dec(col("pa")) * dec(col("pb")))), 6)).as("tau_b"))
   }
 
   private def resultFrame(spark: org.apache.spark.sql.SparkSession,

@@ -344,6 +344,25 @@ object TickQueries {
         .withColumnRenamed("ewma", "var_ewma")
         .withColumn("vol", sqrt(col("var_ewma"))))
     }),
+    "kendall_corr" -> ((s, d) => {
+      // Kendall τ_b of EVERY instrument vs the equal-weight market on
+      // the filled hourly grid — the grouped, tie-corrected companion
+      // of kendall_tau (spearman_corr's frame, Kendall's statistic).
+      // Counts come from ops.Kendall.countsByKey: one hash Exchange on
+      // the instrument, per-group merge inversion counting (the
+      // instrument axis scales; each group is time-bounded). The ORACLE
+      // is the quadratic per-instrument sign census — an independent
+      // algorithm checking every count column.
+      val filled = GapFill(uniqTicks(s, d),
+        Seq("product_id"), "event_time", "1 hour",
+        Seq("price" -> "price"), truncUnit = "hour")
+        .filter(col("price").isNotNull)
+      val withMkt = filled.withColumn("mkt",
+        Det.avgD(col("price"), 9, Window.partitionBy(col("grid_ts"))))
+      Kendall.countsByKey(withMkt, "product_id", "price", "mkt", "grid_ts")
+        .withColumnRenamed("product_key", "product_id")
+        .filter(col("n_obs") >= 2)
+    }),
     "seasonal_decompose" -> ((s, d) => {
       // Additive seasonal decomposition of each instrument's filled
       // hourly grid (ops.Seasonal scaladoc has the exact-grid design):
@@ -1041,6 +1060,44 @@ FROM agg""",
        ${s6("sqrt(ewma)")} AS vol
 FROM ($inner) e"""
       },
+      "kendall_corr" ->
+        s"""WITH t AS ($uniqTicksSql),
+bounds AS (
+  SELECT product_id, date_trunc('hour', min(event_time)) AS s, max(event_time) AS e
+  FROM t GROUP BY 1),
+g AS (
+  SELECT product_id, unnest(generate_series(s, e, INTERVAL '1 hour')) AS grid_ts
+  FROM bounds),
+filled AS (
+  SELECT g.product_id, g.grid_ts, t.price
+  FROM g ASOF LEFT JOIN t
+    ON g.product_id = t.product_id AND g.grid_ts >= t.event_time
+  WHERE t.price IS NOT NULL),
+wm AS (
+  SELECT product_id, grid_ts, price,
+         ${Det.avgDSql("price", 9, " OVER (PARTITION BY grid_ts)")} AS mkt
+  FROM filled),
+p AS (
+  SELECT x.product_id,
+         sign(y.price - x.price) AS sa, sign(y.mkt - x.mkt) AS sb
+  FROM wm x JOIN wm y
+    ON x.product_id = y.product_id AND x.grid_ts < y.grid_ts),
+c AS (
+  SELECT product_id,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(CASE WHEN sa * sb > 0 THEN 1 END) AS BIGINT) AS concordant,
+         CAST(count(CASE WHEN sa * sb < 0 THEN 1 END) AS BIGINT) AS discordant,
+         CAST(count(CASE WHEN sa = 0 THEN 1 END) AS BIGINT) AS tied_a,
+         CAST(count(CASE WHEN sb = 0 THEN 1 END) AS BIGINT) AS tied_b
+  FROM p GROUP BY 1),
+n AS (SELECT product_id, CAST(count(*) AS BIGINT) AS n_obs FROM wm GROUP BY 1)
+SELECT n.product_id, n.n_obs, c.n_pairs, c.concordant, c.discordant,
+       c.tied_a, c.tied_b,
+       CASE WHEN c.n_pairs - c.tied_a > 0 AND c.n_pairs - c.tied_b > 0 THEN
+         ${s6("CAST(c.concordant - c.discordant AS DOUBLE) / sqrt(CAST(CAST(CAST(c.n_pairs - c.tied_a AS HUGEINT) * (c.n_pairs - c.tied_b) AS VARCHAR) AS DOUBLE))")}
+       END AS tau_b
+FROM n JOIN c USING (product_id)
+WHERE n.n_obs >= 2""",
       "seasonal_decompose" ->
         s"""WITH t AS ($uniqTicksSql),
 bounds AS (

@@ -81,6 +81,67 @@ class KendallSpec extends AnyFunSuite {
     assert(run(Seq((1.0, 1.0)), 4) == (0L, 0L, 0L, 0L))
   }
 
+  private def bruteByKey(rows: Seq[(String, Double, Double)])
+      : Map[String, (Long, Long, Long, Long, Long)] =
+    rows.groupBy(_._1).map { case (k, rs) =>
+      val a = rs.toIndexedSeq
+      var c = 0L; var d = 0L; var ta = 0L; var tb = 0L
+      for (i <- a.indices; j <- (i + 1) until a.size) {
+        val sa = math.signum(a(j)._2 - a(i)._2)
+        val sb = math.signum(a(j)._3 - a(i)._3)
+        if (sa * sb > 0) c += 1 else if (sa * sb < 0) d += 1
+        if (sa == 0) ta += 1
+        if (sb == 0) tb += 1
+      }
+      k -> (c, d, ta, tb, a.size.toLong)
+    }
+
+  test("countsByKey equals per-key brute force, ties and multi-key") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = for {
+      k <- Seq("A", "B", "C", "D")
+      i <- 0 until (30 + rnd.nextInt(60))
+    } yield (k, rnd.nextInt(9).toDouble, rnd.nextInt(9).toDouble)
+    val df = rows.zipWithIndex
+      .map { case ((k, a, b), i) => (k, a, b, i.toLong) }
+      .toDF("k", "a", "b", "t").repartition(7)
+    val got = Kendall.countsByKey(df, "k", "a", "b", "t", Some(5))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(1)))
+      .toMap
+    assert(got == bruteByKey(rows))
+  }
+
+  test("countsByKey tau_b matches scipy-style formula on exact counts") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq.tabulate(60)(i =>
+      ("K", (i % 7).toDouble, ((i * 3) % 5).toDouble, i.toLong))
+    val df = rows.toDF("k", "a", "b", "t")
+    val r = Kendall.countsByKey(df, "k", "a", "b", "t", Some(3)).head()
+    val (np, c, d, ta, tb) = (r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6))
+    val want = math.floor((c - d).toDouble /
+      math.sqrt(java.lang.Double.parseDouble(
+        (java.math.BigInteger.valueOf(np - ta)
+          .multiply(java.math.BigInteger.valueOf(np - tb))).toString))
+      * 1e6 + 0.5) / 1e6
+    assert(java.lang.Double.doubleToLongBits(r.getDouble(7)) ==
+      java.lang.Double.doubleToLongBits(want))
+  }
+
+  test("countsByKey: all-tied a yields null tau_b") {
+    val s = spark
+    import s.implicits._
+    val df = Seq.tabulate(10)(i => ("K", 1.0, i.toDouble, i.toLong))
+      .toDF("k", "a", "b", "t")
+    val r = Kendall.countsByKey(df, "k", "a", "b", "t", Some(2)).head()
+    assert(r.isNullAt(7))
+  }
+
   test("tau_a matches the direct snap of (C-D)/P") {
     val rnd = new scala.util.Random(9)
     val rows = Seq.fill(80)((rnd.nextInt(10).toDouble, rnd.nextInt(10).toDouble))
