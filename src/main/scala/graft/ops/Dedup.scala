@@ -181,12 +181,22 @@ object Dedup {
   /** [[minhashLshPairs]] over a pre-built shingle frame (see
     * [[jaccardPairsOf]] for the multi-config sharing rationale). */
   def minhashLshPairsOf(shingled: DataFrame, numHashes: Int = 8,
-                        bands: Int = 2): DataFrame = {
+                        bands: Int = 2): DataFrame =
+    lshPairsOfSigs(minhashSignaturesOf(shingled, numHashes), numHashes, bands)
+
+  /** Banding + bucketing + pair emission over a pre-built signature
+    * frame (m0..m{numHashes−1} columns). The h-th hash definition does
+    * not depend on the signature WIDTH, so an h-hash config reads a
+    * PREFIX of a wider frame — a multi-geometry sweep computes ONE
+    * signature aggregate at max(numHashes) (the doc-dimension-sized
+    * frame) and derives every banding from it, instead of paying one
+    * corpus-wide aggregate per geometry. */
+  def lshPairsOfSigs(sigs: DataFrame, numHashes: Int = 8,
+                     bands: Int = 2): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val spark = shingled.sparkSession
+    val spark = sigs.sparkSession
     import spark.implicits._
-    val sigs = minhashSignaturesOf(shingled, numHashes)
     val banded = sigs.select(
       Seq(struct(col("doc_id"),
         array((0 until numHashes).map(h => col(s"m$h")): _*).as("sigs")).as("d"),

@@ -452,12 +452,19 @@ FROM m"""
     // window over the tiny cell table.
     "props_profile" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ONE JSON parse per row: from_json to map<string,string> then
+      // explode — vs json_object_keys + per-key get_json_object, which
+      // re-parses the document once per key (1+K parses). For scalar
+      // values the map value text equals get_json_object's extraction
+      // (raw literal for numbers/booleans, unquoted for strings, NULL
+      // for JSON null), and non-scalars are filtered below either way.
       s.read.parquet(s"$d/events.parquet")
         .select(col("event_type"),
-          explode(json_object_keys(col("props"))).as("prop_key"),
-          col("props"))
-        .withColumn("prop_value",
-          expr("get_json_object(props, concat('$.', prop_key))"))
+          explode(from_json(col("props"),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.StringType)))
+            .as(Seq("prop_key", "prop_value")))
         // Scalar-only guard: nested objects/arrays re-serialize
         // engine-specifically (whitespace, key order), so their text is
         // not twin-safe. Both engines serialize them with a '{'/'['

@@ -178,11 +178,14 @@ FROM documents"""
     // pipelines (sum-df-squared postings, banded buckets); the hit join
     // is pair-dimension-keyed.
     "dedup_recall" -> ((s, d) => {
-      // Shingles are banding-independent: ONE checkpointed shingle frame
-      // feeds both the exact-Jaccard truth and the LSH candidate side
-      // (vs two corpus scans + shingle rebuilds); truth/cand are each
-      // read twice below (count + hit join), so they materialize too.
-      val sh = Shingles.exploded(docs(s, d), 3).localCheckpoint(true)
+      // Shingles are banding-independent: one shared shingle PLAN feeds
+      // both the exact-Jaccard truth and the LSH candidate side. It is
+      // deliberately NOT checkpointed — the exploded frame is LARGER
+      // than the corpus, so materializing it costs more than the two
+      // cheap scan+explode recomputes (measured; and the asymmetry only
+      // grows at 100 TB). truth/cand are pair-dimension-sized and each
+      // read twice below (count + hit join), so they DO materialize.
+      val sh = Shingles.exploded(docs(s, d), 3)
       val truth = Dedup.jaccardPairsOf(sh, tau = RecallTau)
         .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
       val cand = Dedup.minhashLshPairsOf(sh)
@@ -200,7 +203,7 @@ FROM documents"""
             col("n_hits").cast("double") / col("n_truth").cast("double"), 6))
             .as("recall_lsh"))
         .localCheckpoint(true)
-      sh.unpersist(); truth.unpersist(); cand.unpersist()
+      truth.unpersist(); cand.unpersist()
       res
     }),
     "multimodal_features" -> ((s, d) =>
@@ -285,22 +288,30 @@ FROM documents"""
     // configs against the same true-Jaccard truth in one output — the
     // tuning CURVE (dedup_recall is one point on it) a curator reads
     // before spending a corpus-scale dedup pass; rows-per-band 8→2
-    // walks the P[candidate] = j^(hashes/bands) dial. Shapes: each
-    // config pays its own signature aggregate (inherent — different
-    // hash/band geometry) over ONE checkpointed shingle frame (shingling
-    // is geometry-independent, so the corpus is scanned + shingled once,
-    // not once per config), the tagged candidate union joins the truth
-    // frame ONCE (left join, marker count), and the config dimension
-    // frame left-joins back so a zero-candidate config still emits its
-    // row (mirroring the oracle's per-config scalar counts).
+    // walks the P[candidate] = j^(hashes/bands) dial. Shapes: ONE
+    // signature aggregate at max(numHashes) serves every geometry
+    // (narrower configs band a PREFIX of the checkpointed doc-dimension
+    // sigs frame — Dedup.lshPairsOfSigs), so the corpus-wide cost is
+    // one shingle scan for truth + one for signatures (the exploded
+    // shingle frame itself is larger than the corpus and is NOT
+    // checkpointed — see dedup_recall); the tagged candidate union
+    // joins the truth frame ONCE (left join, marker count), and the
+    // config dimension frame left-joins back so a zero-candidate config
+    // still emits its row (mirroring the oracle's per-config counts).
     "dedup_sweep" -> ((s, d) => {
       import s.implicits._
-      val sh = Shingles.exploded(docs(s, d), 3).localCheckpoint(true)
+      val sh = Shingles.exploded(docs(s, d), 3)
       val truth = Dedup.jaccardPairsOf(sh, tau = RecallTau)
         .select(col("doc_a"), col("doc_b")).withColumn("t", lit(1))
         .localCheckpoint(true)
+      // ONE signature aggregate at max(numHashes): narrower configs
+      // band over a prefix of the same doc-dimension-sized frame
+      // (Dedup.lshPairsOfSigs scaladoc) — 4 geometries, 1 corpus-wide
+      // signature pass instead of 4.
+      val sigs = Dedup.minhashSignaturesOf(sh, SweepConfigs.map(_._1).max)
+        .localCheckpoint(true)
       val cands = SweepConfigs.map { case (h, b) =>
-        Dedup.minhashLshPairsOf(sh, numHashes = h, bands = b)
+        Dedup.lshPairsOfSigs(sigs, numHashes = h, bands = b)
           .select(col("doc_a"), col("doc_b"))
           .withColumn("num_hashes", lit(h)).withColumn("bands", lit(b))
       }.reduce(_ unionByName _)
@@ -322,7 +333,7 @@ FROM documents"""
             col("n_hits").cast("double") / col("n_truth").cast("double"), 6))
             .as("recall_lsh"))
         .localCheckpoint(true)
-      sh.unpersist(); truth.unpersist()
+      truth.unpersist(); sigs.unpersist()
       res
     }),
     // Quality-aware canonical selection: within each near-dup cluster
