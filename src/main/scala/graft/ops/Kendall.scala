@@ -42,9 +42,55 @@ import org.apache.spark.sql.functions._
   */
 object Kendall {
 
+  /** Exact (d, ta, tb, tab) for one series, rows pre-sorted by (a, b):
+    * discordant via merge inversion count (a-/b-tie exclusion is
+    * structural — see the object scaladoc), tie pairs via run scans.
+    * THE counting kernel, shared by the driver fast path of [[counts]],
+    * the per-group path of [[countsByKey]], and (for D) the distributed
+    * within-partition pass. */
+  private[ops] def groupCounts(a: Array[Double], b: Array[Double])
+      : (Long, Long, Long, Long) = {
+    val d = strictInversions(b.clone())
+    var ta = 0L; var tab = 0L
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length && a(j) == a(i)) j += 1
+      val g = (j - i).toLong
+      ta += g * (g - 1) / 2
+      var p = i
+      while (p < j) {
+        var q = p + 1
+        while (q < j && b(q) == b(p)) q += 1
+        val gg = (q - p).toLong
+        tab += gg * (gg - 1) / 2
+        p = q
+      }
+      i = j
+    }
+    val bs = b.clone()
+    java.util.Arrays.sort(bs)
+    var tb = 0L; var u = 0
+    while (u < bs.length) {
+      var v = u + 1
+      while (v < bs.length && bs(v) == bs(u)) v += 1
+      val g = (v - u).toLong
+      tb += g * (g - 1) / 2
+      u = v
+    }
+    (d, ta, tb, tab)
+  }
+
   /** One-row frame (n_pairs, concordant, discordant, tied, tau_a) for
     * the numeric columns `aCol`/`bCol` with tie-break column `tCol`
-    * (any ordered type; only used to fix the sort, never compared). */
+    * (any ordered type; only used to fix the sort, never compared).
+    *
+    * Size-adaptive ([[Adaptive]] pattern): under the driver gate the
+    * whole series is collected and counted with [[groupCounts]] in one
+    * job (the frame is a single time-bounded grid — kendall_tau's
+    * contract shape); above it, or under SPARK_GRAFT_FORCE_DISTRIBUTED,
+    * the two-pass range form runs. Counts are exact integers either
+    * way, so the branches are bit-identical (ThresholdForcingSpec). */
   def counts(df: DataFrame, aCol: String, bCol: String, tCol: String,
              partitions: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
@@ -52,6 +98,28 @@ object Kendall {
       spark.sessionState.conf.numShufflePartitions))
     val base = df.select(col(aCol).cast("double").as("a"),
       col(bCol).cast("double").as("b"), col(tCol).as("t"))
+
+    val nEst = base.count()
+    if (nEst <= Adaptive.threshold(500000L)) {
+      if (nEst < 2) return resultFrame(spark, 0L, 0L, 0L, 0L)
+      val rows = base.select(col("a"), col("b")).collect()
+        .map(r => (r.getDouble(0), r.getDouble(1)))
+      // Spark sorts floats NORMALIZED (−0.0 == 0.0); mirror that here so
+      // an IEEE-equal a-class is contiguous and fully b-sorted — the
+      // property groupCounts' structural tie exclusion relies on.
+      def nrm(v: Double): Double = if (v == 0.0) 0.0 else v
+      val cmp = new java.util.Comparator[(Double, Double)] {
+        def compare(x: (Double, Double), y: (Double, Double)): Int = {
+          val c = java.lang.Double.compare(nrm(x._1), nrm(y._1))
+          if (c != 0) c else java.lang.Double.compare(nrm(x._2), nrm(y._2))
+        }
+      }
+      java.util.Arrays.sort(rows, cmp)
+      val (d, ta, tb, tab) = groupCounts(rows.map(_._1), rows.map(_._2))
+      val nPairs = nEst * (nEst - 1) / 2
+      val tied0 = ta + tb - tab
+      return resultFrame(spark, nPairs, nPairs - d - tied0, d, tied0)
+    }
 
     // Tie counts: Σ g(g−1) div 2 per equal-value group. ONE corpus pass
     // builds the (a, b) count table; ta/tb/tab all derive from it (its
@@ -201,40 +269,19 @@ object Kendall {
     val perKey = sorted.queryExecution.toRdd.mapPartitions { it =>
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long, Long, Long)]
       var key: String = null
+      val as = scala.collection.mutable.ArrayBuilder.make[Double]
       val bs = scala.collection.mutable.ArrayBuilder.make[Double]
-      var n = 0L; var ta = 0L; var tab = 0L
-      var prevA = 0.0; var prevB = 0.0
-      // incremental tie pairs: each row in a g-run adds its 1..g−1
-      // predecessors, so runs sum to g(g−1)/2 with no close step
-      var runLenA = 0L; var runLenAB = 0L
       def closeGroup(): Unit = if (key != null) {
-        val arr = bs.result()
-        val d = strictInversions(arr.clone())
-        java.util.Arrays.sort(arr)
-        var tb = 0L; var i = 0
-        while (i < arr.length) {
-          var j = i + 1
-          while (j < arr.length && arr(j) == arr(i)) j += 1
-          val g = (j - i).toLong
-          tb += g * (g - 1) / 2
-          i = j
-        }
-        out += ((key, n, d, ta, tb, tab))
-        bs.clear(); n = 0L; ta = 0L; tab = 0L
+        val aArr = as.result(); val bArr = bs.result()
+        val (d, ta, tb, tab) = groupCounts(aArr, bArr)
+        out += ((key, aArr.length.toLong, d, ta, tb, tab))
+        as.clear(); bs.clear()
       }
       while (it.hasNext) {
         val r = it.next()
         val k = r.getUTF8String(0).toString
-        val a = r.getDouble(1); val b = r.getDouble(2)
-        if (key == null || k != key) {
-          closeGroup(); key = k; runLenA = 1L; runLenAB = 1L
-        } else if (a == prevA) {
-          ta += runLenA; runLenA += 1L
-          if (b == prevB) { tab += runLenAB; runLenAB += 1L }
-          else runLenAB = 1L
-        } else { runLenA = 1L; runLenAB = 1L }
-        prevA = a; prevB = b
-        bs += b; n += 1L
+        if (key == null || k != key) { closeGroup(); key = k }
+        as += r.getDouble(1); bs += r.getDouble(2)
       }
       closeGroup()
       out.iterator

@@ -70,7 +70,8 @@ class ThresholdForcingSpec extends AnyFunSuite {
     "quality_dup",         // ntileByRange quality quintiles
     "entity_clusters",     // ConnectedComponents inside record linkage
     "graph_communities",   // ConnectedComponents + community aggregates
-    "mmr_diversify"        // driver greedy vs per-round distributed argmax
+    "mmr_diversify",       // driver greedy vs per-round distributed argmax
+    "kendall_tau"          // driver groupCounts vs two-pass Knight split
   )
 
   for (name <- bitIdentical)

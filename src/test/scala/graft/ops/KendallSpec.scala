@@ -46,6 +46,11 @@ class KendallSpec extends AnyFunSuite {
     }
   }
 
+  private def forcedDist[A](body: => A): A = {
+    sys.props("graft.force.distributed") = "1"
+    try body finally sys.props -= "graft.force.distributed"
+  }
+
   test("counts equal brute force on random tied data, many partitionings") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 6) {
@@ -54,31 +59,39 @@ class KendallSpec extends AnyFunSuite {
       val rows = Seq.fill(n)((rnd.nextInt(12).toDouble / 2.0,
         rnd.nextInt(12).toDouble / 2.0))
       val want = brute(rows)
+      // driver fast path (under the gate) AND the forced two-pass
+      // distributed split, across partitionings
+      assert(run(rows, 8) == want, s"trial $trial driver path")
       for (nPart <- Seq(1, 3, 8, 32)) {
-        assert(run(rows, nPart) == want,
-          s"trial $trial nPart $nPart: got ${run(rows, nPart)} want $want")
+        assert(forcedDist(run(rows, nPart)) == want,
+          s"trial $trial nPart $nPart distributed")
       }
     }
   }
 
-  test("monotone and anti-monotone extremes") {
+  test("monotone and anti-monotone extremes, both branches") {
     val inc = (1 to 50).map(i => (i.toDouble, i.toDouble))
     val (p1, c1, d1, t1) = run(inc, 8)
     assert((c1, d1, t1) == (p1, 0L, 0L))
+    assert(forcedDist(run(inc, 8)) == ((p1, c1, d1, t1)))
     val dec = (1 to 50).map(i => (i.toDouble, -i.toDouble))
     val (p2, c2, d2, t2) = run(dec, 8)
     assert((c2, d2, t2) == (0L, p2, 0L))
+    assert(forcedDist(run(dec, 8)) == ((p2, c2, d2, t2)))
   }
 
   test("all-tied input: every pair tied, tau computed over full n_pairs") {
     val flat = Seq.fill(30)((1.0, 2.0))
     val (p, c, d, t) = run(flat, 8)
     assert((c, d, t) == (0L, 0L, p))
+    assert(forcedDist(run(flat, 8)) == ((p, c, d, t)))
   }
 
-  test("degenerate inputs: empty and single row") {
+  test("degenerate inputs: empty and single row, both branches") {
     assert(run(Seq.empty, 4) == (0L, 0L, 0L, 0L))
     assert(run(Seq((1.0, 1.0)), 4) == (0L, 0L, 0L, 0L))
+    assert(forcedDist(run(Seq.empty, 4)) == (0L, 0L, 0L, 0L))
+    assert(forcedDist(run(Seq((1.0, 1.0)), 4)) == (0L, 0L, 0L, 0L))
   }
 
   private def bruteByKey(rows: Seq[(String, Double, Double)])
