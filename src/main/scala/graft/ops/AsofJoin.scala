@@ -56,9 +56,25 @@ object AsofJoin {
     l2.unionByName(r2, allowMissingColumns = true)
       .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(lCols.map(c => col("__left").getField(c).as(c)) ++
+      .select(passThrough(lCols, keys, leftTime) ++
         outNames.map(o => col("__m").getField(o).as(o)): _*)
   }
+
+  /** Rebuild the left columns AFTER the carry window. Key columns (and
+    * the left time column, which IS `__t` on left rows) pass through as
+    * TOP-LEVEL attribute aliases — not `__left` struct extractions — so
+    * Catalyst's alias-aware partitioning/ordering propagation sees the
+    * as-of output as still hash-partitioned and sorted on (keys, time):
+    * a downstream window on the same keys (the gapfill → rolling-window
+    * family) then reuses this Exchange instead of re-shuffling. Values
+    * are identical either way; only the plan changes. */
+  private def passThrough(lCols: Seq[String], keys: Seq[String],
+                          leftTime: String): Seq[Column] =
+    lCols.map { c =>
+      if (keys.contains(c)) col(c)
+      else if (c == leftTime) col("__t").as(c)
+      else col("__left").getField(c).as(c)
+    }
 
   /** FORWARD as-of join — attach the EARLIEST right row per key with
     * `right.time >= left.time` (the label-generation direction: each
@@ -90,7 +106,7 @@ object AsofJoin {
     l2.unionByName(r2, allowMissingColumns = true)
       .withColumn("__m", first(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 0)
-      .select(lCols.map(c => col("__left").getField(c).as(c)) ++
+      .select(passThrough(lCols, keys, leftTime) ++
         outNames.map(o => col("__m").getField(o).as(o)): _*)
   }
 
@@ -137,7 +153,7 @@ object AsofJoin {
           .when(col("__b").isNull, col("__f"))
           .when(dB <= dF, col("__b"))
           .otherwise(col("__f")))
-      .select(lCols.map(c => col("__left").getField(c).as(c)) ++
+      .select(passThrough(lCols, keys, leftTime) ++
         outNames.map(o => col("__m").getField(o).as(o)): _*)
   }
 }

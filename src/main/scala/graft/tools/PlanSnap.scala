@@ -86,7 +86,13 @@ object PlanSnap {
     // the shared grid checkpoint) reduces the observable plan to an RDD
     // scan — a 1-op pin asserts nothing.
     "lee_ready",         // one keyed window chain + hash aggregate
-    "vol_signature"      // five rn-subsample arms off one window pass
+    "vol_signature",     // five rn-subsample arms off one window pass
+    // Round-11 additions.
+    "seasonal_decompose",// gapfill + ONE keyed window pass (MA + lags) +
+                         // hour-dimension aggregate
+    "props_profile",     // single from_json map parse + explode + agg
+    "session_paths",     // TakeOrdered top-k + rank on serving frame
+    "kendall_corr"       // hash Exchange on instrument + per-group kernel
   )
 
   val SnapshotDir = "src/test/resources/plans"
