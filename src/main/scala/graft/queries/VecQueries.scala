@@ -36,6 +36,10 @@ object VecQueries {
   private val PqSubDims = 16
   private val ClusterK = 8L
   private val IvfNprobe = 3
+
+  // ivf_sweep probe budgets (shared Spark/oracle constants): walks the
+  // recall-vs-cells-scanned dial up to all-cells (= brute-force parity).
+  private val SweepNprobes = Seq(1, 2, 4, 8)
   private val KmK = 8
   private val KmIters = 2
   private val KnnK = 5
@@ -289,6 +293,37 @@ object VecQueries {
       val v = vecs(s, d)
       Similarity.mmrDiversify(q5(v), v, MmrN, MmrK, MmrLam, MmrOml)
     }),
+    // IVF serving-tuning curve: recall@10 vs nprobe against the shared
+    // brute-force truth — the ANN mirror of dedup_sweep's banding curve
+    // (what a platform reads before fixing the probe budget). ONE truth
+    // pass and one codebook; each nprobe reuses the same driver-built
+    // probe ranking, so the corpus-side cost per setting is its own
+    // bucketed scan (inherent — different cells). Aggregated across
+    // queries; the nprobe dimension frame keeps zero-hit settings.
+    "ivf_sweep" -> ((s, d) => {
+      import s.implicits._
+      val v = vecs(s, d)
+      val cents = Similarity.centroidArrays(Similarity.centroids(v))
+      val truth = Similarity.bruteForceTopK(q5(v), v)
+        .select(col("qid"), col("vec_id")).localCheckpoint(true)
+      val cands = SweepNprobes.map { np =>
+        Similarity.ivfProbeTopK(q5(v), v, cents, np)
+          .select(col("qid"), col("vec_id"))
+          .withColumn("nprobe", lit(np.toLong))
+      }.reduce(_ unionByName _)
+      val hits = cands.join(truth, Seq("qid", "vec_id"))
+        .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+      val res = SweepNprobes.map(_.toLong).toDF("nprobe")
+        .join(hits, Seq("nprobe"), "left")
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+        .select(col("nprobe"), col("n_true"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          Det.snap(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_true").cast("double"), 6).as("recall_ivf"))
+        .localCheckpoint(true)
+      truth.unpersist()
+      res
+    }),
     "ann_recall" -> ((s, d) => {
       val v = vecs(s, d)
       val cents = Similarity.centroidArrays(Similarity.centroids(v))
@@ -500,7 +535,7 @@ WHERE rnk <= 10"""
     * the SAME grid centroid distance (ties toward smaller label),
     * candidates = ivf-assigned members of probed cells, reranked with
     * the exact-grid cosine. */
-  private val ivfProbeSql =
+  private def ivfProbeSqlFor(nprobe: Int) =
     s"""$ivfCte,
 base AS (
   SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nv FROM embeddings
@@ -512,7 +547,7 @@ base AS (
            row_number() OVER (PARTITION BY q.qid
                 ORDER BY ${dist2Sql("q.qv", "c.cv")}, c.cand_label) AS prnk
     FROM q, centarr c)
-  WHERE prnk <= $IvfNprobe
+  WHERE prnk <= $nprobe
 ), scored AS (
   SELECT q.qid, e.vec_id,
          ${cosSql(dotSql("q.qv", "e.embedding"), "q.nq", "e.nv")} AS cosine
@@ -525,6 +560,28 @@ SELECT qid, vec_id, cosine, rnk FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
   FROM scored)
 WHERE rnk <= 10"""
+
+  private val ivfProbeSql = ivfProbeSqlFor(IvfNprobe)
+
+  /** Twin of ivf_sweep: one candidate CTE per nprobe (each re-running
+    * the parameterized probe twin), recall against the shared
+    * brute-force truth, a generated nprobe dimension so zero-hit
+    * settings still emit their row. */
+  private val ivfSweepSql = {
+    val cands = SweepNprobes.map(np =>
+      s"(SELECT CAST($np AS BIGINT) AS nprobe, qid, vec_id FROM (${ivfProbeSqlFor(np)}))")
+      .mkString("\n  UNION ALL ")
+    s"""WITH truth AS (SELECT qid, vec_id FROM ($topkSql)),
+cands AS (${cands}),
+tt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+h AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_hits
+      FROM cands c JOIN truth USING (qid, vec_id) GROUP BY 1),
+np AS (SELECT CAST(unnest([${SweepNprobes.mkString(", ")}]) AS BIGINT) AS nprobe)
+SELECT np.nprobe, tt.n_true,
+       COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+       ${s6("CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(tt.n_true AS DOUBLE)")} AS recall_ivf
+FROM np CROSS JOIN tt LEFT JOIN h USING (nprobe)"""
+  }
 
   /** Twin of the cluster_sample composition: same ivf CTE, md5-ordered
     * row_number per assigned cluster, ClusterK quota, size join. */
@@ -996,6 +1053,7 @@ FROM scores s, ex"""
     "embed_jl" -> jlSql,
     "embed_dim_stats" -> dimStatsSql,
     "ann_recall" -> annRecallSql,
+    "ivf_sweep" -> ivfSweepSql,
     "embed_quantize" -> quantizeSql,
     "dedup_embed" -> dedupEmbedSql,
     "embed_topk" -> topkSql,
