@@ -92,7 +92,13 @@ object PlanSnap {
                          // hour-dimension aggregate
     "props_profile",     // single from_json map parse + explode + agg
     "session_paths",     // TakeOrdered top-k + rank on serving frame
-    "kendall_corr"       // hash Exchange on instrument + per-group kernel
+    "kendall_corr",      // hash Exchange on instrument + per-group kernel
+    "spearman_corr",     // gapfill + per-instant mkt window + rank windows
+    "fifo_pnl",          // one keyed Exchange: secondary-sort queue fold
+    "scd2_intervals",    // one keyed Exchange: change-row lead window
+    "interval_overlap"   // start-bucket dedup band join
+    // ivf_sweep / hurst_rs are NOT pinned: their eager output
+    // checkpoints reduce the observable plan to an RDD scan.
   )
 
   val SnapshotDir = "src/test/resources/plans"
