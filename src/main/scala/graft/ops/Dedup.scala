@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -30,6 +30,7 @@ object Dedup {
 
   /** Typed LSH-bucket entry (doc + its minhash signature vector). */
   final case class DocSig(doc_id: Long, sigs: Seq[String])
+  final case class DocSigN(doc_id: Long, sigs: Seq[String], is_new: Boolean)
 
   final case class DocFp(doc_id: Long, simhash: Long)
 
@@ -222,6 +223,55 @@ object Dedup {
       }
       .toDF("doc_a", "doc_b", "n_agree")
       .dropDuplicates("doc_a", "doc_b") // a pair can collide in several bands
+      .withColumn("est_jaccard",
+        Det.snap(col("n_agree").cast("double") / numHashes, 6))
+  }
+
+  /** Incremental (delta) near-dup: MinHash-LSH candidate pairs
+    * restricted to those TOUCHING the new batch (`isNew` flags the
+    * delta; history×history pairs are never emitted). This is the
+    * daily-ingest dedup shape: with |new| ≪ |corpus| the per-bucket
+    * pair cost drops from Σ|bucket|² to Σ|new∩bucket|·|bucket| — the
+    * filter runs INSIDE the bucket pair generator, so the quadratic
+    * term over history never materializes (in production the history
+    * side's signatures come from the standing index; here both sides
+    * share one signature aggregate). Output adds the new_a/new_b flags
+    * so a consumer can split new-vs-history from new-vs-new hits. */
+  def minhashLshDeltaPairs(docs: DataFrame, isNew: Column, n: Int = 3,
+                           numHashes: Int = 8, bands: Int = 2): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(numHashes % 4 == 0, "numHashes must be a multiple of 4 (md5 slicing)")
+    val rows = numHashes / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = minhashSignaturesOf(Shingles.exploded(docs, n), numHashes)
+      .join(docs.select(col("doc_id"), isNew.as("is_new")), "doc_id")
+    val banded = sigs.select(
+      Seq(struct(col("doc_id"),
+        array((0 until numHashes).map(h => col(s"m$h")): _*).as("sigs"),
+        col("is_new")).as("d"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("idx"),
+            md5(concat_ws("|", (0 until rows).map(r => col(s"m${b * rows + r}")): _*))
+              .as("key"))
+        }: _*)).as("band")): _*)
+    banded
+      .groupBy(col("band.idx"), col("band.key"))
+      .agg(collect_list(col("d")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(col("ds"))
+      .as[Seq[Dedup.DocSigN]]
+      .flatMap { ds0 =>
+        val ds = ds0.sortBy(_.doc_id)
+        for {
+          i <- ds.indices.iterator
+          j <- (i + 1) until ds.size
+          if ds(i).is_new || ds(j).is_new
+        } yield (ds(i).doc_id, ds(j).doc_id, ds(i).is_new, ds(j).is_new,
+          ds(i).sigs.iterator.zip(ds(j).sigs.iterator).count { case (a, b) => a == b }.toLong)
+      }
+      .toDF("doc_a", "doc_b", "new_a", "new_b", "n_agree")
+      .dropDuplicates("doc_a", "doc_b")
       .withColumn("est_jaccard",
         Det.snap(col("n_agree").cast("double") / numHashes, 6))
   }

@@ -157,6 +157,13 @@ FROM documents"""
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
     "dedup_jaccard" -> ((s, d) => Dedup.ngramJaccardTopK(docs(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d))),
+    // Incremental dedup of a simulated daily delta (doc_id % 5 == 0 is
+    // "today's batch") against the standing corpus: candidate pairs
+    // must TOUCH the delta — the filter lives inside the bucket pair
+    // generator so history×history never materializes
+    // (Dedup.minhashLshDeltaPairs scaladoc has the Σ|new∩b|·|b| bound).
+    "dedup_delta" -> ((s, d) =>
+      Dedup.minhashLshDeltaPairs(docs(s, d), col("doc_id") % 5 === 0)),
     // Asymmetric containment |A∩B|/|A| — the quote/superset axis of text
     // dedup that symmetric Jaccard misses (Dedup.containmentPairs has
     // the measure and the scale argument; same Σdf²-bounded postings).
@@ -1023,6 +1030,47 @@ FROM cand"""
 
   private[queries] val dedupMinhashSql = dedupMinhashSqlFor(8, 2)
 
+  /** Twin of dedup_delta: the dedupMinhashSqlFor banding chain with the
+    * delta-touch predicate in the candidate join and the new_a/new_b
+    * flags carried out. */
+  private val dedupDeltaSql = {
+    val numHashes = 8; val bands = 2
+    val rows = numHashes / bands
+    val mins = (0 until numHashes)
+      .map(h => s"min(substring(md5('${h / 4}:' || shingle), ${(h % 4) * 8 + 1}, 8)) AS m$h")
+      .mkString(",\n         ")
+    val bandCase = (0 until bands).map { i =>
+      val key = (0 until rows).map(r => s"m${i * rows + r}").mkString(" || '|' || ")
+      s"WHEN b.idx = $i THEN md5($key)"
+    }.mkString("\n              ")
+    val eqs = (0 until numHashes)
+      .map(h => s"CASE WHEN a.m$h = b.m$h THEN 1 ELSE 0 END AS eq$h")
+      .mkString(",\n         ")
+    val agree = (0 until numHashes).map(h => s"eq$h").mkString(" + ")
+    s"""WITH sh AS (
+  SELECT doc_id, ${Shingles.ofSql("text", 3)} AS sh FROM documents
+), sigs AS (
+  SELECT doc_id,
+         $mins
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh)
+  GROUP BY doc_id
+), banded AS (
+  SELECT s.*, b.idx AS band_idx,
+         CASE $bandCase END AS band_key
+  FROM sigs s, (SELECT unnest([${(0 until bands).mkString(", ")}]) AS idx) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         (a.doc_id % 5 = 0) AS new_a, (b.doc_id % 5 = 0) AS new_b,
+         $eqs
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+   AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0))
+SELECT doc_a, doc_b, new_a, new_b, CAST($agree AS BIGINT) AS n_agree,
+       ${s6(s"($agree)::DOUBLE / $numHashes")} AS est_jaccard
+FROM cand"""
+  }
+
   /** Shared SimHash fingerprint CTE chain (twin of Dedup.simhash's
     * fingerprint computation) ending in `fp(doc_id, simhash)`. */
   private val simhashFpSqlBase = {
@@ -1431,6 +1479,7 @@ FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)""",
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash" -> dedupMinhashSql,
+    "dedup_delta" -> dedupDeltaSql,
     "dedup_containment" -> containmentSql,
     "dedup_simhash" -> dedupSimhashSql,
     "simhash_hamming" -> simhashHammingSql,

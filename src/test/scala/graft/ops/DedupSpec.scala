@@ -83,6 +83,23 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.get.getAs[Double]("est_jaccard") == 1.0)
   }
 
+  test("delta pairs = full LSH pairs touching the new batch, nothing more") {
+    import org.apache.spark.sql.functions.col
+    val isNew = col("doc_id") % 2 === 0
+    val delta = Dedup.minhashLshDeltaPairs(corpus, isNew).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Boolean]("new_a"), r.getAs[Boolean]("new_b"),
+        r.getAs[Long]("n_agree"))).toSet
+    val full = Dedup.minhashLshPairs(corpus).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_agree")))
+      .filter { case (a, b, _) => a % 2 == 0 || b % 2 == 0 }
+      .map { case (a, b, g) => (a, b, a % 2 == 0, b % 2 == 0, g) }.toSet
+    assert(delta == full)
+    assert(delta.forall { case (_, _, na, nb, _) => na || nb },
+      "a history-x-history pair leaked through the delta filter")
+  }
+
   test("simhashHamming equals the brute-force quadratic (pigeonhole completeness)") {
     for (maxH <- Seq(0, 1, 3)) {
       val fps = Dedup.simhash(corpus).collect().map(r =>
