@@ -247,4 +247,69 @@ object Indicators {
       }
       .toDF(key, "n_ticks", "level", "trend", "forecast")
   }
+
+  /** Time-split evaluation of the Holt forecaster — the train→eval
+    * closure for [[holtPerKey]]: per key, fit level/trend on the first
+    * ⌊4n/5⌋ observations (the SAME fold bits as holtPerKey over that
+    * prefix), forecast h = 1..horizon steps, and report per-step
+    * absolute errors next to the last-observation persistence baseline.
+    * One row per (key, h) — no float aggregation anywhere, every error
+    * is a per-row IEEE |sub| on fold-exact operands, so the DuckDB
+    * list-slice twin reproduces each bit. Per-key series buffer is the
+    * usual time-bounded-per-instrument justification; the key axis is
+    * the partitioned one. */
+  def holtEvalPerKey(ticks: DataFrame, key: String, time: String, seq: String,
+                     value: String, alpha: Double, beta: Double,
+                     horizon: Int): DataFrame = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val a = alpha; val na = 1.0 - alpha
+    val b = beta; val nb = 1.0 - beta
+    ticks
+      .select(col(key).cast("string"), col(time), col(seq).cast("long"),
+        col(value).cast("double"))
+      .as[(String, java.sql.Timestamp, Long, Double)]
+      .repartition(col(key))
+      .sortWithinPartitions(col(key), col(time), col(seq))
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, Long, Long, Double, Double, Double, Double)]
+        var cur: String = null
+        val xs = scala.collection.mutable.ArrayBuilder.make[Double]
+        def close(): Unit = if (cur != null) {
+          val arr = xs.result()
+          val n = arr.length.toLong
+          val nTr = n * 4 / 5
+          if (nTr >= 1 && nTr < n) {
+            var lv = arr(0); var tr = 0.0
+            var i = 1
+            while (i < nTr) {
+              val x = arr(i)
+              val nl = x * a + (lv + tr) * na
+              tr = (nl - lv) * b + tr * nb
+              lv = nl
+              i += 1
+            }
+            val lastObs = arr((nTr - 1).toInt)
+            var h = 1
+            while (h <= horizon && nTr + h <= n) {
+              val fc = lv + h.toDouble * tr
+              val actual = arr((nTr + h - 1).toInt)
+              out += ((cur, n, nTr, h.toLong, fc, actual,
+                math.abs(fc - actual), math.abs(lastObs - actual)))
+              h += 1
+            }
+          }
+          xs.clear()
+        }
+        it.foreach { case (k, _, _, x) =>
+          if (cur == null || k != cur) { close(); cur = k }
+          xs += x
+        }
+        close()
+        out.iterator
+      }
+      .toDF(key, "n_ticks", "n_train", "h", "forecast", "actual",
+        "abs_err_holt", "abs_err_naive")
+  }
 }

@@ -121,6 +121,7 @@ FROM m"""
   private val HoltAlpha = 0.2
   private val HoltBeta = 0.1
   private val HoltHorizon = 5
+  private val HoltEvalH = 3
 
   private def holt(s: SparkSession, d: String): DataFrame =
     Indicators.holtPerKey(TickQueries.ticks(s, d),
@@ -155,6 +156,39 @@ SELECT product_id, n_ticks,
        ${s6("st[1]")} AS level, ${s6("st[2]")} AS trend,
        ${s6(s"st[1] + $H * st[2]")} AS forecast
 FROM m"""
+  }
+
+  /** Twin of holt_eval: the holtSql list-reduce over the xs[1:ntr]
+    * train slice (same fold, same list-accumulator aliasing dodge),
+    * then per-h element access into the held-out tail. Integer split
+    * via `//`; every error is a per-row |sub| of fold-exact doubles. */
+  private val holtEvalSql = {
+    val A = Det.dblLit(HoltAlpha); val NA = Det.dblLit(1.0 - HoltAlpha)
+    val B = Det.dblLit(HoltBeta); val NB = Det.dblLit(1.0 - HoltBeta)
+    val nl = s"(e[1] * $A + (acc[1] + acc[2]) * $NA)"
+    s"""WITH per AS (
+  SELECT product_id, list(price ORDER BY event_time, sequence) AS xs
+  FROM ($ticksSql) t GROUP BY product_id),
+m AS (
+  SELECT product_id, CAST(len(xs) AS BIGINT) AS n,
+         (CAST(len(xs) AS BIGINT) * 4) // 5 AS ntr, xs
+  FROM per),
+f AS (
+  SELECT product_id, n, ntr,
+         CAST(xs[CAST(ntr AS INTEGER)] AS DOUBLE) AS last_obs,
+         list_reduce(
+           [[CAST(x AS DOUBLE), CAST(0 AS DOUBLE)] for x in xs[1:CAST(ntr AS INTEGER)]],
+           (acc, e) -> [$nl, ($nl - acc[1]) * $B + acc[2] * $NB]) AS st,
+         xs
+  FROM m WHERE ntr >= 1 AND ntr < n),
+hh AS (SELECT unnest([1, 2, 3]) AS h)
+SELECT product_id, n AS n_ticks, ntr AS n_train, CAST(hh.h AS BIGINT) AS h,
+       ${s6("st[1] + CAST(hh.h AS DOUBLE) * st[2]")} AS forecast,
+       ${s6("CAST(xs[CAST(ntr + hh.h AS INTEGER)] AS DOUBLE)")} AS actual,
+       ${s6("abs((st[1] + CAST(hh.h AS DOUBLE) * st[2]) - CAST(xs[CAST(ntr + hh.h AS INTEGER)] AS DOUBLE))")} AS abs_err_holt,
+       ${s6("abs(last_obs - CAST(xs[CAST(ntr + hh.h AS INTEGER)] AS DOUBLE))")} AS abs_err_naive
+FROM f CROSS JOIN hh
+WHERE ntr + hh.h <= n"""
   }
 
   // ---------------------------------------------------------------- KAMA
@@ -508,7 +542,16 @@ FROM shifted WHERE rn >= ${IchiS + IchiD}"""
     "macd" -> ((s, d) => r6(macd(s, d))),
     "stochastic" -> ((s, d) => r6(stochastic(s, d))),
     "atr" -> ((s, d) => r6(atr(s, d))),
-    "holt_forecast" -> ((s, d) => r6(holt(s, d)))
+    "holt_forecast" -> ((s, d) => r6(holt(s, d))),
+    // Forecast backtest closing the train→eval loop for holt_forecast:
+    // fit on the first ⌊4n/5⌋ ticks per instrument (identical fold
+    // bits), forecast 1..3 steps, per-step |error| vs the
+    // last-observation persistence baseline — one row per (instrument,
+    // h), no float aggregation, so every compared value is a per-row
+    // IEEE op on fold-exact operands.
+    "holt_eval" -> ((s, d) => r6(Indicators.holtEvalPerKey(
+      TickQueries.ticks(s, d), "product_id", "event_time", "sequence",
+      "price", HoltAlpha, HoltBeta, HoltEvalH)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -519,6 +562,7 @@ FROM shifted WHERE rn >= ${IchiS + IchiD}"""
     "macd" -> macdSql,
     "stochastic" -> stochasticSql,
     "atr" -> atrSql,
-    "holt_forecast" -> holtSql
+    "holt_forecast" -> holtSql,
+    "holt_eval" -> holtEvalSql
   )
 }
