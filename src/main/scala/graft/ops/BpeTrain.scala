@@ -58,6 +58,58 @@ object BpeTrain {
           .as("compression"))
   }
 
+  /** Held-out tokenization report — the train→eval closure: merges are
+    * learned on `trainDocs` ONLY, then applied in rank order to the
+    * held-out `evalDocs`' word dictionary (standard BPE apply — unseen
+    * words still receive every merge whose pair occurs in them), and the
+    * same per-doc count aggregate as [[tokenCounts]] runs over the eval
+    * split. The merge table is driver-held (≤ rounds rows) and enters
+    * the apply pass as a closure constant; the eval dictionary is
+    * vocab-sized. Sequential rank-order application reproduces the
+    * training-time trajectory exactly for ANY word, which is what the
+    * oracle's second unrolled chain (matching the TRAIN chain's best$r)
+    * re-derives. */
+  def tokenCountsHeldOut(trainDocs: DataFrame, evalDocs: DataFrame,
+                         rounds: Int = 8): DataFrame = {
+    val spark = trainDocs.sparkSession
+    import spark.implicits._
+    val learned = train(trainDocs, rounds)._1
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+      .map { case (_, a, b, _) => (a, b) }
+    val evalSeq = evalDocs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      .as[(String, Long)]
+      .map { case (w, f) =>
+        var syms: Array[String] = w.toCharArray.map(_.toString)
+        learned.foreach { case (a, b) => syms = mergePass(syms, a, b) }
+        (w, f, syms)
+      }
+      .toDF("word", "f", "syms")
+    val wordLens = evalSeq.select(col("word"),
+      size(col("syms")).cast("long").as("n_sym"),
+      length(col("word")).cast("long").as("n_char"))
+    evalDocs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(wordLens), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_char")).as("n_chars"),
+        sum(col("n_sym")).as("n_bpe"))
+  }
+
+  /** One greedy left-to-right merge pass (the right symbol of each match
+    * is consumed) — shared by the training rewrite and the held-out
+    * apply so the two can never diverge. */
+  private def mergePass(syms: Array[String], a: String, b: String): Array[String] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        buf += (a + b); i += 2
+      } else { buf += syms(i); i += 1 }
+    }
+    buf.toArray
+  }
+
   /** The training loop shared by [[merges]] and [[tokenCounts]]:
     * returns (merge table, final per-word symbol sequences). */
   private def train(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
@@ -86,16 +138,7 @@ object BpeTrain {
         val (a, b, c) = best(0)
         out += ((r + 1L, a, b, c))
         seq = seq.as[(String, Long, Seq[String])]
-          .map { case (w, f, syms) =>
-            val buf = new scala.collection.mutable.ArrayBuffer[String](syms.length)
-            var i = 0
-            while (i < syms.length) {
-              if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
-                buf += (a + b); i += 2 // greedy: the right symbol is consumed
-              } else { buf += syms(i); i += 1 }
-            }
-            (w, f, buf.toArray)
-          }
+          .map { case (w, f, syms) => (w, f, mergePass(syms.toArray, a, b)) }
           .toDF("word", "f", "syms")
           .localCheckpoint(true)
       }

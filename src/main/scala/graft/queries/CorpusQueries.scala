@@ -362,6 +362,110 @@ seq$r AS MATERIALIZED (
 
   /** Twin of BpeTrain.tokenCounts: the same unrolled training chain, then
     * per-word final symbol counts joined onto the doc→word stream. */
+  /** Twin of bpe_eval: TWO unrolled chains — the training chain over
+    * the train split (tseq/tbest, same blocks as bpeChainSql with the
+    * split predicate pushed into w0), then an APPLY chain over the
+    * held-out split whose per-round match joins the TRAIN chain's
+    * tbest$r instead of computing its own argmax (that is exactly
+    * "apply learned merges in rank order"). Per-source exact count
+    * aggregate at the end. Every CTE MATERIALIZED (the working rule:
+    * DuckDB inlines plain CTEs and a chained reference explodes
+    * 3^rounds). */
+  private val bpeEvalSql = {
+    val trainHead =
+      s"""tw0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS f
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        WHERE doc_id % 5 <> 0)
+  GROUP BY 1),
+tc0 AS MATERIALIZED (
+  SELECT word, f, CAST(unnest(range(1, len(word)+1)) AS BIGINT) AS pos FROM tw0),
+tseq0 AS MATERIALIZED (
+  SELECT word, f, pos, substring(word, CAST(pos AS INTEGER), 1) AS sym FROM tc0)"""
+    val trainBlocks = (1 to BpeRounds).map { r =>
+      val p = r - 1
+      s"""tpc$r AS MATERIALIZED (
+  SELECT s.sym AS a, t.sym AS b, CAST(sum(s.f) AS BIGINT) AS c
+  FROM tseq$p s JOIN tseq$p t ON s.word = t.word AND t.pos = s.pos + 1
+  GROUP BY 1, 2),
+tbest$r AS MATERIALIZED (
+  SELECT a, b, c FROM tpc$r ORDER BY c DESC, a, b LIMIT 1),
+tm$r AS MATERIALIZED (
+  SELECT s.word, s.pos
+  FROM tseq$p s JOIN tseq$p t ON s.word = t.word AND t.pos = s.pos + 1
+  JOIN tbest$r x ON s.sym = x.a AND t.sym = x.b),
+tmr$r AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           row_number() OVER (PARTITION BY word, pos - rn ORDER BY pos) AS rr
+    FROM (SELECT word, pos,
+                 row_number() OVER (PARTITION BY word ORDER BY pos) AS rn
+          FROM tm$r))
+  WHERE rr % 2 = 1),
+tseq$r AS MATERIALIZED (
+  SELECT s.word, s.f,
+         CAST(row_number() OVER (PARTITION BY s.word ORDER BY s.pos) AS BIGINT) AS pos,
+         CASE WHEN mm.pos IS NOT NULL THEN s.sym || (SELECT b FROM tbest$r)
+              ELSE s.sym END AS sym
+  FROM tseq$p s
+  LEFT JOIN tmr$r mm ON mm.word = s.word AND mm.pos = s.pos
+  LEFT JOIN tmr$r cons ON cons.word = s.word AND cons.pos = s.pos - 1
+  WHERE cons.pos IS NULL)"""
+    }.mkString(",\n")
+    val evalHead =
+      s"""ew0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS f
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        WHERE doc_id % 5 = 0)
+  GROUP BY 1),
+ec0 AS MATERIALIZED (
+  SELECT word, f, CAST(unnest(range(1, len(word)+1)) AS BIGINT) AS pos FROM ew0),
+eseq0 AS MATERIALIZED (
+  SELECT word, f, pos, substring(word, CAST(pos AS INTEGER), 1) AS sym FROM ec0)"""
+    val evalBlocks = (1 to BpeRounds).map { r =>
+      val p = r - 1
+      s"""em$r AS MATERIALIZED (
+  SELECT s.word, s.pos
+  FROM eseq$p s JOIN eseq$p t ON s.word = t.word AND t.pos = s.pos + 1
+  JOIN tbest$r x ON s.sym = x.a AND t.sym = x.b),
+emr$r AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           row_number() OVER (PARTITION BY word, pos - rn ORDER BY pos) AS rr
+    FROM (SELECT word, pos,
+                 row_number() OVER (PARTITION BY word ORDER BY pos) AS rn
+          FROM em$r))
+  WHERE rr % 2 = 1),
+eseq$r AS MATERIALIZED (
+  SELECT s.word, s.f,
+         CAST(row_number() OVER (PARTITION BY s.word ORDER BY s.pos) AS BIGINT) AS pos,
+         CASE WHEN mm.pos IS NOT NULL THEN s.sym || (SELECT b FROM tbest$r)
+              ELSE s.sym END AS sym
+  FROM eseq$p s
+  LEFT JOIN emr$r mm ON mm.word = s.word AND mm.pos = s.pos
+  LEFT JOIN emr$r cons ON cons.word = s.word AND cons.pos = s.pos - 1
+  WHERE cons.pos IS NULL)"""
+    }.mkString(",\n")
+    s"""WITH $trainHead,
+$trainBlocks,
+$evalHead,
+$evalBlocks,
+wl AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_sym, CAST(len(word) AS BIGINT) AS n_char
+  FROM eseq$BpeRounds GROUP BY word),
+dw AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE doc_id % 5 = 0)
+SELECT dw.source,
+       CAST(count(DISTINCT dw.doc_id) AS BIGINT) AS n_docs,
+       count(*) AS n_words,
+       CAST(sum(wl.n_char) AS BIGINT) AS n_chars,
+       CAST(sum(wl.n_sym) AS BIGINT) AS n_bpe,
+       ${s6("CAST(sum(wl.n_sym) AS DOUBLE) / CAST(sum(wl.n_char) AS DOUBLE)")} AS compression
+FROM dw JOIN wl USING (word)
+GROUP BY dw.source"""
+  }
+
   private val bpeTokenizeSql =
     s"""WITH $bpeChainSql,
 wl AS MATERIALIZED (
@@ -967,6 +1071,26 @@ FROM tok t LEFT JOIN neww n USING (doc_id)"""
     // broadcast onto the doc→word stream).
     "bpe_tokenize" -> ((s, d) =>
       graft.ops.BpeTrain.tokenCounts(docs(s, d), BpeRounds)),
+    // Held-out tokenizer eval: merges trained on doc_id % 5 <> 0,
+    // compression measured per source on the held-out fifth — the
+    // generalization readout (does the vocab compress UNSEEN text) a
+    // tokenizer run ships next to bpe_tokenize's in-corpus number.
+    "bpe_eval" -> ((s, d) => {
+      val base = docs(s, d)
+      val ev = base.filter(col("doc_id") % 5 === 0)
+      graft.ops.BpeTrain.tokenCountsHeldOut(
+          base.filter(col("doc_id") % 5 =!= 0), ev, BpeRounds)
+        .join(ev.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(col("n_bpe")).as("n_bpe"))
+        .select(col("source"), col("n_docs"), col("n_words"),
+          col("n_chars"), col("n_bpe"),
+          Det.snap(col("n_bpe").cast("double") /
+            col("n_chars").cast("double"), 6).as("compression"))
+    }),
     // Count-Min frequency sketch audited against exact top-k counts —
     // the order-free portable-bits companion to kmv_distinct
     // (Approx.countMin scaladoc has the fixed-size-counter argument).
@@ -1000,6 +1124,7 @@ FROM tok t LEFT JOIN neww n USING (doc_id)"""
     "vocab_coverage" -> vocabCoverageSql,
     "mixture_temperature" -> mixtureTemperatureSql,
     "bpe_tokenize" -> bpeTokenizeSql,
+    "bpe_eval" -> bpeEvalSql,
     "winsorize_chars" -> winsorizeSql,
     "session_concurrency" -> sessionConcurrencySql,
     "keyword_search" -> keywordSearchSql,
