@@ -1045,6 +1045,27 @@ object Similarity {
     val spark = vectors.sparkSession
     import spark.implicits._
     val base = vectors.select(col("vec_id").cast("long"), col("embedding"))
+    val cbF = kmeansCodebook(vectors, k, iters)
+    val fin = base.as[(Long, Seq[Float])]
+      .map { case (id, emb) =>
+        val (cid, d2l) = VecKernels.argminCell(cbF, emb.toArray)
+        KmeansRow(id, cid.toLong,
+          math.floor((d2l.toDouble / 1e12) * 1e6 + 0.5) / 1e6)
+      }
+      .toDF()
+    val sizes = fin.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+    fin.join(broadcast(sizes), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"), col("d2"), col("n_members"))
+  }
+
+  /** The Lloyd training loop of [[kmeansRefine]], returning the FINAL
+    * codebook (for held-out evaluation / index serving) instead of the
+    * in-train assignment. Same seeds, same iteration bits. */
+  def kmeansCodebook(vectors: DataFrame, k: Int = 8,
+                     iters: Int = 2): Array[(Int, Array[Double])] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val base = vectors.select(col("vec_id").cast("long"), col("embedding"))
     var codebook: Array[(Int, Array[Double])] = base
       .orderBy(col("vec_id")).limit(k)
       .as[(Long, Seq[Float])].collect()
@@ -1080,18 +1101,7 @@ object Similarity {
       }
       it += 1
     }
-
-    val cbF = codebook
-    val fin = base.as[(Long, Seq[Float])]
-      .map { case (id, emb) =>
-        val (cid, d2l) = argmin(cbF, emb.toArray)
-        KmeansRow(id, cid.toLong,
-          math.floor((d2l.toDouble / 1e12) * 1e6 + 0.5) / 1e6)
-      }
-      .toDF()
-    val sizes = fin.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
-    fin.join(broadcast(sizes), Seq("cluster"))
-      .select(col("vec_id"), col("cluster"), col("d2"), col("n_members"))
+    codebook
   }
 
   /** Declarative variant kept for reference/testing of [[dist2L]]. */

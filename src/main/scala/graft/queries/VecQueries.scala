@@ -269,6 +269,34 @@ object VecQueries {
     // aggregate-collect-rebroadcast scale argument.
     "kmeans_iter" -> ((s, d) =>
       Similarity.kmeansRefine(vecs(s, d), KmK, KmIters)),
+    // Held-out clustering eval closing the train→eval loop for
+    // kmeans_iter (the holt_eval/bpe_eval pattern on the vector side):
+    // codebook trained on vec_id % 5 <> 0 only, held-out fifth assigned
+    // through the shared argmin kernel, per-cluster exact d2-grid
+    // stats — the "does the codebook generalize" readout an IVF build
+    // ships before serving.
+    "kmeans_eval" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val v = vecs(s, d)
+      val cb = Similarity.kmeansCodebook(
+        v.filter(col("vec_id") % 5 =!= 0), KmK, KmIters)
+      val assigned = v.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Seq[Float])]
+        .map { case (_, emb) =>
+          val (cid, d2l) = graft.ops.VecKernels.argminCell(cb, emb.toArray)
+          (cid.toLong, d2l)
+        }.toDF("cluster", "d2l")
+      assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(col("d2l").cast(DecimalType(38, 0))).as("sd2"),
+          max(col("d2l")).as("mx"))
+        .select(col("cluster"), col("n_eval"),
+          Det.snap(col("sd2").cast("string").cast("double") / 1e12 /
+            col("n_eval"), 6).as("mean_d2"),
+          Det.snap(col("mx").cast("double") / 1e12, 6).as("max_d2"))
+    }),
     "dedup_embed" -> ((s, d) => Similarity.cosineNearDupPairsAuto(vecs(s, d),
       targetBucketRows = TargetBucket, maxBucket = MaxBucket)),
     "embed_quantize" -> ((s, d) =>
@@ -804,6 +832,58 @@ SELECT f.vec_id, CAST(f.cid AS BIGINT) AS cluster,
 FROM fin f JOIN sizes s USING (cid)"""
   }
 
+  /** Twin of kmeans_eval: the kmeansSql chain with every training-side
+    * scan filtered to the train split, then the final assignment pass
+    * over the HELD-OUT split against carr$KmIters; per-cluster exact
+    * d2-grid stats, mean through the exact VARCHAR cast (HUGEINT sum
+    * can pass 2⁵³). */
+  private val kmeansEvalSql = {
+    val ex =
+      """ex AS (
+  SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos,
+         unnest([CAST(x AS DOUBLE) for x in embedding]) AS val
+  FROM embeddings WHERE vec_id % 5 <> 0)"""
+    val carr0 =
+      s"""carr0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         [CAST(x AS DOUBLE) for x in embedding] AS cv
+  FROM embeddings WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT $KmK)"""
+    val iterBlocks = (1 to KmIters).map { i =>
+      s"""a$i AS (
+  SELECT e.vec_id, c.cid, ${dist2Sql("e.embedding", "c.cv")} AS d2l
+  FROM embeddings e, carr${i - 1} c WHERE e.vec_id % 5 <> 0),
+assign$i AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2l, cid) AS rnk
+    FROM a$i)
+  WHERE rnk = 1),
+cent$i AS (
+  SELECT a.cid, x.pos, ${Det.avgDSql("x.val", 12)} AS c
+  FROM assign$i a JOIN ex x USING (vec_id) GROUP BY a.cid, x.pos),
+carr$i AS (
+  SELECT cid, list(c ORDER BY pos) AS cv FROM cent$i GROUP BY cid)"""
+    }.mkString(",\n")
+    s"""WITH $ex,
+$carr0,
+$iterBlocks,
+af AS (
+  SELECT e.vec_id, c.cid, ${dist2Sql("e.embedding", "c.cv")} AS d2l
+  FROM embeddings e, carr$KmIters c WHERE e.vec_id % 5 = 0),
+fin AS (
+  SELECT vec_id, cid, d2l FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2l, cid) AS rnk
+    FROM af)
+  WHERE rnk = 1),
+agg AS (
+  SELECT CAST(cid AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n_eval,
+         sum(d2l) AS sd2, max(d2l) AS mx
+  FROM fin GROUP BY 1)
+SELECT cluster, n_eval,
+       ${s6("CAST(CAST(sd2 AS VARCHAR) AS DOUBLE) / 1e12 / n_eval")} AS mean_d2,
+       ${s6("CAST(mx AS DOUBLE) / 1e12")} AS max_d2
+FROM agg"""
+  }
+
   /** Twin of Similarity.knnGraph: the same corpus-sized plane count
     * (planesForSql of this corpus's count), dynamic bucket key, bucket
     * self-join, per-vector (cosine DESC, nbr_id) rank ≤ KnnK. */
@@ -1066,6 +1146,7 @@ FROM scores s, ex"""
     "pq_adc_topk" -> pqAdcSql,
     "ivf_probe_topk" -> ivfProbeSql,
     "cluster_sample" -> clusterSampleSql,
-    "kmeans_iter" -> kmeansSql
+    "kmeans_iter" -> kmeansSql,
+    "kmeans_eval" -> kmeansEvalSql
   )
 }
