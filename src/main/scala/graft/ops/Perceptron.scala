@@ -55,7 +55,12 @@ object Perceptron {
 
   /** Train `epochs` batch updates, then score every document with the
     * final weights: (doc_id, y, margin, predicted_en, correct). */
-  def train(docs: DataFrame, epochs: Int = 3): DataFrame = {
+  def train(docs: DataFrame, epochs: Int = 3): DataFrame =
+    score(features(docs), weights(docs, epochs))
+
+  /** The epoch loop alone — the final weight vector (model-sized, the
+    * artifact a held-out eval or a serving gate consumes). */
+  def weights(docs: DataFrame, epochs: Int = 3): Array[Long] = {
     val feats = features(docs).localCheckpoint(true)
     val k = NumFeatures
     var w = Array.fill(k)(0L)
@@ -71,10 +76,34 @@ object Perceptron {
         w(j) + (if (deltas.isNullAt(j)) 0L else deltas.getLong(j)))
       e += 1
     }
+    feats.unpersist()
+    w
+  }
+
+  private def score(feats: DataFrame, w: Array[Long]): DataFrame = {
+    val k = NumFeatures
     val margin = (0 until k).map(j => lit(w(j)) * col(s"x$j")).reduce(_ + _)
     feats.select(col("doc_id"), col("y"), margin.as("margin"),
       (margin > 0L).as("predicted_en"),
       ((margin > 0L) === (col("y") === 1L)).as("correct"))
+  }
+
+  /** Held-out evaluation — weights from `trainDocs` only, confusion
+    * counts + accuracy on `evalDocs`: the generalization readout a
+    * curation gate ships before being applied to unseen data. All
+    * counts exact longs; accuracy is one snapped division. */
+  def evalHeldOut(trainDocs: DataFrame, evalDocs: DataFrame,
+                  epochs: Int = 3): DataFrame = {
+    val w = weights(trainDocs, epochs)
+    score(features(evalDocs), w)
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("predicted_en") && col("y") === 1L, 1)).as("tp"),
+        count(when(col("predicted_en") && col("y") === -1L, 1)).as("fp"),
+        count(when(!col("predicted_en") && col("y") === -1L, 1)).as("tn"),
+        count(when(!col("predicted_en") && col("y") === 1L, 1)).as("fn"))
+      .select(col("n_docs"), col("tp"), col("fp"), col("tn"), col("fn"),
+        Det.snap((col("tp") + col("tn")).cast("double") /
+          col("n_docs").cast("double"), 6).as("accuracy"))
   }
 
   /** Oracle twin: the same feature expressions over `documents`, the
@@ -113,5 +142,50 @@ SELECT f.doc_id, f.y, (${marginExpr("w")}) AS margin,
        (${marginExpr("w")}) > 0 AS predicted_en,
        ((${marginExpr("w")}) > 0) = (f.y = 1) AS correct
 FROM f CROSS JOIN w$epochs w"""
+  }
+
+  /** Oracle twin of [[evalHeldOut]]: the trainSql chain with the f CTE
+    * filtered to the train split, a second feature CTE over the held-out
+    * split, and a one-row confusion aggregate. */
+  def evalHeldOutSql(epochs: Int): String = {
+    val k = NumFeatures
+    def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+    val profileCols = TextOps.langProfiles.zipWithIndex.map { case ((_, ws), i) =>
+      s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ${inList(ws)})) AS BIGINT) AS x${i + 1}"
+    }.mkString(",\n         ")
+    def featCte(name: String, where: String) =
+      s"""$name AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         CAST(1 AS BIGINT) AS x0,
+         $profileCols,
+         CAST(strlen(text) - length(text) AS BIGINT) AS x${k - 1}
+  FROM documents $where)"""
+    val w0 = s"w0 AS (SELECT ${(0 until k).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")})"
+    def marginExpr(wAlias: String, fAlias: String): String =
+      (0 until k).map(j => s"$wAlias.w$j * $fAlias.x$j").mkString(" + ")
+    val blocks = (1 to epochs).map { e =>
+      val p = e - 1
+      s"""d$e AS (
+  SELECT ${(0 until k).map(j => s"COALESCE(CAST(sum(f.y * f.x$j) AS BIGINT), 0) AS d$j").mkString(", ")}
+  FROM f CROSS JOIN w$p w
+  WHERE f.y * (${marginExpr("w", "f")}) <= 0),
+w$e AS (
+  SELECT ${(0 until k).map(j => s"w.w$j + d.d$j AS w$j").mkString(", ")}
+  FROM w$p w CROSS JOIN d$e d)"""
+    }.mkString(",\n")
+    s"""WITH ${featCte("f", "WHERE doc_id % 5 <> 0")},
+${featCte("fe", "WHERE doc_id % 5 = 0")},
+$w0,
+$blocks,
+sc AS (
+  SELECT fe.y, (${marginExpr("w", "fe")}) > 0 AS predicted_en
+  FROM fe CROSS JOIN w$epochs w)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN predicted_en AND y = 1 THEN 1 END) AS BIGINT) AS tp,
+       CAST(count(CASE WHEN predicted_en AND y = -1 THEN 1 END) AS BIGINT) AS fp,
+       CAST(count(CASE WHEN NOT predicted_en AND y = -1 THEN 1 END) AS BIGINT) AS tn,
+       CAST(count(CASE WHEN NOT predicted_en AND y = 1 THEN 1 END) AS BIGINT) AS fn,
+       ${graft.ops.Det.snapSql("CAST(count(CASE WHEN predicted_en AND y = 1 THEN 1 END) + count(CASE WHEN NOT predicted_en AND y = -1 THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS accuracy
+FROM sc"""
   }
 }

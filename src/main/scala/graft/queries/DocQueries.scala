@@ -153,6 +153,14 @@ FROM documents"""
     // (Perceptron scaladoc has the epoch-aggregate scale shape).
     "perceptron_lang" -> ((s, d) =>
       Perceptron.train(docs(s, d), PerceptronEpochs)),
+    // Held-out eval of the perceptron gate (the train→eval closure all
+    // four in-engine trainers now carry): weights from doc_id % 5 <> 0
+    // only, confusion counts + accuracy on the held-out fifth.
+    "perceptron_eval" -> ((s, d) => {
+      val base = docs(s, d)
+      Perceptron.evalHeldOut(base.filter(col("doc_id") % 5 =!= 0),
+        base.filter(col("doc_id") % 5 === 0), PerceptronEpochs)
+    }),
     "fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
     "dedup_jaccard" -> ((s, d) => Dedup.ngramJaccardTopK(docs(s, d))),
@@ -1475,6 +1483,7 @@ FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)""",
     "split_leakage" -> splitLeakageSql,
     "quality_dup" -> qualityDupSql,
     "perceptron_lang" -> Perceptron.trainSql(PerceptronEpochs),
+    "perceptron_eval" -> Perceptron.evalHeldOutSql(PerceptronEpochs),
     "fingerprint" -> fingerprintSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
