@@ -35,24 +35,30 @@ object Seasonal {
     * gap-filled hourly grid (no missing hours inside each instrument's
     * span, e.g. from [[GapFill]]). Output: one row per (product_id,
     * hour_od) with n_obs, the seasonal mean and within-slot stddev. */
-  def hourOfDayProfile(filled: DataFrame): DataFrame = {
+  private def dec(c: Column) = c.cast(DecimalType(19, 0))
+  private def exact(c: Column) = c.cast("string").cast("double")
+
+  /** The per-row exact detrend frame shared by the profile and the
+    * anomaly scorer: (product_id, grid_ts, hour_od, y) with
+    * y = 48·k − N on the 48·10⁴ grid, full-window rows only. */
+  private def detrended(filled: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("product_id")).orderBy(col("grid_ts"))
     val inner = w.rowsBetween(-11, 11)
     val full = w.rowsBetween(-12, 12)
-    def dec(c: Column) = c.cast(DecimalType(19, 0))
-    def exact(c: Column) = c.cast("string").cast("double")
-
-    val y = filled
+    filled
       .withColumn("k", Det.kl(col("price"), 4))
       .withColumn("cnt", count(col("k")).over(full))
       .withColumn("num48",
         lit(2L) * sum(col("k")).over(inner) +
           lag(col("k"), 12).over(w) + lead(col("k"), 12).over(w))
       .filter(col("cnt") === 25)
-      .select(col("product_id"),
+      .select(col("product_id"), col("grid_ts"),
         hour(col("grid_ts")).cast("long").as("hour_od"),
         (lit(48L) * col("k") - col("num48")).as("y"))
+  }
 
+  def hourOfDayProfile(filled: DataFrame): DataFrame = {
+    val y = detrended(filled)
     val agg = y.groupBy(col("product_id"), col("hour_od"))
       .agg(count(lit(1)).as("n_obs"),
         sum(col("y")).as("sy"),
@@ -63,5 +69,37 @@ object Seasonal {
         .as("seasonal"),
       Det.snap(sqrt(exact(vnum)) / (lit(480000.0) * col("n_obs")), 6)
         .as("sd_within"))
+  }
+
+  /** Seasonally-adjusted outliers: grid points whose detrended value
+    * sits more than `zThresh` within-slot standard deviations from the
+    * slot mean. The z-score needs NO division by the grid scale — the
+    * 48·10⁴·n denominators of remainder and sd cancel, leaving
+    * z = |y·n − Σy| / √(n·Σy² − (Σy)²) with an exact-long numerator
+    * (≤ ~10¹² ≪ 2⁵³, so its double cast is exact in both engines) and
+    * the DECIMAL38/HUGEINT variance under one string-routed cast and
+    * sqrt. Top-K via TakeOrdered on the (z desc, product, grid_ts)
+    * total order — no global-sort window. */
+  def anomalies(filled: DataFrame, zThresh: Double = 3.0,
+                topK: Int = 20): DataFrame = {
+    val y = detrended(filled)
+    val agg = y.groupBy(col("product_id"), col("hour_od"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("y")).as("sy"),
+        sum(dec(col("y")) * dec(col("y"))).as("sy2"))
+    val vnum = dec(col("n_obs")) * col("sy2") - dec(col("sy")) * dec(col("sy"))
+    y.join(agg, Seq("product_id", "hour_od"))
+      .withColumn("vnum", vnum)
+      .filter(col("vnum") > 0)
+      .withColumn("zs",
+        abs(col("y") * col("n_obs") - col("sy")).cast("double") /
+          sqrt(exact(col("vnum"))))
+      .filter(col("zs") > zThresh)
+      .orderBy(col("zs").desc, col("product_id"), col("grid_ts"))
+      .limit(topK)
+      .withColumn("rk", row_number().over(Window.orderBy(
+        col("zs").desc, col("product_id"), col("grid_ts"))).cast("long"))
+      .select(col("product_id"), col("grid_ts"), col("hour_od"),
+        col("n_obs"), Det.snap(col("zs"), 6).as("z_score"), col("rk"))
   }
 }

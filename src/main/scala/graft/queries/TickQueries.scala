@@ -376,6 +376,18 @@ object TickQueries {
         .filter(col("price").isNotNull)
       Seasonal.hourOfDayProfile(filled)
     }),
+    "seasonal_anomalies" -> ((s, d) => {
+      // Seasonally-adjusted outliers: top-20 grid points by within-slot
+      // z-score (> 3σ) after the 2x24 MA detrend — the anomaly monitor
+      // built on seasonal_decompose's exact frame (ops.Seasonal
+      // scaladoc: the z-score's grid denominators cancel, so every
+      // compared value is exact-long / sqrt(exact)).
+      val filled = GapFill(uniqTicks(s, d),
+        Seq("product_id"), "event_time", "1 hour",
+        Seq("price" -> "price"), truncUnit = "hour")
+        .filter(col("price").isNotNull)
+      Seasonal.anomalies(filled)
+    }),
     "spearman_corr" -> ((s, d) => {
       // Spearman rank correlation of each instrument vs the equal-weight
       // market on the filled grid — the monotone-co-movement companion
@@ -789,6 +801,42 @@ object TickQueries {
     s"""SELECT product_id, event_time, max(price) AS price
   FROM ($liveTicksSql) raw_ticks GROUP BY product_id, event_time"""
 
+  /** Shared chain of the seasonal family (filled hourly grid → exact
+    * 48·10⁴-grid detrended `y` per row, full-window rows only) — twin
+    * of ops.Seasonal's detrend frame; consumed by both
+    * seasonal_decompose (per-slot aggregate tail) and
+    * seasonal_anomalies (per-row z-score tail). */
+  private val seasonalBaseSql =
+    s"""t AS ($uniqTicksSql),
+bounds AS (
+  SELECT product_id, date_trunc('hour', min(event_time)) AS s, max(event_time) AS e
+  FROM t GROUP BY 1),
+g AS (
+  SELECT product_id, unnest(generate_series(s, e, INTERVAL '1 hour')) AS grid_ts
+  FROM bounds),
+filled AS (
+  SELECT g.product_id, g.grid_ts, t.price
+  FROM g ASOF LEFT JOIN t
+    ON g.product_id = t.product_id AND g.grid_ts >= t.event_time
+  WHERE t.price IS NOT NULL),
+kk AS (
+  SELECT product_id, grid_ts, ${Det.klSql("price", 4)} AS k FROM filled),
+win AS (
+  SELECT product_id, grid_ts, k,
+         count(k) OVER w25 AS cnt,
+         CAST(sum(k) OVER w23 AS BIGINT) AS sinner,
+         lag(k, 12) OVER wp AS lag12, lead(k, 12) OVER wp AS lead12
+  FROM kk
+  WINDOW wp AS (PARTITION BY product_id ORDER BY grid_ts),
+         w23 AS (PARTITION BY product_id ORDER BY grid_ts
+                 ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING),
+         w25 AS (PARTITION BY product_id ORDER BY grid_ts
+                 ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+y AS (
+  SELECT product_id, grid_ts, CAST(hour(grid_ts) AS BIGINT) AS hour_od,
+         48 * k - (2 * sinner + lag12 + lead12) AS y
+  FROM win WHERE cnt = 25)"""
+
   /** Crossover-signals select over the `enriched` CTE (duck twin of
     * SmaCross.signals minus metadata). */
   private def signalsSelect(c: StrategyConfig): String =
@@ -1099,35 +1147,7 @@ SELECT n.product_id, n.n_obs, c.n_pairs, c.concordant, c.discordant,
 FROM n JOIN c USING (product_id)
 WHERE n.n_obs >= 2""",
       "seasonal_decompose" ->
-        s"""WITH t AS ($uniqTicksSql),
-bounds AS (
-  SELECT product_id, date_trunc('hour', min(event_time)) AS s, max(event_time) AS e
-  FROM t GROUP BY 1),
-g AS (
-  SELECT product_id, unnest(generate_series(s, e, INTERVAL '1 hour')) AS grid_ts
-  FROM bounds),
-filled AS (
-  SELECT g.product_id, g.grid_ts, t.price
-  FROM g ASOF LEFT JOIN t
-    ON g.product_id = t.product_id AND g.grid_ts >= t.event_time
-  WHERE t.price IS NOT NULL),
-kk AS (
-  SELECT product_id, grid_ts, ${Det.klSql("price", 4)} AS k FROM filled),
-win AS (
-  SELECT product_id, grid_ts, k,
-         count(k) OVER w25 AS cnt,
-         CAST(sum(k) OVER w23 AS BIGINT) AS sinner,
-         lag(k, 12) OVER wp AS lag12, lead(k, 12) OVER wp AS lead12
-  FROM kk
-  WINDOW wp AS (PARTITION BY product_id ORDER BY grid_ts),
-         w23 AS (PARTITION BY product_id ORDER BY grid_ts
-                 ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING),
-         w25 AS (PARTITION BY product_id ORDER BY grid_ts
-                 ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
-y AS (
-  SELECT product_id, CAST(hour(grid_ts) AS BIGINT) AS hour_od,
-         48 * k - (2 * sinner + lag12 + lead12) AS y
-  FROM win WHERE cnt = 25),
+        s"""WITH $seasonalBaseSql,
 agg AS (
   SELECT product_id, hour_od, CAST(count(*) AS BIGINT) AS n_obs,
          sum(y) AS sy, sum(y * y) AS sy2
@@ -1136,6 +1156,26 @@ SELECT product_id, hour_od, n_obs,
        ${s6(s"${Det.signedDblSql("sy")} / 48 / 10000 / n_obs")} AS seasonal,
        ${s6("sqrt(CAST(CAST(n_obs * sy2 - sy * sy AS VARCHAR) AS DOUBLE)) / (CAST(480000 AS DOUBLE) * n_obs)")} AS sd_within
 FROM agg""",
+      "seasonal_anomalies" ->
+        s"""WITH $seasonalBaseSql,
+agg AS (
+  SELECT product_id, hour_od, CAST(count(*) AS BIGINT) AS n_obs,
+         sum(y) AS sy, sum(y * y) AS sy2
+  FROM y GROUP BY 1, 2),
+sc AS (
+  SELECT y.product_id, y.grid_ts, y.hour_od, a.n_obs,
+         abs(y.y * a.n_obs - a.sy) AS rnum,
+         a.n_obs * a.sy2 - a.sy * a.sy AS vnum
+  FROM y JOIN agg a ON y.product_id = a.product_id AND y.hour_od = a.hour_od
+  WHERE a.n_obs * a.sy2 - a.sy * a.sy > 0),
+z AS (
+  SELECT product_id, grid_ts, hour_od, n_obs,
+         CAST(rnum AS DOUBLE) / sqrt(CAST(CAST(vnum AS VARCHAR) AS DOUBLE)) AS zs
+  FROM sc)
+SELECT product_id, grid_ts, hour_od, n_obs, ${s6("zs")} AS z_score, rk FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY zs DESC, product_id, grid_ts) AS BIGINT) AS rk
+  FROM z WHERE zs > 3)
+WHERE rk <= 20""",
       "spearman_corr" ->
         s"""WITH t AS ($uniqTicksSql),
 bounds AS (
