@@ -102,8 +102,8 @@ object Perceptron {
         count(when(!col("predicted_en") && col("y") === -1L, 1)).as("tn"),
         count(when(!col("predicted_en") && col("y") === 1L, 1)).as("fn"))
       .select(col("n_docs"), col("tp"), col("fp"), col("tn"), col("fn"),
-        Det.snap((col("tp") + col("tn")).cast("double") /
-          col("n_docs").cast("double"), 6).as("accuracy"))
+        when(col("n_docs") > 0, Det.snap((col("tp") + col("tn")).cast("double") /
+          col("n_docs").cast("double"), 6)).as("accuracy"))
   }
 
   /** Oracle twin: the same feature expressions over `documents`, the
@@ -185,7 +185,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(CASE WHEN predicted_en AND y = -1 THEN 1 END) AS BIGINT) AS fp,
        CAST(count(CASE WHEN NOT predicted_en AND y = -1 THEN 1 END) AS BIGINT) AS tn,
        CAST(count(CASE WHEN NOT predicted_en AND y = 1 THEN 1 END) AS BIGINT) AS fn,
-       ${graft.ops.Det.snapSql("CAST(count(CASE WHEN predicted_en AND y = 1 THEN 1 END) + count(CASE WHEN NOT predicted_en AND y = -1 THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS accuracy
+       CASE WHEN count(*) > 0 THEN ${graft.ops.Det.snapSql("CAST(count(CASE WHEN predicted_en AND y = 1 THEN 1 END) + count(CASE WHEN NOT predicted_en AND y = -1 THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} END AS accuracy
 FROM sc"""
   }
 }

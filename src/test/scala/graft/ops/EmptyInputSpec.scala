@@ -111,4 +111,23 @@ class EmptyInputSpec extends AnyFunSuite {
       noTicks.selectExpr("sequence AS x", "sequence AS y"), k = 2, rounds = 2)
       .count() == 0)
   }
+
+  test("round-8 operators on empty input") {
+    import org.apache.spark.sql.functions.col
+    val grid = noTicks.selectExpr("product_id",
+      "event_time AS grid_ts", "price")
+    assert(Seasonal.hourOfDayProfile(grid).count() == 0)
+    assert(Seasonal.anomalies(grid).count() == 0)
+    assert(Kendall.counts(grid, "price", "price", "grid_ts").head()
+      .getLong(0) == 0L) // one summary row of zero pairs
+    assert(Kendall.countsByKey(grid, "product_id", "price", "price",
+      "grid_ts").count() == 0)
+    assert(Indicators.holtEvalPerKey(noTicks, "product_id", "event_time",
+      "sequence", "price", 0.2, 0.1, 3).count() == 0)
+    assert(Dedup.minhashLshDeltaPairs(noDocs, col("doc_id") % 2 === 0)
+      .count() == 0)
+    assert(BpeTrain.tokenCountsHeldOut(noDocs, noDocs, rounds = 2)
+      .count() == 0)
+    assert(Perceptron.evalHeldOut(noDocs, noDocs).head().getLong(0) == 0L)
+  }
 }
