@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-source bounded-hop BFS (seed Voronoi) over a directed edge
+  * list — every node reachable within `rounds` hops gets its hop count
+  * to the NEAREST seed and, among equally-near seeds, the smallest seed
+  * id. The classic "assign each node to its closest hub" primitive
+  * (graph partition seeding, landmark distance labeling, blast-radius /
+  * contagion probes) that the component and pagerank family doesn't
+  * answer: components say WHETHER nodes touch, BFS says HOW FAR.
+  *
+  * Determinism: a label is the single long `hops·step + seed`, so the
+  * per-round combine is `min(code)` — an exact-integer, fully
+  * associative aggregate whose lexicographic (hops, seed) order is the
+  * tie-break. Both engines fold identical longs; no floats anywhere.
+  * The multi-source BFS invariant makes fixed-round unrolling exact:
+  * every (node, seed) pair at hop distance d is discovered at round d
+  * (all length-d paths relax in round d), so after R rounds the label
+  * set equals the true ≤R-hop distance map — extra rounds past the
+  * eccentricity are no-ops at fixpoint, exactly like KCore's rounds.
+  *
+  * Scale shape: per round ONE shuffled equi-join of the label frame
+  * against the directed edge list plus one min-aggregate — the
+  * Bellman-Ford relaxation step, Pregel's DataFrame form. State is 16
+  * bytes per labeled node; the edge list is the dominant operand and
+  * the caller caches it across rounds. `localCheckpoint` per round
+  * truncates the 2×-per-round lineage fan-out (the ConnectedComponents
+  * pattern). Rounds are a small constant, so the whole op is
+  * `rounds` × (join + agg) — no driver state, no collect.
+  *
+  * Reference parity: the reference has no graph stage at all
+  * (flink-signals/sql/views.sql is windows + joins); this extends the
+  * co-occurrence-graph family (SURVEY §2 beyond-reference breadth).
+  */
+object Bfs {
+
+  /** `dir`: DIRECTED edges (x, y) — pass both orientations for an
+    * undirected graph (and cache it; evaluated `rounds` times).
+    * `seeds`: (node). Output: (node, hops, nearest_seed), one row per
+    * node within `rounds` hops of any seed. `step` must exceed every
+    * node id (default 2^40) so the packed code never collides. */
+  def seededHops(dir: DataFrame, seeds: DataFrame, rounds: Int,
+                 step: Long = 1L << 40): DataFrame = {
+    // seed-sized eager checkpoint: gives the label frame fresh attribute
+    // ids (callers routinely derive seeds FROM the edge list — top-degree
+    // hubs — which would otherwise trip the ambiguous-self-join check on
+    // the round-1 join) and truncates lineage like every later round
+    var dist = seeds.select(col("node").cast("long").as("node"))
+      .withColumn("code", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val cand = dist.join(dir, dist("node") === dir("x"))
+        .select(dir("y").cast("long").as("node"),
+          (dist("code") + lit(step)).as("code"))
+      dist = dist.unionByName(cand)
+        .groupBy(col("node")).agg(min(col("code")).as("code"))
+        .localCheckpoint(true)
+    }
+    dist.select(col("node"),
+      expr(s"code div $step").as("hops"),
+      (col("code") % step).as("nearest_seed"))
+  }
+}

@@ -142,6 +142,69 @@ object Indicators {
       .toDF(key, "n_ticks", "ema_fast", "ema_slow", "macd", "signal", "histogram")
   }
 
+  /** Local-level (random-walk-plus-noise) Kalman filter per key — the
+    * steady-state-adaptive smoother the EMA family can't express: the
+    * gain k_t = P_t/(P_t+R) ADAPTS from 1 (trust the first ticks) toward
+    * the Riccati fixpoint as evidence accumulates, instead of a fixed α.
+    * Recurrence per tick z (after seeding x=z₀, P=p0):
+    *   P ← P + q;  k ← P/(P+R);  x ← x + k·(z−x);  P ← (1−k)·P
+    * — the 1-D Kalman predict/update (Kalman 1960; Harvey's local level
+    * model). Emits the FINAL (n_ticks, level, gain, p_var) per key.
+    *
+    * Determinism: the fold is the identical IEEE double sequence in the
+    * identical (time, seq) total order on both engines — the DuckDB twin
+    * replays it as a snapshot-safe `list_reduce` (each struct field
+    * reads only PRE-update state, recomputing p+q / gain inline), with
+    * constants crossing via [[Det.dblLit]]. Same secondary-sort
+    * distribution as [[macdPerKey]]: one Exchange on the key, O(1)
+    * state per key, streaming iterator (no per-key materialization).
+    */
+  def kalmanPerKey(ticks: DataFrame, key: String, time: String, seq: String,
+                   value: String, q: Double, r: Double,
+                   p0: Double): DataFrame = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .select(col(key).cast("string"), col(time), col(seq).cast("long"),
+        col(value).cast("double"))
+      .as[(String, java.sql.Timestamp, Long, Double)]
+      .repartition(col(key))
+      .sortWithinPartitions(col(key), col(time), col(seq))
+      .mapPartitions { it =>
+        new Iterator[(String, Long, Double, Double, Double)] {
+          private var cur: String = null
+          private var x = 0.0
+          private var p = 0.0
+          private var k = 0.0
+          private var n = 0L
+          private var pending: Option[(String, Long, Double, Double, Double)] = None
+          private var done = false
+          private def out = Some((cur, n, x, k, p))
+          private def roll(): Unit = {
+            while (pending.isEmpty && it.hasNext) {
+              val (kk, _, _, z) = it.next()
+              if (cur == null) { cur = kk; x = z; p = p0; k = 0.0; n = 1L }
+              else if (kk == cur) {
+                val p1 = p + q
+                k = p1 / (p1 + r)
+                x = x + k * (z - x)
+                p = (1.0 - k) * p1
+                n += 1L
+              } else { pending = out; cur = kk; x = z; p = p0; k = 0.0; n = 1L }
+            }
+            if (pending.isEmpty && !it.hasNext && cur != null && !done) {
+              pending = out; done = true
+            }
+          }
+          def hasNext: Boolean = { roll(); pending.nonEmpty }
+          def next(): (String, Long, Double, Double, Double) = {
+            roll(); val r0 = pending.get; pending = None; r0
+          }
+        }
+      }
+      .toDF(key, "n_ticks", "level", "gain", "p_var")
+  }
+
   /** Adaptive EWMA — the generalized fold `s ← s + sc_t·(x_t − s)` where
     * the smoothing coefficient `sc` is a PRECOMPUTED per-row column
     * (KAMA's efficiency-ratio schedule, volatility-scaled alphas, …),

@@ -643,7 +643,70 @@ SELECT dc.community, dc.n_nodes, dc.degree_sum, ic.internal_edges,
          AS modularity_term
 FROM dc JOIN ic USING (community) CROSS JOIN mm"""
 
+  // Multi-source bounded-hop BFS over the supplier co-occurrence graph:
+  // seeds = the BfsSeeds highest-degree hubs (degree desc, id asc — a
+  // total order), rounds cover the measured eccentricity at the fixture
+  // scales (extra rounds are fixpoint no-ops).
+  private val BfsSeeds = 3
+  private val BfsRounds = 4
+  private val BfsStep = 1L << 40
+
+  /** Hub-distance map: hop distance to the nearest of the top-[[BfsSeeds]]
+    * degree hubs plus the hub assignment (seed Voronoi) — see
+    * [[graft.ops.Bfs.seededHops]] for the exact-integer label design and
+    * the one-join-per-round relaxation shape. */
+  private def graphBfs(s: SparkSession, d: String): DataFrame = {
+    val edges = suppEdges(s, d)
+    val dir = edges.unionByName(
+      edges.select(col("y").as("x"), col("x").as("y"))).cache()
+    val deg = dir.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+      .select(col("x").as("node"), col("deg"))
+    val seeds = deg.orderBy(col("deg").desc, col("node")).limit(BfsSeeds)
+      .select(col("node"))
+    val out = graft.ops.Bfs.seededHops(dir, seeds, BfsRounds, BfsStep)
+      .select(col("node").as("supp_id"), col("hops"), col("nearest_seed"))
+      .localCheckpoint(true)
+    dir.unpersist(false)
+    out
+  }
+
+  /** Twin of [[graphBfs]]: the relaxation UNROLLED into one MATERIALIZED
+    * CTE per round (b_r references b_{r−1} twice — plain CTEs would
+    * expand 2^rounds), same packed `hops·step + seed` longs, same
+    * min-combine; seeds via the identical (deg DESC, node) total order. */
+  private val graphBfsSql = {
+    val blocks = (1 to BfsRounds).map { r =>
+      s"""b$r AS MATERIALIZED (
+  SELECT node, min(code) AS code FROM (
+    SELECT node, code FROM b${r - 1}
+    UNION ALL
+    SELECT CAST(d.y AS BIGINT) AS node, b.code + $BfsStep AS code
+    FROM b${r - 1} b JOIN dir d ON d.x = b.node
+  ) GROUP BY 1)"""
+    }.mkString(",\n")
+    s"""WITH os AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), pairs AS (
+  SELECT a.l_suppkey AS x, b.l_suppkey AS y
+  FROM os a JOIN os b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING count(*) >= $MinCo
+), dir AS MATERIALIZED (
+  SELECT x, y FROM pairs UNION ALL SELECT y AS x, x AS y FROM pairs
+), deg AS (
+  SELECT x AS node, count(*) AS deg FROM dir GROUP BY 1
+), seeds AS (
+  SELECT node FROM deg ORDER BY deg DESC, node LIMIT $BfsSeeds
+), b0 AS MATERIALIZED (
+  SELECT CAST(node AS BIGINT) AS node, CAST(node AS BIGINT) AS code FROM seeds
+),
+$blocks
+SELECT node AS supp_id, code // $BfsStep AS hops, code % $BfsStep AS nearest_seed
+FROM b$BfsRounds"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bfs" -> ((s, d) => graphBfs(s, d)),
     "graph_communities" -> ((s, d) => communities(s, d)),
     "kcore" -> ((s, d) => kcore(s, d)),
     "degree_dist" -> ((s, d) => {
@@ -662,6 +725,7 @@ FROM dc JOIN ic USING (community) CROSS JOIN mm"""
   )
 
   def oracleSql: Map[String, String] = Map(
+    "graph_bfs" -> graphBfsSql,
     "graph_communities" -> communitiesSql,
     "kcore" -> kcoreSql,
     "degree_dist" -> degreeDistSql,

@@ -116,6 +116,50 @@ SELECT product_id, n_ticks,
 FROM m"""
   }
 
+  // -------------------------------------------------------------- Kalman
+
+  // Local-level model noise ratio q/r sets the steady-state gain
+  // (≈ 0.095 here — a ~20-tick effective window); p0 = r starts the
+  // gain at 1/2 so the filter trusts early ticks without a burn-in.
+  private val KalmanQ = 0.01
+  private val KalmanR = 1.0
+  private val KalmanP0 = 1.0
+
+  /** Per-instrument local-level Kalman filter terminal state — see
+    * [[Indicators.kalmanPerKey]] for the recurrence and determinism
+    * design. */
+  private def kalman(s: SparkSession, d: String): DataFrame =
+    Indicators.kalmanPerKey(TickQueries.ticks(s, d),
+      "product_id", "event_time", "sequence", "price",
+      KalmanQ, KalmanR, KalmanP0)
+
+  private val kalmanSql = {
+    val Q = Det.dblLit(KalmanQ)
+    val R = Det.dblLit(KalmanR)
+    val P0 = Det.dblLit(KalmanP0)
+    // Snapshot-safe field ordering (cf. macdSql): every field reads only
+    // PRE-update state (a.x/a.p/c.z), recomputing the predicted variance
+    // a.p + Q and the gain inline — identical operand bits, so the three
+    // recomputations reproduce the JVM fold exactly under either
+    // struct_pack evaluation semantics.
+    s"""WITH per AS (
+  SELECT product_id, list(price ORDER BY event_time, sequence) AS xs
+  FROM ($ticksSql) t GROUP BY product_id),
+m AS (
+  SELECT product_id, CAST(len(xs) AS BIGINT) AS n_ticks,
+         list_reduce(
+           [struct_pack(k := CAST(0 AS DOUBLE), x := x, p := $P0, z := x) for x in xs],
+           (a, c) -> struct_pack(
+              k := (a.p + $Q) / (a.p + $Q + $R),
+              x := a.x + ((a.p + $Q) / (a.p + $Q + $R)) * (c.z - a.x),
+              p := (CAST(1 AS DOUBLE) - (a.p + $Q) / (a.p + $Q + $R)) * (a.p + $Q),
+              z := c.z)) AS st
+  FROM per)
+SELECT product_id, n_ticks, ${s6("st.x")} AS level,
+       ${s6("st.k")} AS gain, ${s6("st.p")} AS p_var
+FROM m"""
+  }
+
   // ---------------------------------------------------------------- Holt
 
   private val HoltAlpha = 0.2
@@ -540,6 +584,7 @@ FROM shifted WHERE rn >= ${IchiS + IchiD}"""
     "kama" -> ((s, d) => r6(kama(s, d))),
     "rsi" -> ((s, d) => r6(rsi(s, d))),
     "macd" -> ((s, d) => r6(macd(s, d))),
+    "kalman_level" -> ((s, d) => r6(kalman(s, d))),
     "stochastic" -> ((s, d) => r6(stochastic(s, d))),
     "atr" -> ((s, d) => r6(atr(s, d))),
     "holt_forecast" -> ((s, d) => r6(holt(s, d))),
@@ -560,6 +605,7 @@ FROM shifted WHERE rn >= ${IchiS + IchiD}"""
     "kama" -> kamaSql,
     "rsi" -> rsiSql,
     "macd" -> macdSql,
+    "kalman_level" -> kalmanSql,
     "stochastic" -> stochasticSql,
     "atr" -> atrSql,
     "holt_forecast" -> holtSql,
