@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic uniform random walks over a directed edge list — the
+  * DeepWalk/node2vec corpus generator (Perozzi KDD'14): one fixed-length
+  * walk per start node, each step choosing a neighbor uniformly by a
+  * seeded 48-bit md5 draw instead of an RNG, so the SAME walks come out
+  * of every engine, run, and retry (the md5-portable determinism used by
+  * the sketch family / salted splits). Step t from node c picks neighbor
+  * index `md5("<prefix>:<walk_id>:<t>")₄₈ mod deg(c)` against the
+  * node's (y-ascending) neighbor ranking — draw independent of c, so a
+  * revisited node redraws rather than loops.
+  *
+  * Scale shape: the neighbor index is ONE ranking window partitioned by
+  * source node (per-partition work bounded by max degree); each step is
+  * one equi-join of the walk frontier (|nodes| rows, 16 bytes each)
+  * against degree + indexed-neighbor frames keyed on the current node —
+  * hub skew is bounded by the walk count, not degree². `steps` is a
+  * small constant; per-step `localCheckpoint` truncates lineage (the
+  * BFS/CC pattern). No driver state, no collect; output is
+  * (steps+1)·|nodes| rows, the shuffle-ready sentence corpus a
+  * skip-gram trainer consumes.
+  *
+  * Walks terminate early only at sinks (no outgoing edge); over a
+  * symmetrized undirected graph every walked-to node has deg ≥ 1, so
+  * walks always run the full length. Isolated start nodes emit only
+  * their step-0 row.
+  */
+object RandomWalk {
+
+  /** `dir`: DIRECTED edges (x, y) — pass both orientations for an
+    * undirected graph (and cache it; evaluated per step). `nodes`:
+    * (node) walk starts, one walk each (walk_id = start node; lineage
+    * may share `dir`, the checkpoint refreshes attribute ids). Output:
+    * (walk_id, step, node), step 0..steps. */
+  def walks(dir: DataFrame, nodes: DataFrame, steps: Int,
+            seedPrefix: String = "walk"): DataFrame = {
+    val nbr = dir.select(col("x").cast("long").as("nx"),
+        col("y").cast("long").as("ny"))
+      .withColumn("idx",
+        row_number().over(Window.partitionBy(col("nx")).orderBy(col("ny")))
+          .cast("long") - 1L)
+    val deg = dir.select(col("x").cast("long").as("dx"))
+      .groupBy(col("dx")).agg(count(lit(1)).as("deg"))
+    var cur = nodes.select(col("node").cast("long").as("walk_id"))
+      .withColumn("node", col("walk_id"))
+      .localCheckpoint(true)
+    var out = cur.withColumn("step", lit(0L))
+    for (t <- 1 to steps) {
+      val draw = conv(substring(md5(concat(lit(seedPrefix + ":"),
+        col("walk_id").cast("string"), lit(s":$t"))), 1, 12), 16, 10)
+        .cast("long")
+      cur = cur.join(deg, col("node") === col("dx"))
+        .withColumn("pick", draw % col("deg"))
+        .join(nbr, col("node") === col("nx") && col("pick") === col("idx"))
+        .select(col("walk_id"), col("ny").as("node"))
+        .localCheckpoint(true)
+      out = out.unionByName(cur.withColumn("step", lit(t.toLong)))
+    }
+    out.select(col("walk_id"), col("step"), col("node"))
+  }
+}

@@ -705,7 +705,67 @@ SELECT node AS supp_id, code // $BfsStep AS hops, code % $BfsStep AS nearest_see
 FROM b$BfsRounds"""
   }
 
+  // DeepWalk corpus over the supplier co-occurrence graph: one
+  // WalkSteps-length walk per node, md5-seeded uniform neighbor draws.
+  private val WalkSteps = 4
+
+  /** Random-walk sentence corpus — see [[graft.ops.RandomWalk.walks]]
+    * for the seeded-draw determinism and the one-join-per-step shape.
+    * Starts = every graph node (so the corpus covers the graph). */
+  private def graphWalks(s: SparkSession, d: String): DataFrame = {
+    val edges = suppEdges(s, d)
+    val dir = edges.unionByName(
+      edges.select(col("y").as("x"), col("x").as("y"))).cache()
+    val nodes = dir.select(col("x").as("node")).distinct()
+    val out = graft.ops.RandomWalk.walks(dir, nodes, WalkSteps)
+      .localCheckpoint(true)
+    dir.unpersist(false)
+    out
+  }
+
+  /** Twin of [[graphWalks]]: per-step MATERIALIZED CTEs (w_t references
+    * w_{t−1} once but nbr/deg each step — materialized to keep the scan
+    * count linear), the identical md5 draw via the shared 48-bit hex
+    * parse, and the identical (ORDER BY ny) neighbor ranking. */
+  private val graphWalksSql = {
+    val blocks = (1 to WalkSteps).map { t =>
+      val draw = graft.ops.CorpusHex.hv48Sql(
+        s"md5('walk:' || CAST(w.walk_id AS VARCHAR) || ':$t')")
+      s"""w$t AS MATERIALIZED (
+  SELECT w.walk_id, n.ny AS node
+  FROM w${t - 1} w
+  JOIN deg d ON w.node = d.dx
+  JOIN nbr n ON n.nx = w.node
+   AND n.idx = CAST($draw AS BIGINT) % d.deg)"""
+    }.mkString(",\n")
+    val union = (0 to WalkSteps).map(t =>
+      s"SELECT walk_id, CAST($t AS BIGINT) AS step, node FROM w$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH os AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), pairs AS (
+  SELECT a.l_suppkey AS x, b.l_suppkey AS y
+  FROM os a JOIN os b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING count(*) >= $MinCo
+), dir AS MATERIALIZED (
+  SELECT x, y FROM pairs UNION ALL SELECT y AS x, x AS y FROM pairs
+), nbr AS MATERIALIZED (
+  SELECT CAST(x AS BIGINT) AS nx, CAST(y AS BIGINT) AS ny,
+         CAST(row_number() OVER (PARTITION BY x ORDER BY y) AS BIGINT) - 1 AS idx
+  FROM dir
+), deg AS MATERIALIZED (
+  SELECT CAST(x AS BIGINT) AS dx, count(*) AS deg FROM dir GROUP BY 1
+), w0 AS MATERIALIZED (
+  SELECT CAST(x AS BIGINT) AS walk_id, CAST(x AS BIGINT) AS node
+  FROM (SELECT DISTINCT x FROM dir)
+),
+$blocks
+$union"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_walks" -> ((s, d) => graphWalks(s, d)),
     "graph_bfs" -> ((s, d) => graphBfs(s, d)),
     "graph_communities" -> ((s, d) => communities(s, d)),
     "kcore" -> ((s, d) => kcore(s, d)),
@@ -725,6 +785,7 @@ FROM b$BfsRounds"""
   )
 
   def oracleSql: Map[String, String] = Map(
+    "graph_walks" -> graphWalksSql,
     "graph_bfs" -> graphBfsSql,
     "graph_communities" -> communitiesSql,
     "kcore" -> kcoreSql,

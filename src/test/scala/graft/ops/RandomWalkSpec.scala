@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class RandomWalkSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def dir(es: (Long, Long)*) =
+    (es ++ es.map(_.swap)).toDF("x", "y")
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def draw(walkId: Long, t: Int): Long =
+    java.lang.Long.parseLong(md5hex(s"walk:$walkId:$t").take(12), 16)
+
+  /** Driver reference walk with the same seeded draws. */
+  private def reference(es: Seq[(Long, Long)], starts: Seq[Long],
+                        steps: Int): Set[(Long, Long, Long)] = {
+    val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).sorted }
+    starts.flatMap { w =>
+      var cur = w
+      (0L, w) +: (1 to steps).flatMap { t =>
+        adj.get(cur) match {
+          case Some(ns) =>
+            cur = ns((draw(w, t) % ns.size).toInt)
+            Some((t.toLong, cur))
+          case None => None
+        }
+      } map { case (t, n) => (w, t, n) }
+    }.toSet
+  }
+
+  private def run(d: org.apache.spark.sql.DataFrame, starts: Seq[Long],
+                  steps: Int): Set[(Long, Long, Long)] =
+    RandomWalk.walks(d, starts.toDF("node"), steps).collect()
+      .map(r => (r.getAs[Long]("walk_id"), r.getAs[Long]("step"),
+        r.getAs[Long]("node"))).toSet
+
+  private val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+
+  test("walks equal the seeded driver reference") {
+    val got = run(dir(tri: _*), Seq(1L, 2L, 3L, 4L, 5L), steps = 4)
+    assert(got == reference(tri, Seq(1L, 2L, 3L, 4L, 5L), 4))
+    assert(got.count(_._2 == 0L) == 5)
+    // full-length walks: every start emits steps 0..4 (no sinks here)
+    assert(got.size == 5 * 5)
+  }
+
+  test("walks are deterministic across runs") {
+    val a = run(dir(tri: _*), Seq(1L, 3L), steps = 3)
+    val b = run(dir(tri: _*), Seq(1L, 3L), steps = 3)
+    assert(a == b)
+  }
+
+  test("every consecutive pair is an edge (walks follow the graph)") {
+    val got = run(dir(tri: _*), Seq(1L, 2L, 3L, 4L, 5L), steps = 4)
+    val eset = (tri ++ tri.map(_.swap)).toSet
+    val byWalk = got.groupBy(_._1)
+    byWalk.values.foreach { rows =>
+      rows.toSeq.sortBy(_._2).map(_._3).sliding(2).foreach {
+        case Seq(a, b) => assert(eset.contains((a, b)))
+        case _ =>
+      }
+    }
+  }
+
+  test("isolated start emits only its step-0 row") {
+    val got = run(dir(tri: _*), Seq(99L), steps = 3)
+    assert(got == Set((99L, 0L, 99L)))
+  }
+
+  test("a degree-1 node bounces back deterministically") {
+    val got = run(dir((7L, 8L)), Seq(7L), steps = 2)
+    assert(got == Set((7L, 0L, 7L), (7L, 1L, 8L), (7L, 2L, 7L)))
+  }
+}
