@@ -764,7 +764,72 @@ $blocks
 $union"""
   }
 
+  // Skip-gram window over the walk corpus (contexts within ±SkipWindow
+  // steps), the word2vec convention for short walks.
+  private val SkipWindow = 2
+
+  /** Skip-gram training pairs + shifted-PMI association from the
+    * [[graphWalks]] corpus — (center, context) counts within
+    * ±[[SkipWindow]] steps and the exact-integer PMI ratio
+    * N·c(a,b) / (c(a)·c(b)) (PMI = log of it; the log is left to the
+    * consumer so the compared column stays one correctly-rounded
+    * division of exact longs — the Levy–Goldberg SGNS factorization
+    * target). Symmetric by construction (the |Δstep| join emits both
+    * orientations).
+    *
+    * Scale shape: the pair generator is a walk-keyed self-join where
+    * each walk contributes ≤ 2·W·(steps+1) pairs — corpus-linear, never
+    * node²; marginals and N are two re-aggregations of the pair-count
+    * frame and a broadcast scalar. Envelope: N·c_ab and c_a·c_b are
+    * products of pair counts, ≪ 2^53 for any corpus this side of ~10¹⁵
+    * pairs (and provably non-negative, so the direct double cast is
+    * portable — no signed-cast route needed). */
+  private def walkSkipgrams(s: SparkSession, d: String): DataFrame = {
+    val walks = graphWalks(s, d)
+    val a = walks.select(col("walk_id").as("wid"), col("step").as("sa"),
+      col("node").as("center"))
+    val b = walks.select(col("walk_id").as("wid"), col("step").as("sb"),
+      col("node").as("context"))
+    val cab = a.join(b, Seq("wid"))
+      .filter(abs(col("sa") - col("sb")).between(1, SkipWindow))
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val ca = cab.groupBy(col("center")).agg(sum(col("n_pairs")).as("c_a"))
+    val cb = cab.groupBy(col("context")).agg(sum(col("n_pairs")).as("c_b"))
+    val nn = cab.agg(sum(col("n_pairs")).as("n"))
+    cab.join(ca, Seq("center")).join(cb, Seq("context"))
+      .crossJoin(broadcast(nn))
+      .select(col("center"), col("context"), col("n_pairs"),
+        Det.snap((col("n") * col("n_pairs")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double"), 6).as("pmi_ratio"))
+  }
+
+  /** Twin of [[walkSkipgrams]]: the walk corpus re-derived inline (the
+    * [[graphWalksSql]] text as a subquery), then the same pair window,
+    * marginals, and exact-long PMI-ratio division (HUGEINT sums cast
+    * back to BIGINT before the products). */
+  private val walkSkipgramsSql =
+    s"""WITH walks AS MATERIALIZED (
+  SELECT * FROM ($graphWalksSql)
+), pr AS (
+  SELECT a.node AS center, b.node AS context
+  FROM walks a JOIN walks b
+    ON a.walk_id = b.walk_id
+   AND abs(a.step - b.step) BETWEEN 1 AND $SkipWindow
+), cab AS MATERIALIZED (
+  SELECT center, context, count(*) AS n_pairs FROM pr GROUP BY 1, 2
+), ca AS (
+  SELECT center, CAST(sum(n_pairs) AS BIGINT) AS c_a FROM cab GROUP BY 1
+), cb AS (
+  SELECT context, CAST(sum(n_pairs) AS BIGINT) AS c_b FROM cab GROUP BY 1
+), nn AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n FROM cab)
+SELECT cab.center, cab.context, cab.n_pairs,
+       ${s6("CAST(nn.n * cab.n_pairs AS DOUBLE) / CAST(ca.c_a * cb.c_b AS DOUBLE)")}
+         AS pmi_ratio
+FROM cab JOIN ca USING (center) JOIN cb USING (context) CROSS JOIN nn"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "walk_skipgrams" -> ((s, d) => walkSkipgrams(s, d)),
     "graph_walks" -> ((s, d) => graphWalks(s, d)),
     "graph_bfs" -> ((s, d) => graphBfs(s, d)),
     "graph_communities" -> ((s, d) => communities(s, d)),
@@ -785,6 +850,7 @@ $union"""
   )
 
   def oracleSql: Map[String, String] = Map(
+    "walk_skipgrams" -> walkSkipgramsSql,
     "graph_walks" -> graphWalksSql,
     "graph_bfs" -> graphBfsSql,
     "graph_communities" -> communitiesSql,
