@@ -375,4 +375,84 @@ object Indicators {
       .toDF(key, "n_ticks", "n_train", "h", "forecast", "actual",
         "abs_err_holt", "abs_err_naive")
   }
+
+  /** Split-conformal 1-step prediction intervals for the Holt forecaster
+    * (Vovk's conformal prediction, the Lei et al. JASA'18 split form):
+    * per key the series is cut 60/20/20 — the Holt fold runs walk-forward
+    * over ALL of it, absolute 1-step residuals |z_j − (ℓ+b)| land in a
+    * CALIBRATION set (indices [3n/5, 4n/5)) and a TEST set ([4n/5, n));
+    * q̂ = the ⌈0.9·(n_cal+1)⌉-th smallest calibration residual (the
+    * finite-sample-valid conformal quantile at 90% target), and the
+    * empirical test coverage of ±q̂ is the honesty check. Emits
+    * (n_ticks, n_cal, n_test, q_hat, n_covered, coverage) for keys with
+    * n_cal ≥ 9 and n_test ≥ 1 (below that the ⌈·⌉ rank exceeds the set).
+    *
+    * Determinism: residuals are fold-exact doubles, q̂ is an ORDER
+    * STATISTIC (a pick, not an interpolation), the coverage test
+    * compares identical bits against the unsnapped q̂, and the only
+    * divisions are final snapped ratios — so both engines agree
+    * bit-for-bit. Same secondary-sort shape as [[holtEvalPerKey]];
+    * per-key buffering is bounded by the series length, the same bound
+    * every list-fold twin already carries.
+    */
+  def conformalPerKey(ticks: DataFrame, key: String, time: String,
+                      seq: String, value: String, alpha: Double,
+                      beta: Double): DataFrame = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val a = alpha; val na = 1.0 - alpha
+    val b = beta; val nb = 1.0 - beta
+    ticks
+      .select(col(key).cast("string"), col(time), col(seq).cast("long"),
+        col(value).cast("double"))
+      .as[(String, java.sql.Timestamp, Long, Double)]
+      .repartition(col(key))
+      .sortWithinPartitions(col(key), col(time), col(seq))
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, Long, Long, Double, Long, Double)]
+        var cur: String = null
+        val xs = scala.collection.mutable.ArrayBuilder.make[Double]
+        def close(): Unit = if (cur != null) {
+          val arr = xs.result()
+          val n = arr.length.toLong
+          val nTr = n * 3 / 5
+          val nCalEnd = n * 4 / 5
+          if (nTr >= 1 && nCalEnd > nTr && n > nCalEnd) {
+            val rs = scala.collection.mutable.ArrayBuffer.empty[Double]
+            val ts = scala.collection.mutable.ArrayBuffer.empty[Double]
+            var lv = arr(0); var tr = 0.0
+            var j = 1
+            while (j < n) {
+              val z = arr(j)
+              val r = math.abs(z - (lv + tr))
+              if (j >= nTr && j < nCalEnd) rs += r
+              else if (j >= nCalEnd) ts += r
+              val nl = z * a + (lv + tr) * na
+              tr = (nl - lv) * b + tr * nb
+              lv = nl
+              j += 1
+            }
+            val nCal = rs.length.toLong
+            val nTest = ts.length.toLong
+            if (nCal >= 9 && nTest >= 1) {
+              val k = ((nCal + 1) * 9 + 9) / 10
+              val qh = rs.toArray.sorted.apply((k - 1).toInt)
+              val covered = ts.count(_ <= qh).toLong
+              out += ((cur, n, nCal, nTest, qh, covered,
+                covered.toDouble / nTest.toDouble))
+            }
+          }
+          xs.clear()
+        }
+        it.foreach { case (k, _, _, x) =>
+          if (cur == null || k != cur) { close(); cur = k }
+          xs += x
+        }
+        close()
+        out.iterator
+      }
+      .toDF(key, "n_ticks", "n_cal", "n_test", "q_hat", "n_covered",
+        "coverage")
+  }
 }

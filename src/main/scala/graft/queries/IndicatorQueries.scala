@@ -235,6 +235,68 @@ FROM f CROSS JOIN hh
 WHERE ntr + hh.h <= n"""
   }
 
+  // ---------------------------------------------- Conformal intervals
+
+  /** Split-conformal 1-step interval + coverage for the Holt forecaster —
+    * see [[Indicators.conformalPerKey]]. */
+  private def conformal(s: SparkSession, d: String): DataFrame =
+    Indicators.conformalPerKey(TickQueries.ticks(s, d),
+      "product_id", "event_time", "sequence", "price",
+      HoltAlpha, HoltBeta)
+
+  /** Twin of conformal_holt: the Holt fold with residual accumulation —
+    * a LIST-of-lists accumulator `[[lv,tr],[i],rs,ts,[x]]` (the holtSql
+    * aliasing dodge; PROBED: a STRUCT accumulator with a growing list
+    * field silently drops appends in DuckDB 1.0.0's in-place reduce, a
+    * fresh outer list keeps them) — then the identical order-statistic
+    * pick `list_sort(rs)[⌈0.9(n_cal+1)⌉]` and bit-identical coverage
+    * comparisons against the UNSNAPPED q̂. */
+  private val conformalSql = {
+    val A = Det.dblLit(HoltAlpha); val NA = Det.dblLit(1.0 - HoltAlpha)
+    val B = Det.dblLit(HoltBeta); val NB = Det.dblLit(1.0 - HoltBeta)
+    val nl = s"(c[5][1] * $A + (a[1][1] + a[1][2]) * $NA)"
+    val resid = "abs(c[5][1] - (a[1][1] + a[1][2]))"
+    s"""WITH per AS (
+  SELECT product_id, list(price ORDER BY event_time, sequence) AS xs
+  FROM ($ticksSql) t GROUP BY product_id),
+m AS (
+  SELECT product_id, CAST(len(xs) AS BIGINT) AS n,
+         (CAST(len(xs) AS BIGINT) * 3) // 5 AS ntr,
+         (CAST(len(xs) AS BIGINT) * 4) // 5 AS ncal, xs
+  FROM per),
+f AS (
+  SELECT product_id, n,
+         list_reduce(
+           [[[CAST(x AS DOUBLE), CAST(0 AS DOUBLE)], [CAST(1 AS DOUBLE)],
+             CAST([] AS DOUBLE[]), CAST([] AS DOUBLE[]),
+             [CAST(x AS DOUBLE)]] for x in xs],
+           (a, c) -> [
+             [$nl, ($nl - a[1][1]) * $B + a[1][2] * $NB],
+             [a[2][1] + CAST(1 AS DOUBLE)],
+             CASE WHEN a[2][1] >= CAST(ntr AS DOUBLE)
+                   AND a[2][1] < CAST(ncal AS DOUBLE)
+                  THEN list_append(a[3], $resid) ELSE a[3] END,
+             CASE WHEN a[2][1] >= CAST(ncal AS DOUBLE)
+                  THEN list_append(a[4], $resid) ELSE a[4] END,
+             [c[5][1]]
+           ]) AS st
+  FROM m WHERE ntr >= 1 AND ncal > ntr AND n > ncal),
+g AS (
+  SELECT product_id, n, CAST(len(st[3]) AS BIGINT) AS n_cal,
+         CAST(len(st[4]) AS BIGINT) AS n_test, st[3] AS rs, st[4] AS ts
+  FROM f),
+q AS (
+  SELECT product_id, n, n_cal, n_test,
+         list_sort(rs)[CAST(((n_cal + 1) * 9 + 9) // 10 AS INTEGER)] AS qh,
+         ts
+  FROM g WHERE n_cal >= 9 AND n_test >= 1)
+SELECT product_id, n AS n_ticks, n_cal, n_test, ${s6("qh")} AS q_hat,
+       CAST(len(list_filter(ts, e -> e <= qh)) AS BIGINT) AS n_covered,
+       ${s6("CAST(len(list_filter(ts, e -> e <= qh)) AS DOUBLE) / CAST(n_test AS DOUBLE)")}
+         AS coverage
+FROM q"""
+  }
+
   // ---------------------------------------------------------------- KAMA
 
   private val KamaEr = 10
@@ -585,6 +647,7 @@ FROM shifted WHERE rn >= ${IchiS + IchiD}"""
     "rsi" -> ((s, d) => r6(rsi(s, d))),
     "macd" -> ((s, d) => r6(macd(s, d))),
     "kalman_level" -> ((s, d) => r6(kalman(s, d))),
+    "conformal_holt" -> ((s, d) => r6(conformal(s, d))),
     "stochastic" -> ((s, d) => r6(stochastic(s, d))),
     "atr" -> ((s, d) => r6(atr(s, d))),
     "holt_forecast" -> ((s, d) => r6(holt(s, d))),
@@ -606,6 +669,7 @@ FROM shifted WHERE rn >= ${IchiS + IchiD}"""
     "rsi" -> rsiSql,
     "macd" -> macdSql,
     "kalman_level" -> kalmanSql,
+    "conformal_holt" -> conformalSql,
     "stochastic" -> stochasticSql,
     "atr" -> atrSql,
     "holt_forecast" -> holtSql,
