@@ -32,19 +32,27 @@ import org.apache.spark.sql.functions._
 object RandomWalk {
 
   /** `dir`: DIRECTED edges (x, y) — pass both orientations for an
-    * undirected graph (and cache it; evaluated per step). `nodes`:
+    * undirected graph (and cache it; evaluated twice, once per
+    * checkpointed derived frame). `nodes`:
     * (node) walk starts, one walk each (walk_id = start node; lineage
     * may share `dir`, the checkpoint refreshes attribute ids). Output:
     * (walk_id, step, node), step 0..steps. */
   def walks(dir: DataFrame, nodes: DataFrame, steps: Int,
             seedPrefix: String = "walk"): DataFrame = {
+    // Step-invariant frames: materialize ONCE before the step loop.
+    // Without the checkpoint each per-step join re-executes the ranking
+    // window's shuffle+sort and the degree aggregate over the full edge
+    // list — a steps× redundant shuffle of the query's largest input.
+    // Bits cannot move: both frames are exact longs.
     val nbr = dir.select(col("x").cast("long").as("nx"),
         col("y").cast("long").as("ny"))
       .withColumn("idx",
         row_number().over(Window.partitionBy(col("nx")).orderBy(col("ny")))
           .cast("long") - 1L)
+      .localCheckpoint(true)
     val deg = dir.select(col("x").cast("long").as("dx"))
       .groupBy(col("dx")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     var cur = nodes.select(col("node").cast("long").as("walk_id"))
       .withColumn("node", col("walk_id"))
       .localCheckpoint(true)
