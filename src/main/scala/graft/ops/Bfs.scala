@@ -43,11 +43,23 @@ object Bfs {
     * node id (default 2^40) so the packed code never collides. */
   def seededHops(dir: DataFrame, seeds: DataFrame, rounds: Int,
                  step: Long = 1L << 40): DataFrame = {
+    // Packing envelope: code = hops·step + seed_id, min-reduced as one
+    // long. Requires every seed id < step AND the max code
+    // rounds·step + step to stay under 2^63, else codes collide or wrap.
+    require(step > 0 && rounds.toLong + 1L <= Long.MaxValue / step,
+      s"rounds=$rounds overflows the hops*step packing for step=$step")
     // seed-sized eager checkpoint: gives the label frame fresh attribute
     // ids (callers routinely derive seeds FROM the edge list — top-degree
     // hubs — which would otherwise trip the ambiguous-self-join check on
     // the round-1 join) and truncates lineage like every later round
     var dist = seeds.select(col("node").cast("long").as("node"))
+      // data-side guard for the same envelope: a seed id >= step would
+      // silently alias as extra hops. assert_true is NULL on success;
+      // the isNull filter keeps every row and can't be pruned away. The
+      // eager checkpoint below forces the check to run now.
+      .filter(assert_true(col("node") >= 0L && col("node") < lit(step),
+        lit(s"Bfs.seededHops: seed id out of [0, $step) packing range"))
+        .isNull)
       .withColumn("code", col("node"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {

@@ -225,7 +225,7 @@ f AS (
            (acc, e) -> [$nl, ($nl - acc[1]) * $B + acc[2] * $NB]) AS st,
          xs
   FROM m WHERE ntr >= 1 AND ntr < n),
-hh AS (SELECT unnest([1, 2, 3]) AS h)
+hh AS (SELECT unnest([${(1 to HoltEvalH).mkString(", ")}]) AS h)
 SELECT product_id, n AS n_ticks, ntr AS n_train, CAST(hh.h AS BIGINT) AS h,
        ${s6("st[1] + CAST(hh.h AS DOUBLE) * st[2]")} AS forecast,
        ${s6("CAST(xs[CAST(ntr + hh.h AS INTEGER)] AS DOUBLE)")} AS actual,

@@ -60,7 +60,11 @@ object StatefulKmeans {
           rows.foreach { r =>
             val e = r.embedding
             var i = 0
-            while (i < dim) { sums(i) += kl12(e(i)); i += 1 }
+            // addExact: batch ANSI mode throws on Long overflow — the
+            // streaming twin must fail loudly too, not wrap silently.
+            while (i < dim) {
+              sums(i) = Math.addExact(sums(i), kl12(e(i))); i += 1
+            }
             n += 1L
           }
           if (n == s0.n) Iterator.empty

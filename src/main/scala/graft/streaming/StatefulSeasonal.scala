@@ -52,6 +52,13 @@ object StatefulSeasonal {
 
   def profile(stream: Dataset[GridIn]): Dataset[SlotOut] = {
     val spark = stream.sparkSession
+    // hourOf is epoch-arithmetic UTC; the batch twin's hour(grid_ts) is
+    // session-timezone-dependent. The two agree only under a UTC
+    // session — enforce that precondition instead of diverging silently.
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(Set("UTC", "Etc/UTC", "GMT", "Z", "+00:00")(tz),
+      s"StatefulSeasonal.profile requires a UTC session timezone " +
+        s"(batch twin derives hour_od via hour(); got '$tz')")
     import spark.implicits._
     stream
       .groupByKey(_.product_id)

@@ -53,14 +53,14 @@ object PlanSnap {
     "rel_distinct_agg",  // expand-based multi-distinct aggregate
     "rel_topk_per_group",// per-group rank under a partial top-k
     "embed_ivf",         // broadcast codebook argmin probe
-    // Round-8 widening: the PQ read path and the quota-sample shape.
+    // Driver-round-7 widening: PQ read path and the quota-sample shape.
     "pq_adc_topk",       // shuffle-free ADC scan + per-query partial top-k
     "cluster_sample",    // WindowGroupLimit quota under the argmin probe
-    // Round-8 curation additions.
+    // Driver-round-7 curation additions.
     "repetition_stats",  // doc-local typed map — pin proves ZERO shuffle
     "importance_weights",// word-agg broadcast + scalar totals (no re-agg)
     "zorder_layout",     // scan → 32-term bit project → one hash agg
-    // Round-9 additions (this session's new operator families).
+    // Driver round 7, late batch (new operator families).
     "bow_cosine",        // inverted-index sparse scorer: broadcast qtf +
                          // (qid, doc)-keyed dot aggregate + norm join
     "dedup_containment", // shared pairCounts postings under the maxDf cap
@@ -69,7 +69,7 @@ object PlanSnap {
     "ngram_novelty",     // inverted min-aggregate + doc-keyed recount
     "knn_graph",         // bucket equi-SELF-join, no broadcast side
     "countmin_words",    // fixed-size counter aggregate + top-k probe join
-    // Round-10 additions.
+    // Driver round 7, closing batch.
     "embed_jl",          // JL projection — pin proves ZERO shuffle (17
                          // grid kernels inside one scan-side codegen span)
     "cluster_quality",   // codebook argmin (no join) + id equi-join +
@@ -87,7 +87,9 @@ object PlanSnap {
     // scan — a 1-op pin asserts nothing.
     "lee_ready",         // one keyed window chain + hash aggregate
     "vol_signature",     // five rn-subsample arms off one window pass
-    // Round-11 additions.
+    // Driver-round-8 additions. (Labels above follow the driver's round
+    // counter; two builder sessions ran per driver round 7-8, which is
+    // why older commits called these batches "round 8-11".)
     "seasonal_decompose",// gapfill + ONE keyed window pass (MA + lags) +
                          // hour-dimension aggregate
     "props_profile",     // single from_json map parse + explode + agg
