@@ -83,13 +83,20 @@ object Seasonal {
   def anomalies(filled: DataFrame, zThresh: Double = 3.0,
                 topK: Int = 20): DataFrame = {
     val y = detrended(filled)
-    val agg = y.groupBy(col("product_id"), col("hour_od"))
-      .agg(count(lit(1)).as("n_obs"),
-        sum(col("y")).as("sy"),
-        sum(dec(col("y")) * dec(col("y"))).as("sy2"))
+    // Slot moments as whole-partition window aggregates instead of
+    // groupBy + self-join: HashPartitioning(product_id) from the
+    // detrend pass already satisfies the (product_id, hour_od)
+    // clustering (subset rule), so this adds one sort and ZERO
+    // Exchanges where the join formulation paid an aggregate Exchange
+    // plus a join back. Sums are exact longs/decimals — bit-identical
+    // to the grouped form under any evaluation order.
+    val wslot = Window.partitionBy(col("product_id"), col("hour_od"))
     val vnum = dec(col("n_obs")) * col("sy2") - dec(col("sy")) * dec(col("sy"))
-    y.join(agg, Seq("product_id", "hour_od"))
+    y.withColumn("n_obs", count(lit(1)).over(wslot))
+      .withColumn("sy", sum(col("y")).over(wslot))
+      .withColumn("sy2", sum(dec(col("y")) * dec(col("y"))).over(wslot))
       .withColumn("vnum", vnum)
+      .drop("sy2")
       .filter(col("vnum") > 0)
       .withColumn("zs",
         abs(col("y") * col("n_obs") - col("sy")).cast("double") /
