@@ -70,4 +70,71 @@ object RandomWalk {
     }
     out.select(col("walk_id"), col("step"), col("node"))
   }
+
+  /** node2vec biased walks (Grover–Leskovec KDD'16): stepping from
+    * previous node t through current node v, each neighbor x of v gets
+    * an integer weight — `wReturn` if x == t (the 1/p return case),
+    * `wCommon` if (t, x) is an edge (distance-1 from t), `wOut`
+    * otherwise (the 1/q in-out case) — and the seeded 48-bit draw
+    * selects by cumulative weight: pick the neighbor whose
+    * [cum−w, cum) interval (y-ascending neighbor order) contains
+    * `draw mod Σw`. Integer weights keep the draw exact in every
+    * engine; step 1 has no previous node, so all weights collapse to
+    * `wOut` and the step is the uniform draw.
+    *
+    * Scale shape: per step ONE frontier×neighbors expansion join
+    * (Σ deg(v) candidate rows — the inherent node2vec cost), one
+    * LEFT join against the indexed edge frame for the distance-1
+    * test, and two walk-keyed window sums (cumulative + total weight)
+    * that share one Exchange on walk_id. Candidates per walk are
+    * bounded by max degree; nothing is all-pairs. Step-invariant
+    * `nbr` is checkpointed once, the frontier per step (the
+    * BFS/walks pattern).
+    */
+  def biasedWalks(dir: DataFrame, nodes: DataFrame, steps: Int,
+                  wReturn: Long = 4L, wCommon: Long = 2L, wOut: Long = 1L,
+                  seedPrefix: String = "n2v"): DataFrame = {
+    require(wReturn > 0 && wCommon > 0 && wOut > 0,
+      "node2vec weights must be positive")
+    val nbr = dir.select(col("x").cast("long").as("nx"),
+        col("y").cast("long").as("ny"))
+      .withColumn("idx",
+        row_number().over(Window.partitionBy(col("nx")).orderBy(col("ny")))
+          .cast("long") - 1L)
+      .localCheckpoint(true)
+    // distance-1 probe side: fresh aliases so the per-step self-join
+    // of the checkpointed edge frame resolves unambiguously
+    val edge = nbr.select(col("nx").as("px"), col("ny").as("py"))
+    var cur = nodes.select(col("node").cast("long").as("walk_id"))
+      .withColumn("node", col("walk_id"))
+      .withColumn("prev", lit(null).cast("long"))
+      .localCheckpoint(true)
+    var out = cur.select(col("walk_id"), col("node"))
+      .withColumn("step", lit(0L))
+    val wOrd = Window.partitionBy(col("walk_id")).orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("walk_id"))
+    for (t <- 1 to steps) {
+      val draw = conv(substring(md5(concat(lit(seedPrefix + ":"),
+        col("walk_id").cast("string"), lit(s":$t"))), 1, 12), 16, 10)
+        .cast("long")
+      cur = cur.join(nbr, col("node") === col("nx"))
+        .join(edge,
+          col("px") === col("prev") && col("py") === col("ny"), "left")
+        .withColumn("wt",
+          when(col("ny") === col("prev"), lit(wReturn))
+            .when(col("py").isNotNull, lit(wCommon))
+            .otherwise(lit(wOut)))
+        .withColumn("cum", sum(col("wt")).over(wOrd))
+        .withColumn("tot", sum(col("wt")).over(wAll))
+        .withColumn("r", draw % col("tot"))
+        .filter(col("r") >= col("cum") - col("wt") && col("r") < col("cum"))
+        .select(col("walk_id"), col("ny").as("node"),
+          col("nx").as("prev"))
+        .localCheckpoint(true)
+      out = out.unionByName(cur.select(col("walk_id"), col("node"))
+        .withColumn("step", lit(t.toLong)))
+    }
+    out.select(col("walk_id"), col("step"), col("node"))
+  }
 }

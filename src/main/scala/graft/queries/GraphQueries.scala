@@ -764,6 +764,78 @@ $blocks
 $union"""
   }
 
+  // node2vec integer bias weights: p=1/2, q=2 scaled ×2 → return 4,
+  // distance-1 2, in-out 1 (Grover–Leskovec KDD'16 α, exact integers).
+  private val N2vReturn = 4L
+  private val N2vCommon = 2L
+  private val N2vOut = 1L
+
+  /** node2vec biased walk corpus — see [[graft.ops.RandomWalk.biasedWalks]]
+    * for the weighted seeded draw. Same co-occurrence graph, walk length
+    * and start set as [[graphWalks]]; only the transition law differs. */
+  private def graphWalksBiased(s: SparkSession, d: String): DataFrame = {
+    val edges = suppEdges(s, d)
+    val dir = edges.unionByName(
+      edges.select(col("y").as("x"), col("x").as("y"))).cache()
+    val nodes = dir.select(col("x").as("node")).distinct()
+    val out = graft.ops.RandomWalk.biasedWalks(dir, nodes, WalkSteps,
+      N2vReturn, N2vCommon, N2vOut)
+      .localCheckpoint(true)
+    dir.unpersist(false)
+    out
+  }
+
+  /** Twin of [[graphWalksBiased]]: per-step candidate expansion
+    * (JOIN nbr), LEFT JOIN distance-1 probe, integer CASE weights, and
+    * the cumulative-weight pick under the same 48-bit md5 draw — all
+    * MATERIALIZED so scan count stays linear in steps. */
+  private val graphWalksBiasedSql = {
+    val blocks = (1 to WalkSteps).map { t =>
+      val draw = graft.ops.CorpusHex.hv48Sql(
+        s"md5('n2v:' || CAST(walk_id AS VARCHAR) || ':$t')")
+      s"""wc$t AS MATERIALIZED (
+  SELECT w.walk_id, w.node, w.prev, n.ny, n.idx,
+         CASE WHEN n.ny = w.prev THEN $N2vReturn
+              WHEN e.py IS NOT NULL THEN $N2vCommon
+              ELSE $N2vOut END AS wt
+  FROM wb${t - 1} w
+  JOIN nbr n ON n.nx = w.node
+  LEFT JOIN (SELECT nx AS px, ny AS py FROM nbr) e
+    ON e.px = w.prev AND e.py = n.ny
+), wb$t AS MATERIALIZED (
+  SELECT walk_id, ny AS node, node AS prev FROM (
+    SELECT walk_id, node, ny, wt,
+           sum(wt) OVER (PARTITION BY walk_id ORDER BY idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(wt) OVER (PARTITION BY walk_id) AS tot
+    FROM wc$t)
+  WHERE ($draw % tot) >= cum - wt AND ($draw % tot) < cum)"""
+    }.mkString(",\n")
+    val union = (0 to WalkSteps).map(t =>
+      s"SELECT walk_id, CAST($t AS BIGINT) AS step, node FROM wb$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH os AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), pairs AS (
+  SELECT a.l_suppkey AS x, b.l_suppkey AS y
+  FROM os a JOIN os b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING count(*) >= $MinCo
+), dir AS MATERIALIZED (
+  SELECT x, y FROM pairs UNION ALL SELECT y AS x, x AS y FROM pairs
+), nbr AS MATERIALIZED (
+  SELECT CAST(x AS BIGINT) AS nx, CAST(y AS BIGINT) AS ny,
+         CAST(row_number() OVER (PARTITION BY x ORDER BY y) AS BIGINT) - 1 AS idx
+  FROM dir
+), wb0 AS MATERIALIZED (
+  SELECT CAST(x AS BIGINT) AS walk_id, CAST(x AS BIGINT) AS node,
+         CAST(NULL AS BIGINT) AS prev
+  FROM (SELECT DISTINCT x FROM dir)
+),
+$blocks
+$union"""
+  }
+
   // Skip-gram window over the walk corpus (contexts within ±SkipWindow
   // steps), the word2vec convention for short walks.
   private val SkipWindow = 2
@@ -831,6 +903,7 @@ FROM cab JOIN ca USING (center) JOIN cb USING (context) CROSS JOIN nn"""
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "walk_skipgrams" -> ((s, d) => walkSkipgrams(s, d)),
     "graph_walks" -> ((s, d) => graphWalks(s, d)),
+    "graph_walks_biased" -> ((s, d) => graphWalksBiased(s, d)),
     "graph_bfs" -> ((s, d) => graphBfs(s, d)),
     "graph_communities" -> ((s, d) => communities(s, d)),
     "kcore" -> ((s, d) => kcore(s, d)),
@@ -852,6 +925,7 @@ FROM cab JOIN ca USING (center) JOIN cb USING (context) CROSS JOIN nn"""
   def oracleSql: Map[String, String] = Map(
     "walk_skipgrams" -> walkSkipgramsSql,
     "graph_walks" -> graphWalksSql,
+    "graph_walks_biased" -> graphWalksBiasedSql,
     "graph_bfs" -> graphBfsSql,
     "graph_communities" -> communitiesSql,
     "kcore" -> kcoreSql,

@@ -79,4 +79,92 @@ class RandomWalkSpec extends AnyFunSuite {
     val got = run(dir((7L, 8L)), Seq(7L), steps = 2)
     assert(got == Set((7L, 0L, 7L), (7L, 1L, 8L), (7L, 2L, 7L)))
   }
+
+  // ------------------------------------------------ node2vec biased
+
+  private def drawN2v(walkId: Long, t: Int): Long =
+    java.lang.Long.parseLong(md5hex(s"n2v:$walkId:$t").take(12), 16)
+
+  /** Driver reference for the biased walk: same weighted cumulative
+    * pick as [[RandomWalk.biasedWalks]], replayed imperatively. */
+  private def referenceBiased(es: Seq[(Long, Long)], starts: Seq[Long],
+                              steps: Int, wr: Long, wc: Long, wo: Long)
+      : Set[(Long, Long, Long)] = {
+    val dirEdges = (es ++ es.map(_.swap)).distinct
+    val adj = dirEdges.groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).sorted }
+    val eset = dirEdges.toSet
+    starts.flatMap { w =>
+      var cur = w
+      var prev: Option[Long] = None
+      (0L, w) +: (1 to steps).flatMap { t =>
+        adj.get(cur) match {
+          case Some(ns) =>
+            val wts = ns.map { x =>
+              if (prev.contains(x)) wr
+              else if (prev.exists(p => eset.contains((p, x)))) wc
+              else wo
+            }
+            val r = drawN2v(w, t) % wts.sum
+            var acc = 0L
+            var pick = -1
+            wts.zipWithIndex.foreach { case (wt, i) =>
+              if (pick < 0) { acc += wt; if (r < acc) pick = i }
+            }
+            prev = Some(cur); cur = ns(pick)
+            Some((t.toLong, cur))
+          case None => None
+        }
+      } map { case (t, n) => (w, t, n) }
+    }.toSet
+  }
+
+  private def runBiased(d: org.apache.spark.sql.DataFrame,
+                        starts: Seq[Long], steps: Int,
+                        wr: Long, wc: Long, wo: Long)
+      : Set[(Long, Long, Long)] =
+    RandomWalk.biasedWalks(d, starts.toDF("node"), steps, wr, wc, wo)
+      .collect()
+      .map(r => (r.getAs[Long]("walk_id"), r.getAs[Long]("step"),
+        r.getAs[Long]("node"))).toSet
+
+  test("biased walks equal the seeded driver reference") {
+    val got = runBiased(dir(tri: _*), Seq(1L, 2L, 3L, 4L, 5L), 4,
+      4L, 2L, 1L)
+    assert(got == referenceBiased(tri, Seq(1L, 2L, 3L, 4L, 5L), 4,
+      4L, 2L, 1L))
+    assert(got.count(_._2 == 0L) == 5)
+    assert(got.size == 5 * 5)
+  }
+
+  test("uniform weights reduce the biased walk to the uniform law") {
+    // wr = wc = wo = 1: the weighted pick degenerates to idx selection
+    // under the same mod-deg draw, so the corpus must equal a uniform
+    // replay seeded with the n2v prefix.
+    val starts = Seq(1L, 2L, 3L, 4L, 5L)
+    val got = runBiased(dir(tri: _*), starts, 4, 1L, 1L, 1L)
+    val adj = (tri ++ tri.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).sorted }
+    val want = starts.flatMap { w =>
+      var cur = w
+      (0L, w) +: (1 to 4).map { t =>
+        cur = adj(cur)((drawN2v(w, t) % adj(cur).size).toInt)
+        (t.toLong, cur)
+      } map { case (t, n) => (w, t, n) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("biased walks are deterministic across runs and follow edges") {
+    val a = runBiased(dir(tri: _*), Seq(1L, 3L), 3, 4L, 2L, 1L)
+    val b = runBiased(dir(tri: _*), Seq(1L, 3L), 3, 4L, 2L, 1L)
+    assert(a == b)
+    val eset = (tri ++ tri.map(_.swap)).toSet
+    a.groupBy(_._1).values.foreach { rows =>
+      rows.toSeq.sortBy(_._2).map(_._3).sliding(2).foreach {
+        case Seq(x, y) => assert(eset.contains((x, y)))
+        case _ =>
+      }
+    }
+  }
 }
