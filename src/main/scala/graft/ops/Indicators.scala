@@ -455,4 +455,73 @@ object Indicators {
       .toDF(key, "n_ticks", "n_cal", "n_test", "q_hat", "n_covered",
         "coverage")
   }
+
+  /** Split-conformal 1-step intervals for the KALMAN forecaster — the
+    * [[conformalPerKey]] protocol (60/20/20 split, order-statistic q̂
+    * at 90%, test coverage) with the local-level Kalman one-step
+    * predictive mean as the forecaster: the prediction for z_j is the
+    * filtered level x_{j−1} (random-walk one-step forecast), so the
+    * residual is |z_j − x| BEFORE the update, then the
+    * [[kalmanPerKey]] predict/update recurrence advances the state.
+    * Same determinism argument: fold-exact doubles, a pick (not an
+    * interpolation) for q̂, bit-identical coverage comparisons. */
+  def conformalKalmanPerKey(ticks: DataFrame, key: String, time: String,
+                            seq: String, value: String, q: Double,
+                            r: Double, p0: Double): DataFrame = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .select(col(key).cast("string"), col(time), col(seq).cast("long"),
+        col(value).cast("double"))
+      .as[(String, java.sql.Timestamp, Long, Double)]
+      .repartition(col(key))
+      .sortWithinPartitions(col(key), col(time), col(seq))
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, Long, Long, Double, Long, Double)]
+        var cur: String = null
+        val xs = scala.collection.mutable.ArrayBuilder.make[Double]
+        def close(): Unit = if (cur != null) {
+          val arr = xs.result()
+          val n = arr.length.toLong
+          val nTr = n * 3 / 5
+          val nCalEnd = n * 4 / 5
+          if (nTr >= 1 && nCalEnd > nTr && n > nCalEnd) {
+            val rs = scala.collection.mutable.ArrayBuffer.empty[Double]
+            val ts = scala.collection.mutable.ArrayBuffer.empty[Double]
+            var x = arr(0); var p = p0
+            var j = 1
+            while (j < n) {
+              val z = arr(j)
+              val res = math.abs(z - x)
+              if (j >= nTr && j < nCalEnd) rs += res
+              else if (j >= nCalEnd) ts += res
+              val p1 = p + q
+              val k = p1 / (p1 + r)
+              x = x + k * (z - x)
+              p = (1.0 - k) * p1
+              j += 1
+            }
+            val nCal = rs.length.toLong
+            val nTest = ts.length.toLong
+            if (nCal >= 9 && nTest >= 1) {
+              val k = ((nCal + 1) * 9 + 9) / 10
+              val qh = rs.toArray.sorted.apply((k - 1).toInt)
+              val covered = ts.count(_ <= qh).toLong
+              out += ((cur, n, nCal, nTest, qh, covered,
+                covered.toDouble / nTest.toDouble))
+            }
+          }
+          xs.clear()
+        }
+        it.foreach { case (k, _, _, x) =>
+          if (cur == null || k != cur) { close(); cur = k }
+          xs += x
+        }
+        close()
+        out.iterator
+      }
+      .toDF(key, "n_ticks", "n_cal", "n_test", "q_hat", "n_covered",
+        "coverage")
+  }
 }

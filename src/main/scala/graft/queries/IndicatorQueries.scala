@@ -297,6 +297,69 @@ SELECT product_id, n AS n_ticks, n_cal, n_test, ${s6("qh")} AS q_hat,
 FROM q"""
   }
 
+  /** Split-conformal 1-step interval + coverage for the KALMAN
+    * forecaster — see [[Indicators.conformalKalmanPerKey]]. Same q/r/p0
+    * as `kalman_level`, same split protocol as `conformal_holt`. */
+  private def conformalKalman(s: SparkSession, d: String): DataFrame =
+    Indicators.conformalKalmanPerKey(TickQueries.ticks(s, d),
+      "product_id", "event_time", "sequence", "price",
+      KalmanQ, KalmanR, KalmanP0)
+
+  /** Twin of conformal_kalman: the local-level Kalman fold with residual
+    * accumulation under the same LIST-of-lists accumulator dodge
+    * (`[[x,p],[i],rs,ts,[z]]`), prediction = pre-update level, then the
+    * identical order-statistic pick and coverage comparisons. p+q is
+    * recomputed inline per use — same value, deterministic — so every
+    * expression reads only the PRE-update accumulator. */
+  private val conformalKalmanSql = {
+    val Q = Det.dblLit(KalmanQ); val R = Det.dblLit(KalmanR)
+    val P0 = Det.dblLit(KalmanP0)
+    val p1 = s"(a[1][2] + $Q)"
+    val k = s"($p1 / ($p1 + $R))"
+    val newx = s"(a[1][1] + $k * (c[5][1] - a[1][1]))"
+    val newp = s"((CAST(1 AS DOUBLE) - $k) * $p1)"
+    val resid = "abs(c[5][1] - a[1][1])"
+    s"""WITH per AS (
+  SELECT product_id, list(price ORDER BY event_time, sequence) AS xs
+  FROM ($ticksSql) t GROUP BY product_id),
+m AS (
+  SELECT product_id, CAST(len(xs) AS BIGINT) AS n,
+         (CAST(len(xs) AS BIGINT) * 3) // 5 AS ntr,
+         (CAST(len(xs) AS BIGINT) * 4) // 5 AS ncal, xs
+  FROM per),
+f AS (
+  SELECT product_id, n,
+         list_reduce(
+           [[[CAST(x AS DOUBLE), $P0], [CAST(1 AS DOUBLE)],
+             CAST([] AS DOUBLE[]), CAST([] AS DOUBLE[]),
+             [CAST(x AS DOUBLE)]] for x in xs],
+           (a, c) -> [
+             [$newx, $newp],
+             [a[2][1] + CAST(1 AS DOUBLE)],
+             CASE WHEN a[2][1] >= CAST(ntr AS DOUBLE)
+                   AND a[2][1] < CAST(ncal AS DOUBLE)
+                  THEN list_append(a[3], $resid) ELSE a[3] END,
+             CASE WHEN a[2][1] >= CAST(ncal AS DOUBLE)
+                  THEN list_append(a[4], $resid) ELSE a[4] END,
+             [c[5][1]]
+           ]) AS st
+  FROM m WHERE ntr >= 1 AND ncal > ntr AND n > ncal),
+g AS (
+  SELECT product_id, n, CAST(len(st[3]) AS BIGINT) AS n_cal,
+         CAST(len(st[4]) AS BIGINT) AS n_test, st[3] AS rs, st[4] AS ts
+  FROM f),
+q AS (
+  SELECT product_id, n, n_cal, n_test,
+         list_sort(rs)[CAST(((n_cal + 1) * 9 + 9) // 10 AS INTEGER)] AS qh,
+         ts
+  FROM g WHERE n_cal >= 9 AND n_test >= 1)
+SELECT product_id, n AS n_ticks, n_cal, n_test, ${s6("qh")} AS q_hat,
+       CAST(len(list_filter(ts, e -> e <= qh)) AS BIGINT) AS n_covered,
+       ${s6("CAST(len(list_filter(ts, e -> e <= qh)) AS DOUBLE) / CAST(n_test AS DOUBLE)")}
+         AS coverage
+FROM q"""
+  }
+
   // ---------------------------------------------------------------- KAMA
 
   private val KamaEr = 10
@@ -648,6 +711,7 @@ FROM shifted WHERE rn >= ${IchiS + IchiD}"""
     "macd" -> ((s, d) => r6(macd(s, d))),
     "kalman_level" -> ((s, d) => r6(kalman(s, d))),
     "conformal_holt" -> ((s, d) => r6(conformal(s, d))),
+    "conformal_kalman" -> ((s, d) => r6(conformalKalman(s, d))),
     "stochastic" -> ((s, d) => r6(stochastic(s, d))),
     "atr" -> ((s, d) => r6(atr(s, d))),
     "holt_forecast" -> ((s, d) => r6(holt(s, d))),
@@ -670,6 +734,7 @@ FROM shifted WHERE rn >= ${IchiS + IchiD}"""
     "macd" -> macdSql,
     "kalman_level" -> kalmanSql,
     "conformal_holt" -> conformalSql,
+    "conformal_kalman" -> conformalKalmanSql,
     "stochastic" -> stochasticSql,
     "atr" -> atrSql,
     "holt_forecast" -> holtSql,
