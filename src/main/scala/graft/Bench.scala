@@ -88,6 +88,25 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     val medians = samples.map { case (k, v) => k -> median(v) }
+    // Host-speed calibration (docs/SCALE.md round-7 method, carried in
+    // the artifact so cross-round deltas are adjudicable without a
+    // re-run): three long-stable control queries, anchored to their
+    // sf0.1 medians from the round-9 driver artifact. The factor is the
+    // median of measured/anchor ratios — >1 means this run's host was
+    // slower than the anchor host; divide per-query deltas by it before
+    // calling anything a regression (±20-40% swings are documented).
+    val controlAnchors = Map(
+      "triangle_count" -> 1.311,
+      "rel_quantiles" -> 0.758,
+      "market_basket" -> 2.004)
+    val medMap = medians.toMap
+    val controlRatios = controlAnchors.flatMap { case (k, a) =>
+      medMap.get(k).map(m => k -> m / a)
+    }
+    val hostFactor: Option[Double] =
+      if (controlRatios.nonEmpty && sfDir.contains("sf0.1"))
+        Some(median(controlRatios.values.toSeq))
+      else None
     // 3-decimal medians halve the stdout line (ms resolution is below the
     // protocol's noise floor anyway); full precision lives in the samples.
     def f3(d: Double): String =
@@ -96,8 +115,14 @@ object Bench {
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
+    val calib = hostFactor.map { hf =>
+      val ratios = controlRatios.toSeq.sortBy(_._1)
+        .map { case (k, r) => "\"" + k + "\":" + f3(r) }
+        .mkString("{", ",", "}")
+      s""","control":{"anchor_round":9,"anchor_sf":"sf0.1","ratios":$ratios,"host_speed_factor":${f3(hf)}}"""
+    }.getOrElse("")
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters$calib}"""
     val raw = samples.map { case (k, v) =>
       "\"" + k + "\":" + v.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -110,6 +135,7 @@ object Bench {
     // stdout byte — short enough to survive any tail window; per-query
     // medians + samples are in the bench.json artifact either way.
     println(line)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{},"sf":"$sfDir","iters":$iters,"nqueries":${names.size},"bench_json":"$outPath"}""")
+    val hfShort = hostFactor.map(hf => s""","host_speed_factor":${f3(hf)}""").getOrElse("")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{},"sf":"$sfDir","iters":$iters,"nqueries":${names.size},"bench_json":"$outPath"$hfShort}""")
   }
 }
