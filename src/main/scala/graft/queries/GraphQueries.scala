@@ -856,16 +856,24 @@ $union"""
     * products of pair counts, ≪ 2^53 for any corpus this side of ~10¹⁵
     * pairs (and provably non-negative, so the direct double cast is
     * portable — no signed-cast route needed). */
-  private def walkSkipgrams(s: SparkSession, d: String): DataFrame = {
+  /** Shared (center, context, n_pairs) skip-gram count matrix over the
+    * [[graphWalks]] corpus — symmetric by construction (the |Δstep|
+    * join emits both orientations). Consumed by [[walkSkipgrams]] (PMI)
+    * and [[walkSpectral]] (power iteration). */
+  private def skipgramCounts(s: SparkSession, d: String): DataFrame = {
     val walks = graphWalks(s, d)
     val a = walks.select(col("walk_id").as("wid"), col("step").as("sa"),
       col("node").as("center"))
     val b = walks.select(col("walk_id").as("wid"), col("step").as("sb"),
       col("node").as("context"))
-    val cab = a.join(b, Seq("wid"))
+    a.join(b, Seq("wid"))
       .filter(abs(col("sa") - col("sb")).between(1, SkipWindow))
       .groupBy(col("center"), col("context"))
       .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  private def walkSkipgrams(s: SparkSession, d: String): DataFrame = {
+    val cab = skipgramCounts(s, d)
     val ca = cab.groupBy(col("center")).agg(sum(col("n_pairs")).as("c_a"))
     val cb = cab.groupBy(col("context")).agg(sum(col("n_pairs")).as("c_b"))
     val nn = cab.agg(sum(col("n_pairs")).as("n"))
@@ -900,8 +908,91 @@ SELECT cab.center, cab.context, cab.n_pairs,
          AS pmi_ratio
 FROM cab JOIN ca USING (center) JOIN cb USING (context) CROSS JOIN nn"""
 
+  // walk_spectral: fixed power-iteration rounds and the 1e-6 loading
+  // grid (no convergence test — the oracle unrolls the trajectory).
+  private val SpecIters = 3
+  private val SpecGrid = 1000000L
+
+  /** 1-D spectral embedding of the walk co-occurrence matrix: the
+    * dominant eigendirection of the symmetric skip-gram count matrix C
+    * via max-norm power iteration — the deterministic in-engine proxy
+    * for the factorization DeepWalk/SGNS implicitly performs on the
+    * co-occurrence statistics (Levy–Goldberg NIPS'14; power iteration
+    * as in [[graft.ops.Similarity.pcaTopComponent]]). C is
+    * entry-wise non-negative and v₀ = 1 > 0, so the iterate stays
+    * non-negative (Perron–Frobenius) and every cast is in the
+    * DuckDB-safe non-negative range.
+    *
+    * Determinism: v lives on an exact 1e-6 integer grid; w = C·v is
+    * exact long arithmetic (order-free; ANSI throws on overflow rather
+    * than wrapping — envelope Σ n_pairs·10⁶ ≪ 2⁶³ for any corpus this
+    * side of ~10¹² pairs); the ONLY floating ops per round are one
+    * correctly-rounded division by max(w) (both operands crossing
+    * int→double via exact decimal STRINGS, the > 2⁵³ rule) and the
+    * shared floor(·+0.5) snap back to the grid.
+    *
+    * Scale shape: per round ONE equi-join of the checkpointed sparse
+    * count matrix against the |nodes|-row iterate plus a row-keyed
+    * aggregate and one broadcast scalar — the standard distributed
+    * SpMV; nothing is dense, nothing is collected. */
+  private def walkSpectral(s: SparkSession, d: String): DataFrame = {
+    val cab = skipgramCounts(s, d).localCheckpoint(true)
+    var v = cab.select(col("center").as("node")).distinct()
+      .withColumn("k", lit(SpecGrid))
+      .localCheckpoint(true)
+    for (_ <- 1 to SpecIters) {
+      val w = cab.join(v, col("context") === col("node"))
+        .groupBy(col("center"))
+        .agg(sum(col("n_pairs") * col("k")).as("w"))
+      val mx = w.agg(max(col("w")).as("mx"))
+      v = w.crossJoin(broadcast(mx))
+        .select(col("center").as("node"),
+          floor(col("w").cast("string").cast("double") /
+            col("mx").cast("string").cast("double") *
+            lit(1000000.0) + lit(0.5)).cast("long").as("k"))
+        .localCheckpoint(true)
+    }
+    v.select(col("node"),
+      Det.snap(col("k").cast("double") / lit(1000000.0), 6).as("loading"))
+  }
+
+  /** Twin of [[walkSpectral]]: the same corpus + cab CTEs as the
+    * skip-gram twin, then the power-iteration trajectory unrolled as
+    * MATERIALIZED CTEs — exact-long SpMV, string-routed int→double
+    * casts, and the identical `floor(w/mx·10⁶ + 0.5)` grid snap. */
+  private val walkSpectralSql = {
+    val iterBlocks = (1 to SpecIters).map { t =>
+      s"""sw$t AS MATERIALIZED (
+  SELECT cab.center AS node, CAST(sum(cab.n_pairs * sv${t - 1}.k) AS BIGINT) AS w
+  FROM cab JOIN sv${t - 1} ON cab.context = sv${t - 1}.node GROUP BY 1
+), sm$t AS (SELECT max(w) AS mx FROM sw$t),
+sv$t AS MATERIALIZED (
+  SELECT node,
+         CAST(floor(CAST(CAST(w AS VARCHAR) AS DOUBLE) /
+              CAST(CAST(mx AS VARCHAR) AS DOUBLE) * 1000000.0 + 0.5)
+           AS BIGINT) AS k
+  FROM sw$t CROSS JOIN sm$t)"""
+    }.mkString(",\n")
+    s"""WITH walks AS MATERIALIZED (
+  SELECT * FROM ($graphWalksSql)
+), pr AS (
+  SELECT a.node AS center, b.node AS context
+  FROM walks a JOIN walks b
+    ON a.walk_id = b.walk_id
+   AND abs(a.step - b.step) BETWEEN 1 AND $SkipWindow
+), cab AS MATERIALIZED (
+  SELECT center, context, count(*) AS n_pairs FROM pr GROUP BY 1, 2
+), sv0 AS MATERIALIZED (
+  SELECT DISTINCT center AS node, CAST($SpecGrid AS BIGINT) AS k FROM cab
+),
+$iterBlocks
+SELECT node, ${s6("CAST(k AS DOUBLE) / 1000000.0")} AS loading
+FROM sv$SpecIters"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "walk_skipgrams" -> ((s, d) => walkSkipgrams(s, d)),
+    "walk_spectral" -> ((s, d) => walkSpectral(s, d)),
     "graph_walks" -> ((s, d) => graphWalks(s, d)),
     "graph_walks_biased" -> ((s, d) => graphWalksBiased(s, d)),
     "graph_bfs" -> ((s, d) => graphBfs(s, d)),
@@ -924,6 +1015,7 @@ FROM cab JOIN ca USING (center) JOIN cb USING (context) CROSS JOIN nn"""
 
   def oracleSql: Map[String, String] = Map(
     "walk_skipgrams" -> walkSkipgramsSql,
+    "walk_spectral" -> walkSpectralSql,
     "graph_walks" -> graphWalksSql,
     "graph_walks_biased" -> graphWalksBiasedSql,
     "graph_bfs" -> graphBfsSql,
