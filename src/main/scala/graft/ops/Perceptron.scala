@@ -106,6 +106,51 @@ object Perceptron {
           col("n_docs").cast("double"), 6)).as("accuracy"))
   }
 
+  /** Held-out ranking quality: exact AUC of the margin scorer via the
+    * Mann–Whitney rank-sum identity with midrank ties —
+    * AUC = [#{(p,n): m_p > m_n} + ½·#{m_p = m_n}] / (n_pos·n_neg) —
+    * computed ENTIRELY in integer arithmetic: margins are exact longs,
+    * so grouping by margin value and accumulating
+    * u2 = Σ_m cp(m)·(2·negBelow(m) + cn(m)) gives the 2×-scaled U
+    * statistic exactly; AUC is ONE correctly-rounded division of
+    * non-negative longs (the threshold-free companion to
+    * [[evalHeldOut]]'s confusion counts — what a curation gate reads
+    * before picking its operating point).
+    *
+    * Scale shape: one |distinct margins|-bounded aggregate, the
+    * cumulative negative count via [[Ranks.runningSumByRange]] (two-
+    * pass range-partitioned — no single-partition window), one 1-row
+    * finishing aggregate. Envelope: u2 ≤ 2·n_pos·n_neg < 2⁶³ for up to
+    * ~2·10⁹ docs per class (ANSI throws beyond, never wraps); both
+    * cast operands are non-negative, so the direct int→double cast is
+    * correctly rounded in both engines. */
+  /** Test seam: held-out margins under train-split weights — the exact
+    * frame [[aucHeldOut]] aggregates (PerceptronSpec cross-checks the
+    * rank-sum identity against brute-force pairs on it). */
+  private[graft] def scoreHeldOut(trainDocs: DataFrame, evalDocs: DataFrame,
+                                  epochs: Int): DataFrame =
+    score(features(evalDocs), weights(trainDocs, epochs))
+
+  def aucHeldOut(trainDocs: DataFrame, evalDocs: DataFrame,
+                 epochs: Int = 3): DataFrame = {
+    val w = weights(trainDocs, epochs)
+    val byM = score(features(evalDocs), w)
+      .groupBy(col("margin"))
+      .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("cp"),
+        sum(when(col("y") === -1L, 1L).otherwise(0L)).as("cn"))
+    Ranks.runningSumByRange(byM, Seq(col("margin")), "cn", "cum_n")
+      .select(col("cp"), col("cn"),
+        (col("cp") * (lit(2L) * (col("cum_n") - col("cn")) + col("cn")))
+          .as("u2"))
+      .agg(sum(col("cp")).as("n_pos"), sum(col("cn")).as("n_neg"),
+        sum(col("u2")).as("u2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          Det.snap(col("u2").cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6))
+          .as("auc"))
+  }
+
   /** Oracle twin: the same feature expressions over `documents`, the
     * epoch loop unrolled into weight CTEs (one row of w0..wk each),
     * deltas COALESCEd for the no-misclassification fixpoint. */
@@ -188,4 +233,61 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CASE WHEN count(*) > 0 THEN ${graft.ops.Det.snapSql("CAST(count(CASE WHEN predicted_en AND y = 1 THEN 1 END) + count(CASE WHEN NOT predicted_en AND y = -1 THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} END AS accuracy
 FROM sc"""
   }
+
+  /** Oracle twin of [[aucHeldOut]]: the same unrolled weight chain,
+    * margins grouped by exact value, the cumulative negative count as
+    * a window running sum (bit-identical to the two-pass range form —
+    * long addition is associative), and the identical 2×-scaled-U
+    * division of non-negative exact integers. */
+  def aucHeldOutSql(epochs: Int): String = {
+    val k = NumFeatures
+    def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+    val profileCols = TextOps.langProfiles.zipWithIndex.map { case ((_, ws), i) =>
+      s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ${inList(ws)})) AS BIGINT) AS x${i + 1}"
+    }.mkString(",\n         ")
+    def featCte(name: String, where: String) =
+      s"""$name AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         CAST(1 AS BIGINT) AS x0,
+         $profileCols,
+         CAST(strlen(text) - length(text) AS BIGINT) AS x${k - 1}
+  FROM documents $where)"""
+    val w0 = s"w0 AS (SELECT ${(0 until k).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")})"
+    def marginExpr(wAlias: String, fAlias: String): String =
+      (0 until k).map(j => s"$wAlias.w$j * $fAlias.x$j").mkString(" + ")
+    val blocks = (1 to epochs).map { e =>
+      val p = e - 1
+      s"""d$e AS (
+  SELECT ${(0 until k).map(j => s"COALESCE(CAST(sum(f.y * f.x$j) AS BIGINT), 0) AS d$j").mkString(", ")}
+  FROM f CROSS JOIN w$p w
+  WHERE f.y * (${marginExpr("w", "f")}) <= 0),
+w$e AS (
+  SELECT ${(0 until k).map(j => s"w.w$j + d.d$j AS w$j").mkString(", ")}
+  FROM w$p w CROSS JOIN d$e d)"""
+    }.mkString(",\n")
+    s"""WITH ${featCte("f", "WHERE doc_id % 5 <> 0")},
+${featCte("fe", "WHERE doc_id % 5 = 0")},
+$w0,
+$blocks,
+sc AS (
+  SELECT fe.y, (${marginExpr("w", "fe")}) AS margin
+  FROM fe CROSS JOIN w$epochs w),
+bym AS (
+  SELECT margin,
+         CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS cn
+  FROM sc GROUP BY 1),
+cum AS (
+  SELECT cp, cn,
+         CAST(sum(cn) OVER (ORDER BY margin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_n
+  FROM bym)
+SELECT CAST(sum(cp) AS BIGINT) AS n_pos, CAST(sum(cn) AS BIGINT) AS n_neg,
+       CASE WHEN sum(cp) > 0 AND sum(cn) > 0 THEN
+         ${graft.ops.Det.snapSql("CAST(sum(cp * (2 * (cum_n - cn) + cn)) AS DOUBLE) / CAST(2 * sum(cp) * sum(cn) AS DOUBLE)", 6)}
+       END AS auc
+FROM cum"""
+  }
+
 }

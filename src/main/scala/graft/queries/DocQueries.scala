@@ -161,6 +161,14 @@ FROM documents"""
       Perceptron.evalHeldOut(base.filter(col("doc_id") % 5 =!= 0),
         base.filter(col("doc_id") % 5 === 0), PerceptronEpochs)
     }),
+    // Threshold-free ranking quality of the same gate: exact AUC via
+    // the integer Mann–Whitney identity (Perceptron.aucHeldOut scaladoc
+    // has the 2×-scaled-U arithmetic and the range-partitioned shape).
+    "perceptron_auc" -> ((s, d) => {
+      val base = docs(s, d)
+      Perceptron.aucHeldOut(base.filter(col("doc_id") % 5 =!= 0),
+        base.filter(col("doc_id") % 5 === 0), PerceptronEpochs)
+    }),
     "fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
     "dedup_jaccard" -> ((s, d) => Dedup.ngramJaccardTopK(docs(s, d))),
@@ -1484,6 +1492,7 @@ FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)""",
     "quality_dup" -> qualityDupSql,
     "perceptron_lang" -> Perceptron.trainSql(PerceptronEpochs),
     "perceptron_eval" -> Perceptron.evalHeldOutSql(PerceptronEpochs),
+    "perceptron_auc" -> Perceptron.aucHeldOutSql(PerceptronEpochs),
     "fingerprint" -> fingerprintSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,

@@ -43,4 +43,32 @@ class PerceptronSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("aucHeldOut equals the brute-force pairwise U with midrank ties") {
+    // a mixed corpus with DELIBERATE margin ties (duplicate texts on
+    // both labels) so the ½-tie term is exercised
+    val mixed = docs(Seq(
+      (0L, "the of and to is", "en"),
+      (1L, "the of and to is", "de"),     // tie with doc 0
+      (2L, "der die und das ist", "de"),
+      (3L, "the the the of of", "en"),
+      (4L, "der die the of and", "de"),
+      (5L, "the of and der die", "en"),   // tie with doc 4
+      (6L, "word soup nothing here", "en"),
+      (7L, "word soup nothing here", "de"))) // tie with doc 6
+    val got = Perceptron.aucHeldOut(separable, mixed, epochs = 2).collect()(0)
+    // independent pairwise computation from the same scored margins
+    val marg = Perceptron.scoreHeldOut(separable, mixed, 2)
+      .collect().map(r => (r.getAs[Long]("margin"), r.getAs[Long]("y")))
+    val pos = marg.filter(_._2 == 1L).map(_._1)
+    val neg = marg.filter(_._2 == -1L).map(_._1)
+    val u2 = (for (p <- pos; n <- neg) yield {
+      if (p > n) 2L else if (p == n) 1L else 0L
+    }).sum
+    assert(got.getAs[Long]("n_pos") == pos.length.toLong)
+    assert(got.getAs[Long]("n_neg") == neg.length.toLong)
+    val want = u2.toDouble / (2L * pos.length * neg.length).toDouble
+    val wantSnapped = math.floor(want * 1e6 + 0.5) / 1e6
+    assert(math.abs(got.getAs[Double]("auc") - wantSnapped) < 1e-12)
+  }
 }
