@@ -151,6 +151,102 @@ object Perceptron {
           .as("auc"))
   }
 
+  /** Precision/recall operating curve of the margin scorer — one row
+    * per DISTINCT margin threshold t (predict positive iff margin ≥ t):
+    * tp/fp from a descending-margin cumulative count, precision and
+    * recall as snapped exact-integer ratios. The threshold sweep a gate
+    * owner reads next to [[aucHeldOut]]'s single number when picking an
+    * operating point. Same scale shape as the AUC: |distinct margins|-
+    * bounded aggregate + the range-partitioned running sum (descending
+    * order — [[Ranks.runningSumByRange]] takes the total order as
+    * columns), one broadcast scalar for the positive total. */
+  def prCurveHeldOut(trainDocs: DataFrame, evalDocs: DataFrame,
+                     epochs: Int = 3): DataFrame = {
+    val w = weights(trainDocs, epochs)
+    val byM = score(features(evalDocs), w)
+      .groupBy(col("margin"))
+      .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("cp"),
+        sum(when(col("y") === -1L, 1L).otherwise(0L)).as("cn"))
+    val cum = Ranks.runningSumByRange(
+      Ranks.runningSumByRange(byM,
+        Seq(col("margin").desc), "cp", "tp"),
+      Seq(col("margin").desc), "cn", "fp")
+    val totals = byM.agg(sum(col("cp")).as("n_pos"))
+    cum.crossJoin(broadcast(totals))
+      .select(col("margin").as("threshold"), col("tp"), col("fp"),
+        (col("n_pos") - col("tp")).as("fn"),
+        Det.snap(col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double"), 6).as("precision"),
+        when(col("n_pos") > 0L,
+          Det.snap(col("tp").cast("double") / col("n_pos").cast("double"), 6))
+          .as("recall"))
+  }
+
+  /** Oracle twin of [[prCurveHeldOut]]: descending-margin window
+    * cumulative counts (bit-identical to the two-pass range form) and
+    * the same snapped ratios. */
+  def prCurveHeldOutSql(epochs: Int): String = {
+    val chain = weightChainSql(epochs)
+    s"""$chain,
+sc AS (
+  SELECT fe.y, (${marginExprSql("w", "fe")}) AS margin
+  FROM fe CROSS JOIN w$epochs w),
+bym AS (
+  SELECT margin,
+         CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS cn
+  FROM sc GROUP BY 1),
+cum AS (
+  SELECT margin, cp, cn,
+         CAST(sum(cp) OVER (ORDER BY margin DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+         CAST(sum(cn) OVER (ORDER BY margin DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+  FROM bym),
+tot AS (SELECT CAST(sum(cp) AS BIGINT) AS n_pos FROM bym)
+SELECT margin AS threshold, tp, fp, tot.n_pos - tp AS fn,
+       ${graft.ops.Det.snapSql("CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)", 6)} AS precision,
+       CASE WHEN tot.n_pos > 0 THEN
+         ${graft.ops.Det.snapSql("CAST(tp AS DOUBLE) / CAST(tot.n_pos AS DOUBLE)", 6)}
+       END AS recall
+FROM cum CROSS JOIN tot"""
+  }
+
+  /** Shared unrolled train-split weight chain (f/fe feature CTEs,
+    * w0..w_epochs) used by the held-out eval twins. */
+  private def weightChainSql(epochs: Int): String = {
+    val k = NumFeatures
+    def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+    val profileCols = TextOps.langProfiles.zipWithIndex.map { case ((_, ws), i) =>
+      s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ${inList(ws)})) AS BIGINT) AS x${i + 1}"
+    }.mkString(",\n         ")
+    def featCte(name: String, where: String) =
+      s"""$name AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         CAST(1 AS BIGINT) AS x0,
+         $profileCols,
+         CAST(strlen(text) - length(text) AS BIGINT) AS x${k - 1}
+  FROM documents $where)"""
+    val w0 = s"w0 AS (SELECT ${(0 until k).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")})"
+    val blocks = (1 to epochs).map { e =>
+      val p = e - 1
+      s"""d$e AS (
+  SELECT ${(0 until k).map(j => s"COALESCE(CAST(sum(f.y * f.x$j) AS BIGINT), 0) AS d$j").mkString(", ")}
+  FROM f CROSS JOIN w$p w
+  WHERE f.y * (${marginExprSql("w", "f")}) <= 0),
+w$e AS (
+  SELECT ${(0 until k).map(j => s"w.w$j + d.d$j AS w$j").mkString(", ")}
+  FROM w$p w CROSS JOIN d$e d)"""
+    }.mkString(",\n")
+    s"""WITH ${featCte("f", "WHERE doc_id % 5 <> 0")},
+${featCte("fe", "WHERE doc_id % 5 = 0")},
+$w0,
+$blocks"""
+  }
+
+  private def marginExprSql(wAlias: String, fAlias: String): String =
+    (0 until NumFeatures).map(j => s"$wAlias.w$j * $fAlias.x$j").mkString(" + ")
+
   /** Oracle twin: the same feature expressions over `documents`, the
     * epoch loop unrolled into weight CTEs (one row of w0..wk each),
     * deltas COALESCEd for the no-misclassification fixpoint. */

@@ -169,6 +169,14 @@ FROM documents"""
       Perceptron.aucHeldOut(base.filter(col("doc_id") % 5 =!= 0),
         base.filter(col("doc_id") % 5 === 0), PerceptronEpochs)
     }),
+    // The operating-point sweep next to the AUC single number: one row
+    // per distinct margin threshold with exact tp/fp/fn and snapped
+    // precision/recall (Perceptron.prCurveHeldOut scaladoc).
+    "perceptron_pr_curve" -> ((s, d) => {
+      val base = docs(s, d)
+      Perceptron.prCurveHeldOut(base.filter(col("doc_id") % 5 =!= 0),
+        base.filter(col("doc_id") % 5 === 0), PerceptronEpochs)
+    }),
     "fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
     "dedup_jaccard" -> ((s, d) => Dedup.ngramJaccardTopK(docs(s, d))),
@@ -1493,6 +1501,7 @@ FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)""",
     "perceptron_lang" -> Perceptron.trainSql(PerceptronEpochs),
     "perceptron_eval" -> Perceptron.evalHeldOutSql(PerceptronEpochs),
     "perceptron_auc" -> Perceptron.aucHeldOutSql(PerceptronEpochs),
+    "perceptron_pr_curve" -> Perceptron.prCurveHeldOutSql(PerceptronEpochs),
     "fingerprint" -> fingerprintSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,

@@ -98,7 +98,10 @@ object PlanSnap {
     "spearman_corr",     // gapfill + per-instant mkt window + rank windows
     "fifo_pnl",          // one keyed Exchange: secondary-sort queue fold
     "scd2_intervals",    // one keyed Exchange: change-row lead window
-    "interval_overlap"   // start-bucket dedup band join
+    "interval_overlap",  // start-bucket dedup band join
+    // Driver-round-10 additions.
+    "perceptron_auc",    // literal-weight margin agg + running-sum rank path
+    "perceptron_pr_curve"// same + descending double running sum + broadcast total
     // ivf_sweep / hurst_rs are NOT pinned: their eager output
     // checkpoints reduce the observable plan to an RDD scan.
   )
