@@ -94,4 +94,48 @@ object Multimodal {
       StubDecoder.decode(id, bytes, frameBytes, sampleEvery)
     })
   }
+
+  /** One bucket of a pooled (resized) blob. */
+  final case class Pooled(doc_id: Long, bucket: Long, n_in: Long,
+                          sum_bytes: Long, mean_byte: Double)
+
+  /** STUB resize: average-pool the payload byte stream into `buckets`
+    * equal index ranges — the fixed-size thumbnail a real image resize
+    * produces, with the same partition-streamed batch shape as
+    * [[decodeFrames]] (one blob in memory per task at a time). Byte i
+    * lands in bucket ⌊i·P/n⌋ (the standard nearest-neighbor downsample
+    * index map); bucket means are exactInt/exactInt — one correctly-
+    * rounded division snapped to the 1e-6 grid, bit-identical in every
+    * engine. Blobs shorter than `buckets` emit only their non-empty
+    * buckets; empty blobs emit nothing. Swapping in a real codec means
+    * replacing the byte source, not the Spark plumbing. */
+  def resizePool(blobs: DataFrame, buckets: Int = 16,
+                 parallelism: Option[Int] = None): Dataset[Pooled] = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val p = buckets
+    val src = blobs.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+    val part = parallelism.fold(src)(n => src.repartition(n))
+    part.mapPartitions(_.flatMap { case (id, bytes) =>
+      val n = bytes.length
+      if (n == 0) Iterator.empty
+      else {
+        val sums = new Array[Long](p)
+        val cnts = new Array[Long](p)
+        var i = 0
+        while (i < n) {
+          val j = ((i.toLong * p) / n).toInt
+          sums(j) += (bytes(i) & 0xff)
+          cnts(j) += 1L
+          i += 1
+        }
+        (0 until p).iterator.filter(cnts(_) > 0L).map { j =>
+          Pooled(id, j.toLong, cnts(j), sums(j),
+            math.floor(sums(j).toDouble / cnts(j).toDouble * 1e6 + 0.5) / 1e6)
+        }
+      }
+    })
+  }
 }

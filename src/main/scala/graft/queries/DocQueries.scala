@@ -19,6 +19,8 @@ object DocQueries {
   // multimodal_decode frame geometry (shared by the Spark call + oracle)
   private val FrameBytes = 64
   private val SampleEvery = 2
+  // multimodal_resize pooled-thumbnail width (shared Spark/oracle)
+  private val PoolBuckets = 16
 
   /** dedup_recall truth threshold on TRUE n-gram Jaccard (shared by the
     * Spark call and the oracle — interpolated via [[Det.dblLit]] so the
@@ -245,6 +247,13 @@ FROM documents"""
     "multimodal_decode" -> ((s, d) =>
       Multimodal.decodeFrames(Multimodal.toBlobTable(docs(s, d)),
         FrameBytes, SampleEvery).toDF()),
+    // STUB resize (the decode→RESIZE→feature link of the media chain):
+    // average-pool each payload into PoolBuckets fixed index ranges —
+    // Multimodal.resizePool scaladoc has the ⌊i·P/n⌋ index map and the
+    // one-blob-per-task memory bound.
+    "multimodal_resize" -> ((s, d) =>
+      Multimodal.resizePool(Multimodal.toBlobTable(docs(s, d)),
+        PoolBuckets).toDF()),
     // Distribution-drift audit between two corpus slices (even vs odd
     // doc_id playing "yesterday's batch vs today's"): EXACT total-
     // variation distance over the word distributions — TV = ½Σ|p−q|
@@ -1190,6 +1199,29 @@ SELECT doc_id, frame_idx, n_bytes,
 FROM bv GROUP BY 1, 2, 3"""
   }
 
+  /** Twin of [[Multimodal.resizePool]]: the same hex byte replay as the
+    * decode twin, bucketed by the ⌊i·P/n⌋ downsample index map; exact
+    * integer sums, one snapped division per bucket. */
+  private val multimodalResizeSql = {
+    val P = PoolBuckets
+    s"""WITH f AS (
+  SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n FROM documents
+  WHERE strlen(text) > 0
+), byt AS (
+  SELECT doc_id, n, unnest(range(0, CAST(n AS BIGINT))) AS i, hx
+  FROM f
+), bv AS (
+  SELECT doc_id, CAST((i * $P) // n AS BIGINT) AS bucket,
+         (strpos('0123456789ABCDEF', substring(hx, CAST(2*i+1 AS INTEGER), 1)) - 1) * 16
+       + (strpos('0123456789ABCDEF', substring(hx, CAST(2*i+2 AS INTEGER), 1)) - 1) AS b
+  FROM byt
+)
+SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n_in,
+       CAST(sum(b) AS BIGINT) AS sum_bytes,
+       ${s6("CAST(sum(b) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mean_byte
+FROM bv GROUP BY 1, 2"""
+  }
+
   /** Twin of the curation_report composition: the same four gates, the
     * same first-failure verdict, reusing each family's oracle SQL.
     * Lazy: CorpusQueries references this object back (source_mixture ←
@@ -1401,6 +1433,7 @@ FROM dfs GROUP BY 1"""
   def oracleSql: Map[String, String] = Map(
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_decode" -> multimodalDecodeSql,
+    "multimodal_resize" -> multimodalResizeSql,
     "curation_report" -> curationReportSql,
     "corpus_clean" -> corpusCleanSql,
     "boilerplate_detect" ->
