@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ops._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{abs, array, array_join, bin, broadcast, coalesce, col, concat, count, countDistinct, explode, expr, greatest, least, length, levenshtein, lit, max, md5, min, row_number, slice, split, struct, sum, when}
+import org.apache.spark.sql.functions.{abs, array, array_join, bin, broadcast, coalesce, col, concat, count, countDistinct, explode, expr, greatest, least, length, levenshtein, lit, max, md5, min, posexplode, row_number, slice, split, struct, sum, when}
 
 /** Driver-verifiable queries for the text-analysis + deduplication
   * operator families (TextOps, Dedup) over `documents.parquet`, each with
@@ -21,6 +21,9 @@ object DocQueries {
   private val SampleEvery = 2
   // multimodal_resize pooled-thumbnail width (shared Spark/oracle)
   private val PoolBuckets = 16
+  // phrase_search target phrase (shared Spark/oracle constants)
+  private val PhraseA = "merge"
+  private val PhraseB = "sort"
 
   /** dedup_recall truth threshold on TRUE n-gram Jaccard (shared by the
     * Spark call and the oracle — interpolated via [[Det.dblLit]] so the
@@ -254,6 +257,24 @@ FROM documents"""
     "multimodal_resize" -> ((s, d) =>
       Multimodal.resizePool(Multimodal.toBlobTable(docs(s, d)),
         PoolBuckets).toDF()),
+    // Positional-index PHRASE search — exact adjacent-token match via
+    // posting-list intersection: tokenize with positions, filter each
+    // posting list to its phrase term BEFORE any shuffle (the filter
+    // reaches the scan), then one (doc, pos)-keyed equi-join per
+    // adjacency — the classic inverted-index phrase plan; a k-term
+    // phrase chains k−1 such joins, cost bounded by the rarest term's
+    // posting list, never the corpus. Counts/positions exact longs.
+    "phrase_search" -> ((s, d) => {
+      val tok = docs(s, d).select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      val t0 = tok.filter(col("term") === PhraseA)
+        .select(col("doc_id"), col("pos").cast("long").as("p0"))
+      val t1 = tok.filter(col("term") === PhraseB)
+        .select(col("doc_id").as("doc1"), col("pos").cast("long").as("p1"))
+      t0.join(t1, col("doc_id") === col("doc1") && col("p1") === col("p0") + 1L)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_matches"), min(col("p0")).as("first_pos"))
+    }),
     // Distribution-drift audit between two corpus slices (even vs odd
     // doc_id playing "yesterday's batch vs today's"): EXACT total-
     // variation distance over the word distributions — TV = ½Σ|p−q|
@@ -1434,6 +1455,21 @@ FROM dfs GROUP BY 1"""
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_decode" -> multimodalDecodeSql,
     "multimodal_resize" -> multimodalResizeSql,
+    "phrase_search" ->
+      s"""WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), tok AS (
+  SELECT doc_id, unnest(range(0, len(ts))) AS pos, ts FROM ws
+), t2 AS (
+  SELECT doc_id, pos, ts[CAST(pos + 1 AS INTEGER)] AS term FROM tok
+), m AS (
+  SELECT a.doc_id, a.pos AS p0
+  FROM t2 a JOIN t2 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '$PhraseA' AND b.term = '$PhraseB'
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(p0) AS BIGINT) AS first_pos
+FROM m GROUP BY 1""",
     "curation_report" -> curationReportSql,
     "corpus_clean" -> corpusCleanSql,
     "boilerplate_detect" ->
