@@ -259,9 +259,10 @@ FROM documents"""
         PoolBuckets).toDF()),
     // Positional-index PHRASE search — exact adjacent-token match via
     // posting-list intersection: tokenize with positions, filter each
-    // posting list to its phrase term BEFORE any shuffle (the filter
-    // reaches the scan), then one (doc, pos)-keyed equi-join per
-    // adjacency — the classic inverted-index phrase plan; a k-term
+    // posting list to its phrase term directly above the Generate —
+    // BEFORE any join or shuffle — then one (doc, pos)-keyed equi-join
+    // per adjacency (the smaller posting list broadcasts; plan
+    // verified). The classic inverted-index phrase plan: a k-term
     // phrase chains k−1 such joins, cost bounded by the rarest term's
     // posting list, never the corpus. Counts/positions exact longs.
     "phrase_search" -> ((s, d) => {
