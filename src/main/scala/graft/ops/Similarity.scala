@@ -519,6 +519,58 @@ object Similarity {
     * broadcast dim-row stats table, and collapses map-side again to one
     * row per dimension. No wide shuffle at any corpus size.
     */
+  /** 1-bit sign quantization of an embedding column, packed into two
+    * 32-bit halves (sig_lo = dims 0–31, sig_hi = 32–63) — the binary-
+    * embedding compression a retrieval tier stores when even PQ codes
+    * are too large (64 dims → 8 bytes/vector). Halves stay in the
+    * non-negative 32-bit range, so every engine's BIGINT arithmetic —
+    * and DuckDB's shift-overflow check — is safe. Typed map, not a
+    * higher-order lambda (CLAUDE.md rule 4: per-record hot loop).
+    * Dims ≥ 64 are ignored by construction; bit j is `e(j) > 0`
+    * (floats compare identically from the same parquet bits). */
+  def signBits(vectors: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, e) =>
+        var lo = 0L; var hi = 0L
+        var j = 0
+        val n = math.min(e.length, 64)
+        while (j < n) {
+          if (e(j) > 0f) {
+            if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+          }
+          j += 1
+        }
+        (id, lo, hi)
+      }.toDF("vec_id", "sig_lo", "sig_hi")
+  }
+
+  /** Hamming top-k over [[signBits]] signatures: per query the k
+    * corpus vectors with the fewest differing sign bits
+    * (d = popcount(lo⊕lo′) + popcount(hi⊕hi′)), ties broken by vec_id
+    * — exact integers end to end. Scale shape: the query signatures
+    * broadcast (queries ≪ corpus), the corpus side is ONE narrow
+    * pass over 8-byte signatures with a per-query partial top-k
+    * (WindowGroupLimit under the rnk filter) — the binary-retrieval
+    * read path whose scan is dim/1-bit cheaper than the float corpus. */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame,
+                  k: Int = 10): DataFrame = {
+    val qs = broadcast(signBits(queries).select(col("vec_id").as("qid"),
+      col("sig_lo").as("qlo"), col("sig_hi").as("qhi")))
+    signBits(corpus)
+      .join(qs, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (bit_count(col("sig_lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("sig_hi").bitwiseXOR(col("qhi"))))
+          .cast("long").as("hamming"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("hamming"), col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   def scalarQuantize(vectors: DataFrame, levels: Int = 255): DataFrame = {
     val ex = vectors
       .select(posexplode(col("embedding")).as(Seq("pos0", "f")))

@@ -80,6 +80,12 @@ object VecQueries {
       Similarity.lshTopKMulti(q5(v), v, k = 10,
         planes = MultiPlanes, tables = MultiTables)
     }),
+    // Binary-embedding retrieval: 1-bit sign quantization packed into
+    // two 32-bit halves + exact Hamming top-k (Similarity.signBits /
+    // hammingTopK scaladocs — 8 bytes/vector corpus scan).
+    "embed_hamming_topk" -> ((s, d) => {
+      val v = vecs(s, d); Similarity.hammingTopK(q5(v), v)
+    }),
     "embed_centroids" -> ((s, d) => r6(Similarity.centroids(vecs(s, d)))),
     "embed_ivf" -> ((s, d) => {
       val v = vecs(s, d)
@@ -438,6 +444,32 @@ object VecQueries {
         for i in range(1, len($v)+1)])"""
       s"(CASE WHEN $p < pl.planes THEN (CASE WHEN $dot >= 0 THEN '1' ELSE '0' END) ELSE '' END)"
     }.mkString(" || ")
+
+  /** Twin of embed_hamming_topk: the same two-half sign pack (32 CASE
+    * shift terms per half — halves stay non-negative 32-bit, clearing
+    * DuckDB's shift-overflow check), xor + bit_count Hamming, and the
+    * (hamming, vec_id) rank. */
+  private val hammingSql = {
+    def half(lo: Int, hi: Int, shiftBase: Int): String =
+      (lo to hi).map(j =>
+        s"(CASE WHEN embedding[${j + 1}] > 0 THEN CAST(1 AS BIGINT) << ${j - shiftBase} ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" + ")
+    s"""WITH sig AS (
+  SELECT vec_id, ${half(0, 31, 0)} AS sig_lo, ${half(32, 63, 32)} AS sig_hi
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, sig_lo AS qlo, sig_hi AS qhi FROM sig WHERE vec_id < 5
+), d AS (
+  SELECT q.qid, s.vec_id,
+         CAST(bit_count(xor(s.sig_lo, q.qlo)) +
+              bit_count(xor(s.sig_hi, q.qhi)) AS BIGINT) AS hamming
+  FROM sig s JOIN q ON s.vec_id <> q.qid
+)
+SELECT qid, vec_id, hamming,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id)
+         AS BIGINT) AS rnk
+FROM d QUALIFY rnk <= 10"""
+  }
 
   private val topkSql =
     s"""WITH base AS (
@@ -1137,6 +1169,7 @@ FROM scores s, ex"""
     "embed_quantize" -> quantizeSql,
     "dedup_embed" -> dedupEmbedSql,
     "embed_topk" -> topkSql,
+    "embed_hamming_topk" -> hammingSql,
     "embed_lsh_topk" -> lshTopkSql,
     "embed_lsh_probe" -> lshProbeSql,
     "embed_lsh_multi" -> lshMultiSql,
