@@ -369,6 +369,8 @@ object VecQueries {
         "ivf" -> Similarity.ivfProbeTopK(q5(v), v, cents, IvfNprobe)
           .select("qid", "vec_id"),
         "adc" -> Similarity.pqAdcTopK(q5(v), v, cents, PqSubDims)
+          .select("qid", "vec_id"),
+        "hamming" -> Similarity.hammingTopK(q5(v), v)
           .select("qid", "vec_id"))
       val tt = truth.groupBy("qid").agg(count(lit(1)).as("n_true"))
       val joined = paths.foldLeft(tt) { case (acc, (tag, cand)) =>
@@ -761,6 +763,7 @@ s1 AS (SELECT qid, vec_id FROM ($lshTopkSql)),
 m AS (SELECT qid, vec_id FROM ($lshMultiSql)),
 iv AS (SELECT qid, vec_id FROM ($ivfProbeSql)),
 ad AS (SELECT qid, vec_id FROM ($pqAdcSql)),
+hb AS (SELECT qid, vec_id FROM ($hammingSql)),
 tt AS (SELECT qid, count(*) AS n_true FROM truth GROUP BY 1),
 hs AS (SELECT t.qid, count(*) AS hits_single
        FROM truth t JOIN s1 USING (qid, vec_id) GROUP BY 1),
@@ -769,18 +772,22 @@ hm AS (SELECT t.qid, count(*) AS hits_multi
 hi AS (SELECT t.qid, count(*) AS hits_ivf
        FROM truth t JOIN iv USING (qid, vec_id) GROUP BY 1),
 ha AS (SELECT t.qid, count(*) AS hits_adc
-       FROM truth t JOIN ad USING (qid, vec_id) GROUP BY 1)
+       FROM truth t JOIN ad USING (qid, vec_id) GROUP BY 1),
+hh AS (SELECT t.qid, count(*) AS hits_hamming
+       FROM truth t JOIN hb USING (qid, vec_id) GROUP BY 1)
 SELECT tt.qid, tt.n_true,
        COALESCE(hs.hits_single, CAST(0 AS BIGINT)) AS hits_single,
        COALESCE(hm.hits_multi, CAST(0 AS BIGINT)) AS hits_multi,
        COALESCE(hi.hits_ivf, CAST(0 AS BIGINT)) AS hits_ivf,
        COALESCE(ha.hits_adc, CAST(0 AS BIGINT)) AS hits_adc,
+       COALESCE(hh.hits_hamming, CAST(0 AS BIGINT)) AS hits_hamming,
        ${s6("CAST(COALESCE(hs.hits_single, 0) AS DOUBLE) / CAST(tt.n_true AS DOUBLE)")} AS recall_single,
        ${s6("CAST(COALESCE(hm.hits_multi, 0) AS DOUBLE) / CAST(tt.n_true AS DOUBLE)")} AS recall_multi,
        ${s6("CAST(COALESCE(hi.hits_ivf, 0) AS DOUBLE) / CAST(tt.n_true AS DOUBLE)")} AS recall_ivf,
-       ${s6("CAST(COALESCE(ha.hits_adc, 0) AS DOUBLE) / CAST(tt.n_true AS DOUBLE)")} AS recall_adc
+       ${s6("CAST(COALESCE(ha.hits_adc, 0) AS DOUBLE) / CAST(tt.n_true AS DOUBLE)")} AS recall_adc,
+       ${s6("CAST(COALESCE(hh.hits_hamming, 0) AS DOUBLE) / CAST(tt.n_true AS DOUBLE)")} AS recall_hamming
 FROM tt LEFT JOIN hs USING (qid) LEFT JOIN hm USING (qid)
-LEFT JOIN hi USING (qid) LEFT JOIN ha USING (qid)"""
+LEFT JOIN hi USING (qid) LEFT JOIN ha USING (qid) LEFT JOIN hh USING (qid)"""
 
   /** Twin of Similarity.scalarQuantize: the same two-pass shape — per-pos
     * exact min/max, then the identical fixed IEEE quantize→reconstruct→
