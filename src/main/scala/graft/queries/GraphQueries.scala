@@ -996,6 +996,20 @@ FROM sv$SpecIters"""
     "graph_walks" -> ((s, d) => graphWalks(s, d)),
     "graph_walks_biased" -> ((s, d) => graphWalksBiased(s, d)),
     "graph_bfs" -> ((s, d) => graphBfs(s, d)),
+    // Seed catchment profile on the BFS hub-Voronoi labels: per seed
+    // the reach count, hop mass, eccentricity bound, and mean hop
+    // distance (bounded-hop closeness) — one |seeds|-sized aggregate
+    // over the already-computed label frame; exact-integer ratio.
+    "graph_closeness" -> ((s, d) =>
+      graphBfs(s, d)
+        .groupBy(col("nearest_seed"))
+        .agg(count(lit(1)).as("n_reached"),
+          sum(col("hops")).as("sum_hops"),
+          max(col("hops")).as("ecc_bound"))
+        .select(col("nearest_seed"), col("n_reached"), col("sum_hops"),
+          col("ecc_bound"),
+          Det.snap(col("sum_hops").cast("double") /
+            col("n_reached").cast("double"), 6).as("mean_hops"))),
     "graph_communities" -> ((s, d) => communities(s, d)),
     "kcore" -> ((s, d) => kcore(s, d)),
     "degree_dist" -> ((s, d) => {
@@ -1019,6 +1033,13 @@ FROM sv$SpecIters"""
     "graph_walks" -> graphWalksSql,
     "graph_walks_biased" -> graphWalksBiasedSql,
     "graph_bfs" -> graphBfsSql,
+    "graph_closeness" ->
+      s"""WITH bfs AS (SELECT * FROM ($graphBfsSql))
+SELECT nearest_seed, CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(sum(hops) AS BIGINT) AS sum_hops,
+       CAST(max(hops) AS BIGINT) AS ecc_bound,
+       ${s6("CAST(sum(hops) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mean_hops
+FROM bfs GROUP BY 1""",
     "graph_communities" -> communitiesSql,
     "kcore" -> kcoreSql,
     "degree_dist" -> degreeDistSql,

@@ -80,6 +80,36 @@ object VecQueries {
       Similarity.lshTopKMulti(q5(v), v, k = 10,
         planes = MultiPlanes, tables = MultiTables)
     }),
+    // Per-dimension z-score standardization — the feature-scaling pass
+    // before PQ/JL/clustering. Exact to the bit: values snap to the
+    // 1e-6 grid (|x| < 0.5 → |k| ≤ 5·10⁵), the per-dim moments are
+    // whole-partition WINDOW aggregates (one Exchange on pos, no
+    // groupBy+join-back — the seasonal-fusion shape), and the n's
+    // cancel so z = (k·n − Σk)/√(n·Σk² − (Σk)²): a signed exact
+    // integer over a DECIMAL38 variance numerator, both crossing to
+    // double via exact decimal STRINGS (the >2⁵³ + signed-cast rule),
+    // finished by one correctly-rounded sqrt and division.
+    "embed_standardize" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
+      def exact(c: org.apache.spark.sql.Column) =
+        c.cast("string").cast("double")
+      val ex = vecs(s, d)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "val")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          Det.kl(col("val").cast("double"), 6).as("k"))
+      val wp = Window.partitionBy(col("pos"))
+      ex.withColumn("n", count(lit(1)).over(wp))
+        .withColumn("sk", sum(col("k")).over(wp))
+        .withColumn("sk2", sum(dec(col("k")) * dec(col("k"))).over(wp))
+        .withColumn("vnum",
+          dec(col("n")) * col("sk2") - dec(col("sk")) * dec(col("sk")))
+        .filter(col("vnum") > 0)
+        .select(col("vec_id"), col("pos"),
+          Det.snap(exact(col("k") * col("n") - col("sk")) /
+            sqrt(exact(col("vnum"))), 6).as("z"))
+    }),
     // Binary-embedding retrieval: 1-bit sign quantization packed into
     // two 32-bit halves + exact Hamming top-k (Similarity.signBits /
     // hammingTopK scaladocs — 8 bytes/vector corpus scan).
@@ -446,6 +476,32 @@ object VecQueries {
         for i in range(1, len($v)+1)])"""
       s"(CASE WHEN $p < pl.planes THEN (CASE WHEN $dot >= 0 THEN '1' ELSE '0' END) ELSE '' END)"
     }.mkString(" || ")
+
+  /** Twin of embed_standardize: the same 1e-6 grid snap, per-pos window
+    * moments, HUGEINT variance numerator, and the string-routed casts
+    * into the identical (num)/sqrt(den) IEEE finish. */
+  private val standardizeSql = {
+    s"""WITH ex AS (
+  SELECT vec_id, unnest(range(0, len(embedding))) AS pos, embedding
+  FROM embeddings
+), kk AS (
+  SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+         ${Det.klSql("CAST(embedding[CAST(pos + 1 AS INTEGER)] AS DOUBLE)", 6)} AS k
+  FROM ex
+), w AS (
+  SELECT vec_id, pos, k,
+         count(*) OVER (PARTITION BY pos) AS n,
+         CAST(sum(k) OVER (PARTITION BY pos) AS HUGEINT) AS sk,
+         CAST(sum(k * k) OVER (PARTITION BY pos) AS HUGEINT) AS sk2
+  FROM kk
+), v AS (
+  SELECT vec_id, pos, k, n, sk, n * sk2 - sk * sk AS vnum
+  FROM w
+)
+SELECT vec_id, pos,
+       ${s6("CAST(CAST(k * n - sk AS VARCHAR) AS DOUBLE) / sqrt(CAST(CAST(vnum AS VARCHAR) AS DOUBLE))")} AS z
+FROM v WHERE vnum > 0"""
+  }
 
   /** Twin of embed_hamming_topk: the same two-half sign pack (32 CASE
     * shift terms per half — halves stay non-negative 32-bit, clearing
@@ -1177,6 +1233,7 @@ FROM scores s, ex"""
     "dedup_embed" -> dedupEmbedSql,
     "embed_topk" -> topkSql,
     "embed_hamming_topk" -> hammingSql,
+    "embed_standardize" -> standardizeSql,
     "embed_lsh_topk" -> lshTopkSql,
     "embed_lsh_probe" -> lshProbeSql,
     "embed_lsh_multi" -> lshMultiSql,
