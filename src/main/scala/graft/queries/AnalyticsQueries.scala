@@ -504,12 +504,55 @@ FROM m"""
         .agg(lit(n).as("n_rows"), pick(25), pick(50), pick(75), pick(95),
           pick(99)))
     }),
+    // Join-key skew audit — the operational readout behind every
+    // salting/AQE-skew decision: per-key counts ranked most-frequent-
+    // first (two-pass range rank, no single-partition window), exact
+    // count picks at the top/median/99% rank positions, and top-1 /
+    // top-10 row shares as snapped exact ratios. One groupBy + one
+    // rank pass + one 1-row aggregate at any scale; the key count
+    // crosses as a driver literal (the global_quantiles pattern).
+    "skew_profile" -> ((s, d) => {
+      val counts = t(s, d, "lineitem")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("c"))
+      val k = counts.count()
+      def target(p: Int): Long = (k * p + 99L) / 100L
+      val ranked = Ranks.rowNumberByRange(counts,
+        Seq(col("c").desc, col("l_suppkey")), "rn")
+      ranked.agg(
+        lit(k).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        max(when(col("rn") === 1L, col("c"))).as("max_count"),
+        max(when(col("rn") === target(50), col("c"))).as("p50_count"),
+        max(when(col("rn") === target(99), col("c"))).as("p99_count"),
+        sum(when(col("rn") <= 10L, col("c")).otherwise(0L)).as("top10_rows"))
+        .select(col("n_keys"), col("n_rows"), col("max_count"),
+          col("p50_count"), col("p99_count"), col("top10_rows"),
+          Det.snap(col("max_count").cast("double") /
+            col("n_rows").cast("double"), 6).as("top1_share"),
+          Det.snap(col("top10_rows").cast("double") /
+            col("n_rows").cast("double"), 6).as("top10_share"))
+    }),
     "rel_quantiles_cont" -> ((s, d) => r6(quantilesCont(s, d))),
     "latency_metrics" -> ((s, d) => latencyMetrics(s, d)),
     "sample_reservoir" -> ((s, d) => sampleReservoir(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
+    "skew_profile" ->
+      """WITH c AS (
+  SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY 1
+), r AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, l_suppkey) AS rn FROM c
+), k AS (SELECT CAST(count(*) AS BIGINT) AS nk FROM c)
+SELECT nk AS n_keys,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(max(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS max_count,
+       CAST(max(CASE WHEN rn = (nk*50+99)//100 THEN c END) AS BIGINT) AS p50_count,
+       CAST(max(CASE WHEN rn = (nk*99+99)//100 THEN c END) AS BIGINT) AS p99_count,
+       CAST(sum(CASE WHEN rn <= 10 THEN c ELSE 0 END) AS BIGINT) AS top10_rows,
+       floor((CAST(max(CASE WHEN rn = 1 THEN c END) AS DOUBLE) / CAST(sum(c) AS DOUBLE))*1e6+0.5)/1e6 AS top1_share,
+       floor((CAST(sum(CASE WHEN rn <= 10 THEN c ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS DOUBLE))*1e6+0.5)/1e6 AS top10_share
+FROM r CROSS JOIN k GROUP BY nk""",
     "fifo_pnl" -> fifoPnlSql,
     "hll_distinct" -> CorpusQueries.hllDistinctSql,
     "interval_overlap" ->
