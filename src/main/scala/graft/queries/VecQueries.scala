@@ -110,6 +110,40 @@ object VecQueries {
           Det.snap(exact(col("k") * col("n") - col("sk")) /
             sqrt(exact(col("vnum"))), 6).as("z"))
     }),
+    // Robust per-dimension scaling: median + MAD instead of mean/sd —
+    // the outlier-immune scaler. Both statistics are order-statistic
+    // PICKS (lower median at rank ⌊(n+1)/2⌋, a pick not an
+    // interpolation) on the 1e-6 grid, so everything is exact
+    // integers: rank within each dimension, window-pick the median
+    // (no join-back — the seasonal-fusion shape), rank |k − med|,
+    // pick again. Two sorts on ONE pos Exchange; |dims| rows out.
+    "embed_robust_scale" -> ((s, d) => {
+      val ex = vecs(s, d)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "val")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          Det.kl(col("val").cast("double"), 6).as("k"))
+      val wp = Window.partitionBy(col("pos"))
+      val byK = Window.partitionBy(col("pos")).orderBy(col("k"), col("vec_id"))
+      val withMed = ex
+        .withColumn("n", count(lit(1)).over(wp))
+        .withColumn("rn", row_number().over(byK).cast("long"))
+        .withColumn("med",
+          max(when(col("rn") === expr("(n + 1) div 2"), col("k"))).over(wp))
+      val byAd = Window.partitionBy(col("pos"))
+        .orderBy(abs(col("k") - col("med")), col("vec_id"))
+      withMed
+        .withColumn("rn2", row_number().over(byAd).cast("long"))
+        .groupBy(col("pos"))
+        .agg(max(col("n")).as("n_obs"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("k"))).as("medk"),
+          max(when(col("rn2") === expr("(n + 1) div 2"),
+            abs(col("k") - col("med")))).as("madk"))
+        .select(col("pos"), col("n_obs"),
+          Det.snap(col("medk").cast("double") / lit(1000000.0), 6)
+            .as("median_val"),
+          Det.snap(col("madk").cast("double") / lit(1000000.0), 6).as("mad"))
+    }),
     // Binary-embedding retrieval: 1-bit sign quantization packed into
     // two 32-bit halves + exact Hamming top-k (Similarity.signBits /
     // hammingTopK scaladocs — 8 bytes/vector corpus scan).
@@ -501,6 +535,37 @@ object VecQueries {
 SELECT vec_id, pos,
        ${s6("CAST(CAST(k * n - sk AS VARCHAR) AS DOUBLE) / sqrt(CAST(CAST(vnum AS VARCHAR) AS DOUBLE))")} AS z
 FROM v WHERE vnum > 0"""
+  }
+
+  /** Twin of embed_robust_scale: identical grid, rank picks at
+    * ⌊(n+1)/2⌋ with the same (k, vec_id) / (|k−med|, vec_id) tie
+    * orders, window-pick median (no join), exact-long MAD. */
+  private val robustScaleSql = {
+    s"""WITH ex AS (
+  SELECT vec_id, unnest(range(0, len(embedding))) AS pos, embedding
+  FROM embeddings
+), kk AS (
+  SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+         ${Det.klSql("CAST(embedding[CAST(pos + 1 AS INTEGER)] AS DOUBLE)", 6)} AS k
+  FROM ex
+), r1 AS (
+  SELECT vec_id, pos, k,
+         count(*) OVER (PARTITION BY pos) AS n,
+         CAST(row_number() OVER (PARTITION BY pos ORDER BY k, vec_id) AS BIGINT) AS rn
+  FROM kk
+), m AS (
+  SELECT vec_id, pos, k, n, rn,
+         max(CASE WHEN rn = (n + 1) // 2 THEN k END) OVER (PARTITION BY pos) AS med
+  FROM r1
+), r2 AS (
+  SELECT pos, n, rn, k, med,
+         CAST(row_number() OVER (PARTITION BY pos ORDER BY abs(k - med), vec_id) AS BIGINT) AS rn2
+  FROM m
+)
+SELECT pos, CAST(max(n) AS BIGINT) AS n_obs,
+       ${s6("CAST(max(CASE WHEN rn = (n + 1) // 2 THEN k END) AS DOUBLE) / 1000000.0")} AS median_val,
+       ${s6("CAST(max(CASE WHEN rn2 = (n + 1) // 2 THEN abs(k - med) END) AS DOUBLE) / 1000000.0")} AS mad
+FROM r2 GROUP BY 1"""
   }
 
   /** Twin of embed_hamming_topk: the same two-half sign pack (32 CASE
@@ -1234,6 +1299,7 @@ FROM scores s, ex"""
     "embed_topk" -> topkSql,
     "embed_hamming_topk" -> hammingSql,
     "embed_standardize" -> standardizeSql,
+    "embed_robust_scale" -> robustScaleSql,
     "embed_lsh_topk" -> lshTopkSql,
     "embed_lsh_probe" -> lshProbeSql,
     "embed_lsh_multi" -> lshMultiSql,
