@@ -940,17 +940,22 @@ FROM cab JOIN ca USING (center) JOIN cb USING (context) CROSS JOIN nn"""
     var v = cab.select(col("center").as("node")).distinct()
       .withColumn("k", lit(SpecGrid))
       .localCheckpoint(true)
+    // Per-round localCheckpoint: w feeds BOTH the max(w) scalar and the
+    // next iterate, so materializing it once per round keeps the
+    // trajectory linear (a lineage-only variant re-executes the cab
+    // join 2^rounds times — measured no faster at fixture scale and a
+    // worse story at 1000 executors).
     for (_ <- 1 to SpecIters) {
       val w = cab.join(v, col("context") === col("node"))
         .groupBy(col("center"))
         .agg(sum(col("n_pairs") * col("k")).as("w"))
+        .localCheckpoint(true)
       val mx = w.agg(max(col("w")).as("mx"))
       v = w.crossJoin(broadcast(mx))
         .select(col("center").as("node"),
           floor(col("w").cast("string").cast("double") /
             col("mx").cast("string").cast("double") *
             lit(1000000.0) + lit(0.5)).cast("long").as("k"))
-        .localCheckpoint(true)
     }
     v.select(col("node"),
       Det.snap(col("k").cast("double") / lit(1000000.0), 6).as("loading"))
