@@ -212,21 +212,28 @@ SELECT margin AS threshold, tp, fp, tot.n_pos - tp AS fn,
 FROM cum CROSS JOIN tot"""
   }
 
-  /** Shared unrolled train-split weight chain (f/fe feature CTEs,
-    * w0..w_epochs) used by the held-out eval twins. */
-  private def weightChainSql(epochs: Int): String = {
+  /** One feature CTE (doc_id, y, x0..xk) over `documents`; `where` is
+    * the split filter ("" for the whole table). Shared by every oracle
+    * twin so the feature expressions cannot diverge between them. */
+  private def featCteSql(name: String, where: String): String = {
     val k = NumFeatures
     def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("(", ", ", ")")
     val profileCols = TextOps.langProfiles.zipWithIndex.map { case ((_, ws), i) =>
       s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ${inList(ws)})) AS BIGINT) AS x${i + 1}"
     }.mkString(",\n         ")
-    def featCte(name: String, where: String) =
-      s"""$name AS MATERIALIZED (
+    val from = if (where.isEmpty) "FROM documents" else s"FROM documents $where"
+    s"""$name AS MATERIALIZED (
   SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
          CAST(1 AS BIGINT) AS x0,
          $profileCols,
          CAST(strlen(text) - length(text) AS BIGINT) AS x${k - 1}
-  FROM documents $where)"""
+  $from)"""
+  }
+
+  /** w0 + the unrolled epoch blocks d1/w1..d_epochs/w_epochs, training
+    * on CTE `f`. Shared by every oracle twin. */
+  private def epochBlocksSql(epochs: Int): String = {
+    val k = NumFeatures
     val w0 = s"w0 AS (SELECT ${(0 until k).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")})"
     val blocks = (1 to epochs).map { e =>
       val p = e - 1
@@ -238,11 +245,15 @@ w$e AS (
   SELECT ${(0 until k).map(j => s"w.w$j + d.d$j AS w$j").mkString(", ")}
   FROM w$p w CROSS JOIN d$e d)"""
     }.mkString(",\n")
-    s"""WITH ${featCte("f", "WHERE doc_id % 5 <> 0")},
-${featCte("fe", "WHERE doc_id % 5 = 0")},
-$w0,
-$blocks"""
+    s"$w0,\n$blocks"
   }
+
+  /** Shared unrolled train-split weight chain (f/fe feature CTEs,
+    * w0..w_epochs) used by the held-out eval twins. */
+  private def weightChainSql(epochs: Int): String =
+    s"""WITH ${featCteSql("f", "WHERE doc_id % 5 <> 0")},
+${featCteSql("fe", "WHERE doc_id % 5 = 0")},
+${epochBlocksSql(epochs)}"""
 
   private def marginExprSql(wAlias: String, fAlias: String): String =
     (0 until NumFeatures).map(j => s"$wAlias.w$j * $fAlias.x$j").mkString(" + ")
@@ -251,37 +262,12 @@ $blocks"""
     * epoch loop unrolled into weight CTEs (one row of w0..wk each),
     * deltas COALESCEd for the no-misclassification fixpoint. */
   def trainSql(epochs: Int): String = {
-    val k = NumFeatures
-    def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("(", ", ", ")")
-    val profileCols = TextOps.langProfiles.zipWithIndex.map { case ((_, ws), i) =>
-      s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ${inList(ws)})) AS BIGINT) AS x${i + 1}"
-    }.mkString(",\n         ")
-    val f =
-      s"""f AS MATERIALIZED (
-  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
-         CAST(1 AS BIGINT) AS x0,
-         $profileCols,
-         CAST(strlen(text) - length(text) AS BIGINT) AS x${k - 1}
-  FROM documents)"""
-    val w0 = s"w0 AS (SELECT ${(0 until k).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")})"
-    def marginExpr(wAlias: String): String =
-      (0 until k).map(j => s"$wAlias.w$j * f.x$j").mkString(" + ")
-    val blocks = (1 to epochs).map { e =>
-      val p = e - 1
-      s"""d$e AS (
-  SELECT ${(0 until k).map(j => s"COALESCE(CAST(sum(f.y * f.x$j) AS BIGINT), 0) AS d$j").mkString(", ")}
-  FROM f CROSS JOIN w$p w
-  WHERE f.y * (${marginExpr("w")}) <= 0),
-w$e AS (
-  SELECT ${(0 until k).map(j => s"w.w$j + d.d$j AS w$j").mkString(", ")}
-  FROM w$p w CROSS JOIN d$e d)"""
-    }.mkString(",\n")
-    s"""WITH $f,
-$w0,
-$blocks
-SELECT f.doc_id, f.y, (${marginExpr("w")}) AS margin,
-       (${marginExpr("w")}) > 0 AS predicted_en,
-       ((${marginExpr("w")}) > 0) = (f.y = 1) AS correct
+    val m = marginExprSql("w", "f")
+    s"""WITH ${featCteSql("f", "")},
+${epochBlocksSql(epochs)}
+SELECT f.doc_id, f.y, ($m) AS margin,
+       ($m) > 0 AS predicted_en,
+       (($m) > 0) = (f.y = 1) AS correct
 FROM f CROSS JOIN w$epochs w"""
   }
 
@@ -289,37 +275,9 @@ FROM f CROSS JOIN w$epochs w"""
     * filtered to the train split, a second feature CTE over the held-out
     * split, and a one-row confusion aggregate. */
   def evalHeldOutSql(epochs: Int): String = {
-    val k = NumFeatures
-    def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("(", ", ", ")")
-    val profileCols = TextOps.langProfiles.zipWithIndex.map { case ((_, ws), i) =>
-      s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ${inList(ws)})) AS BIGINT) AS x${i + 1}"
-    }.mkString(",\n         ")
-    def featCte(name: String, where: String) =
-      s"""$name AS MATERIALIZED (
-  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
-         CAST(1 AS BIGINT) AS x0,
-         $profileCols,
-         CAST(strlen(text) - length(text) AS BIGINT) AS x${k - 1}
-  FROM documents $where)"""
-    val w0 = s"w0 AS (SELECT ${(0 until k).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")})"
-    def marginExpr(wAlias: String, fAlias: String): String =
-      (0 until k).map(j => s"$wAlias.w$j * $fAlias.x$j").mkString(" + ")
-    val blocks = (1 to epochs).map { e =>
-      val p = e - 1
-      s"""d$e AS (
-  SELECT ${(0 until k).map(j => s"COALESCE(CAST(sum(f.y * f.x$j) AS BIGINT), 0) AS d$j").mkString(", ")}
-  FROM f CROSS JOIN w$p w
-  WHERE f.y * (${marginExpr("w", "f")}) <= 0),
-w$e AS (
-  SELECT ${(0 until k).map(j => s"w.w$j + d.d$j AS w$j").mkString(", ")}
-  FROM w$p w CROSS JOIN d$e d)"""
-    }.mkString(",\n")
-    s"""WITH ${featCte("f", "WHERE doc_id % 5 <> 0")},
-${featCte("fe", "WHERE doc_id % 5 = 0")},
-$w0,
-$blocks,
+    s"""${weightChainSql(epochs)},
 sc AS (
-  SELECT fe.y, (${marginExpr("w", "fe")}) > 0 AS predicted_en
+  SELECT fe.y, (${marginExprSql("w", "fe")}) > 0 AS predicted_en
   FROM fe CROSS JOIN w$epochs w)
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(CASE WHEN predicted_en AND y = 1 THEN 1 END) AS BIGINT) AS tp,
@@ -336,37 +294,9 @@ FROM sc"""
     * long addition is associative), and the identical 2×-scaled-U
     * division of non-negative exact integers. */
   def aucHeldOutSql(epochs: Int): String = {
-    val k = NumFeatures
-    def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("(", ", ", ")")
-    val profileCols = TextOps.langProfiles.zipWithIndex.map { case ((_, ws), i) =>
-      s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ${inList(ws)})) AS BIGINT) AS x${i + 1}"
-    }.mkString(",\n         ")
-    def featCte(name: String, where: String) =
-      s"""$name AS MATERIALIZED (
-  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
-         CAST(1 AS BIGINT) AS x0,
-         $profileCols,
-         CAST(strlen(text) - length(text) AS BIGINT) AS x${k - 1}
-  FROM documents $where)"""
-    val w0 = s"w0 AS (SELECT ${(0 until k).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")})"
-    def marginExpr(wAlias: String, fAlias: String): String =
-      (0 until k).map(j => s"$wAlias.w$j * $fAlias.x$j").mkString(" + ")
-    val blocks = (1 to epochs).map { e =>
-      val p = e - 1
-      s"""d$e AS (
-  SELECT ${(0 until k).map(j => s"COALESCE(CAST(sum(f.y * f.x$j) AS BIGINT), 0) AS d$j").mkString(", ")}
-  FROM f CROSS JOIN w$p w
-  WHERE f.y * (${marginExpr("w", "f")}) <= 0),
-w$e AS (
-  SELECT ${(0 until k).map(j => s"w.w$j + d.d$j AS w$j").mkString(", ")}
-  FROM w$p w CROSS JOIN d$e d)"""
-    }.mkString(",\n")
-    s"""WITH ${featCte("f", "WHERE doc_id % 5 <> 0")},
-${featCte("fe", "WHERE doc_id % 5 = 0")},
-$w0,
-$blocks,
+    s"""${weightChainSql(epochs)},
 sc AS (
-  SELECT fe.y, (${marginExpr("w", "fe")}) AS margin
+  SELECT fe.y, (${marginExprSql("w", "fe")}) AS margin
   FROM fe CROSS JOIN w$epochs w),
 bym AS (
   SELECT margin,

@@ -556,7 +556,18 @@ object Similarity {
     * (WindowGroupLimit under the rnk filter) — the binary-retrieval
     * read path whose scan is dim/1-bit cheaper than the float corpus. */
   def hammingTopK(queries: DataFrame, corpus: DataFrame,
-                  k: Int = 10): DataFrame = {
+                  k: Int = 10, maxQueries: Long = 1L << 14): DataFrame = {
+    // Precondition (not a silent fallback): the =!= join below compiles
+    // to a BroadcastNestedLoopJoin, i.e. corpus × queries signature
+    // comparisons. That is the intended shape for a SMALL query set
+    // (serving-tier batch, ≤ ~16k: 8-byte signatures keep even the full
+    // scan cheap), but it degrades quadratically if someone feeds a
+    // corpus-sized query frame — fail loudly instead. For bulk all-pairs
+    // use the SRP-bucketed kNN-graph path (see knnGraph).
+    val nq = queries.count()
+    require(nq <= maxQueries,
+      s"hammingTopK is a broadcast-nested-loop scan: $nq query vectors " +
+        s"exceed maxQueries=$maxQueries; use knnGraph/srp buckets for bulk sets")
     val qs = broadcast(signBits(queries).select(col("vec_id").as("qid"),
       col("sig_lo").as("qlo"), col("sig_hi").as("qhi")))
     signBits(corpus)
