@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   * (steps+1)·|nodes| rows, the shuffle-ready sentence corpus a
   * skip-gram trainer consumes.
   *
+  * Checkpoint hygiene (round-10 verdict): the returned corpus is itself
+  * an eager checkpoint, and every intermediate block set — the indexed
+  * neighbor/degree frames and each step's frontier — is released via
+  * [[Checkpoints.release]] before returning, so a walk query leaves
+  * exactly ONE result-sized checkpoint behind (CacheHygieneSpec).
+  *
   * Walks terminate early only at sinks (no outgoing edge); over a
   * symmetrized undirected graph every walked-to node has deg ≥ 1, so
   * walks always run the full length. Isolated start nodes emit only
@@ -31,12 +37,30 @@ import org.apache.spark.sql.functions._
   */
 object RandomWalk {
 
+  private def draw48(seedPrefix: String, t: Int): Column =
+    conv(substring(md5(concat(lit(seedPrefix + ":"),
+      col("walk_id").cast("string"), lit(s":$t"))), 1, 12), 16, 10)
+      .cast("long")
+
+  /** One LAZY uniform step: the frontier joins degree for the modular
+    * pick, then the indexed neighbor ranking for the chosen edge. Seam
+    * for the walk-family plan pins (the eager checkpoints hide the
+    * per-step join shape from the full-query plan). */
+  private[graft] def stepFrame(cur: DataFrame, nbr: DataFrame,
+                               deg: DataFrame, t: Int,
+                               seedPrefix: String): DataFrame =
+    cur.join(deg, col("node") === col("dx"))
+      .withColumn("pick", draw48(seedPrefix, t) % col("deg"))
+      .join(nbr, col("node") === col("nx") && col("pick") === col("idx"))
+      .select(col("walk_id"), col("ny").as("node"))
+
   /** `dir`: DIRECTED edges (x, y) — pass both orientations for an
     * undirected graph (and cache it; evaluated twice, once per
     * checkpointed derived frame). `nodes`:
     * (node) walk starts, one walk each (walk_id = start node; lineage
     * may share `dir`, the checkpoint refreshes attribute ids). Output:
-    * (walk_id, step, node), step 0..steps. */
+    * (walk_id, step, node), step 0..steps — an eager checkpoint, all
+    * intermediates released. */
   def walks(dir: DataFrame, nodes: DataFrame, steps: Int,
             seedPrefix: String = "walk"): DataFrame = {
     // Step-invariant frames: materialize ONCE before the step loop.
@@ -56,20 +80,57 @@ object RandomWalk {
     var cur = nodes.select(col("node").cast("long").as("walk_id"))
       .withColumn("node", col("walk_id"))
       .localCheckpoint(true)
+    val inter = scala.collection.mutable.ArrayBuffer(nbr, deg, cur)
     var out = cur.withColumn("step", lit(0L))
     for (t <- 1 to steps) {
-      val draw = conv(substring(md5(concat(lit(seedPrefix + ":"),
-        col("walk_id").cast("string"), lit(s":$t"))), 1, 12), 16, 10)
-        .cast("long")
-      cur = cur.join(deg, col("node") === col("dx"))
-        .withColumn("pick", draw % col("deg"))
-        .join(nbr, col("node") === col("nx") && col("pick") === col("idx"))
-        .select(col("walk_id"), col("ny").as("node"))
-        .localCheckpoint(true)
+      cur = stepFrame(cur, nbr, deg, t, seedPrefix).localCheckpoint(true)
+      inter += cur
       out = out.unionByName(cur.withColumn("step", lit(t.toLong)))
     }
-    out.select(col("walk_id"), col("step"), col("node"))
+    // Materialize the corpus once (a cheap copy of already-materialized
+    // step frames), then drop the steps+3 intermediate block sets.
+    val res = out.select(col("walk_id"), col("step"), col("node"))
+      .localCheckpoint(true)
+    Checkpoints.release(inter.toSeq: _*)
+    res
   }
+
+  /** One LAZY node2vec step over the candidate expansion: frontier ×
+    * neighbors, the distance-1 LEFT probe against the edge frame, the
+    * integer weights, and the cumulative-weight pick (two window sums
+    * sharing one walk_id Exchange). `broadcastProbe` pins the probe's
+    * join strategy — see [[biasedWalks]] for the decision rule; passing
+    * it explicitly keeps this seam deterministic for the plan pins. */
+  private[graft] def biasedStepFrame(cur: DataFrame, nbr: DataFrame,
+                                     t: Int, wReturn: Long, wCommon: Long,
+                                     wOut: Long, seedPrefix: String,
+                                     broadcastProbe: Boolean): DataFrame = {
+    // distance-1 probe side: fresh aliases so the per-step self-join
+    // of the checkpointed edge frame resolves unambiguously
+    val edge0 = nbr.select(col("nx").as("px"), col("ny").as("py"))
+    val edge = if (broadcastProbe) broadcast(edge0) else edge0
+    val wOrd = Window.partitionBy(col("walk_id")).orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("walk_id"))
+    cur.join(nbr, col("node") === col("nx"))
+      .join(edge,
+        col("px") === col("prev") && col("py") === col("ny"), "left")
+      .withColumn("wt",
+        when(col("ny") === col("prev"), lit(wReturn))
+          .when(col("py").isNotNull, lit(wCommon))
+          .otherwise(lit(wOut)))
+      .withColumn("cum", sum(col("wt")).over(wOrd))
+      .withColumn("tot", sum(col("wt")).over(wAll))
+      .withColumn("r", draw48(seedPrefix, t) % col("tot"))
+      .filter(col("r") >= col("cum") - col("wt") && col("r") < col("cum"))
+      .select(col("walk_id"), col("ny").as("node"),
+        col("nx").as("prev"))
+  }
+
+  /** Row-count gate for broadcasting the distance-1 probe side: 3-long
+    * edge rows hash to ≈40 B each in a broadcast relation, so 2²⁰ rows
+    * ≈ 40 MB — comfortably executor-resident, far past any fixture. */
+  private val BroadcastEdgeRows = 1L << 20
 
   /** node2vec biased walks (Grover–Leskovec KDD'16): stepping from
     * previous node t through current node v, each neighbor x of v gets
@@ -90,7 +151,16 @@ object RandomWalk {
     * bounded by max degree; nothing is all-pairs. Step-invariant
     * `nbr` is checkpointed once, the frontier per step (the
     * BFS/walks pattern).
-    */
+    *
+    * Probe strategy is DECIDED HERE, not left to planner weather
+    * (round-10 verdict: the probe side is borderline-broadcast at
+    * sf0.1 and an AQE flip would swing per-step cost ~2×): the edge
+    * frame is counted once off its checkpoint and broadcast-hinted at
+    * or under [[BroadcastEdgeRows]] rows; past the gate (or under
+    * SPARK_GRAFT_FORCE_DISTRIBUTED) the probe stays a shuffled join —
+    * the 100 TB choice, since an edge frame that large cannot ship to
+    * every executor. Both shapes are bit-identical (RandomWalkSpec
+    * forces the distributed branch). */
   def biasedWalks(dir: DataFrame, nodes: DataFrame, steps: Int,
                   wReturn: Long = 4L, wCommon: Long = 2L, wOut: Long = 1L,
                   seedPrefix: String = "n2v"): DataFrame = {
@@ -102,39 +172,24 @@ object RandomWalk {
         row_number().over(Window.partitionBy(col("nx")).orderBy(col("ny")))
           .cast("long") - 1L)
       .localCheckpoint(true)
-    // distance-1 probe side: fresh aliases so the per-step self-join
-    // of the checkpointed edge frame resolves unambiguously
-    val edge = nbr.select(col("nx").as("px"), col("ny").as("py"))
+    val bcProbe = nbr.count() <= Adaptive.threshold(BroadcastEdgeRows)
     var cur = nodes.select(col("node").cast("long").as("walk_id"))
       .withColumn("node", col("walk_id"))
       .withColumn("prev", lit(null).cast("long"))
       .localCheckpoint(true)
+    val inter = scala.collection.mutable.ArrayBuffer(nbr, cur)
     var out = cur.select(col("walk_id"), col("node"))
       .withColumn("step", lit(0L))
-    val wOrd = Window.partitionBy(col("walk_id")).orderBy(col("idx"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("walk_id"))
     for (t <- 1 to steps) {
-      val draw = conv(substring(md5(concat(lit(seedPrefix + ":"),
-        col("walk_id").cast("string"), lit(s":$t"))), 1, 12), 16, 10)
-        .cast("long")
-      cur = cur.join(nbr, col("node") === col("nx"))
-        .join(edge,
-          col("px") === col("prev") && col("py") === col("ny"), "left")
-        .withColumn("wt",
-          when(col("ny") === col("prev"), lit(wReturn))
-            .when(col("py").isNotNull, lit(wCommon))
-            .otherwise(lit(wOut)))
-        .withColumn("cum", sum(col("wt")).over(wOrd))
-        .withColumn("tot", sum(col("wt")).over(wAll))
-        .withColumn("r", draw % col("tot"))
-        .filter(col("r") >= col("cum") - col("wt") && col("r") < col("cum"))
-        .select(col("walk_id"), col("ny").as("node"),
-          col("nx").as("prev"))
-        .localCheckpoint(true)
+      cur = biasedStepFrame(cur, nbr, t, wReturn, wCommon, wOut,
+        seedPrefix, bcProbe).localCheckpoint(true)
+      inter += cur
       out = out.unionByName(cur.select(col("walk_id"), col("node"))
         .withColumn("step", lit(t.toLong)))
     }
-    out.select(col("walk_id"), col("step"), col("node"))
+    val res = out.select(col("walk_id"), col("step"), col("node"))
+      .localCheckpoint(true)
+    Checkpoints.release(inter.toSeq: _*)
+    res
   }
 }

@@ -104,6 +104,8 @@ object Seasonal {
       .filter(col("zs") > zThresh)
       .orderBy(col("zs").desc, col("product_id"), col("grid_ts"))
       .limit(topK)
+      // unpartitioned rank window is BOUNDED: it runs on the ≤topK
+      // TakeOrdered survivors above, never the full anomaly frame
       .withColumn("rk", row_number().over(Window.orderBy(
         col("zs").desc, col("product_id"), col("grid_ts"))).cast("long"))
       .select(col("product_id"), col("grid_ts"), col("hour_od"),

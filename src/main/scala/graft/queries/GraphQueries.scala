@@ -221,7 +221,11 @@ FROM un GROUP BY user_id, lag_k"""
     * arithmetic; the global top-20 goes through TakeOrdered (ORDER BY +
     * LIMIT — no single-partition window over the full candidate set),
     * with ranks replayed by a window over the 20 survivors. */
-  private def linkPrediction(s: SparkSession, d: String): DataFrame = {
+  /** Lazy scored/ranked frame over the two checkpointed inputs (pc,
+    * edges) — the plan-inspection surface for the link_prediction pin
+    * (the contract query's eager output checkpoint hides the wedge-join
+    * shape). Returns the checkpoints for the caller to release. */
+  private[graft] def linkPredictionLazy(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // Decile edge rule: keep the strongest ~10% of co-occurring pairs —
     // T = max{v : |{c ≥ v}| ≥ ⌈N/10⌉}. A fixed absolute floor (MinCo)
@@ -261,8 +265,16 @@ FROM un GROUP BY user_id, lag_k"""
       .withColumn("rk", row_number().over(
         Window.orderBy(col("cn").desc, col("a"), col("b"))).cast("long"))
       .select(col("rk"), col("a"), col("b"), col("cn"), col("jaccard"))
-      .localCheckpoint(true)
-    pc.unpersist(); edges.unpersist()
+    (Seq(pc, edges), out)
+  }
+
+  private def linkPrediction(s: SparkSession, d: String): DataFrame = {
+    val (cks, lazyOut) = linkPredictionLazy(s, d)
+    // 20-row result: checkpoint eagerly, then release the pc/edges
+    // checkpoints (Dataset.unpersist is a no-op on checkpoints — the
+    // round-10 hygiene finding; Checkpoints.release drops the blocks).
+    val out = lazyOut.localCheckpoint(true)
+    graft.ops.Checkpoints.release(cks: _*)
     out
   }
 
@@ -717,10 +729,65 @@ FROM b$BfsRounds"""
     val dir = edges.unionByName(
       edges.select(col("y").as("x"), col("x").as("y"))).cache()
     val nodes = dir.select(col("x").as("node")).distinct()
+    // walks() returns an eager checkpoint with every intermediate
+    // released (RandomWalk hygiene) — the ONE block set this query keeps.
     val out = graft.ops.RandomWalk.walks(dir, nodes, WalkSteps)
-      .localCheckpoint(true)
     dir.unpersist(false)
     out
+  }
+
+  /** Plan-pin seam: one LAZY uniform walk step over checkpointed
+    * nbr/deg/frontier frames — the per-step join shape the eager
+    * checkpoints hide from the full-query plan. Returns the step frame
+    * and a cleanup that releases the input checkpoints. */
+  private[graft] def walkStepLazy(s: SparkSession, d: String): (DataFrame, () => Unit) = {
+    val edges = suppEdges(s, d)
+    val dir = edges.unionByName(
+      edges.select(col("y").as("x"), col("x").as("y"))).cache()
+    val nbr = dir.select(col("x").cast("long").as("nx"),
+        col("y").cast("long").as("ny"))
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("nx")).orderBy(col("ny"))).cast("long") - 1L)
+      .localCheckpoint(true)
+    val deg = dir.select(col("x").cast("long").as("dx"))
+      .groupBy(col("dx")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val cur = dir.select(col("x").cast("long").as("walk_id")).distinct()
+      .withColumn("node", col("walk_id"))
+      .localCheckpoint(true)
+    dir.unpersist(false)
+    (graft.ops.RandomWalk.stepFrame(cur, nbr, deg, 1, "walk"),
+      () => graft.ops.Checkpoints.release(nbr, deg, cur))
+  }
+
+  /** Plan-pin seam: one LAZY node2vec step (candidate expansion +
+    * distance-1 probe + cumulative-weight pick) with the probe strategy
+    * as decided by [[graft.ops.RandomWalk.biasedWalks]]'s row gate for
+    * this fixture (broadcast under the gate, shuffled when forced). */
+  private[graft] def biasedStepLazy(s: SparkSession, d: String): (DataFrame, () => Unit) = {
+    val edges = suppEdges(s, d)
+    val dir = edges.unionByName(
+      edges.select(col("y").as("x"), col("x").as("y"))).cache()
+    val nbr = dir.select(col("x").cast("long").as("nx"),
+        col("y").cast("long").as("ny"))
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("nx")).orderBy(col("ny"))).cast("long") - 1L)
+      .localCheckpoint(true)
+    // A step ≥2 frontier with a REAL prev column (each node's first
+    // neighbor as the previous hop): a NULL-literal prev lets Catalyst
+    // constant-fold the distance-1 probe's join condition away and the
+    // pin would miss the very join strategy it exists to pin.
+    val cur = nbr.filter(col("idx") === 0L)
+      .select(col("nx").as("walk_id"), col("ny").as("node"),
+        col("nx").as("prev"))
+      .localCheckpoint(true)
+    dir.unpersist(false)
+    val bc = !graft.ops.Adaptive.forceDistributed
+    (graft.ops.RandomWalk.biasedStepFrame(cur, nbr, 2, N2vReturn,
+      N2vCommon, N2vOut, "n2v", bc),
+      () => graft.ops.Checkpoints.release(nbr, cur))
   }
 
   /** Twin of [[graphWalks]]: per-step MATERIALIZED CTEs (w_t references
@@ -778,9 +845,9 @@ $union"""
     val dir = edges.unionByName(
       edges.select(col("y").as("x"), col("x").as("y"))).cache()
     val nodes = dir.select(col("x").as("node")).distinct()
+    // biasedWalks() returns an eager checkpoint, intermediates released.
     val out = graft.ops.RandomWalk.biasedWalks(dir, nodes, WalkSteps,
       N2vReturn, N2vCommon, N2vOut)
-      .localCheckpoint(true)
     dir.unpersist(false)
     out
   }
@@ -860,8 +927,7 @@ $union"""
     * [[graphWalks]] corpus — symmetric by construction (the |Δstep|
     * join emits both orientations). Consumed by [[walkSkipgrams]] (PMI)
     * and [[walkSpectral]] (power iteration). */
-  private def skipgramCounts(s: SparkSession, d: String): DataFrame = {
-    val walks = graphWalks(s, d)
+  private def skipgramCounts(walks: DataFrame): DataFrame = {
     val a = walks.select(col("walk_id").as("wid"), col("step").as("sa"),
       col("node").as("center"))
     val b = walks.select(col("walk_id").as("wid"), col("step").as("sb"),
@@ -872,8 +938,23 @@ $union"""
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Checkpointed (center, context, n_pairs) matrix with the corpus
+    * checkpoint it consumed already released — the shared entry for the
+    * skip-gram family. Materializing cab ONCE matters: the PMI query
+    * reads it four times (pairs, both marginals, the N scalar), and a
+    * lazy cab re-runs the corpus self-join per read (the round-11 pin
+    * made the 4× subtree visible). Caller releases cab when done. */
+  private def cabCheckpointed(s: SparkSession, d: String): DataFrame = {
+    val corpus = graphWalks(s, d)
+    val cab = skipgramCounts(corpus).localCheckpoint(true)
+    graft.ops.Checkpoints.release(corpus)
+    cab
+  }
+
   private def walkSkipgrams(s: SparkSession, d: String): DataFrame = {
-    val cab = skipgramCounts(s, d)
+    // Lazy over the checkpointed count matrix: cab is this query's one
+    // surviving block set (the PMI frame itself is the returned result).
+    val cab = cabCheckpointed(s, d)
     val ca = cab.groupBy(col("center")).agg(sum(col("n_pairs")).as("c_a"))
     val cb = cab.groupBy(col("context")).agg(sum(col("n_pairs")).as("c_b"))
     val nn = cab.agg(sum(col("n_pairs")).as("n"))
@@ -935,21 +1016,39 @@ FROM cab JOIN ca USING (center) JOIN cb USING (context) CROSS JOIN nn"""
     * count matrix against the |nodes|-row iterate plus a row-keyed
     * aggregate and one broadcast scalar — the standard distributed
     * SpMV; nothing is dense, nothing is collected. */
-  private def walkSpectral(s: SparkSession, d: String): DataFrame = {
-    val cab = skipgramCounts(s, d).localCheckpoint(true)
-    var v = cab.select(col("center").as("node")).distinct()
+  /** One LAZY power-iteration round: the distributed SpMV (count matrix
+    * ⨝ iterate + row-keyed exact-long aggregate). Plan-pin seam. */
+  private[graft] def spectralRound(cab: DataFrame, v: DataFrame): DataFrame =
+    cab.join(v, col("context") === col("node"))
+      .groupBy(col("center"))
+      .agg(sum(col("n_pairs") * col("k")).as("w"))
+
+  /** Plan-pin seam: one LAZY SpMV round over the checkpointed count
+    * matrix and the v₀ iterate. */
+  private[graft] def spectralRoundLazy(s: SparkSession, d: String): (DataFrame, () => Unit) = {
+    val cab = cabCheckpointed(s, d)
+    val v0 = cab.select(col("center").as("node")).distinct()
       .withColumn("k", lit(SpecGrid))
       .localCheckpoint(true)
+    (spectralRound(cab, v0),
+      () => graft.ops.Checkpoints.release(cab, v0))
+  }
+
+  private def walkSpectral(s: SparkSession, d: String): DataFrame = {
+    val cab = cabCheckpointed(s, d)
+    val v0 = cab.select(col("center").as("node")).distinct()
+      .withColumn("k", lit(SpecGrid))
+      .localCheckpoint(true)
+    var v = v0
+    val inter = scala.collection.mutable.ArrayBuffer(cab, v0)
     // Per-round localCheckpoint: w feeds BOTH the max(w) scalar and the
     // next iterate, so materializing it once per round keeps the
     // trajectory linear (a lineage-only variant re-executes the cab
     // join 2^rounds times — measured no faster at fixture scale and a
     // worse story at 1000 executors).
     for (_ <- 1 to SpecIters) {
-      val w = cab.join(v, col("context") === col("node"))
-        .groupBy(col("center"))
-        .agg(sum(col("n_pairs") * col("k")).as("w"))
-        .localCheckpoint(true)
+      val w = spectralRound(cab, v).localCheckpoint(true)
+      inter += w
       val mx = w.agg(max(col("w")).as("mx"))
       v = w.crossJoin(broadcast(mx))
         .select(col("center").as("node"),
@@ -957,8 +1056,13 @@ FROM cab JOIN ca USING (center) JOIN cb USING (context) CROSS JOIN nn"""
             col("mx").cast("string").cast("double") *
             lit(1000000.0) + lit(0.5)).cast("long").as("k"))
     }
-    v.select(col("node"),
+    // Node-sized result: checkpoint it, then drop cab + every round's w
+    // (≤1-survivor hygiene, CacheHygieneSpec).
+    val res = v.select(col("node"),
       Det.snap(col("k").cast("double") / lit(1000000.0), 6).as("loading"))
+      .localCheckpoint(true)
+    graft.ops.Checkpoints.release(inter.toSeq: _*)
+    res
   }
 
   /** Twin of [[walkSpectral]]: the same corpus + cab CTEs as the

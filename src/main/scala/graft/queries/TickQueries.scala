@@ -601,6 +601,8 @@ object TickQueries {
         .agg(count(lit(1)).as("n_obs"),
           Det.corrD(col("xa"), col("xbl"), 4).as("xr"))
       byLag
+        // unpartitioned rank window is BOUNDED: byLag is the 7-row
+        // (±3 lags) grid, a constant regardless of data scale
         .withColumn("rk2", row_number().over(
           Window.orderBy(coalesce(abs(col("xr")), lit(-1.0)).desc, col("lag_h"))))
         .select(col("lag_h").cast("long").as("lag_h"), col("n_obs"),

@@ -101,10 +101,36 @@ object PlanSnap {
     "interval_overlap",  // start-bucket dedup band join
     // Driver-round-10 additions.
     "perceptron_auc",    // literal-weight margin agg + running-sum rank path
-    "perceptron_pr_curve"// same + descending double running sum + broadcast total
-    // ivf_sweep / hurst_rs are NOT pinned: their eager output
-    // checkpoints reduce the observable plan to an RDD scan.
+    "perceptron_pr_curve",// same + descending double running sum + broadcast total
+    // Round-11: the walk family (the bench's most expensive queries).
+    "walk_skipgrams"     // corpus self-join + PMI marginal joins (the
+                         // corpus leaf is the walks checkpoint's RDD scan)
+    // ivf_sweep / hurst_rs / graph_walks* / walk_spectral /
+    // link_prediction are NOT pinned as full queries: their eager output
+    // checkpoints reduce the observable plan to an RDD scan — the last
+    // three pin their hot inner shape through Seams below instead.
   )
+
+  /** Lazy plan-pin seams for checkpoint-hygienic queries whose contract
+    * entry eagerly checkpoints its result (a full-query pin would
+    * reduce to a 1-op RDD scan): name → (lazy frame, cleanup). The
+    * frame is the query's hot inner shape over already-checkpointed
+    * inputs — exactly the plan whose AQE strategy flip the round-10
+    * verdict wanted caught (the biased walker's distance-1 probe). */
+  val Seams: Map[String, (SparkSession, String) =>
+      (org.apache.spark.sql.DataFrame, () => Unit)] = Map(
+    "graph_walks_step" -> // frontier ⨝ deg ⨝ indexed-nbr uniform step
+      ((s, d) => graft.queries.GraphQueries.walkStepLazy(s, d)),
+    "graph_walks_biased_step" -> // candidate expansion + BROADCAST
+      // distance-1 probe + one walk_id Exchange for both window sums
+      ((s, d) => graft.queries.GraphQueries.biasedStepLazy(s, d)),
+    "walk_spectral_round" -> // SpMV: cab ⨝ iterate + row-keyed agg
+      ((s, d) => graft.queries.GraphQueries.spectralRoundLazy(s, d)),
+    "link_prediction_scored" -> // wedge self-join + anti-join + degree joins
+      ((s, d) => {
+        val (cks, frame) = graft.queries.GraphQueries.linkPredictionLazy(s, d)
+        (frame, () => graft.ops.Checkpoints.release(cks: _*))
+      }))
 
   val SnapshotDir = "src/test/resources/plans"
 
@@ -128,11 +154,16 @@ object PlanSnap {
   }
 
   def capture(spark: SparkSession, name: String, dir: String): String =
-    skeleton(SparkEntry.queries(name)(spark, dir)
+    if (Seams.contains(name)) {
+      val (frame, cleanup) = Seams(name)(spark, dir)
+      try skeleton(frame.queryExecution.executedPlan.toString)
+      finally cleanup()
+    } else skeleton(SparkEntry.queries(name)(spark, dir)
       .queryExecution.executedPlan.toString)
 
   def main(args: Array[String]): Unit = {
-    val names = if (args.nonEmpty) args.toSeq else Headline
+    val names =
+      if (args.nonEmpty) args.toSeq else Headline ++ Seams.keys.toSeq.sorted
     // MUST match graft.TestSpark's session config — PlanRegressionSpec
     // compares against snapshots captured here.
     val spark = SparkSession.builder()

@@ -30,6 +30,28 @@ class CacheHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("walk family and link_prediction leave at most one result-sized checkpoint") {
+    // Round-10 verdict finding: the walkers unioned every per-step
+    // localCheckpoint into the result (steps+1 surviving block sets) and
+    // linkPrediction's Dataset.unpersist was a CacheManager no-op on its
+    // pc/edges checkpoints. Both now release through Checkpoints.release;
+    // the one legitimate survivor is the checkpointed result (for
+    // walk_skipgrams: the walk corpus its lazy result reads from).
+    for (q <- Seq("graph_walks", "graph_walks_biased", "walk_spectral",
+        "walk_skipgrams", "link_prediction")) {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet.toSet
+      SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+      val after = sc.getPersistentRDDs.view.filterKeys(!before.contains(_)).toMap
+      assert(after.size <= 1,
+        s"$q left more than its result checkpoint behind: ${after.keySet}")
+      after.values.foreach { rdd =>
+        assert(rdd.partitions.length <= spark.sparkContext.defaultParallelism * 2,
+          s"$q left a large persisted RDD (${rdd.partitions.length} partitions)")
+      }
+    }
+  }
+
   test("pagerank, triangle_count, market_basket, lm_fluency release their mid-plan caches") {
     for (q <- Seq("pagerank", "triangle_count", "market_basket", "lm_fluency")) {
       val sc = spark.sparkContext

@@ -31,7 +31,7 @@ class PlanRegressionSpec extends AnyFunSuite {
     }.take(12).mkString("\n")
   }
 
-  PlanSnap.Headline.foreach { name =>
+  (PlanSnap.Headline ++ PlanSnap.Seams.keys.toSeq.sorted).foreach { name =>
     test(s"$name plan skeleton matches its golden snapshot") {
       val got = PlanSnap.capture(spark, name, dir)
       val want = golden(name)

@@ -155,6 +155,35 @@ class RandomWalkSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("forced-distributed probe (no broadcast hint) is bit-identical") {
+    // biasedWalks broadcast-hints the distance-1 probe side under the
+    // BroadcastEdgeRows gate; forcing drops the hint (the 100 TB shuffled
+    // shape). Both branches must produce the same bits.
+    val starts = Seq(1L, 2L, 3L, 4L, 5L)
+    val want = runBiased(dir(tri: _*), starts, 4, 4L, 2L, 1L)
+    sys.props("graft.force.distributed") = "1"
+    try {
+      val got = runBiased(dir(tri: _*), starts, 4, 4L, 2L, 1L)
+      assert(got == want)
+    } finally sys.props.remove("graft.force.distributed")
+  }
+
+  test("walks and biased walks leave exactly one surviving checkpoint") {
+    val sc = spark.sparkContext
+    for (go <- Seq(
+        () => RandomWalk.walks(dir(tri: _*), Seq(1L, 2L).toDF("node"), 3),
+        () => RandomWalk.biasedWalks(dir(tri: _*), Seq(1L, 2L).toDF("node"), 3))) {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val res = go()
+      res.collect()
+      val after = sc.getPersistentRDDs.keySet.toSet -- before
+      assert(after.size == 1,
+        s"walker must keep only its corpus checkpoint, left: $after")
+      graft.ops.Checkpoints.release(res)
+      assert((sc.getPersistentRDDs.keySet.toSet -- before).isEmpty)
+    }
+  }
+
   test("biased walks are deterministic across runs and follow edges") {
     val a = runBiased(dir(tri: _*), Seq(1L, 3L), 3, 4L, 2L, 1L)
     val b = runBiased(dir(tri: _*), Seq(1L, 3L), 3, 4L, 2L, 1L)
