@@ -34,7 +34,14 @@ object Verify {
     val tasks = selected.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          // repartition(1), NOT coalesce(1): coalesce collapses the whole
+          // final stage (sort + window + project) into ONE task — at the
+          // 100× stress tier that turned a parallel window query into a
+          // 20-minute single-core stage. The extra exchange keeps compute
+          // parallel and only the file write is single-task; the compare
+          // is row-order-insensitive (rows sorted before hashing), so the
+          // round-robin row order cannot move the verdict.
+          try fn(spark, sfDir).repartition(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -1099,9 +1099,144 @@ SELECT node, ${s6("CAST(k AS DOUBLE) / 1000000.0")} AS loading
 FROM sv$SpecIters"""
   }
 
+  // walk_embed_k: rounds of the 2-dim deflated power iteration (fixed —
+  // the oracle unrolls the trajectory) on the same 1e-6 loading grid.
+  private val EmbedIters = 3
+
+  /** k-dim spectral embedding of the walk co-occurrence matrix — the
+    * DeepWalk-factorization closure of [[walkSpectral]]: ORTHOGONAL
+    * (deflated) max-norm power iteration recovering the top-2
+    * eigendirections of the symmetric skip-gram count matrix C (the
+    * Levy–Goldberg NIPS'14 target; dimension 2 is hard-wired — each
+    * extra dimension repeats the same deflation block).
+    *
+    * Determinism (every step engine-portable):
+    *  - both iterate columns live on the exact 1e-6 integer grid; each
+    *    round's SpMV W = C·V is exact long arithmetic (order-free sums;
+    *    envelope max_center Σ n_pairs·10⁶ < 2⁵³ so the per-row w value
+    *    also crosses to double exactly — string-routed regardless);
+    *  - dim 1 normalizes by max|w₁| exactly like walkSpectral;
+    *  - dim 2 deflates: the Gram–Schmidt coefficient c = ⟨w₂,u₁⟩/⟨u₁,u₁⟩
+    *    is a ratio of EXACT integer dot products (decimal(38,0) sums in
+    *    Spark ≡ HUGEINT sums in DuckDB — products reach |w₂|·10⁶, past
+    *    int64), both crossing to double via exact decimal STRINGS, so
+    *    the one division is correctly rounded in both engines;
+    *  - the residual d = w₂ − c·u₁ is the same fixed IEEE sequence per
+    *    row (long→double casts exact at these magnitudes), normalized
+    *    by max|d| and snapped with the shared floor(·+0.5) grid snap;
+    *  - v₀ = (all-ones, node-parity ±1) — deterministic and not in the
+    *    span of dim 1, re-orthogonalized every round anyway.
+    *
+    * Scale shape: per round ONE SpMV join carrying both columns (the
+    * spectral shape, k× the payload), two 1-row aggregates and two
+    * broadcast scalars per dimension — nothing dense, nothing collected;
+    * sign structure of dim 2 splits the graph's dominant bipartition
+    * (the spectral-partitioning readout an embedding consumer gets
+    * before any trainer runs). */
+  private def walkEmbedK(s: SparkSession, d: String): DataFrame = {
+    def sdbl(c: org.apache.spark.sql.Column) = c.cast("string").cast("double")
+    val cab = cabCheckpointed(s, d)
+    val v0 = cab.select(col("center").as("node")).distinct()
+      .withColumn("k1", lit(SpecGrid))
+      .withColumn("k2", when(col("node") % 2 === 0, lit(SpecGrid))
+        .otherwise(lit(-SpecGrid)))
+      .localCheckpoint(true)
+    var v = v0
+    val inter = scala.collection.mutable.ArrayBuffer(cab, v0)
+    for (_ <- 1 to EmbedIters) {
+      val w = cab.join(v, col("context") === col("node"))
+        .groupBy(col("center"))
+        .agg(sum(col("n_pairs") * col("k1")).as("w1"),
+          sum(col("n_pairs") * col("k2")).as("w2"))
+        .localCheckpoint(true)
+      inter += w
+      val m1 = w.agg(max(abs(col("w1"))).as("m1"))
+      val u1 = w.crossJoin(broadcast(m1))
+        .select(col("center"), col("w2"),
+          floor(sdbl(col("w1")) / sdbl(col("m1")) * lit(1000000.0) + lit(0.5))
+            .cast("long").as("u1"))
+      // Deflation scalars off the SNAPPED u1 (exact longs again): both
+      // dot products in decimal(38,0) ≡ the oracle's HUGEINT.
+      val cN = u1.agg(
+        sum(col("w2").cast("decimal(38,0)") * col("u1").cast("decimal(38,0)"))
+          .as("cn"),
+        sum(col("u1").cast("decimal(38,0)") * col("u1").cast("decimal(38,0)"))
+          .as("cd"))
+      val d2 = u1.crossJoin(broadcast(cN))
+        .select(col("center"), col("u1"),
+          (sdbl(col("w2")) - sdbl(col("cn")) / sdbl(col("cd")) *
+            col("u1").cast("double")).as("d"))
+        .localCheckpoint(true)
+      inter += d2
+      val m2 = d2.agg(max(abs(col("d"))).as("m2"))
+      v = d2.crossJoin(broadcast(m2))
+        .select(col("center").as("node"), col("u1").as("k1"),
+          floor(col("d") / col("m2") * lit(1000000.0) + lit(0.5))
+            .cast("long").as("k2"))
+    }
+    val res = v.select(col("node"),
+      Det.snap(col("k1").cast("double") / lit(1000000.0), 6).as("loading_1"),
+      Det.snap(col("k2").cast("double") / lit(1000000.0), 6).as("loading_2"))
+      .localCheckpoint(true)
+    graft.ops.Checkpoints.release(inter.toSeq: _*)
+    res
+  }
+
+  /** Twin of [[walkEmbedK]]: the shared corpus/cab CTEs, then per round
+    * the SpMV, the dim-1 max-norm snap, the HUGEINT Gram–Schmidt
+    * scalars, the residual, and the dim-2 snap — every long→double cast
+    * string-routed, every chained CTE MATERIALIZED. */
+  private val walkEmbedKSql = {
+    def sd(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val iterBlocks = (1 to EmbedIters).map { t =>
+      s"""ew$t AS MATERIALIZED (
+  SELECT cab.center AS node,
+         CAST(sum(cab.n_pairs * v.k1) AS BIGINT) AS w1,
+         CAST(sum(cab.n_pairs * v.k2) AS BIGINT) AS w2
+  FROM cab JOIN ev${t - 1} v ON cab.context = v.node GROUP BY 1
+), ema$t AS (SELECT max(abs(w1)) AS m FROM ew$t),
+eu$t AS MATERIALIZED (
+  SELECT node, w2,
+         CAST(floor(${sd("w1")} / ${sd("m")} * 1000000.0 + 0.5) AS BIGINT) AS u1
+  FROM ew$t CROSS JOIN ema$t),
+ec$t AS (
+  SELECT ${sd("sum(CAST(w2 AS HUGEINT) * u1)")} /
+         ${sd("sum(CAST(u1 AS HUGEINT) * u1)")} AS c
+  FROM eu$t),
+ed$t AS MATERIALIZED (
+  SELECT node, u1, ${sd("w2")} - c * CAST(u1 AS DOUBLE) AS d
+  FROM eu$t CROSS JOIN ec$t),
+emb$t AS (SELECT max(abs(d)) AS m FROM ed$t),
+ev$t AS MATERIALIZED (
+  SELECT node, u1 AS k1,
+         CAST(floor(d / m * 1000000.0 + 0.5) AS BIGINT) AS k2
+  FROM ed$t CROSS JOIN emb$t)"""
+    }.mkString(",\n")
+    s"""WITH walks AS MATERIALIZED (
+  SELECT * FROM ($graphWalksSql)
+), pr AS (
+  SELECT a.node AS center, b.node AS context
+  FROM walks a JOIN walks b
+    ON a.walk_id = b.walk_id
+   AND abs(a.step - b.step) BETWEEN 1 AND $SkipWindow
+), cab AS MATERIALIZED (
+  SELECT center, context, count(*) AS n_pairs FROM pr GROUP BY 1, 2
+), ev0 AS MATERIALIZED (
+  SELECT DISTINCT center AS node, CAST($SpecGrid AS BIGINT) AS k1,
+         CASE WHEN center % 2 = 0 THEN CAST($SpecGrid AS BIGINT)
+              ELSE CAST(-$SpecGrid AS BIGINT) END AS k2
+  FROM cab
+),
+$iterBlocks
+SELECT node, ${s6("CAST(k1 AS DOUBLE) / 1000000.0")} AS loading_1,
+       ${s6("CAST(k2 AS DOUBLE) / 1000000.0")} AS loading_2
+FROM ev$EmbedIters"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "walk_skipgrams" -> ((s, d) => walkSkipgrams(s, d)),
     "walk_spectral" -> ((s, d) => walkSpectral(s, d)),
+    "walk_embed_k" -> ((s, d) => walkEmbedK(s, d)),
     "graph_walks" -> ((s, d) => graphWalks(s, d)),
     "graph_walks_biased" -> ((s, d) => graphWalksBiased(s, d)),
     "graph_bfs" -> ((s, d) => graphBfs(s, d)),
@@ -1139,6 +1274,7 @@ FROM sv$SpecIters"""
   def oracleSql: Map[String, String] = Map(
     "walk_skipgrams" -> walkSkipgramsSql,
     "walk_spectral" -> walkSpectralSql,
+    "walk_embed_k" -> walkEmbedKSql,
     "graph_walks" -> graphWalksSql,
     "graph_walks_biased" -> graphWalksBiasedSql,
     "graph_bfs" -> graphBfsSql,

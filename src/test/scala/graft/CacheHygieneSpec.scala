@@ -38,7 +38,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     // the one legitimate survivor is the checkpointed result (for
     // walk_skipgrams: the walk corpus its lazy result reads from).
     for (q <- Seq("graph_walks", "graph_walks_biased", "walk_spectral",
-        "walk_skipgrams", "link_prediction")) {
+        "walk_embed_k", "walk_skipgrams", "link_prediction")) {
       val sc = spark.sparkContext
       val before = sc.getPersistentRDDs.keySet.toSet
       SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -6,7 +6,12 @@ tables in DuckDB, runs each oracle_sql.json statement, and compares against
 the corresponding <name>/ parquet dump (column names sorted, rows sorted,
 exact match for non-floats, exact-then-tolerance report for floats).
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [query ...]
+
+With query names given, only those oracles are compared — the 100×
+stress tier runs one query at a time this way, so a DuckDB spill on one
+pathological oracle (70 GB of temp on the first attempt) cannot starve
+the disk for the rest of the batch.
 """
 import json
 import math
@@ -20,13 +25,15 @@ TABLES = [
 ]
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only=None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(f"{out_dir}/oracle_sql.json") as fh:
         oracles = json.load(fh)
+    if only:
+        oracles = {k: v for k, v in oracles.items() if k in only}
     failures = 0
     for name, sql in sorted(oracles.items()):
         try:
@@ -98,4 +105,5 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
+    sys.exit(1 if main(sys.argv[1], sys.argv[2],
+                       set(sys.argv[3:]) or None) else 0)
