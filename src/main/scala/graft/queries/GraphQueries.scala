@@ -1233,10 +1233,107 @@ SELECT node, ${s6("CAST(k1 AS DOUBLE) / 1000000.0")} AS loading_1,
 FROM ev$EmbedIters"""
   }
 
+  /** Degree assortativity of the supplier co-occurrence graph: Pearson
+    * correlation of endpoint degrees over the symmetrized edge list
+    * (Newman's r — each undirected edge contributes both orientations,
+    * the standard convention, which also makes the statistic direction-
+    * free). Positive r = hubs attach to hubs; the one-number mixing
+    * readout consumed next to [[triangles]]' closure ratio.
+    *
+    * Scale shape: one degree aggregate + two node-keyed joins annotating
+    * each edge end (dimension-vs-edge joins — broadcast at fixture,
+    * keyed shuffle at scale), then ONE 1-row exact-moment aggregate
+    * (Det.corrD at grid 0: degrees are already integers). Envelope:
+    * Σ deg_a·deg_b ≤ m·maxdeg² — decimal(38) moments inside corrD. */
+  private def graphAssortativity(s: SparkSession, d: String): DataFrame = {
+    val edges = suppEdges(s, d)
+    val dir = edges.unionByName(
+      edges.select(col("y").as("x"), col("x").as("y")))
+    val deg = dir.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    dir
+      .join(deg.select(col("x"), col("deg").as("da")), Seq("x"))
+      .join(deg.select(col("x").as("y"), col("deg").as("db")), Seq("y"))
+      .agg(count(lit(1)).as("n_dir_edges"),
+        Det.snap(Det.corrD(col("da"), col("db"), 0), 6).as("assortativity"))
+  }
+
+  private val graphAssortativitySql =
+    s"""WITH os AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), pairs AS (
+  SELECT a.l_suppkey AS x, b.l_suppkey AS y
+  FROM os a JOIN os b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING count(*) >= $MinCo
+), dir AS MATERIALIZED (
+  SELECT x, y FROM pairs UNION ALL SELECT y AS x, x AS y FROM pairs
+), deg AS (
+  SELECT x AS node, count(*) AS deg FROM dir GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_dir_edges,
+       ${s6(Det.corrDSql("a.deg", "b.deg", 0))} AS assortativity
+FROM dir JOIN deg a ON dir.x = a.node JOIN deg b ON dir.y = b.node"""
+
+  /** Walk-corpus visit diagnostics: per node the visit count in the
+    * [[graphWalks]] corpus, the node's degree, and the ratio of its
+    * visit share to its degree share — the stationary-distribution
+    * check (uniform random walks on an undirected graph visit ∝ degree
+    * in the limit; the ratio flags under/over-mixed regions of a short-
+    * walk corpus before a trainer consumes it).
+    *
+    * Scale shape: one corpus-keyed count, one degree aggregate, one
+    * node-keyed join, two broadcast scalar totals. The ratio
+    * (visits·Σdeg)/(deg·Σvisits) is a product of exact non-negative
+    * longs — string-routed to double anyway, so the statistic stays
+    * bit-exact at ANY corpus magnitude. */
+  private def walkVisitStats(s: SparkSession, d: String): DataFrame = {
+    def sdbl(c: org.apache.spark.sql.Column) = c.cast("string").cast("double")
+    val corpus = graphWalks(s, d)
+    val visits = corpus.groupBy(col("node")).agg(count(lit(1)).as("visits"))
+    val edges = suppEdges(s, d)
+    val dir = edges.unionByName(
+      edges.select(col("y").as("x"), col("x").as("y")))
+    val deg = dir.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+      .select(col("x").as("node"), col("deg"))
+    val tot = visits.agg(sum(col("visits")).as("tv"))
+      .crossJoin(deg.agg(sum(col("deg")).as("td")))
+    visits.join(deg, Seq("node"))
+      .crossJoin(broadcast(tot))
+      .select(col("node"), col("visits"), col("deg"),
+        Det.snap(sdbl(col("visits") * col("td")) /
+          sdbl(col("deg") * col("tv")), 6).as("visit_rate_ratio"))
+  }
+
+  private val walkVisitStatsSql =
+    s"""WITH walks AS MATERIALIZED (
+  SELECT * FROM ($graphWalksSql)
+), visits AS (
+  SELECT node, count(*) AS visits FROM walks GROUP BY 1
+), vpairs AS (
+  SELECT a.l_suppkey AS x, b.l_suppkey AS y
+  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING count(*) >= $MinCo
+), degf AS (
+  SELECT CAST(node AS BIGINT) AS node, count(*) AS deg FROM (
+    SELECT x AS node FROM vpairs UNION ALL SELECT y FROM vpairs)
+  GROUP BY 1
+), tot AS (
+  SELECT (SELECT CAST(sum(visits) AS BIGINT) FROM visits) AS tv,
+         (SELECT CAST(sum(deg) AS BIGINT) FROM degf) AS td
+)
+SELECT v.node, v.visits, g.deg,
+       ${s6("CAST(CAST(v.visits * tot.td AS VARCHAR) AS DOUBLE) / CAST(CAST(g.deg * tot.tv AS VARCHAR) AS DOUBLE)")}
+         AS visit_rate_ratio
+FROM visits v JOIN degf g USING (node) CROSS JOIN tot"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "walk_skipgrams" -> ((s, d) => walkSkipgrams(s, d)),
     "walk_spectral" -> ((s, d) => walkSpectral(s, d)),
     "walk_embed_k" -> ((s, d) => walkEmbedK(s, d)),
+    "walk_visit_stats" -> ((s, d) => walkVisitStats(s, d)),
+    "graph_assortativity" -> ((s, d) => graphAssortativity(s, d)),
     "graph_walks" -> ((s, d) => graphWalks(s, d)),
     "graph_walks_biased" -> ((s, d) => graphWalksBiased(s, d)),
     "graph_bfs" -> ((s, d) => graphBfs(s, d)),
@@ -1275,6 +1372,8 @@ FROM ev$EmbedIters"""
     "walk_skipgrams" -> walkSkipgramsSql,
     "walk_spectral" -> walkSpectralSql,
     "walk_embed_k" -> walkEmbedKSql,
+    "walk_visit_stats" -> walkVisitStatsSql,
+    "graph_assortativity" -> graphAssortativitySql,
     "graph_walks" -> graphWalksSql,
     "graph_walks_biased" -> graphWalksBiasedSql,
     "graph_bfs" -> graphBfsSql,
