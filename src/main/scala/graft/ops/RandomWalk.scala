@@ -65,22 +65,27 @@ object RandomWalk {
             seedPrefix: String = "walk"): DataFrame = {
     // Step-invariant frames: materialize ONCE before the step loop.
     // Without the checkpoint each per-step join re-executes the ranking
-    // window's shuffle+sort and the degree aggregate over the full edge
-    // list — a steps× redundant shuffle of the query's largest input.
-    // Bits cannot move: both frames are exact longs.
-    val nbr = dir.select(col("x").cast("long").as("nx"),
+    // window's shuffle+sort over the full edge list — a steps× redundant
+    // shuffle of the query's largest input. Degree rides the SAME window
+    // pass as the neighbor ranking (count over the same partitioning —
+    // one Exchange for both, where a separate groupBy would shuffle the
+    // edge list a second time); the degree frame is then the idx = 0
+    // slice of the one checkpoint. Bits cannot move: exact longs.
+    val nbrFull = dir.select(col("x").cast("long").as("nx"),
         col("y").cast("long").as("ny"))
       .withColumn("idx",
         row_number().over(Window.partitionBy(col("nx")).orderBy(col("ny")))
           .cast("long") - 1L)
+      .withColumn("deg",
+        count(lit(1)).over(Window.partitionBy(col("nx"))))
       .localCheckpoint(true)
-    val deg = dir.select(col("x").cast("long").as("dx"))
-      .groupBy(col("dx")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+    val nbr = nbrFull.select(col("nx"), col("ny"), col("idx"))
+    val deg = nbrFull.filter(col("idx") === 0L)
+      .select(col("nx").as("dx"), col("deg"))
     var cur = nodes.select(col("node").cast("long").as("walk_id"))
       .withColumn("node", col("walk_id"))
       .localCheckpoint(true)
-    val inter = scala.collection.mutable.ArrayBuffer(nbr, deg, cur)
+    val inter = scala.collection.mutable.ArrayBuffer(nbrFull, cur)
     var out = cur.withColumn("step", lit(0L))
     for (t <- 1 to steps) {
       cur = stepFrame(cur, nbr, deg, t, seedPrefix).localCheckpoint(true)
