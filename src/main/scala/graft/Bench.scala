@@ -183,8 +183,24 @@ object Bench {
     val raw = samples.map { case (k, v) =>
       "\"" + k + "\":" + v.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // Per-query spread = median/min (round-11 verdict #7): the round
+    // rejection is global, so a noise episode narrow enough to distort
+    // ONE query's accepted samples without moving the controls would
+    // still pass ungraded. spread > SpreadFlag names those queries in
+    // the artifact — their published median should be read against
+    // queries_min before calling anything a regression.
+    val SpreadFlag = 1.5
+    val minMap = minima.toMap
+    val spreads = medians.map { case (k, m) =>
+      k -> (if (minMap(k) > 0) m / minMap(k) else 1.0)
+    }
+    val flagged = spreads.collect { case (k, s) if s > SpreadFlag => k }
+    if (flagged.nonEmpty)
+      System.err.println(s"[bench] median/min spread > $SpreadFlag for: " +
+        flagged.mkString(", ") + " (read against queries_min)")
+    val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full = line.dropRight(1) +
-      s""","queries_min":${obj(minima)},"total_min":${f3(minima.map(_._2).sum)},"samples":$raw}"""
+      s""","queries_min":${obj(minima)},"total_min":${f3(minima.map(_._2).sum)},"queries_spread":${obj(spreads)},"spread_flagged":$flaggedJson,"samples":$raw}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     spark.stop()
     // Stdout contract: the driver's tail capture has front-truncated the

@@ -135,7 +135,7 @@ object RandomWalk {
   /** Row-count gate for broadcasting the distance-1 probe side: 3-long
     * edge rows hash to ≈40 B each in a broadcast relation, so 2²⁰ rows
     * ≈ 40 MB — comfortably executor-resident, far past any fixture. */
-  private val BroadcastEdgeRows = 1L << 20
+  private[graft] val BroadcastEdgeRows = 1L << 20
 
   /** node2vec biased walks (Grover–Leskovec KDD'16): stepping from
     * previous node t through current node v, each neighbor x of v gets

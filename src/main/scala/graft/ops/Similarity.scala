@@ -563,11 +563,16 @@ object Similarity {
     // (serving-tier batch, ≤ ~16k: 8-byte signatures keep even the full
     // scan cheap), but it degrades quadratically if someone feeds a
     // corpus-sized query frame — fail loudly instead. For bulk all-pairs
-    // use the SRP-bucketed kNN-graph path (see knnGraph).
-    val nq = queries.count()
+    // use the SRP-bucketed kNN-graph path (see knnGraph). The guard is a
+    // LIMIT probe, not a full count (round-11 ADVICE): it stops scanning
+    // after maxQueries+1 rows, so a healthy call pays O(maxQueries) on
+    // the raw query frame instead of a second full evaluation of the
+    // queries subtree.
+    val probeCap = math.min(maxQueries, Int.MaxValue.toLong - 1L).toInt
+    val nq = queries.limit(probeCap + 1).count()
     require(nq <= maxQueries,
-      s"hammingTopK is a broadcast-nested-loop scan: $nq query vectors " +
-        s"exceed maxQueries=$maxQueries; use knnGraph/srp buckets for bulk sets")
+      s"hammingTopK is a broadcast-nested-loop scan: > $maxQueries query " +
+        s"vectors supplied; use knnGraph/srp buckets for bulk sets")
     val qs = broadcast(signBits(queries).select(col("vec_id").as("qid"),
       col("sig_lo").as("qlo"), col("sig_hi").as("qhi")))
     signBits(corpus)

@@ -784,7 +784,12 @@ FROM b$BfsRounds"""
         col("nx").as("prev"))
       .localCheckpoint(true)
     dir.unpersist(false)
-    val bc = !graft.ops.Adaptive.forceDistributed
+    // Same decision rule as biasedWalks (round-11 ADVICE): a COUNTED
+    // row gate, not the force-flag alone — if the fixture's edge count
+    // ever crosses the broadcast gate the pin flips with production
+    // instead of silently diverging from it.
+    val bc = nbr.count() <=
+      graft.ops.Adaptive.threshold(graft.ops.RandomWalk.BroadcastEdgeRows)
     (graft.ops.RandomWalk.biasedStepFrame(cur, nbr, 2, N2vReturn,
       N2vCommon, N2vOut, "n2v", bc),
       () => graft.ops.Checkpoints.release(nbr, cur))
@@ -1246,15 +1251,27 @@ FROM ev$EmbedIters"""
     * (Det.corrD at grid 0: degrees are already integers). Envelope:
     * Σ deg_a·deg_b ≤ m·maxdeg² — decimal(38) moments inside corrD. */
   private def graphAssortativity(s: SparkSession, d: String): DataFrame = {
+    // suppEdges' contract is "callers cache": the plan below references
+    // the edge frame three times (the degree aggregate + both join
+    // annotations), so without the cache the expensive flatMapGroups
+    // pair generation over lineitem would re-execute up to 3× per run
+    // (round-11 ADVICE). The 1-row result is materialized eagerly so
+    // both block sets can be released before returning — the query
+    // leaves nothing persisted (CacheHygieneSpec).
     val edges = suppEdges(s, d)
     val dir = edges.unionByName(
-      edges.select(col("y").as("x"), col("x").as("y")))
+      edges.select(col("y").as("x"), col("x").as("y"))).cache()
     val deg = dir.groupBy(col("x")).agg(count(lit(1)).as("deg"))
-    dir
+      .localCheckpoint(true)
+    val res = dir
       .join(deg.select(col("x"), col("deg").as("da")), Seq("x"))
       .join(deg.select(col("x").as("y"), col("deg").as("db")), Seq("y"))
       .agg(count(lit(1)).as("n_dir_edges"),
         Det.snap(Det.corrD(col("da"), col("db"), 0), 6).as("assortativity"))
+    val out = s.createDataFrame(res.collectAsList(), res.schema)
+    dir.unpersist(false)
+    graft.ops.Checkpoints.release(deg)
+    out
   }
 
   private val graphAssortativitySql =

@@ -23,8 +23,11 @@ class CacheHygieneSpec extends AnyFunSuite {
     sc.getPersistentRDDs.keySet.toSet -- before
   }
 
-  test("lead_lag, pairs_spread, corr_matrix and rfm_segments leave no cached blocks") {
-    for (q <- Seq("lead_lag", "pairs_spread", "corr_matrix", "rfm_segments")) {
+  test("lead_lag, pairs_spread, corr_matrix, rfm_segments and graph_assortativity leave no cached blocks") {
+    // graph_assortativity caches the symmetrized edge frame (3 plan
+    // references) but collects its 1-row result and releases everything.
+    for (q <- Seq("lead_lag", "pairs_spread", "corr_matrix", "rfm_segments",
+        "graph_assortativity")) {
       val leaked = persistedAfter(q)
       assert(leaked.isEmpty, s"$q left persistent RDDs behind: $leaked")
     }
@@ -37,8 +40,11 @@ class CacheHygieneSpec extends AnyFunSuite {
     // pc/edges checkpoints. Both now release through Checkpoints.release;
     // the one legitimate survivor is the checkpointed result (for
     // walk_skipgrams: the walk corpus its lazy result reads from).
+    // walk_visit_stats returns a lazy frame over the graphWalks corpus
+    // checkpoint (same single-survivor discipline as walk_skipgrams).
     for (q <- Seq("graph_walks", "graph_walks_biased", "walk_spectral",
-        "walk_embed_k", "walk_skipgrams", "link_prediction")) {
+        "walk_embed_k", "walk_skipgrams", "walk_visit_stats",
+        "link_prediction")) {
       val sc = spark.sparkContext
       val before = sc.getPersistentRDDs.keySet.toSet
       SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -33,6 +33,14 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
     with open(f"{out_dir}/oracle_sql.json") as fh:
         oracles = json.load(fh)
     if only:
+        # A misspelled filter name must not read as a passing compare
+        # (zero comparisons, exit 0) — at the one-query-at-a-time 100x
+        # tier that typo would silently skip the query it meant to grade.
+        unknown = sorted(set(only) - set(oracles))
+        if unknown:
+            print(f"FAIL: requested queries not in oracle_sql.json: "
+                  + ", ".join(unknown))
+            return 1
         oracles = {k: v for k, v in oracles.items() if k in only}
     failures = 0
     for name, sql in sorted(oracles.items()):
