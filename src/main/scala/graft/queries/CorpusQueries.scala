@@ -855,6 +855,94 @@ WHERE n_chunk_tokens >= $SpanMinTokens
 GROUP BY chunk_md5
 HAVING count(DISTINCT doc_id) >= 2"""
 
+  // ---------------------------------------------------- dedup_substring
+
+  // Exact-substring duplication threshold (chars). Lee et al. 2022
+  // ("Deduplicating Training Data Makes Language Models Better",
+  // ExactSubstr) removes any substring of at least this length that
+  // occurs verbatim ≥ 2 times anywhere in the corpus.
+  private val SubstrL = 40
+
+  /** Exact-substring duplication (Lee et al. 2022's ExactSubstr — the
+    * suffix-array dedup criterion, reformulated window-wise): a char
+    * position is duplicated iff some length-[[SubstrL]] window through
+    * it occurs verbatim ≥ 2 times in the corpus, and a maximal
+    * duplicated substring of ANY length ≥ L is exactly a maximal run of
+    * duplicated window starts (every L-window of a longer duplicate is itself
+    * duplicated; every duplicated L-window IS a length-L duplicate) —
+    * so merging consecutive duplicated starts with gap ≤ L reproduces
+    * the paper's merged removal spans without a suffix array. Unlike
+    * [[spanDedup]]'s fixed 16-token chunks this yields char-exact span
+    * boundaries and catches duplicates at any alignment.
+    *
+    * Scale shape: Σchars window rows (the inherent ExactSubstr cost in
+    * the MapReduce formulation), shuffled ONCE on the 16-byte md5 of
+    * the window (never the window text itself) for the global
+    * occurrence count, then ONE doc-keyed exchange whose per-partition
+    * work is doc-local (run merging is a per-doc window over ≤ n_chars
+    * rows). Output: one row per maximal duplicated span — exact
+    * integers end to end, no floats to snap. */
+  private def dedupSubstring(s: SparkSession, d: String): DataFrame = {
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs(s, d)
+      .filter(length(col("text")) >= SubstrL)
+      .select(col("doc_id"), col("text"))
+      .withColumn("pos",
+        explode(sequence(lit(1), length(col("text")) - lit(SubstrL - 1))))
+      .select(col("doc_id"), col("pos"),
+        md5(expr(s"substr(text, pos, $SubstrL)")).as("g"))
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("n_occ") >= 2)
+      .withColumn("new_isl",
+        when(col("pos") > lag(col("pos"), 1).over(wd) + lit(SubstrL), 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("new_isl")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(SubstrL - 1)).cast("long").as("span_end"),
+        (max(col("pos")) - min(col("pos")) + lit(SubstrL)).cast("long")
+          .as("span_len"),
+        count(lit(1)).as("n_dup_windows"))
+      .drop("isl")
+  }
+
+  /** Twin of [[dedupSubstring]]: same md5'd windows via unnest(range),
+    * same global occurrence count, same gap-≤-L island merge. lag() at
+    * a partition head yields NULL, the CASE's WHEN is not-true, and
+    * both engines fall to the 0 branch — island numbering starts at 0
+    * identically. */
+  private val dedupSubstringSql =
+    s"""WITH p AS (
+  SELECT doc_id, text,
+         unnest(range(1, length(text) - (${SubstrL - 1}) + 1)) AS pos
+  FROM documents WHERE length(text) >= $SubstrL
+), g AS (
+  SELECT doc_id, pos, md5(substr(text, CAST(pos AS INTEGER), $SubstrL)) AS g
+  FROM p
+), dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS n_occ FROM g)
+  WHERE n_occ >= 2
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                        + $SubstrL
+              THEN 1 ELSE 0 END AS new_isl
+  FROM dup
+), grp AS (
+  SELECT doc_id, pos,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM isl
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + ${SubstrL - 1} AS BIGINT) AS span_end,
+       CAST(max(pos) - min(pos) + $SubstrL AS BIGINT) AS span_len,
+       CAST(count(*) AS BIGINT) AS n_dup_windows
+FROM grp GROUP BY doc_id, isl"""
+
   // ------------------------------------------------------- seq_packing
 
   // Training-sequence capacity (tokens per packed sequence).
@@ -1108,6 +1196,7 @@ FROM tok t LEFT JOIN neww n USING (doc_id)"""
     "mad_outliers" -> ((s, d) => madOutliers(s, d)),
     "seq_packing" -> ((s, d) => seqPacking(s, d)),
     "span_dedup" -> ((s, d) => spanDedup(s, d)),
+    "dedup_substring" -> ((s, d) => dedupSubstring(s, d)),
     "source_mixture" -> ((s, d) => sourceMixture(s, d)),
     "quality_rules" -> ((s, d) => qualityRules(s, d)),
     "vocab_growth" -> ((s, d) => graft.ops.TextOps.vocabGrowth(docs(s, d))),
@@ -1133,6 +1222,7 @@ FROM tok t LEFT JOIN neww n USING (doc_id)"""
     "mad_outliers" -> madOutliersSql,
     "seq_packing" -> seqPackingSql,
     "span_dedup" -> spanDedupSql,
+    "dedup_substring" -> dedupSubstringSql,
     "source_mixture" -> sourceMixtureSql,
     "quality_rules" -> qualityRulesSql,
     "vocab_growth" -> vocabGrowthSql,

@@ -1,0 +1,45 @@
+#!/usr/bin/env bash
+# Machine-derives the closing stamps (round-11 verdict: docs said "423
+# tests / 62 pins" while sbt reported 402 and the plans dir held 63 —
+# hand-copied stamps drift). Runs `sbt test`, counts the plan pins, and
+# folds in the latest bench artifact; writes STAMPS.json at the repo
+# root. README/SCALE.md cite STAMPS.json instead of inlining numbers.
+#
+# Usage: tools/stamps.sh [bench.json]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+BENCH=${1:-bench.json}
+LOG=$(mktemp)
+sbt -batch test 2>&1 | tee "$LOG" | grep -E "Tests:|error|Failed" | tail -5
+TESTS=$(grep -Eo "Tests: succeeded [0-9]+" "$LOG" | awk '{s+=$3} END{print s}')
+FAILED=$(grep -E "Tests: succeeded" "$LOG" | grep -Eo "failed [0-9]+" \
+  | awk '{s+=$2} END{print s}')
+PINS=$(ls src/test/resources/plans | wc -l | tr -d ' ')
+COMMIT=$(git rev-parse --short HEAD)
+python3 - "$BENCH" "$TESTS" "$FAILED" "$PINS" "$COMMIT" <<'EOF'
+import datetime
+import json
+import sys
+
+bench, tests, failed, pins, commit = sys.argv[1:6]
+out = {
+    "commit": commit,
+    "generated": datetime.date.today().isoformat(),
+    "tests_succeeded": int(tests),
+    "tests_failed": int(failed),
+    "plan_pins": int(pins),
+}
+try:
+    with open(bench) as fh:
+        b = json.load(fh)
+    out["contract_queries"] = len(b.get("queries", {}))
+    out["bench_total_sec"] = b.get("value")
+    out["bench_sf"] = b.get("sf")
+    out["host_speed_factor"] = b.get("control", {}).get("host_speed_factor")
+except Exception as e:  # bench artifact optional
+    out["bench_note"] = f"no bench artifact: {e}"
+with open("STAMPS.json", "w") as fh:
+    json.dump(out, fh, indent=1)
+    fh.write("\n")
+print(json.dumps(out, indent=1))
+EOF
