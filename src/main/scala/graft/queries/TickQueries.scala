@@ -1361,6 +1361,15 @@ z AS (
 SELECT grid_ts, ${s6("xa")} AS xa, ${s6("xb")} AS xb,
        ${s6("spread")} AS spread, ${s6("z")} AS z
 FROM z WHERE abs(z) > 2.0""",
+      // Round-12 capacity rework (the 100× tier couldn't grade this
+      // oracle — 70 GB ASOF spill): the top-2 pick now uses the SAME
+      // closed-form span count as the Spark side's topProducts (exact
+      // integer micros arithmetic over raw tick min/max — provably equal
+      // to ranking by filled-grid length, see topProducts' scaladoc), so
+      // only the TWO picked instruments' grids are ever built; filled /
+      // aligned / top2 are MATERIALIZED so the 7 lag arms and both
+      // aligned sides reuse them instead of re-inlining the ASOF join
+      // (the DuckDB plain-CTE footgun) — up to 14× redundant before.
       "lead_lag" -> {
         val lags = -3 to 3
         val arms = lags.map { l =>
@@ -1369,23 +1378,30 @@ FROM z WHERE abs(z) > 2.0""",
           s"SELECT $l AS lag_h, xa, $shift AS xbl FROM aligned"
         }.mkString("\n  UNION ALL\n  ")
         s"""WITH t AS ($uniqTicksSql),
+spans AS (
+  SELECT product_id,
+         (epoch_us(max(event_time)) - epoch_us(date_trunc('hour', min(event_time)))) // 3600000000
+         + CASE WHEN min(event_time) = date_trunc('hour', min(event_time))
+                THEN 1 ELSE 0 END AS n
+  FROM t GROUP BY 1),
+top2 AS MATERIALIZED (
+  SELECT product_id, CAST(row_number() OVER (ORDER BY n DESC, product_id) AS BIGINT) AS rk
+  FROM spans WHERE n > 0
+  QUALIFY row_number() OVER (ORDER BY n DESC, product_id) <= 2),
+t2 AS MATERIALIZED (
+  SELECT t.* FROM t JOIN top2 ON t.product_id = top2.product_id),
 bounds AS (
   SELECT product_id, date_trunc('hour', min(event_time)) AS s, max(event_time) AS e
-  FROM t GROUP BY 1),
+  FROM t2 GROUP BY 1),
 g AS (
   SELECT product_id, unnest(generate_series(s, e, INTERVAL '1 hour')) AS grid_ts
   FROM bounds),
-filled AS (
-  SELECT g.product_id, g.grid_ts, t.price
-  FROM g ASOF LEFT JOIN t
-    ON g.product_id = t.product_id AND g.grid_ts >= t.event_time
-  WHERE t.price IS NOT NULL),
-top2 AS (
-  SELECT product_id, rk FROM (
-    SELECT product_id, row_number() OVER (ORDER BY count(*) DESC, product_id) AS rk
-    FROM filled GROUP BY product_id) r
-  WHERE rk <= 2),
-aligned AS (
+filled AS MATERIALIZED (
+  SELECT g.product_id, g.grid_ts, t2.price
+  FROM g ASOF LEFT JOIN t2
+    ON g.product_id = t2.product_id AND g.grid_ts >= t2.event_time
+  WHERE t2.price IS NOT NULL),
+aligned AS MATERIALIZED (
   SELECT a.grid_ts, a.price AS xa, b.price AS xb
   FROM (SELECT f.grid_ts, f.price FROM filled f JOIN top2 ON f.product_id = top2.product_id AND top2.rk = 1) a
   JOIN (SELECT f.grid_ts, f.price FROM filled f JOIN top2 ON f.product_id = top2.product_id AND top2.rk = 2) b

@@ -814,25 +814,37 @@ WHERE rnk <= 10"""
 
   /** Twin of Similarity.lshTopKMulti: a pair is a candidate when its
     * buckets collide in ANY of the `MultiTables` independent plane sets
-    * (OR-join ≡ Spark's explode + dropDuplicates — each (qid, vec_id)
-    * appears once either way), scored with the same exact-grid cosine. */
+    * (per-table equi-join UNION'd then DISTINCT ≡ Spark's explode +
+    * dropDuplicates — each (qid, vec_id) appears once either way),
+    * scored with the same exact-grid cosine. Round-12 capacity rework
+    * (the 100× tier couldn't grade this oracle): `base` is MATERIALIZED
+    * (the plane-dot bucket strings are computed once, not re-inlined
+    * per reference — the DuckDB CTE-inlining footgun), and the OR-join
+    * — which forces a nested-loop over query×corpus — became one HASH
+    * join per table on the bucket key, with the cosine evaluated once
+    * per distinct surviving pair instead of per candidate row. */
   private val lshMultiSql = {
     val bs = (0 until MultiTables).map(t =>
       bucketSql("embedding", MultiPlanes, Similarity.tableSalt(t)))
     val bCols = bs.zipWithIndex.map { case (b, t) => s"$b AS b$t" }.mkString(",\n         ")
     val qCols = (0 until MultiTables).map(t => s"b$t").mkString(", ")
-    val onAny = (0 until MultiTables).map(t => s"q.b$t = e.b$t").mkString(" OR ")
-    s"""WITH base AS (
+    val perTable = (0 until MultiTables).map(t =>
+      s"    SELECT q.qid, e.vec_id FROM q JOIN base e ON q.b$t = e.b$t")
+      .mkString("\n    UNION ALL\n")
+    s"""WITH base AS MATERIALIZED (
   SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nv,
          $bCols
   FROM embeddings
-), q AS (
+), q AS MATERIALIZED (
   SELECT vec_id AS qid, embedding AS qv, nv AS nq, $qCols FROM base WHERE vec_id < 5
+), cand AS (
+  SELECT DISTINCT qid, vec_id FROM (
+$perTable)
 ), scored AS (
-  SELECT q.qid, e.vec_id,
+  SELECT c.qid, c.vec_id,
          ${cosSql(dotSql("q.qv", "e.embedding"), "q.nq", "e.nv")} AS cosine
-  FROM q JOIN base e ON ($onAny)
-  WHERE e.vec_id <> q.qid AND e.nv > 0 AND q.nq > 0)
+  FROM cand c JOIN q ON c.qid = q.qid JOIN base e ON c.vec_id = e.vec_id
+  WHERE c.vec_id <> c.qid AND e.nv > 0 AND q.nq > 0)
 SELECT qid, vec_id, cosine, rnk FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
   FROM scored)
@@ -1046,12 +1058,16 @@ FROM agg"""
 
   /** Twin of Similarity.knnGraph: the same corpus-sized plane count
     * (planesForSql of this corpus's count), dynamic bucket key, bucket
-    * self-join, per-vector (cosine DESC, nbr_id) rank ≤ KnnK. */
+    * self-join, per-vector (cosine DESC, nbr_id) rank ≤ KnnK. `e` is
+    * MATERIALIZED (round-12 capacity rework): the per-row dynamic
+    * bucket string is a planes-sized chain of interpreted 64-dim plane
+    * dots — inlining it into BOTH sides of the self-join recomputed the
+    * corpus's buckets twice and kept the 100× oracle past budget. */
   private def knnGraphSql =
     s"""WITH pl AS (
   SELECT ${planesForSql(s"(greatest(count(*), 1) + ${KnnTarget - 1}) // $KnnTarget")} AS planes
   FROM embeddings
-), e AS (
+), e AS MATERIALIZED (
   SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n,
          ${dynBucketSql("embedding")} AS bucket
   FROM embeddings CROSS JOIN pl
