@@ -719,7 +719,7 @@ FROM b$BfsRounds"""
 
   // DeepWalk corpus over the supplier co-occurrence graph: one
   // WalkSteps-length walk per node, md5-seeded uniform neighbor draws.
-  private val WalkSteps = 4
+  private[graft] val WalkSteps = 4
 
   /** Random-walk sentence corpus — see [[graft.ops.RandomWalk.walks]]
     * for the seeded-draw determinism and the one-join-per-step shape.
@@ -956,10 +956,13 @@ $union"""
     cab
   }
 
-  private def walkSkipgrams(s: SparkSession, d: String): DataFrame = {
-    // Lazy over the checkpointed count matrix: cab is this query's one
-    // surviving block set (the PMI frame itself is the returned result).
-    val cab = cabCheckpointed(s, d)
+  /** PMI reader over an arbitrary corpus frame — the contract body AND
+    * the [[graft.ops.WalkCorpus]]-artifact entry (a persisted corpus
+    * loads and feeds this directly, skipping the ~3 s walk build; bits
+    * identical, WalkCorpusSpec). Lazy over the checkpointed count
+    * matrix: cab is the one surviving block set. */
+  private[graft] def walkSkipgramsFrom(corpus: DataFrame): DataFrame = {
+    val cab = skipgramCounts(corpus).localCheckpoint(true)
     val ca = cab.groupBy(col("center")).agg(sum(col("n_pairs")).as("c_a"))
     val cb = cab.groupBy(col("context")).agg(sum(col("n_pairs")).as("c_b"))
     val nn = cab.agg(sum(col("n_pairs")).as("n"))
@@ -968,6 +971,13 @@ $union"""
       .select(col("center"), col("context"), col("n_pairs"),
         Det.snap((col("n") * col("n_pairs")).cast("double") /
           (col("c_a") * col("c_b")).cast("double"), 6).as("pmi_ratio"))
+  }
+
+  private def walkSkipgrams(s: SparkSession, d: String): DataFrame = {
+    val corpus = graphWalks(s, d)
+    val out = walkSkipgramsFrom(corpus) // eager cab checkpoint inside
+    graft.ops.Checkpoints.release(corpus)
+    out
   }
 
   /** Twin of [[walkSkipgrams]]: the walk corpus re-derived inline (the
@@ -1303,13 +1313,13 @@ FROM dir JOIN deg a ON dir.x = a.node JOIN deg b ON dir.y = b.node"""
     * (visits·Σdeg)/(deg·Σvisits) is a product of exact non-negative
     * longs — string-routed to double anyway, so the statistic stays
     * bit-exact at ANY corpus magnitude. */
-  private def walkVisitStats(s: SparkSession, d: String): DataFrame = {
+  /** Visit-stats reader over an arbitrary corpus + symmetrized edge
+    * frame — the contract body AND the [[graft.ops.WalkCorpus]]-artifact
+    * entry (bits identical off a persisted corpus, WalkCorpusSpec). */
+  private[graft] def walkVisitStatsFrom(corpus: DataFrame,
+                                        dir: DataFrame): DataFrame = {
     def sdbl(c: org.apache.spark.sql.Column) = c.cast("string").cast("double")
-    val corpus = graphWalks(s, d)
     val visits = corpus.groupBy(col("node")).agg(count(lit(1)).as("visits"))
-    val edges = suppEdges(s, d)
-    val dir = edges.unionByName(
-      edges.select(col("y").as("x"), col("x").as("y")))
     val deg = dir.groupBy(col("x")).agg(count(lit(1)).as("deg"))
       .select(col("x").as("node"), col("deg"))
     val tot = visits.agg(sum(col("visits")).as("tv"))
@@ -1320,6 +1330,17 @@ FROM dir JOIN deg a ON dir.x = a.node JOIN deg b ON dir.y = b.node"""
         Det.snap(sdbl(col("visits") * col("td")) /
           sdbl(col("deg") * col("tv")), 6).as("visit_rate_ratio"))
   }
+
+  /** Symmetrized supplier co-occurrence edge frame — the walk family's
+    * graph (both orientations of [[suppEdges]]). Uncached seam: callers
+    * that reference it more than once cache it themselves. */
+  private[graft] def suppDir(s: SparkSession, d: String): DataFrame = {
+    val edges = suppEdges(s, d)
+    edges.unionByName(edges.select(col("y").as("x"), col("x").as("y")))
+  }
+
+  private def walkVisitStats(s: SparkSession, d: String): DataFrame =
+    walkVisitStatsFrom(graphWalks(s, d), suppDir(s, d))
 
   private val walkVisitStatsSql =
     s"""WITH walks AS MATERIALIZED (

@@ -98,17 +98,44 @@ object ScaleUp {
     lazy val orderBand: Long = spark.read.parquet(s"$src/orders.parquet")
       .agg(max(col("o_orderkey"))).head().getLong(0) + 1L
 
+    /** Graph-direction lineitem scaling (`lineitem_graph` spec): offset
+      * l_orderkey AND l_suppkey into disjoint bands, so the supplier
+      * co-occurrence graph becomes k DISJOINT COPIES — k× nodes, k×
+      * walks, k× corpus rows at the original degree profile. The plain
+      * `lineitem` rule (orderkey only) is the other stress direction:
+      * same nodes, k× co-occurrence counts → a denser graph past MinCo.
+      * The walk family's cost scales with corpus rows, so the 100× tier
+      * uses this rule. (l_suppkey no longer joins the unscaled supplier
+      * table — fine for the graph tier, whose queries read lineitem
+      * only; don't grade rel_* queries off this fixture.) */
+    def scaleLineitemGraph(): Unit = {
+      val raw = spark.read.parquet(s"$src/lineitem.parquet")
+      val suppBand = raw.agg(max(col("l_suppkey"))).head().getLong(0) + 1L
+      writeOne((0 until k).map { r =>
+        raw.withColumn("l_orderkey", col("l_orderkey") + lit(r * orderBand))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(r * suppBand))
+          .select(raw.columns.map(col).toIndexedSeq: _*)
+      }.reduce(_ unionByName _), "lineitem")
+    }
+
     val all = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
+    val specs = Map[String, () => Unit](
+      "events" -> (() => scaleEvents()),
+      "documents" -> (() => scaleById("documents", "doc_id")),
+      "embeddings" -> (() => scaleById("embeddings", "vec_id")),
+      "orders" -> (() => scaleById("orders", "o_orderkey", Some(orderBand))),
+      "lineitem" -> (() => scaleById("lineitem", "l_orderkey", Some(orderBand))),
+      "lineitem_graph" -> (() => scaleLineitemGraph()))
+    val unknown = scaled -- specs.keySet
+    require(unknown.isEmpty, s"no scale rule for: ${unknown.mkString(",")}")
+    require(!(scaled.contains("lineitem") && scaled.contains("lineitem_graph")),
+      "lineitem and lineitem_graph are mutually exclusive")
     for (t <- all) {
-      if (scaled.contains(t)) t match {
-        case "events" => scaleEvents()
-        case "documents" => scaleById("documents", "doc_id")
-        case "embeddings" => scaleById("embeddings", "vec_id")
-        case "orders" => scaleById("orders", "o_orderkey", Some(orderBand))
-        case "lineitem" => scaleById("lineitem", "l_orderkey", Some(orderBand))
-        case other => sys.error(s"no scale rule for table $other")
-      } else java.nio.file.Files.copy(
+      if (scaled.contains(t)) specs(t)()
+      else if (t == "lineitem" && scaled.contains("lineitem_graph"))
+        specs("lineitem_graph")()
+      else java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$src/$t.parquet"),
         java.nio.file.Paths.get(s"$out/$t.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
