@@ -52,6 +52,20 @@ class PlanShapeSpec extends AnyFunSuite {
       "the lineitem scan must prune to the two basket columns")
   }
 
+  test("dedup_substring: two shuffles (gram md5 + doc-local merge), pruned scan") {
+    // ExactSubstr's inherent shape: Σchars window rows shuffled ONCE on
+    // the gram hash for the global occurrence count, then ONE doc-keyed
+    // exchange shared by both island windows AND the span aggregate (no
+    // extra exchange before the groupBy — it is already doc-partitioned).
+    val p = plan("dedup_substring")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"dedup_substring must shuffle exactly twice, saw $exchanges:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "the documents scan must prune to doc_id + text")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      "no joins belong in this plan")
+  }
+
   test("salted_agg runs the two-phase combine (exactly 2 shuffles)") {
     val p = plan("salted_agg")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
