@@ -281,7 +281,7 @@ FROM un GROUP BY user_id, lag_k"""
   private val linkPredictionSql =
     s"""WITH os AS (
   SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
-), p0 AS (
+), p0 AS MATERIALIZED (
   SELECT a.l_suppkey AS x, b.l_suppkey AS y, count(*) AS c
   FROM os a JOIN os b
     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
@@ -294,11 +294,11 @@ FROM un GROUP BY user_id, lag_k"""
   SELECT c, sum(m) OVER (ORDER BY c DESC) AS ge FROM hist
 ), thr AS (
   SELECT max(c) AS t FROM ge, tot WHERE ge.ge >= (tot.n + 9) // 10
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT x, y FROM p0, thr WHERE c >= thr.t
-), adj AS (
+), adj AS MATERIALIZED (
   SELECT x, y FROM edges UNION ALL SELECT y AS x, x AS y FROM edges
-), cn AS (
+), cn AS MATERIALIZED (
   SELECT l.x AS a, r.y AS b, count(*) AS cn
   FROM adj l JOIN adj r ON l.y = r.x AND l.x < r.y
   GROUP BY 1, 2
@@ -458,23 +458,23 @@ FROM closed"""
 
   private val pagerankSql = {
     val iterBody = (prev: String, out: String) =>
-      s"""$out AS (
+      s"""$out AS MATERIALIZED (
   SELECT w.dst AS v,
          ((3 * $PrGrid // 20) // nn.n_nodes) + ((17 * sum(p.k // w.degree)) // 20) AS k
   FROM $prev p JOIN withdeg w ON p.v = w.src CROSS JOIN nn
   GROUP BY w.dst, nn.n_nodes)"""
     s"""WITH os AS (
   SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT a.l_suppkey AS x, b.l_suppkey AS y
   FROM os a JOIN os b
     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
   GROUP BY 1, 2 HAVING count(*) >= $MinCo
 ), dir AS (
   SELECT x, y FROM pairs UNION ALL SELECT y AS x, x AS y FROM pairs
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT x AS v, count(*) AS degree FROM dir GROUP BY 1
-), withdeg AS (
+), withdeg AS MATERIALIZED (
   SELECT d.x AS src, d.y AS dst, g.degree FROM dir d JOIN deg g ON d.x = g.v
 ), nn AS (SELECT count(*) AS n_nodes FROM deg),
 r0 AS (
@@ -1345,15 +1345,15 @@ FROM dir JOIN deg a ON dir.x = a.node JOIN deg b ON dir.y = b.node"""
   private val walkVisitStatsSql =
     s"""WITH walks AS MATERIALIZED (
   SELECT * FROM ($graphWalksSql)
-), visits AS (
+), visits AS MATERIALIZED (
   SELECT node, count(*) AS visits FROM walks GROUP BY 1
-), vpairs AS (
+), vpairs AS MATERIALIZED (
   SELECT a.l_suppkey AS x, b.l_suppkey AS y
   FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
   JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
   GROUP BY 1, 2 HAVING count(*) >= $MinCo
-), degf AS (
+), degf AS MATERIALIZED (
   SELECT CAST(node AS BIGINT) AS node, count(*) AS deg FROM (
     SELECT x AS node FROM vpairs UNION ALL SELECT y FROM vpairs)
   GROUP BY 1
