@@ -61,6 +61,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Global-frame WindowExec warnings are expected and bounded (see
+    // Verify for the rationale); keep bench stderr signal-only.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // comma-separated subset for local iteration (default: every query)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
@@ -189,10 +194,17 @@ object Bench {
     // still pass ungraded. spread > SpreadFlag names those queries in
     // the artifact — their published median should be read against
     // queries_min before calling anything a regression.
+    // Spread basis (round-12 ADVICE): both operands come from ACCEPTED
+    // rounds only — an anomalously fast sample inside a noise-rejected
+    // round must not inflate spread and false-flag a healthy query.
+    // queries_min deliberately keeps its all-rounds semantics (it is the
+    // noise FLOOR, and a fast sample is a valid floor wherever it ran).
     val SpreadFlag = 1.5
-    val minMap = minima.toMap
+    val acceptedMin = samples.map { case (k, v) =>
+      k -> accepted.map(v(_)).min
+    }.toMap
     val spreads = medians.map { case (k, m) =>
-      k -> (if (minMap(k) > 0) m / minMap(k) else 1.0)
+      k -> (if (acceptedMin(k) > 0) m / acceptedMin(k) else 1.0)
     }
     val flagged = spreads.collect { case (k, s) if s > SpreadFlag => k }
     if (flagged.nonEmpty)

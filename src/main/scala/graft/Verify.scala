@@ -18,6 +18,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // "WindowExec: No Partition Defined" fires for the contract's
+    // deliberately-GLOBAL rank/prefix frames, every one of which is
+    // bounded (dimension-sized or stats-gated — see Ranks scaladoc).
+    // Expected and audited; silenced so each run doesn't re-raise it.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // 4 queries in flight: most contract queries are small multi-stage
     // jobs whose wall-clock is scheduling gaps, not CPU — concurrent

@@ -58,6 +58,14 @@ import org.apache.spark.sql.types.DecimalType
   * Each Column builder has a DuckDB-SQL twin below generated from the SAME
   * constants — that pairing is what keeps the two engines in lockstep
   * (invariant 2 in CLAUDE.md: never edit one side alone).
+  *
+  * The retry/replan consequence — a killed task recomputes the same exact
+  * longs, so results are bit-stable under task failure, speculative
+  * re-execution, and AQE re-plans — is PROVEN by injection, not argued:
+  * [[graft.FailureInjectionSpec]] kills first attempts across a Det
+  * aggregate, a window fold, a shuffle join, and a dedup pipeline under
+  * `spark.task.maxFailures = 4` and asserts byte-equality with the clean
+  * run.
   */
 object Det {
 

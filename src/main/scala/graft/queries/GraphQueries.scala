@@ -592,31 +592,13 @@ FROM s$KCoreRounds s LEFT JOIN fin f USING (node)"""
     * Envelope: 4m·e_c ≤ 4m² and d_c² ≤ 4m² stay far under 2^53 for any
     * co-occurrence graph this side of 10^7 edges; the numerator is
     * signed → signedDblSql on the oracle side. */
-  /** 100×-tier oracle-budget slice (round-12, the verdict-sanctioned
-    * md5-selected-slice pattern): with SPARK_GRAFT_SLICE_MOD=m set,
-    * the community graph restricts to edges whose BOTH endpoints fall
-    * in the deterministic 1/m node slice — applied identically in the
-    * Spark plan and the emitted oracle SQL (same process, same env),
-    * so the compare stays an exact equality of a subproblem whose
-    * reach-closure oracle fits the budget (the full closure is
-    * Θ(n·|component|) and exceeds 100 min on the count-densified 100×
-    * part graph). NEVER set for driver/contract runs — results
-    * legitimately differ under the slice, on both sides equally. */
-  private val SliceMod: Option[Long] =
-    sys.env.get("SPARK_GRAFT_SLICE_MOD").map(_.toLong).filter(_ > 1)
-
-  private def inSlice(c: org.apache.spark.sql.Column, m: Long) =
-    conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long") % m === 0L
-
-  private def inSliceSql(x: String, m: Long): String =
-    s"(${graft.ops.CorpusHex.hv48Sql(s"md5(CAST($x AS VARCHAR))")} % $m = 0)"
-
+  /** (The round-12 SPARK_GRAFT_SLICE_MOD md5-node-slice escape hatch is
+    * GONE, round-13: the unrolled min-label oracle above grades the full
+    * 100× problem in ~1.5 min, and an env-sensitive contract query was
+    * an ambient-misconfiguration hazard — round-12 ADVICE.) */
   private def communities(s: SparkSession, d: String): DataFrame = {
-    val edges0 = graft.ops.CoOccur
+    val edges = graft.ops.CoOccur
       .edges(t(s, d, "lineitem"), "l_orderkey", "l_partkey", PartMinCo)
-    val edges = SliceMod
-      .map(md => edges0.filter(inSlice(col("x"), md) && inSlice(col("y"), md)))
-      .getOrElse(edges0)
       .cache()
     val m = edges.count()
     val cc = graft.ops.ConnectedComponents.clusters(edges, "x", "y")
@@ -646,23 +628,22 @@ FROM s$KCoreRounds s LEFT JOIN fin f USING (node)"""
     out
   }
 
-  /** Twin of [[communities]]: same edge list, recursive-CTE components,
-    * and exact-integer algebra (the scalar m crosses as a CTE; the
-    * signed modularity numerator goes through signedDblSql). */
-  private val communitiesSliceSql = SliceMod
-    .map(m => s" AND ${inSliceSql("a.l_partkey", m)} AND ${inSliceSql("b.l_partkey", m)}")
-    .getOrElse("")
-
+  /** Twin of [[communities]]: same edge list, UNROLLED min-label
+    * components (clustersUnrolledSql — the reach-closure twin is
+    * Θ(n·|component|) and blew the oracle budget on the count-densified
+    * 100× part graph; the unrolled propagation grades it UNSLICED,
+    * round-13), and exact-integer algebra (the scalar m crosses as a
+    * CTE; the signed modularity numerator goes through signedDblSql). */
   private val communitiesSql =
     s"""WITH e0 AS MATERIALIZED (
   SELECT a.l_partkey AS x, b.l_partkey AS y
   FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
   JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2 HAVING count(*) >= $PartMinCo$communitiesSliceSql),
+  GROUP BY 1, 2 HAVING count(*) >= $PartMinCo),
 cc AS MATERIALIZED (
   SELECT id, cluster_id AS community
-  FROM (${graft.ops.ConnectedComponents.clustersSql("SELECT * FROM e0", "x", "y")})),
+  FROM (${graft.ops.ConnectedComponents.clustersUnrolledSql("SELECT * FROM e0", "x", "y")})),
 mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
 deg AS (
   SELECT node, count(*) AS deg
@@ -1294,6 +1275,15 @@ FROM ev$EmbedIters"""
     // (round-11 ADVICE). The 1-row result is materialized eagerly so
     // both block sets can be released before returning — the query
     // leaves nothing persisted (CacheHygieneSpec).
+    // EXPLAIN CAVEAT (round-12 ADVICE): because of that eager collect,
+    // constructing this entry RUNS the job, and plan tools
+    // (graft.tools.Explain, pins) see only the 1-row LocalRelation — the
+    // real shape is pinned via the lazy seams instead (suppEdges' pair
+    // generation is covered by the shared edge-frame pins). The eager
+    // trade is deliberate: a lazy variant either re-runs the pair
+    // generation 3× per action (no cache) or leaks persisted blocks to
+    // the caller (cache with no release point); the result is 1 row, so
+    // eager costs what the first action would anyway.
     val edges = suppEdges(s, d)
     val dir = edges.unionByName(
       edges.select(col("y").as("x"), col("x").as("y"))).cache()

@@ -98,6 +98,75 @@ object ScaleUp {
     lazy val orderBand: Long = spark.read.parquet(s"$src/orders.parquet")
       .agg(max(col("o_orderkey"))).head().getLong(0) + 1L
 
+    /** Skewed-events scaling (`events_zipf`, round-13 verdict #1): the
+      * same k-replica time/id shifts as the `events` rule, but user_id
+      * is REMAPPED to a zipf(s=1.2) rank over the original user count —
+      * the hot-key profile real 100 TB event feeds have (and every other
+      * tier lacks: uniform replication keeps per-key densities flat).
+      * The top rank absorbs ~20% of ALL events (hot user ≈ 2M rows at
+      * k=100), which is exactly the single-key stress that kills
+      * unsalted aggregations and unsplit sort-window stages at cluster
+      * scale. Rank via the inverse zipf CDF on a deterministic
+      * md5(event_id)-derived uniform — the fixture is a pure function of
+      * the source, no RNG state. Both engines read the same parquet, so
+      * the oracle contract is unchanged. */
+    def scaleEventsZipf(): Unit = {
+      val zipfS = 1.2
+      val raw = spark.read.parquet(s"$src/events.parquet")
+      val base =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts_us", expr("ts div 1000"))
+        else raw.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      val Array(minUs, maxUs, maxId) = base
+        .agg(min(col("ts_us")), max(col("ts_us")), max(col("event_id")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val nUsers = base.agg(countDistinct(col("user_id"))).head().getLong(0)
+      val spanUs = maxUs - minUs + 86400000000L
+      val idBand = maxId + 1L
+      // inverse CDF of the continuous zipf approximation:
+      // rank = (1 − u·(1 − N^(1−s)))^(1/(1−s)), clamped to [1, N]
+      val tailP = math.pow(nUsers.toDouble, 1.0 - zipfS)
+      val u = (conv(substring(md5(col("event_id").cast("string")), 1, 12), 16, 10)
+        .cast("double") + lit(0.5)) / lit(281474976710656.0) // 2^48
+      val rank = least(greatest(
+        floor(pow(lit(1.0) - u * lit(1.0 - tailP), lit(1.0 / (1.0 - zipfS))))
+          .cast("long"), lit(1L)), lit(nUsers))
+      writeOne((0 until k).map { r =>
+        base.select(
+          (col("event_id") + lit(r * idBand)).as("event_id"),
+          timestamp_micros(col("ts_us") + lit(r * spanUs)).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+        .withColumn("user_id", rank) // post-band id → replicas differ
+        .select(raw.columns.map(col).toIndexedSeq: _*), "events")
+    }
+
+    /** Relational-direction scaling (`relational`, round-13 verdict #2):
+      * k coherent DISJOINT COPIES of the customer→orders→lineitem
+      * subgraph — c_custkey, o_orderkey AND o_custkey, l_orderkey all
+      * offset in lockstep, so every replicated order still joins its
+      * replicated customer and its lineitems. Dimension columns
+      * (c_nationkey, parts, suppliers, dates, prices) stay verbatim:
+      * per-customer order counts and value distributions are unchanged,
+      * exactly how a 100× order book grows. market_basket's item sets
+      * repeat per replica (pair counts ×k — the frequency direction),
+      * while rel_* queries see k× disjoint join keys. */
+    def scaleRelational(): Unit = {
+      val cust = spark.read.parquet(s"$src/customer.parquet")
+      val custBand = cust.agg(max(col("c_custkey"))).head().getLong(0) + 1L
+      writeOne((0 until k).map { r =>
+        cust.withColumn("c_custkey", col("c_custkey") + lit(r * custBand))
+          .select(cust.columns.map(col).toIndexedSeq: _*)
+      }.reduce(_ unionByName _), "customer")
+      val ord = spark.read.parquet(s"$src/orders.parquet")
+      writeOne((0 until k).map { r =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(r * orderBand))
+          .withColumn("o_custkey", col("o_custkey") + lit(r * custBand))
+          .select(ord.columns.map(col).toIndexedSeq: _*)
+      }.reduce(_ unionByName _), "orders")
+      scaleById("lineitem", "l_orderkey", Some(orderBand))
+    }
+
     /** Graph-direction lineitem scaling (`lineitem_graph` spec): offset
       * l_orderkey AND l_suppkey into disjoint bands, so the supplier
       * co-occurrence graph becomes k DISJOINT COPIES — k× nodes, k×
@@ -122,19 +191,35 @@ object ScaleUp {
       "orders", "lineitem", "events", "documents", "embeddings")
     val specs = Map[String, () => Unit](
       "events" -> (() => scaleEvents()),
+      "events_zipf" -> (() => scaleEventsZipf()),
       "documents" -> (() => scaleById("documents", "doc_id")),
       "embeddings" -> (() => scaleById("embeddings", "vec_id")),
       "orders" -> (() => scaleById("orders", "o_orderkey", Some(orderBand))),
       "lineitem" -> (() => scaleById("lineitem", "l_orderkey", Some(orderBand))),
-      "lineitem_graph" -> (() => scaleLineitemGraph()))
+      "lineitem_graph" -> (() => scaleLineitemGraph()),
+      "relational" -> (() => scaleRelational()))
     val unknown = scaled -- specs.keySet
     require(unknown.isEmpty, s"no scale rule for: ${unknown.mkString(",")}")
     require(!(scaled.contains("lineitem") && scaled.contains("lineitem_graph")),
       "lineitem and lineitem_graph are mutually exclusive")
+    require(!(scaled.contains("events") && scaled.contains("events_zipf")),
+      "events and events_zipf are mutually exclusive")
+    require(!scaled.contains("relational") ||
+      (scaled & Set("customer", "orders", "lineitem", "lineitem_graph")).isEmpty,
+      "relational already scales customer+orders+lineitem")
+    // composite/aliased rules: which concrete table each active rule owns
+    val ownedBy: Map[String, String] = Seq(
+      "lineitem" -> "lineitem_graph",
+      "customer" -> "relational", "orders" -> "relational",
+      "lineitem" -> "relational", "events" -> "events_zipf"
+    ).filter { case (_, rule) => scaled.contains(rule) }.toMap
+    var ranComposite = Set.empty[String]
     for (t <- all) {
       if (scaled.contains(t)) specs(t)()
-      else if (t == "lineitem" && scaled.contains("lineitem_graph"))
-        specs("lineitem_graph")()
+      else if (ownedBy.contains(t)) {
+        val rule = ownedBy(t)
+        if (!ranComposite.contains(rule)) { specs(rule)(); ranComposite += rule }
+      }
       else java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$src/$t.parquet"),
         java.nio.file.Paths.get(s"$out/$t.parquet"),

@@ -6,8 +6,13 @@ import java.sql.Timestamp
 /** Shared local session + fixture builders for operator specs. */
 object TestSpark {
   lazy val spark: SparkSession = {
+    // local[4, 4]: 4 threads AND spark.task.maxFailures = 4 — task
+    // retries are real in the test JVM, so FailureInjectionSpec can kill
+    // first attempts and prove bit-stable recomputation. Specs that
+    // assert a job THROWS still pass (the retried attempts hit the same
+    // deterministic error and the job fails with it after 4 tries).
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

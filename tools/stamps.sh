@@ -24,6 +24,11 @@ import sys
 bench, tests, failed, pins, commit = sys.argv[1:6]
 out = {
     "commit": commit,
+    # The stamp describes the TREE being committed: `commit` is HEAD at
+    # generation time, i.e. the PARENT of the commit that will contain
+    # this file (round-12 ADVICE — don't read `commit` as the containing
+    # commit; it is "stamped on top of").
+    "commit_note": "HEAD at generation time = parent of the commit containing this file",
     "generated": datetime.date.today().isoformat(),
     "tests_succeeded": int(tests),
     "tests_failed": int(failed),
@@ -36,6 +41,11 @@ try:
     out["bench_total_sec"] = b.get("value")
     out["bench_sf"] = b.get("sf")
     out["host_speed_factor"] = b.get("control", {}).get("host_speed_factor")
+    # Which artifact the total came from (round-12 verdict "what's wrong"
+    # #1): builder-closing runs and driver runs legitimately differ
+    # within the noise envelope; naming the source file stops the two
+    # totals from reading as drift.
+    out["bench_source"] = bench
 except Exception as e:  # bench artifact optional
     out["bench_note"] = f"no bench artifact: {e}"
 with open("STAMPS.json", "w") as fh:
