@@ -69,15 +69,40 @@ object Bench {
     // comma-separated subset for local iteration (default: every query)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+    // SPARK_GRAFT_BENCH_AMORTIZE=1 (round-12 verdict #6): measure the
+    // WalkCorpus economics — the walk family re-pays a shared ~3 s
+    // corpus build under standard bench isolation; this mode builds the
+    // corpus ONCE as a persisted artifact (timed as the pseudo-query
+    // `walk_corpus_build`), times the family's artifact-reading bodies
+    // (bit-identical, WalkCorpusSpec), and restricts the run to that
+    // family. Compare its per-query medians against the standard
+    // artifact's to read the amortized saving; the contract/driver runs
+    // stay standard-mode (rebuild per query) by default.
+    val amortize = sys.env.get("SPARK_GRAFT_BENCH_AMORTIZE").contains("1")
+    val corpusPath = "/tmp/graft_bench_walk_corpus"
+    val amortized: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      if (!amortize) Map.empty
+      else graft.queries.GraphQueries.amortizedWalkQueries(corpusPath) +
+        ("walk_corpus_build" -> ((s: org.apache.spark.sql.SparkSession, d: String) => {
+          graft.queries.GraphQueries.buildWalkCorpusArtifact(s, d, corpusPath)
+          s.range(1).toDF("built")
+        }))
+    val queryMap = SparkEntry.queries ++ amortized
+    val names = queryMap.keys.toSeq.sorted
+      .filter(n => only.map(_.contains(n))
+        .getOrElse(!amortize || amortized.contains(n)))
+    // amortize mode: the artifact must exist before any reader runs
+    // (name order puts graph_walks before walk_corpus_build); later
+    // builds overwrite with identical bits, so round order is free.
+    if (amortize)
+      graft.queries.GraphQueries.buildWalkCorpusArtifact(spark, sfDir, corpusPath)
     // Write to the noop sink, NOT count(): count(1) lets Catalyst prune every
     // unreferenced column, so projection-only queries (text_stats, lang_id,
     // fingerprint, ...) would time just the parquet scan instead of the real
     // per-row compute (regexp, md5, window functions).
     def run(name: String): Unit =
       try {
-        SparkEntry.queries(name)(spark, sfDir)
+        queryMap(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
       } catch { case e: Throwable =>
@@ -183,8 +208,11 @@ object Bench {
       val acc = accepted.map(_ + 1).mkString("[", ",", "]")
       s""","control":{"anchor_round":$anchorRound,"anchor_commit":"$anchorCommit","anchor_sf":"sf0.1","ratios":$ratios,"round_ratios":$perRound,"accepted_rounds":$acc,"host_speed_factor":${f3(hf)}}"""
     }.getOrElse("")
+    // amortize artifacts are a DIFFERENT measurement (artifact readers,
+    // family subset) — tag them so they can never read as a standard run
+    val amortizeTag = if (amortize) ""","amortize":true""" else ""
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters$calib}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters$amortizeTag$calib}"""
     val raw = samples.map { case (k, v) =>
       "\"" + k + "\":" + v.mkString("[", ",", "]")
     }.mkString("{", ",", "}")

@@ -861,7 +861,9 @@ HAVING count(DISTINCT doc_id) >= 2"""
   // ("Deduplicating Training Data Makes Language Models Better",
   // ExactSubstr) removes any substring of at least this length that
   // occurs verbatim ≥ 2 times anywhere in the corpus.
-  private val SubstrL = 40
+  // (private[graft]: graft.streaming.StatefulSubstring's spec proves the
+  // ingest-time twin against the same L.)
+  private[graft] val SubstrL = 40
 
   /** Exact-substring duplication (Lee et al. 2022's ExactSubstr — the
     * suffix-array dedup criterion, reformulated window-wise): a char
@@ -882,17 +884,33 @@ HAVING count(DISTINCT doc_id) >= 2"""
     * work is doc-local (run merging is a per-doc window over ≤ n_chars
     * rows). Output: one row per maximal duplicated span — exact
     * integers end to end, no floats to snap. */
-  private def dedupSubstring(s: SparkSession, d: String): DataFrame = {
+  private def dedupSubstring(s: SparkSession, d: String): DataFrame =
+    dedupSubstringOf(docs(s, d))
+
+  /** [[dedupSubstring]] over an arbitrary (doc_id, text) frame — the
+    * contract body AND the batch side of the
+    * [[graft.streaming.StatefulSubstring]] twin's spec. */
+  private[graft] def dedupSubstringOf(docFrame: DataFrame): DataFrame =
+    substrSpansFromStarts(
+      docFrame
+        .filter(length(col("text")) >= SubstrL)
+        .select(col("doc_id"), col("text"))
+        .withColumn("pos",
+          explode(sequence(lit(1), length(col("text")) - lit(SubstrL - 1))))
+        .select(col("doc_id"), col("pos"),
+          md5(expr(s"substr(text, pos, $SubstrL)")).as("g"))
+        .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("g"))))
+        .filter(col("n_occ") >= 2)
+        .select(col("doc_id"), col("pos")))
+
+  /** The gap-≤-L island merge: duplicated window STARTS (doc_id, pos) →
+    * maximal merged spans. Shared tail of the batch query and the
+    * streaming twin (the stream emits starts at ingest; this exact
+    * finishing merge makes its accumulated output the batch spans —
+    * StatefulSubstringSpec). */
+  private[graft] def substrSpansFromStarts(starts: DataFrame): DataFrame = {
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    docs(s, d)
-      .filter(length(col("text")) >= SubstrL)
-      .select(col("doc_id"), col("text"))
-      .withColumn("pos",
-        explode(sequence(lit(1), length(col("text")) - lit(SubstrL - 1))))
-      .select(col("doc_id"), col("pos"),
-        md5(expr(s"substr(text, pos, $SubstrL)")).as("g"))
-      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("g"))))
-      .filter(col("n_occ") >= 2)
+    starts
       .withColumn("new_isl",
         when(col("pos") > lag(col("pos"), 1).over(wd) + lit(SubstrL), 1L)
           .otherwise(0L))

@@ -1056,8 +1056,13 @@ FROM cab JOIN ca USING (center) JOIN cb USING (context) CROSS JOIN nn"""
       () => graft.ops.Checkpoints.release(cab, v0))
   }
 
-  private def walkSpectral(s: SparkSession, d: String): DataFrame = {
-    val cab = cabCheckpointed(s, d)
+  private def walkSpectral(s: SparkSession, d: String): DataFrame =
+    walkSpectralOf(cabCheckpointed(s, d))
+
+  /** [[walkSpectral]] over a pre-built checkpointed count matrix (takes
+    * ownership: releases `cab`) — shared by the contract body and the
+    * [[graft.ops.WalkCorpus]]-artifact reader. */
+  private def walkSpectralOf(cab: DataFrame): DataFrame = {
     val v0 = cab.select(col("center").as("node")).distinct()
       .withColumn("k", lit(SpecGrid))
       .localCheckpoint(true)
@@ -1155,9 +1160,14 @@ FROM sv$SpecIters"""
     * sign structure of dim 2 splits the graph's dominant bipartition
     * (the spectral-partitioning readout an embedding consumer gets
     * before any trainer runs). */
-  private def walkEmbedK(s: SparkSession, d: String): DataFrame = {
+  private def walkEmbedK(s: SparkSession, d: String): DataFrame =
+    walkEmbedKOf(cabCheckpointed(s, d))
+
+  /** [[walkEmbedK]] over a pre-built checkpointed count matrix (takes
+    * ownership: releases `cab`) — shared by the contract body and the
+    * [[graft.ops.WalkCorpus]]-artifact reader. */
+  private def walkEmbedKOf(cab: DataFrame): DataFrame = {
     def sdbl(c: org.apache.spark.sql.Column) = c.cast("string").cast("double")
-    val cab = cabCheckpointed(s, d)
     val v0 = cab.select(col("center").as("node")).distinct()
       .withColumn("k1", lit(SpecGrid))
       .withColumn("k2", when(col("node") % 2 === 0, lit(SpecGrid))
@@ -1357,6 +1367,36 @@ FROM dir JOIN deg a ON dir.x = a.node JOIN deg b ON dir.y = b.node"""
 
   private def walkVisitStats(s: SparkSession, d: String): DataFrame =
     walkVisitStatsFrom(graphWalks(s, d), suppDir(s, d))
+
+  /** Build + persist the shared walk corpus as the
+    * [[graft.ops.WalkCorpus]] parquet artifact (round-12 verdict #6 —
+    * the amortization seam Bench's SPARK_GRAFT_BENCH_AMORTIZE mode
+    * measures). */
+  private[graft] def buildWalkCorpusArtifact(s: SparkSession, d: String,
+                                             path: String): Unit = {
+    val corpus = graphWalks(s, d)
+    graft.ops.WalkCorpus.store(corpus, path)
+    graft.ops.Checkpoints.release(corpus)
+  }
+
+  /** Amortized bodies for the uniform-walk-corpus family: identical
+    * bits to the contract queries (WalkCorpusSpec proves the readers;
+    * the corpus itself round-trips exact long rows through parquet),
+    * but the ~3 s corpus build is replaced by an artifact load. The
+    * CONTRACT queries deliberately keep rebuilding — the bench's
+    * standard mode measures each query standalone; this map is what the
+    * amortize mode times against it. */
+  private[graft] def amortizedWalkQueries(path: String): Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_walks" -> ((s, _) => graft.ops.WalkCorpus.load(s, path)),
+    "walk_skipgrams" -> ((s, _) =>
+      walkSkipgramsFrom(graft.ops.WalkCorpus.load(s, path))),
+    "walk_spectral" -> ((s, _) => walkSpectralOf(
+      skipgramCounts(graft.ops.WalkCorpus.load(s, path)).localCheckpoint(true))),
+    "walk_embed_k" -> ((s, _) => walkEmbedKOf(
+      skipgramCounts(graft.ops.WalkCorpus.load(s, path)).localCheckpoint(true))),
+    "walk_visit_stats" -> ((s, d) =>
+      walkVisitStatsFrom(graft.ops.WalkCorpus.load(s, path), suppDir(s, d)))
+  )
 
   private val walkVisitStatsSql =
     s"""WITH walks AS MATERIALIZED (
