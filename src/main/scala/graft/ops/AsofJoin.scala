@@ -79,12 +79,25 @@ object AsofJoin {
   /** FORWARD as-of join — attach the EARLIEST right row per key with
     * `right.time >= left.time` (the label-generation direction: each
     * observation looks ahead to its first future reference). Same
-    * union + one Exchange + one Sort skeleton as the backward join with
-    * the side encoding flipped: LEFT rows sort before right rows at
-    * equal time, so the [current, following] frame's
-    * `first(ignoreNulls)` includes an exactly-simultaneous right row —
-    * the `r.t >= l.t` convention, matching DuckDB's `ASOF ... ON
-    * l.t <= r.t`. Right side must be unique per (keys, rightTime). */
+    * union + one Exchange skeleton as the backward join with the side
+    * encoding flipped: LEFT rows sort before right rows at equal time,
+    * so an exactly-simultaneous right row IS matched — the `r.t >= l.t`
+    * convention, matching DuckDB's `ASOF ... ON l.t <= r.t`. Right side
+    * must be unique per (keys, rightTime).
+    *
+    * SKEW NOTE (round-13, found by the zipf(1.2) hot-key tier): the
+    * look-ahead is computed as a running `last(ignoreNulls)` over the
+    * REVERSED sort ((t, side) DESC, frame unbounded-preceding→current) —
+    * NOT as `first(ignoreNulls)` over [current, unbounded following].
+    * The two are row-for-row identical here (right rows unique per
+    * (keys, t), and the reversed running-last picks the ascending-
+    * minimum right row ≥ the probe, ties resolved by the same side
+    * encoding), but Spark executes an UnboundedFollowing frame by
+    * RE-AGGREGATING the remaining partition for every row — O(n²) per
+    * partition, which turned a 1.7M-row hot key into ~10¹² row-ops —
+    * while the UnboundedPreceding frame is the incremental O(n)
+    * accumulator. Cost: one extra per-partition sort order, no extra
+    * Exchange. */
   def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
               leftTime: String, rightTime: String,
               rightCols: Seq[(String, String)]): DataFrame = {
@@ -101,10 +114,14 @@ object AsofJoin {
       keyCols :+ col(rightTime).as("__t") :+ lit(1).as("__side") :+
         struct(rightCols.map { case (c, o) => col(c).as(o) }: _*).as("__pay"): _*)
 
-    val w = Window.partitionBy(keyCols: _*).orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // reversed scan: at equal __t the right row (side 1) is seen BEFORE
+    // the left row (side 0), so a simultaneous right is included — the
+    // same tie rule as the ascending [current, following] frame.
+    val wRev = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t").desc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l2.unionByName(r2, allowMissingColumns = true)
-      .withColumn("__m", first(col("__pay"), ignoreNulls = true).over(w))
+      .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(wRev))
       .filter(col("__side") === 0)
       .select(passThrough(lCols, keys, leftTime) ++
         outNames.map(o => col("__m").getField(o).as(o)): _*)
@@ -139,14 +156,22 @@ object AsofJoin {
 
     val ord = Window.partitionBy(keyCols: _*).orderBy(col("__t"), col("__side"))
     val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // forward candidate via the REVERSED-sort running last — identical
+    // row to first(ignoreNulls) over [current, unbounded following] (at
+    // equal __t the left row, side 1, is seen first in the reversed
+    // scan, so a simultaneous right stays a BACKWARD-only candidate as
+    // before), but O(n) incremental instead of Spark's O(n²)
+    // UnboundedFollowing frame — see [[forward]]'s skew note.
+    val fwdRev = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t").desc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val dB = unix_micros(col("__t")) -
       unix_micros(col("__b").getField(rightTimeOut))
     val dF = unix_micros(col("__f").getField(rightTimeOut)) -
       unix_micros(col("__t"))
     l2.unionByName(r2, allowMissingColumns = true)
       .withColumn("__b", last(col("__pay"), ignoreNulls = true).over(back))
-      .withColumn("__f", first(col("__pay"), ignoreNulls = true).over(fwd))
+      .withColumn("__f", last(col("__pay"), ignoreNulls = true).over(fwdRev))
       .filter(col("__side") === 1)
       .withColumn("__m",
         when(col("__f").isNull, col("__b"))

@@ -99,6 +99,58 @@ object Multimodal {
   final case class Pooled(doc_id: Long, bucket: Long, n_in: Long,
                           sum_bytes: Long, mean_byte: Double)
 
+  /** One sample of a bilinearly-resized blob: `value_num` is the EXACT
+    * interpolation numerator (value = value_num / 2P), so the float is
+    * one correctly-rounded division off an exact integer. */
+  final case class Bilinear(doc_id: Long, sample_idx: Long, src_idx: Long,
+                            frac_num: Long, value_num: Long, value: Double)
+
+  /** BILINEAR resize (the round-12 stretch upgrade over [[resizePool]]'s
+    * average-pool): the payload byte stream resampled to `samples`
+    * points with linear interpolation at half-pixel centers — the 1-D
+    * restriction of the standard align_corners=false bilinear image
+    * resize (sample j reads source coordinate x = (j+0.5)·n/P − 0.5,
+    * value = (1−frac)·b[i0] + frac·b[i0+1], edges clamped).
+    *
+    * Engine-portable by construction: x lives on the exact rational
+    * grid num/(2P) with num = (2j+1)·n − P, so i0 = num div 2P,
+    * frac = r/2P with r = num mod 2P, and the interpolated value is the
+    * EXACT integer numerator b[i0]·(2P−r) + b[i1]·r (≤ 255·2P) divided
+    * once by 2P — no floating intermediate anywhere, the one division
+    * correctly rounded in every engine (Det rule 3). Same partition-
+    * streamed one-blob-per-task shape as [[resizePool]]; a real codec
+    * swaps the byte source, the index algebra is the real thing. */
+  def resizeBilinear(blobs: DataFrame, samples: Int = 16,
+                     parallelism: Option[Int] = None): Dataset[Bilinear] = {
+    require(samples >= 1, "samples must be >= 1")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val p = samples
+    val twoP = 2L * p
+    val src = blobs.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+    val part = parallelism.fold(src)(n => src.repartition(n))
+    part.mapPartitions(_.flatMap { case (id, bytes) =>
+      val n = bytes.length
+      if (n == 0) Iterator.empty
+      else (0 until p).iterator.map { j =>
+        val num = (2L * j + 1L) * n - p
+        val (i0, r) =
+          if (num < 0L) (0L, 0L) // clamp below the first byte center
+          else {
+            val d = num / twoP
+            if (d >= n - 1L) (n - 1L, 0L) // clamp above the last center
+            else (d, num % twoP)
+          }
+        val a = bytes(i0.toInt) & 0xff
+        val b = bytes(math.min(i0 + 1L, n - 1L).toInt) & 0xff
+        val numer = a * (twoP - r) + b * r
+        Bilinear(id, j.toLong, i0, r, numer,
+          math.floor(numer.toDouble / twoP.toDouble * 1e6 + 0.5) / 1e6)
+      }
+    })
+  }
+
   /** STUB resize: average-pool the payload byte stream into `buckets`
     * equal index ranges — the fixed-size thumbnail a real image resize
     * produces, with the same partition-streamed batch shape as

@@ -13,7 +13,13 @@ import org.apache.spark.sql.functions._
   * sessions in one shuffle on (key, overlapping-window merge), identical
   * semantics batch and streaming (with a watermark upstream in
   * streaming). Session end = last event + gap, Spark's convention; a new
-  * session starts when the gap to the previous event is ≥ `gap`.
+  * session starts when the gap to the previous event EXCEEDS `gap` — an
+  * event exactly `gap` after the previous one still merges (Spark
+  * session_window treats the per-event window [t, t+gap] as CLOSED when
+  * merging: probed empirically, and caught at the zipf 100× tier, where
+  * the replica shift of span+1day manufactures exact-gap successors that
+  * a `>=` gaps-and-islands twin split 9 times out of 976k sessions —
+  * round 13. The oracle twin below therefore splits on `diff > gap`.)
   */
 object Sessionize {
 
@@ -43,13 +49,14 @@ object Sessionize {
         col("n_events"), col("total_value"))
 
   /** DuckDB twin: gaps-and-islands with the same boundary rule
-    * (split when diff >= gap; end = last event + gap). */
+    * (split when diff > gap — Spark's closed-interval merge, see the
+    * object scaladoc; end = last event + gap). */
   def sql(table: String, keyCol: String, timeCol: String,
           valueCol: String, gapSql: String = "INTERVAL '30 minutes'"): String =
     s"""WITH marked AS (
   SELECT $keyCol, $timeCol, $valueCol,
          CASE WHEN lag($timeCol) OVER (PARTITION BY $keyCol ORDER BY $timeCol) IS NULL
-                OR $timeCol - lag($timeCol) OVER (PARTITION BY $keyCol ORDER BY $timeCol) >= $gapSql
+                OR $timeCol - lag($timeCol) OVER (PARTITION BY $keyCol ORDER BY $timeCol) > $gapSql
               THEN 1 ELSE 0 END AS new_s
   FROM $table
 ), sessions AS (

@@ -21,6 +21,8 @@ object DocQueries {
   private val SampleEvery = 2
   // multimodal_resize pooled-thumbnail width (shared Spark/oracle)
   private val PoolBuckets = 16
+  // multimodal_bilinear resample width (shared Spark/oracle)
+  private val BilinearSamples = 16
   // phrase_search target phrase (shared Spark/oracle constants)
   private val PhraseA = "merge"
   private val PhraseB = "sort"
@@ -257,6 +259,13 @@ FROM documents"""
     "multimodal_resize" -> ((s, d) =>
       Multimodal.resizePool(Multimodal.toBlobTable(docs(s, d)),
         PoolBuckets).toDF()),
+    // BILINEAR resize (round-12 stretch): linear interpolation at
+    // half-pixel centers over the same synthetic byte frames — the
+    // exact-rational index algebra is real resize math; see
+    // Multimodal.resizeBilinear for the num/(2P) grid derivation.
+    "multimodal_bilinear" -> ((s, d) =>
+      Multimodal.resizeBilinear(Multimodal.toBlobTable(docs(s, d)),
+        BilinearSamples).toDF()),
     // Positional-index PHRASE search — exact adjacent-token match via
     // posting-list intersection: tokenize with positions, filter each
     // posting list to its phrase term directly above the Generate —
@@ -1244,6 +1253,45 @@ SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n_in,
 FROM bv GROUP BY 1, 2"""
   }
 
+  /** Twin of multimodal_bilinear: the identical exact-rational algebra —
+    * num = (2j+1)·n − P on the 1/(2P) grid, i0/frac via integer div/mod
+    * with the same edge clamps, bytes replayed from the hex payload, and
+    * the single numerator/2P division snapped on the shared grid. */
+  private val multimodalBilinearSql = {
+    val P = BilinearSamples
+    val twoP = 2 * P
+    def byteAt(i: String) = // payload byte at 0-based index i, from hex
+      s"""((strpos('0123456789ABCDEF', substring(hx, CAST(2*($i)+1 AS INTEGER), 1)) - 1) * 16
+       + (strpos('0123456789ABCDEF', substring(hx, CAST(2*($i)+2 AS INTEGER), 1)) - 1))"""
+    s"""WITH f AS (
+  SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n FROM documents
+  WHERE strlen(text) > 0
+), s AS (
+  SELECT doc_id, hx, CAST(n AS BIGINT) AS n,
+         unnest(range(0, $P)) AS j
+  FROM f
+), c AS (
+  SELECT doc_id, hx, n, j, (2*j + 1) * n - $P AS num FROM s
+), g AS (
+  SELECT doc_id, hx, n, j,
+         CASE WHEN num < 0 THEN 0
+              WHEN num // $twoP >= n - 1 THEN n - 1
+              ELSE num // $twoP END AS i0,
+         CASE WHEN num < 0 OR num // $twoP >= n - 1 THEN 0
+              ELSE num % $twoP END AS r
+  FROM c
+), v AS (
+  SELECT doc_id, j, i0, r,
+         ${byteAt("i0")} * ($twoP - r)
+       + ${byteAt(s"LEAST(i0 + 1, n - 1)")} * r AS numer
+  FROM g
+)
+SELECT doc_id, CAST(j AS BIGINT) AS sample_idx, CAST(i0 AS BIGINT) AS src_idx,
+       CAST(r AS BIGINT) AS frac_num, CAST(numer AS BIGINT) AS value_num,
+       ${s6(s"CAST(numer AS DOUBLE) / $twoP.0")} AS value
+FROM v"""
+  }
+
   /** Twin of the curation_report composition: the same four gates, the
     * same first-failure verdict, reusing each family's oracle SQL.
     * Lazy: CorpusQueries references this object back (source_mixture ←
@@ -1456,6 +1504,7 @@ FROM dfs GROUP BY 1"""
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_decode" -> multimodalDecodeSql,
     "multimodal_resize" -> multimodalResizeSql,
+    "multimodal_bilinear" -> multimodalBilinearSql,
     "phrase_search" ->
       s"""WITH ws AS (
   SELECT doc_id, string_split(text, ' ') AS ts FROM documents

@@ -9,9 +9,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * folded as events arrive, emitting a session row the moment it closes.
   * A session closes two ways, producing identical rows:
   *
-  *  - a successor event at `ts − last ≥ gap` arrives for the key
+  *  - a successor event at `ts − last > gap` arrives for the key
   *    (data-path close, same boundary rule as Spark's `session_window`
-  *    and the DuckDB gaps-and-islands twin: split on `diff >= gap`,
+  *    and the DuckDB gaps-and-islands twin: split on `diff > gap` — an
+  *    exactly-gap successor still merges, the closed-interval convention
+  *    the zipf 100× tier pinned down in round 13 —
   *    `session_end = last + gap`);
   *  - the event-time watermark passes `last + gap` with no successor
   *    (GroupStateTimeout.EventTimeTimeout — the timeout millisecond is
@@ -82,7 +84,7 @@ object StatefulSessionize {
                 case None =>
                   open = Some(SessionState(us, us, 1L, k(e.value)))
                 case Some(st) if us < st.lastUs => () // stale row: drop
-                case Some(st) if us - st.lastUs >= gapUs =>
+                case Some(st) if us - st.lastUs > gapUs =>
                   out += close(key, st, gapUs)
                   open = Some(SessionState(us, us, 1L, k(e.value)))
                 case Some(st) =>
