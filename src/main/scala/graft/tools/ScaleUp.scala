@@ -206,7 +206,8 @@ object ScaleUp {
       "events and events_zipf are mutually exclusive")
     require(!scaled.contains("relational") ||
       (scaled & Set("customer", "orders", "lineitem", "lineitem_graph")).isEmpty,
-      "relational already scales customer+orders+lineitem")
+      "relational already scales customer+orders+lineitem (and owns the " +
+        "lineitem slot lineitem_graph would claim)")
     // composite/aliased rules: which concrete table each active rule owns
     val ownedBy: Map[String, String] = Seq(
       "lineitem" -> "lineitem_graph",

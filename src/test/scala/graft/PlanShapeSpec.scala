@@ -199,4 +199,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!li.contains("l_comment") && !li.contains("l_shipdate"),
       "unused wide columns must be pruned from the scan")
   }
+
+  test("no query window uses an UnboundedFollowing frame (O(n²) per hot partition)") {
+    // Spark executes [current row, unbounded following) frames by
+    // re-aggregating the remaining partition FOR EVERY ROW — ~10¹²
+    // row-ops on the zipf tier's 1.7M-row hot key (the round-13
+    // asof_nearest incident: >17 min vs 52 s for the whole tier after
+    // the reversed-sort rewrite). The look-ahead queries are the ones
+    // that historically reached for this frame; guard their plans so
+    // the O(n) reversed-running-last form can't silently regress.
+    for (name <- Seq("asof_nearest", "forward_labels", "attribution")) {
+      val p = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.optimizedPlan.toString.toLowerCase
+      assert(!p.contains("unboundedfollowing"),
+        s"$name must not use an UnboundedFollowing window frame")
+    }
+  }
 }
