@@ -1069,6 +1069,135 @@ object Similarity {
     ranked(scored, k)
   }
 
+  /** IVFADC — the full composition of [[ivfAssign]] (coarse quantizer)
+    * and [[pqAdcTopK]] (PQ asymmetric distance), i.e. the actual index
+    * layout of Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search" (TPAMI 2011) §IV and of FAISS `IndexIVFPQ`: each query
+    * probes its `nprobe` nearest coarse cells, and ONLY the vectors
+    * assigned to those cells are scored — by the ADC lookup sum over
+    * their PQ codes, never the raw vectors.
+    *
+    * Why this is THE 100 TB serving shape: the coarse quantizer bounds
+    * the fraction of the corpus touched per query (nprobe/|codebook| of
+    * the partitions — cell is the partition key at scale, so probing is
+    * partition pruning, not a scan), and PQ bounds the bytes touched
+    * per surviving vector (M one-byte codes + an L1-resident LUT
+    * instead of dim·4 bytes). [[ivfProbeTopK]] prunes cells but reads
+    * full vectors; [[pqAdcTopK]] compresses vectors but scans every
+    * cell; this does both — the two dials multiply.
+    *
+    * Kept self-contained like its two halves: cell assignment and PQ
+    * codes are recomputed map-side in the one corpus pass (a deployed
+    * index would read the stored codes table partitioned by cell; the
+    * LUT arithmetic and candidate set are identical).
+    *
+    * Determinism: probe sets, cell argmin ([[VecKernels.argminCell]] —
+    * the shared kernel), per-subspace code argmin, and LUT entries all
+    * live on the exact 1e-12 Long grid; the ADC sum is a Long sum of M
+    * entries ≪ 2^53, ties rank (distance, vec_id). With
+    * nprobe ≥ |codebook| the probe filter admits every cell, so the
+    * output degenerates bit-for-bit to [[pqAdcTopK]] (spec-pinned) —
+    * the same way [[ivfProbeTopK]] degenerates to [[bruteForceTopK]].
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centArrays: DataFrame,
+                nprobe: Int = 3, subDims: Int = 16, k: Int = 10): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val codebook: Array[(Int, Array[Double])] = centArrays
+      .select(col("label").cast("int"), col("cv"))
+      .as[(Int, Seq[Double])]
+      .collect()
+      .map { case (l, cv) => (l, cv.toArray) }
+      .sortBy(_._1)
+    val qs: Array[(Long, Array[Float])] = queries
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .collect()
+      .map { case (id, e) => (id, e.toArray) }
+      .sortBy(_._1)
+    def gridD2(q: Array[Float], cv: Array[Double]): Long = {
+      var s = 0L; var i = 0
+      while (i < q.length) {
+        val d = q(i).toDouble - cv(i)
+        s += math.floor(d * d * 1e12 + 0.5).toLong
+        i += 1
+      }
+      s
+    }
+    // per-query probe set: nprobe nearest cells, ties toward smaller
+    // label — the exact probe ranking ivfProbeTopK uses
+    val probes: Map[Int, Array[Int]] = {
+      val perQ = qs.zipWithIndex.map { case ((_, q), qi) =>
+        qi -> codebook.map { case (l, cv) => (gridD2(q, cv), l) }
+          .sorted.take(nprobe).map(_._2)
+      }
+      val byLabel = perQ.flatMap { case (qi, ls) => ls.map(l => (l, qi)) }
+        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2) }
+      byLabel.withDefaultValue(Array.empty[Int])
+    }
+    // per-query ADC LUTs, built once on the driver (Q·M·|codebook| longs)
+    val luts: Array[Array[Array[Long]]] = qs.map { case (_, q) =>
+      Array.tabulate(q.length / subDims) { sub =>
+        codebook.map { case (_, cv) =>
+          var s = 0L; var i = sub * subDims
+          val end = (sub + 1) * subDims
+          while (i < end) {
+            val d = q(i).toDouble - cv(i)
+            s += math.floor(d * d * 1e12 + 0.5).toLong
+            i += 1
+          }
+          s
+        }
+      }
+    }
+    val scored = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .flatMap { case (id, emb) =>
+        val e = emb.toArray
+        // coarse cell: the shared compiled argmin
+        val cell = VecKernels.argminCell(codebook, e)._1
+        val probing = probes(cell)
+        if (probing.isEmpty) Iterator.empty
+        else {
+          // PQ encode once per vector (shared across the probing queries)
+          val m = e.length / subDims
+          val codeIdx = Array.tabulate(m) { sub =>
+            var best = -1; var bestD = Long.MaxValue
+            var ci = 0
+            while (ci < codebook.length) {
+              val cv = codebook(ci)._2
+              var s = 0L; var i = sub * subDims
+              val end = (sub + 1) * subDims
+              while (i < end) {
+                val d = e(i).toDouble - cv(i)
+                s += math.floor(d * d * 1e12 + 0.5).toLong
+                i += 1
+              }
+              if (s < bestD) { bestD = s; best = ci }
+              ci += 1
+            }
+            best
+          }
+          probing.iterator
+            .filter(qi => qs(qi)._1 != id)
+            .map { qi =>
+              var adc = 0L; var sub = 0
+              while (sub < m) { adc += luts(qi)(sub)(codeIdx(sub)); sub += 1 }
+              (qs(qi)._1, id, adc)
+            }
+        }
+      }
+      .toDF("qid", "vec_id", "adcl")
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adcl"), col("vec_id")))
+        .cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"),
+        Det.snap(col("adcl").cast("double") / 1e12, 6).as("adc_d2"),
+        col("rnk"))
+  }
+
   /** Compiled nearest-centroid argmin on the exact 1e-12 grid distance
     * (ties keep the first = smallest cluster id in a sorted codebook) —
     * THE cell-assignment kernel, shared by the batch k-means loop, the

@@ -177,6 +177,17 @@ object VecQueries {
       Similarity.pqAdcTopK(q5(v), v,
         Similarity.centroidArrays(Similarity.centroids(v)), PqSubDims)
     }),
+    // IVFADC — the COMPOSED FAISS IndexIVFPQ read path (Jégou TPAMI'11
+    // §IV): the coarse quantizer bounds the corpus fraction touched per
+    // query (probing = partition pruning at 100 TB), PQ codes bound the
+    // bytes per surviving vector; the two dials multiply. Degenerates
+    // bit-for-bit to pq_adc_topk at nprobe ≥ |codebook| (spec-pinned).
+    "ivfpq_topk" -> ((s, d) => {
+      val v = vecs(s, d)
+      Similarity.ivfPqTopK(q5(v), v,
+        Similarity.centroidArrays(Similarity.centroids(v)),
+        IvfNprobe, PqSubDims)
+    }),
     // Cluster-balanced exact-k sample: IVF-assign, then keep the first
     // ClusterK vectors per cluster in deterministic md5 order — the
     // semantic-diversity downsampling pass of a curation pipeline
@@ -706,6 +717,53 @@ WHERE rnk = 1"""
   JOIN subcent c ON p.subspace = c.subspace AND p.code = c.code
   CROSS JOIN q
   WHERE p.vec_id <> q.qid
+), adc AS (
+  SELECT qid, vec_id, sum(d2l) AS adcl FROM parts GROUP BY 1, 2)
+SELECT qid, vec_id, ${s6("CAST(adcl AS DOUBLE)/1e12")} AS adc_d2, rnk
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY adcl, vec_id) AS BIGINT) AS rnk
+      FROM adc)
+WHERE rnk <= 10"""
+  }
+
+  /** Twin of Similarity.ivfPqTopK (IVFADC): candidates = ivf-assigned
+    * members of the query's probed cells (the ivfProbeSql probe
+    * ranking), scored by the pqAdcSql ADC algebra — codes re-derived
+    * declaratively, distance = Σ over subspaces of the grid distance
+    * between the QUERY's subvector and the vector's codeword. The
+    * multiply-referenced intermediates (subcent, pq, qprobe) are
+    * MATERIALIZED so the 100× tier cannot re-inline them per reference
+    * (the round-12 oracle-capacity rule). */
+  private val ivfPqSql = {
+    val xsub = s"list_slice(e.embedding, CAST((c.subspace-1)*$PqSubDims+1 AS BIGINT), CAST(c.subspace*$PqSubDims AS BIGINT))"
+    val qsub = s"list_slice(q.qv, CAST((c.subspace-1)*$PqSubDims+1 AS BIGINT), CAST(c.subspace*$PqSubDims AS BIGINT))"
+    s"""$ivfCte, subcent AS MATERIALIZED (
+  SELECT label AS code, CAST((pos-1)//$PqSubDims AS BIGINT)+1 AS subspace,
+         list(c ORDER BY pos) AS cv
+  FROM cent GROUP BY 1, 2
+), pq AS MATERIALIZED (
+  SELECT vec_id, subspace, code FROM (
+    SELECT e.vec_id, c.subspace, c.code,
+           row_number() OVER (PARTITION BY e.vec_id, c.subspace
+                ORDER BY ${dist2Sql(xsub, "c.cv")}, c.code) AS rnk
+    FROM embeddings e, subcent c)
+  WHERE rnk = 1
+), q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5
+), qprobe AS MATERIALIZED (
+  SELECT qid, cand_label AS plabel FROM (
+    SELECT q.qid, c.cand_label,
+           row_number() OVER (PARTITION BY q.qid
+                ORDER BY ${dist2Sql("q.qv", "c.cv")}, c.cand_label) AS prnk
+    FROM q, centarr c)
+  WHERE prnk <= $IvfNprobe
+), parts AS (
+  SELECT pr.qid, p.vec_id, ${dist2Sql(qsub, "c.cv")} AS d2l
+  FROM pq p
+  JOIN subcent c ON p.subspace = c.subspace AND p.code = c.code
+  JOIN ivf a ON a.vec_id = p.vec_id
+  JOIN qprobe pr ON pr.plabel = a.assigned_label
+  JOIN q ON q.qid = pr.qid
+  WHERE p.vec_id <> pr.qid
 ), adc AS (
   SELECT qid, vec_id, sum(d2l) AS adcl FROM parts GROUP BY 1, 2)
 SELECT qid, vec_id, ${s6("CAST(adcl AS DOUBLE)/1e12")} AS adc_d2, rnk
@@ -1323,6 +1381,7 @@ FROM scores s, ex"""
     "embed_ivf" -> ivfSql,
     "pq_codes" -> pqSql,
     "pq_adc_topk" -> pqAdcSql,
+    "ivfpq_topk" -> ivfPqSql,
     "ivf_probe_topk" -> ivfProbeSql,
     "cluster_sample" -> clusterSampleSql,
     "kmeans_iter" -> kmeansSql,

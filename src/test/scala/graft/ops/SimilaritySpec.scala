@@ -128,6 +128,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == expect, s"cells=$cells got=$got")
   }
 
+  test("IVFADC with nprobe >= |codebook| degenerates bit-for-bit to pure ADC") {
+    val cents = Similarity.centroidArrays(Similarity.centroids(corpus))
+    val q = corpus.filter("vec_id = 0")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(canon(Similarity.ivfPqTopK(q, corpus, cents,
+        nprobe = 2, subDims = 2, k = 6)) ==
+      canon(Similarity.pqAdcTopK(q, corpus, cents, subDims = 2, k = 6)))
+  }
+
+  test("IVFADC with nprobe = 1 scores exactly the query's own cell, ADC-ranked") {
+    val cents = Similarity.centroidArrays(Similarity.centroids(corpus))
+    val q = corpus.filter("vec_id = 0")
+    val cells = Similarity.ivfAssign(corpus, cents).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("assigned_label")).toMap
+    val out = Similarity.ivfPqTopK(q, corpus, cents,
+      nprobe = 1, subDims = 2, k = 7).collect()
+    val got = out.map(_.getAs[Long]("vec_id")).toSet
+    val expect = cells.collect { case (id, c) if c == cells(0L) && id != 0L => id }.toSet
+    assert(got == expect, s"cells=$cells got=$got")
+    // the survivors' ADC distances equal the full ADC pass's for the
+    // same (qid, vec_id) — probing filters candidates, never rescores
+    val full = Similarity.pqAdcTopK(q, corpus, cents, subDims = 2, k = 7)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("adc_d2")).toMap
+    out.foreach { r =>
+      assert(r.getAs[Double]("adc_d2") == full(r.getAs[Long]("vec_id")))
+    }
+  }
+
   test("ADC top-k equals true squared distances when codewords are lossless") {
     // every vector sits exactly at its label centroid (identical dups per
     // label, grid-exact coordinates) → PQ encodes losslessly and the
