@@ -54,6 +54,16 @@ object VecQueries {
     * (no convergence test — the oracle unrolls the trajectory). */
   private val PcaDim = 64
   private val PcaIters = 3
+  /** rrf_fusion: hybrid-retrieval profile — RRF constant (the k=60 of
+    * Cormack–Clarke–Büttcher, SIGIR 2009), per-arm candidate depth, and
+    * fused result depth. RRF scores live on an exact integer grid:
+    * contribution = 10^12 div (k + rank) — integer division of positive
+    * BIGINTs truncates identically in Spark (`div`) and DuckDB (`//`),
+    * so the fused score never touches a float. */
+  private val RrfK = 60
+  private val RrfDepth = 20
+  private val RrfTopK = 10
+
   /** mmr_diversify: candidate pool, picks, relevance/diversity weights
     * (weights cross engines via Det.dblLit — never derive one from the
     * other with engine arithmetic: 1.0−0.7 ≠ the parsed literal 0.3). */
@@ -433,6 +443,59 @@ object VecQueries {
       truth.unpersist()
       res
     }),
+    // Hybrid retrieval: reciprocal-rank fusion of a LEXICAL arm
+    // (bag-of-words cosine through the inverted index, the bow_cosine
+    // shape over documents.text) and a VECTOR arm (exact cosine over
+    // embeddings) — the modern RAG serving stack, where BM25-ish and
+    // dense rankers each miss what the other catches and RRF needs no
+    // score calibration (Cormack et al., SIGIR 2009). documents.doc_id
+    // and embeddings.vec_id are the same corpus 1:1; queries = ids < 5.
+    // Scale shape: the lexical arm is postings-bounded (a query only
+    // meets docs sharing a term), the vector arm broadcasts the query
+    // side, and the fusion itself is a FULL OUTER join of two
+    // top-RrfDepth frames — Q·depth rows, driver-free. Determinism:
+    // both arms rank (cosine DESC, id); RRF contributions are exact
+    // integer divisions (10^12 div (60+rank)), so the fused score is a
+    // BIGINT — no float ever reaches the compared columns except the
+    // arms' own snapped ranks upstream.
+    "rrf_fusion" -> ((s, d) => {
+      val base = s.read.parquet(s"$d/documents.parquet")
+      val tf = base.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val norms = tf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("n2"))
+      val qtf = tf.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("word"), col("tf").as("qtf"))
+      val dots = tf.join(broadcast(qtf), Seq("word"))
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("qtf") * col("tf")).as("dot"))
+      val qn2 = norms.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("n2").as("qn2"))
+      val lex = dots.join(broadcast(qn2), Seq("qid")).join(norms, Seq("doc_id"))
+        .select(col("qid"), col("doc_id"),
+          Det.snap(col("dot").cast("double") /
+            (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))), 6)
+            .as("cosine"))
+        .withColumn("lex_rnk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("cosine").desc, col("doc_id"))).cast("long"))
+        .filter(col("lex_rnk") <= RrfDepth)
+        .select(col("qid"), col("doc_id"), col("lex_rnk"))
+      val v = vecs(s, d)
+      val vec = Similarity.bruteForceTopK(q5(v), v, k = RrfDepth)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("rnk").as("vec_rnk"))
+      lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(expr(s"CAST(1000000000000 AS BIGINT) div ($RrfK + lex_rnk)"), lit(0L)) +
+          coalesce(expr(s"CAST(1000000000000 AS BIGINT) div ($RrfK + vec_rnk)"), lit(0L)))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+        .filter(col("rnk") <= RrfTopK)
+        .select(col("qid"), col("doc_id"), col("lex_rnk"), col("vec_rnk"),
+          col("rrf"), col("rnk"))
+    }),
     "ann_recall" -> ((s, d) => {
       val v = vecs(s, d)
       val cents = Similarity.centroidArrays(Similarity.centroids(v))
@@ -724,6 +787,63 @@ FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY adcl, vec_id) 
       FROM adc)
 WHERE rnk <= 10"""
   }
+
+  /** Twin of the rrf_fusion query: the bow_cosine lexical algebra over
+    * documents and the embed_topk vector algebra over embeddings, each
+    * cut at RrfDepth, fused by FULL OUTER join with exact-integer RRF
+    * contributions (10^12 // (k + rank) — DuckDB `//` and Spark `div`
+    * truncate identically on positive BIGINTs). Arm frames are
+    * MATERIALIZED (each is referenced by the join twice through the
+    * COALESCEs — the round-12 oracle-capacity rule). */
+  private val rrfSql =
+    s"""WITH tf AS (
+  SELECT doc_id, word, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY 1, 2
+), norms AS MATERIALIZED (
+  SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS n2 FROM tf GROUP BY 1
+), lq AS (
+  SELECT doc_id AS qid, word, tf AS qtf FROM tf WHERE doc_id < 5
+), dots AS (
+  SELECT lq.qid, t.doc_id, CAST(sum(lq.qtf * t.tf) AS BIGINT) AS dot
+  FROM tf t JOIN lq USING (word)
+  WHERE t.doc_id <> lq.qid
+  GROUP BY 1, 2
+), lexscored AS (
+  SELECT d.qid, d.doc_id,
+         ${s6("CAST(d.dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(dn.n2 AS DOUBLE)))")} AS cosine
+  FROM dots d
+  JOIN norms qn ON qn.doc_id = d.qid
+  JOIN norms dn ON dn.doc_id = d.doc_id
+), lex AS MATERIALIZED (
+  SELECT qid, doc_id, lex_rnk FROM (
+    SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS BIGINT) AS lex_rnk
+    FROM lexscored)
+  WHERE lex_rnk <= $RrfDepth
+), vbase AS (
+  SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nv FROM embeddings
+), vq AS (
+  SELECT vec_id AS qid, embedding AS qv, nv AS nq FROM vbase WHERE vec_id < 5
+), vscored AS (
+  SELECT vq.qid, e.vec_id,
+         ${cosSql(dotSql("vq.qv", "e.embedding"), "vq.nq", "e.nv")} AS cosine
+  FROM vq, vbase e
+  WHERE e.vec_id <> vq.qid AND e.nv > 0 AND vq.nq > 0
+), vec AS MATERIALIZED (
+  SELECT qid, vec_id AS doc_id, vec_rnk FROM (
+    SELECT qid, vec_id, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS vec_rnk
+    FROM vscored)
+  WHERE vec_rnk <= $RrfDepth
+), fused AS (
+  SELECT COALESCE(l.qid, v.qid) AS qid, COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         l.lex_rnk, v.vec_rnk,
+         CAST(COALESCE(1000000000000 // ($RrfK + l.lex_rnk), 0) +
+              COALESCE(1000000000000 // ($RrfK + v.vec_rnk), 0) AS BIGINT) AS rrf
+  FROM lex l FULL OUTER JOIN vec v ON l.qid = v.qid AND l.doc_id = v.doc_id)
+SELECT qid, doc_id, lex_rnk, vec_rnk, rrf, rnk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+  FROM fused)
+WHERE rnk <= $RrfTopK"""
 
   /** Twin of Similarity.ivfPqTopK (IVFADC): candidates = ivf-assigned
     * members of the query's probed cells (the ivfProbeSql probe
@@ -1382,6 +1502,7 @@ FROM scores s, ex"""
     "pq_codes" -> pqSql,
     "pq_adc_topk" -> pqAdcSql,
     "ivfpq_topk" -> ivfPqSql,
+    "rrf_fusion" -> rrfSql,
     "ivf_probe_topk" -> ivfProbeSql,
     "cluster_sample" -> clusterSampleSql,
     "kmeans_iter" -> kmeansSql,
