@@ -64,6 +64,20 @@ object VecQueries {
   private val RrfDepth = 20
   private val RrfTopK = 10
 
+  /** ndcg_eval DCG position weights on the 1e12 integer grid:
+    * w_r = round(10^12 / log2(1+r)) for ranks 1..10, plus their running
+    * sums (the ideal-DCG lookup). Computed ONCE here in Scala and
+    * interpolated into BOTH sides as Long literals — neither engine
+    * ever evaluates a logarithm, so the position discounting cannot
+    * introduce a float divergence. */
+  private val NdcgK = 10
+  private val NdcgW: Seq[(Long, Long)] =
+    (1 to NdcgK).map(r => r.toLong ->
+      math.floor(1e12 / (math.log1p(r.toDouble) / math.log(2.0)) + 0.5).toLong)
+  private val NdcgCw: Seq[(Long, Long)] =
+    NdcgW.scanLeft(0L -> 0L) { case ((_, acc), (r, w)) => r -> (acc + w) }.tail
+  private val NdcgRankers = Seq("single", "multi", "ivf", "adc", "hamming")
+
   /** mmr_diversify: candidate pool, picks, relevance/diversity weights
     * (weights cross engines via Det.dblLit — never derive one from the
     * other with engine arithmetic: 1.0−0.7 ≠ the parsed literal 0.3). */
@@ -495,6 +509,49 @@ object VecQueries {
         .filter(col("rnk") <= RrfTopK)
         .select(col("qid"), col("doc_id"), col("lex_rnk"), col("vec_rnk"),
           col("rrf"), col("rnk"))
+    }),
+    // Position-weighted retrieval eval: NDCG@10 of every ANN path
+    // against the brute-force truth — ann_recall counts HITS, this
+    // weighs WHERE they landed (a hit at rank 1 ≫ a hit at rank 10),
+    // the readout that actually decides which index serves a RAG
+    // stack. rel ∈ {0,1} (truth membership), so DCG = Σ over hits of
+    // the rank's grid weight and IDCG = the running-sum lookup at
+    // n_true; both exact BIGINTs, ndcg = one correctly-rounded
+    // division. The 25-row (ranker × query) literal frame keeps
+    // zero-hit cells visible (ivf_sweep's dimension-frame pattern).
+    "ndcg_eval" -> ((s, d) => {
+      import s.implicits._
+      val v = vecs(s, d)
+      val cents = Similarity.centroidArrays(Similarity.centroids(v))
+      val truth = Similarity.bruteForceTopK(q5(v), v)
+        .select(col("qid"), col("vec_id")).localCheckpoint(true)
+      val cands = Seq(
+        "single" -> Similarity.lshTopK(q5(v), v),
+        "multi" -> Similarity.lshTopKMulti(q5(v), v, k = 10,
+          planes = MultiPlanes, tables = MultiTables),
+        "ivf" -> Similarity.ivfProbeTopK(q5(v), v, cents, IvfNprobe),
+        "adc" -> Similarity.pqAdcTopK(q5(v), v, cents, PqSubDims),
+        "hamming" -> Similarity.hammingTopK(q5(v), v))
+        .map { case (tag, df) =>
+          df.select(lit(tag).as("ranker"), col("qid"), col("vec_id"), col("rnk")) }
+        .reduce(_ unionByName _)
+      val dcg = cands.join(truth, Seq("qid", "vec_id"))
+        .join(broadcast(NdcgW.toDF("rnk", "w")), Seq("rnk"))
+        .groupBy(col("ranker"), col("qid")).agg(sum(col("w")).as("dcg_grid"))
+      val tt = truth.groupBy(col("qid")).agg(count(lit(1)).as("n_true"))
+        .join(broadcast(NdcgCw.toDF("n_true", "idcg_grid")), Seq("n_true"))
+      val frame = NdcgRankers.flatMap(r => (0L until 5L).map(q => (r, q)))
+        .toDF("ranker", "qid")
+      val res = frame.join(tt, Seq("qid"))
+        .join(dcg, Seq("ranker", "qid"), "left")
+        .select(col("ranker"), col("qid"), col("n_true"),
+          coalesce(col("dcg_grid"), lit(0L)).as("dcg_grid"),
+          col("idcg_grid"),
+          Det.snap(coalesce(col("dcg_grid"), lit(0L)).cast("double") /
+            col("idcg_grid").cast("double"), 6).as("ndcg"))
+        .localCheckpoint(true)
+      truth.unpersist()
+      res
     }),
     "ann_recall" -> ((s, d) => {
       val v = vecs(s, d)
@@ -1068,6 +1125,43 @@ SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.2"""
     * the full query load); the hit joins are (qid, vec_id)-keyed over
     * top-k-sized frames.
     */
+  /** Twin of ndcg_eval: the five ranker twins as tagged candidate CTEs
+    * (the annRecallSql composition, keeping each twin's own rnk), DCG
+    * weights and ideal-DCG running sums as VALUES lists interpolated
+    * from the SAME Scala-computed Long grid constants, one LEFT JOIN
+    * from the 25-row (ranker × query) frame so zero-hit cells emit. */
+  private val ndcgSql = {
+    val wVals = NdcgW.map { case (r, w) =>
+      s"(CAST($r AS BIGINT), CAST($w AS BIGINT))" }.mkString(", ")
+    val cwVals = NdcgCw.map { case (n, cw) =>
+      s"(CAST($n AS BIGINT), CAST($cw AS BIGINT))" }.mkString(", ")
+    val frameVals = NdcgRankers.flatMap(r => (0L until 5L).map(q =>
+      s"('$r', CAST($q AS BIGINT))")).mkString(", ")
+    s"""WITH truth AS MATERIALIZED (SELECT qid, vec_id FROM ($topkSql)),
+cands AS (
+  SELECT 'single' AS ranker, qid, vec_id, rnk FROM ($lshTopkSql)
+  UNION ALL SELECT 'multi' AS ranker, qid, vec_id, rnk FROM ($lshMultiSql)
+  UNION ALL SELECT 'ivf' AS ranker, qid, vec_id, rnk FROM ($ivfProbeSql)
+  UNION ALL SELECT 'adc' AS ranker, qid, vec_id, rnk FROM ($pqAdcSql)
+  UNION ALL SELECT 'hamming' AS ranker, qid, vec_id, rnk FROM ($hammingSql)),
+w(rnk, w) AS (VALUES $wVals),
+cw(n_true, idcg_grid) AS (VALUES $cwVals),
+frame(ranker, qid) AS (VALUES $frameVals),
+tt AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_true FROM truth GROUP BY 1),
+dcg AS (
+  SELECT c.ranker, c.qid, CAST(sum(w.w) AS BIGINT) AS dcg_grid
+  FROM cands c JOIN truth t USING (qid, vec_id) JOIN w ON w.rnk = c.rnk
+  GROUP BY 1, 2)
+SELECT f.ranker, f.qid, tt.n_true,
+       COALESCE(d.dcg_grid, CAST(0 AS BIGINT)) AS dcg_grid,
+       cw.idcg_grid,
+       ${s6("CAST(COALESCE(d.dcg_grid, 0) AS DOUBLE) / CAST(cw.idcg_grid AS DOUBLE)")} AS ndcg
+FROM frame f
+JOIN tt ON tt.qid = f.qid
+JOIN cw ON cw.n_true = tt.n_true
+LEFT JOIN dcg d ON d.ranker = f.ranker AND d.qid = f.qid"""
+  }
+
   private val annRecallSql =
     s"""WITH truth AS (SELECT qid, vec_id FROM ($topkSql)),
 s1 AS (SELECT qid, vec_id FROM ($lshTopkSql)),
@@ -1487,6 +1581,7 @@ FROM scores s, ex"""
     "embed_jl" -> jlSql,
     "embed_dim_stats" -> dimStatsSql,
     "ann_recall" -> annRecallSql,
+    "ndcg_eval" -> ndcgSql,
     "ivf_sweep" -> ivfSweepSql,
     "embed_quantize" -> quantizeSql,
     "dedup_embed" -> dedupEmbedSql,
