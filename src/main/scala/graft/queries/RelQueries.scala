@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Det, ZOrder}
+import graft.ops.{Det, Hilbert, ZOrder}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -159,6 +159,47 @@ GROUP BY o.o_custkey, p.n_orders, p.cust_avg"""
         min(col("z")).as("z_min"), max(col("z")).as("z_max"))
   }
 
+  /** Hilbert-curve layout audit — zorder_layout's stronger sibling on
+    * the SAME (custkey, day) plane and the same bucket statistics, so
+    * the two layouts read side by side (the Hilbert buckets' min/max
+    * boxes are tighter — that is the whole point; see graft.ops.Hilbert
+    * for why the walk can't be a sum of independent bit terms). Engine
+    * side: compiled per-row bit kernel in a typed map (zero shuffle
+    * before the bucket aggregate); oracle side: the same fold unrolled
+    * into 16 chained CTE projections from the same constants. */
+  private def hilbertLayout(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val day = datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("long")
+    val keyed = t(s, d, "orders")
+      .select(col("o_custkey").bitwiseAND(lit(65535L)).as("x"),
+        day.bitwiseAND(lit(65535L)).as("y"),
+        col("o_custkey"), day.as("day_idx"))
+      .as[(Long, Long, Long, Long)]
+      .map { case (x, y, ck, di) => (Hilbert.d2(x, y, 16), ck, di) }
+      .toDF("h", "o_custkey", "day_idx")
+    keyed
+      .groupBy(shiftright(col("h"), 16).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+        min(col("day_idx")).as("min_day"), max(col("day_idx")).as("max_day"),
+        min(col("h")).as("h_min"), max(col("h")).as("h_max"))
+  }
+
+  private val hilbertLayoutSql = {
+    val day = "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))"
+    s"""WITH d0 AS (
+  SELECT o_custkey, CAST($day AS BIGINT) AS day_idx,
+         (o_custkey & 65535) AS hx, (CAST($day AS BIGINT) & 65535) AS hy,
+         CAST(0 AS BIGINT) AS hd
+  FROM orders),
+${Hilbert.dSqlCtes("d0", 16, Seq("o_custkey", "day_idx"))}
+SELECT hd >> 16 AS bucket, count(*) AS n_rows,
+       min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+       min(day_idx) AS min_day, max(day_idx) AS max_day,
+       min(hd) AS h_min, max(hd) AS h_max
+FROM h15 GROUP BY 1"""
+  }
+
   private val zorderLayoutSql = {
     val day = "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))"
     s"""WITH d AS (
@@ -191,6 +232,7 @@ FROM z GROUP BY 1"""
       t(s, d, "lineitem").select(col("l_suppkey").as("k")),
       BloomBits, BloomHashes)),
     "zorder_layout" -> ((s, d) => zorderLayout(s, d)),
+    "hilbert_layout" -> ((s, d) => hilbertLayout(s, d)),
     "scd2_intervals" -> ((s, d) => {
       // Slowly-changing-dimension (type 2) build from a change log:
       // per customer, collapse consecutive equal order statuses into
@@ -236,6 +278,7 @@ FROM z GROUP BY 1"""
       "SELECT l_suppkey AS k FROM lineitem",
       BloomBits, BloomHashes),
     "zorder_layout" -> zorderLayoutSql,
+    "hilbert_layout" -> hilbertLayoutSql,
     "scd2_intervals" ->
       """WITH marked AS (
   SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
