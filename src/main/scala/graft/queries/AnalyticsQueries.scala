@@ -401,7 +401,77 @@ SELECT user_id,
        CAST(COALESCE(list_sum(st[5:]), 0) AS DOUBLE) / 1e4 AS open_cost
 FROM m"""
 
+  /** CDC MERGE-apply: the event log read as a change stream for entity
+    * = user_id — event_type 'error' is the DELETE tombstone, everything
+    * else an SCD1 upsert of (value, props) — collapsed to the current
+    * snapshot in ONE pass: per key the (ts, event_id)-latest change
+    * wins, keys whose latest change is a tombstone are absent, and the
+    * audit columns count total changes, deletes, and RESURRECTIONS
+    * (an upsert directly following a tombstone — the re-insert case
+    * MERGE implementations get wrong most often). This is the
+    * `MERGE INTO current USING log` warehouse kernel as a query: at
+    * 100 TB the log collapses map-side per key before one Exchange
+    * (max_by/count/sum are all combinable), so applying a day's CDC
+    * is one aggregate, not row-at-a-time DML. All compared values are
+    * exact picks/counts (value is a pick, never summed).
+    */
+  private def cdcUpsert(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = t(s, d, "events")
+    val eventTime =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("timestamp_micros(ts div 1000)")
+      else col("ts").cast("timestamp")
+    val log = raw.select(col("event_id"), eventTime.as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .withColumn("is_del", (col("event_type") === "error").cast("long"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ord = struct(col("ts"), col("event_id"))
+    log
+      .withColumn("prev_del", lag(col("is_del"), 1).over(w))
+      .withColumn("resur",
+        when(col("prev_del") === 1L && col("is_del") === 0L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(col("is_del"), ord).as("last_del"),
+        max_by(col("value"), ord).as("value"),
+        max_by(col("props"), ord).as("props"),
+        max(col("ts")).as("updated_at"),
+        count(lit(1)).as("n_changes"),
+        sum(col("is_del")).as("n_deletes"),
+        sum(col("resur")).as("n_resurrections"))
+      .filter(col("last_del") === 0L)
+      .select(col("user_id"), col("value"), col("props"), col("updated_at"),
+        col("n_changes"), col("n_deletes"), col("n_resurrections"))
+  }
+
+  private val cdcUpsertSql =
+    s"""WITH log AS (
+  SELECT user_id, ts, event_id, value, props,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+         row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rd,
+         lag(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END, 1)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_del
+  FROM events),
+snap AS (
+  SELECT user_id,
+         max(CASE WHEN rd = 1 THEN is_del END) AS last_del,
+         max(CASE WHEN rd = 1 THEN value END) AS value,
+         max(CASE WHEN rd = 1 THEN props END) AS props,
+         max(ts) AS updated_at,
+         CAST(count(*) AS BIGINT) AS n_changes,
+         CAST(sum(is_del) AS BIGINT) AS n_deletes,
+         CAST(sum(CASE WHEN prev_del = 1 AND is_del = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_resurrections
+  FROM log GROUP BY 1)
+SELECT user_id, value, props, updated_at, n_changes, n_deletes,
+       n_resurrections
+FROM snap WHERE last_del = 0"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_upsert" -> ((s, d) => cdcUpsert(s, d)),
     "fifo_pnl" -> ((s, d) => fifoPnl(s, d)),
     // Raw HLL audited against the exact count — the fixed-register
     // sketch beside kmv_distinct's order statistics, on a column whose
@@ -538,6 +608,7 @@ FROM m"""
   )
 
   def oracleSql: Map[String, String] = Map(
+    "cdc_upsert" -> cdcUpsertSql,
     "skew_profile" ->
       """WITH c AS (
   SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY 1
