@@ -103,12 +103,19 @@ object PlanSnap {
     "perceptron_auc",    // literal-weight margin agg + running-sum rank path
     "perceptron_pr_curve",// same + descending double running sum + broadcast total
     // Round-11: the walk family (the bench's most expensive queries).
-    "walk_skipgrams"     // corpus self-join + PMI marginal joins (the
+    "walk_skipgrams",    // corpus self-join + PMI marginal joins (the
                          // corpus leaf is the walks checkpoint's RDD scan)
-    // ivf_sweep / hurst_rs / graph_walks* / walk_spectral /
+    // Round-13 continuation: retrieval-serving + layout + CDC shapes.
+    "ivfpq_topk",        // IVFADC: ONE corpus scan (cell argmin + PQ +
+                         // LUT sum fused map-side) + per-query top-k
+    "rrf_fusion",        // bow arm (broadcast qtf) + vector arm + one
+                         // full-outer SMJ on Q·depth rows + fused rank
+    "hilbert_layout",    // typed-map bit kernel → one hash aggregate
+    "cdc_upsert"         // window + snapshot agg sharing ONE user Exchange
+    // ivf_sweep / hurst_rs / ndcg_eval / graph_walks* / walk_spectral /
     // link_prediction are NOT pinned as full queries: their eager output
-    // checkpoints reduce the observable plan to an RDD scan — the last
-    // three pin their hot inner shape through Seams below instead.
+    // checkpoints reduce the observable plan to an RDD scan — the
+    // walk three pin their hot inner shape through Seams below instead.
   )
 
   /** Lazy plan-pin seams for checkpoint-hygienic queries whose contract
