@@ -676,6 +676,70 @@ LIMIT $SearchTopK"""
         col("p_cond"), col("rk"))
   }
 
+  /** collocations profile: minimum pair count and result depth. */
+  private val CollocMinC = 5
+  private val CollocTopK = 20
+
+  /** Collocation mining by PMI lift: the top word pairs whose observed
+    * co-occurrence beats the independence expectation — lift =
+    * c12·N / (c1·c2), the exp(PMI) every collocation extractor ranks by
+    * (Church & Hanks 1990), kept LOG-FREE so it stays engine-exact:
+    * both numerator and denominator are exact integer products
+    * (c12·N ≲ 1e11, c1·c2 ≲ 1e12 ≪ 2^53), the lift is ONE correctly-
+    * rounded division snapped at 6 dp, and the rank orders by the
+    * snapped value (ties → words). Same inverted bigram aggregate as
+    * bigram_lm — one explode-count pass, marginals via a broadcast-size
+    * word-count table, the min-count filter prunes the pair table
+    * before the marginal joins. */
+  private def collocations(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = docs(s, d).select(col("text")).as[String]
+      .flatMap(_.split(" ", -1).iterator)
+      .toDF("w")
+    val n = words.count()
+    val wc = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val pairs = docs(s, d).select(col("text")).as[String]
+      .flatMap { text =>
+        val ws = text.split(" ", -1)
+        Iterator.range(0, ws.length - 1).map(i => (ws(i), ws(i + 1)))
+      }
+      .toDF("w1", "w2")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= CollocMinC)
+    graft.ops.Ranks.rowNumberByRange(pairs
+      .join(wc.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(wc.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        Det.snap((col("c12") * lit(n)).cast("double") /
+          (col("c1") * col("c2")).cast("double"), 6).as("lift")),
+      Seq(col("lift").desc, col("w1"), col("w2")), "rk")
+      .filter(col("rk") <= CollocTopK)
+  }
+
+  private val collocationsSql =
+    s"""WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w),
+wc AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1
+), t AS (
+  SELECT string_split(text, ' ') AS ws FROM documents
+), pairs AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2, CAST(count(*) AS BIGINT) AS c12
+  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM t)
+  GROUP BY 1, 2 HAVING count(*) >= $CollocMinC
+), lifted AS (
+  SELECT p.w1, p.w2, p.c12, a.c AS c1, b.c AS c2,
+         ${s6("CAST(p.c12 * n.n AS DOUBLE) / CAST(a.c * b.c AS DOUBLE)")} AS lift
+  FROM pairs p
+  JOIN wc a ON a.w = p.w1
+  JOIN wc b ON b.w = p.w2
+  CROSS JOIN n)
+SELECT w1, w2, c12, c1, c2, lift, rk FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY lift DESC, w1, w2) AS BIGINT) AS rk
+  FROM lifted)
+WHERE rk <= $CollocTopK"""
+
   private val bigramLmSql =
     s"""WITH t AS (
   SELECT lang, string_split(text, ' ') AS ws FROM documents
@@ -1210,6 +1274,7 @@ FROM tok t LEFT JOIN neww n USING (doc_id)"""
     "session_concurrency" -> ((s, d) => sessionConcurrency(s, d)),
     "keyword_search" -> ((s, d) => keywordSearch(s, d)),
     "bigram_lm" -> ((s, d) => bigramLm(s, d)),
+    "collocations" -> ((s, d) => collocations(s, d)),
     "lm_fluency" -> ((s, d) => r6(lmFluency(s, d))),
     "mad_outliers" -> ((s, d) => madOutliers(s, d)),
     "seq_packing" -> ((s, d) => seqPacking(s, d)),
@@ -1236,6 +1301,7 @@ FROM tok t LEFT JOIN neww n USING (doc_id)"""
     "session_concurrency" -> sessionConcurrencySql,
     "keyword_search" -> keywordSearchSql,
     "bigram_lm" -> bigramLmSql,
+    "collocations" -> collocationsSql,
     "lm_fluency" -> lmFluencySql,
     "mad_outliers" -> madOutliersSql,
     "seq_packing" -> seqPackingSql,
