@@ -273,7 +273,95 @@ FROM events GROUP BY event_type"""
 FROM ($pre) agg"""
   }
 
+  /** theil_sen: trailing window of hourly closes per instrument — the
+    * window CAP is what makes the estimator scale-safe: pairs are
+    * O(SenWindow²) per key regardless of history length (an unbounded
+    * Theil–Sen is Θ(hours²) and dies at the 100× span). */
+  private val SenWindow = 128
+
+  /** Theil–Sen (Sen's slope) robust trend per instrument: the median of
+    * all pairwise slopes over the trailing [[SenWindow]] hourly closes,
+    * plus the matching median-residual intercept — the
+    * outlier-breakdown-0.29 trend line econometrics reaches for when
+    * OLS gets dragged by spikes (Sen 1968). Engine-exact WITHOUT any
+    * grid: each slope is ONE correctly-rounded division of parquet
+    * doubles by an exact-integer Δt, both engines order identical
+    * doubles identically, and the median is the lower order-statistic
+    * PICK at rank (m+1) div 2 (ties broken (ta, tb)) — a pick, never an
+    * average, so nothing is ever summed. Intercept: same pick over
+    * per-point residuals close − slope·t.
+    *
+    * Scale shape: hourly downsample (one hash agg) → trailing-window
+    * rank (one keyed Exchange) → a SenWindow²-bounded per-key self-join
+    * → two rank picks on the same key partitioning. */
+  private def theilSen(s: SparkSession, d: String): DataFrame = {
+    val hourly = TickQueries.ticks(s, d)
+      .groupBy(col("product_id"),
+        date_trunc("hour", col("event_time")).as("hr"))
+      .agg(max_by(col("price"),
+        struct(col("event_time"), col("sequence"))).as("close"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("product_id")).orderBy(col("hr").desc)))
+      .filter(col("rk") <= SenWindow)
+      .select(col("product_id"),
+        expr("unix_micros(hr) div 3600000000").as("t"), col("close"))
+    val a = hourly.select(col("product_id"), col("t").as("ta"), col("close").as("pa"))
+    val b = hourly.select(col("product_id"), col("t").as("tb"), col("close").as("pb"))
+    val w = Window.partitionBy(col("product_id"))
+    val sen = a.join(b, Seq("product_id")).filter(col("tb") > col("ta"))
+      .withColumn("slope",
+        (col("pb") - col("pa")) / (col("tb") - col("ta")).cast("double"))
+      .withColumn("rs", row_number().over(
+        w.orderBy(col("slope"), col("ta"), col("tb"))))
+      .withColumn("np", count(lit(1)).over(w))
+      .filter(col("rs") === expr("(np + 1) div 2"))
+      .select(col("product_id"), col("np").as("n_pairs"), col("slope").as("sen_slope"))
+    hourly.join(sen, Seq("product_id"))
+      .withColumn("res", col("close") - col("sen_slope") * col("t").cast("double"))
+      .withColumn("ri", row_number().over(w.orderBy(col("res"), col("t"))))
+      .withColumn("nn", count(lit(1)).over(w))
+      .filter(col("ri") === expr("(nn + 1) div 2"))
+      .select(col("product_id"), col("nn").cast("long").as("n_points"),
+        col("n_pairs").cast("long").as("n_pairs"),
+        Det.snap(col("sen_slope"), 6).as("sen_slope"),
+        Det.snap(col("res"), 6).as("intercept"))
+  }
+
+  private val theilSenSql =
+    s"""WITH t0 AS (
+  SELECT product_id, date_trunc('hour', event_time) AS hr, price,
+         row_number() OVER (PARTITION BY product_id, date_trunc('hour', event_time)
+                            ORDER BY event_time DESC, sequence DESC) AS rn_d
+  FROM (${TickQueries.liveTicksSql}) lt),
+hourly AS MATERIALIZED (
+  SELECT product_id, CAST(epoch_us(hr) // 3600000000 AS BIGINT) AS t,
+         price AS close
+  FROM (SELECT product_id, hr, price,
+               row_number() OVER (PARTITION BY product_id ORDER BY hr DESC) AS rk
+        FROM t0 WHERE rn_d = 1)
+  WHERE rk <= $SenWindow),
+sen AS MATERIALIZED (
+  SELECT product_id, np AS n_pairs, slope AS sen_slope FROM (
+    SELECT a.product_id, (b.close - a.close) / CAST(b.t - a.t AS DOUBLE) AS slope,
+           row_number() OVER (PARTITION BY a.product_id
+               ORDER BY (b.close - a.close) / CAST(b.t - a.t AS DOUBLE), a.t, b.t) AS rs,
+           count(*) OVER (PARTITION BY a.product_id) AS np
+    FROM hourly a JOIN hourly b ON a.product_id = b.product_id AND b.t > a.t)
+  WHERE rs = (np + 1) // 2),
+resid AS (
+  SELECT h.product_id, s.n_pairs, s.sen_slope, h.t,
+         h.close - s.sen_slope * CAST(h.t AS DOUBLE) AS res,
+         row_number() OVER (PARTITION BY h.product_id
+             ORDER BY h.close - s.sen_slope * CAST(h.t AS DOUBLE), h.t) AS ri,
+         count(*) OVER (PARTITION BY h.product_id) AS nn
+  FROM hourly h JOIN sen s USING (product_id))
+SELECT product_id, CAST(nn AS BIGINT) AS n_points,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       ${s6("sen_slope")} AS sen_slope, ${s6("res")} AS intercept
+FROM resid WHERE ri = (nn + 1) // 2"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "theil_sen" -> ((s, d) => theilSen(s, d)),
     "price_moments" -> ((s, d) => {
       import TickQueries.r6
       r6(priceMoments(s, d))
@@ -289,6 +377,7 @@ FROM ($pre) agg"""
   )
 
   def oracleSql: Map[String, String] = Map(
+    "theil_sen" -> theilSenSql,
     "price_moments" -> priceMomentsSql,
     "chi2_contingency" -> chi2Sql,
     "corpus_balance" -> balancedSql,
