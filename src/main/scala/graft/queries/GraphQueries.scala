@@ -1445,6 +1445,20 @@ FROM visits v JOIN degf g USING (node) CROSS JOIN tot"""
           col("ecc_bound"),
           Det.snap(col("sum_hops").cast("double") /
             col("n_reached").cast("double"), 6).as("mean_hops"))),
+    // Harmonic centrality over the same BFS catchments: Σ 1/hops of
+    // reached nodes — the centrality that stays finite under
+    // disconnection (Boldi–Vigna's axiom-clean pick, where closeness
+    // degenerates). 1/hops rides the exact 1e12 integer grid
+    // (10^12 div hops — Spark `div` ≡ DuckDB `//` on positives), so
+    // the mass is a BIGINT sum; the double form is one exact
+    // non-negative cast + one division (both correctly rounded).
+    "graph_harmonic" -> ((s, d) =>
+      graphBfs(s, d).filter(col("hops") > 0)
+        .groupBy(col("nearest_seed"))
+        .agg(count(lit(1)).as("n_reached"),
+          sum(expr("CAST(1000000000000 AS BIGINT) div hops")).as("h_grid"))
+        .select(col("nearest_seed"), col("n_reached"), col("h_grid"),
+          Det.snap(col("h_grid").cast("double") / lit(1e12), 6).as("harmonic"))),
     "graph_communities" -> ((s, d) => communities(s, d)),
     "kcore" -> ((s, d) => kcore(s, d)),
     "degree_dist" -> ((s, d) => {
@@ -1478,6 +1492,12 @@ SELECT nearest_seed, CAST(count(*) AS BIGINT) AS n_reached,
        CAST(max(hops) AS BIGINT) AS ecc_bound,
        ${s6("CAST(sum(hops) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mean_hops
 FROM bfs GROUP BY 1""",
+    "graph_harmonic" ->
+      s"""WITH bfs AS (SELECT * FROM ($graphBfsSql))
+SELECT nearest_seed, CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(sum(1000000000000 // hops) AS BIGINT) AS h_grid,
+       ${s6("CAST(CAST(sum(1000000000000 // hops) AS BIGINT) AS DOUBLE) / 1e12")} AS harmonic
+FROM bfs WHERE hops > 0 GROUP BY 1""",
     "graph_communities" -> communitiesSql,
     "kcore" -> kcoreSql,
     "degree_dist" -> degreeDistSql,
