@@ -600,12 +600,46 @@ HAVING count(*) >= 5"""
       .withColumn("net", col("n_buy") - col("n_sell"))
   }
 
+  /** Twin of the imbalance-bars fold, reformulated so the zipf tier can
+    * grade the hot key: the naive sequential unroll carries the
+    * closed-bars tail in its accumulator — Θ(n·bars) per key, ~10¹²
+    * element copies on a 1.69M-tick hot key at T=4 — so this twin
+    * solves the SAME recurrence in closed form over prefix sums.
+    * With ±1 steps the running imbalance first leaves (−T, T) exactly
+    * AT ±T, so a bar starting at position s closes at
+    * f(s) = min j > s with P_j ∈ {P_s ± T} (P = dir prefix sum,
+    * P_0 = 0). f is computed for EVERY position by one reversed
+    * running-min window per (key, target-value) partition; bar starts
+    * are the f-orbit of 0, enumerated by BINARY LIFTING (jump tables
+    * f^(2^k), orbit doubled per level — the kcore/communities
+    * MATERIALIZED-unroll pattern applied to pointer jumping), and every
+    * bar's stats drop out arithmetically: n_ticks = e−s,
+    * net = P_e − P_s, n_buy = (n_ticks+net)/2. Θ((n + bars)·log n)
+    * per key, no growing accumulator anywhere. The per-key sentinel
+    * n+1 absorbs ended chains (a real close AT the last tick is j = n,
+    * which the sentinel must not shadow); the trailing open bar is the
+    * orbit point whose jump exceeds n, clamped to e = n and emitted
+    * only if non-empty — exactly the engine fold's flush. */
   private val imbalanceBarsSql = {
     val T = ImbalanceT
-    // state list: [imb, bar, n, nbuy, nsell] header + closed bars in the
-    // tail as (bar, n, nbuy, nsell) quads
-    val buy = "CASE WHEN e[1] > 0 THEN 1 ELSE 0 END"
-    val sell = "CASE WHEN e[1] < 0 THEN 1 ELSE 0 END"
+    val levels = 21 // 2^21 chain steps ≫ any fixture's bars-per-key
+    val lifts = (0 until levels).map { k =>
+      val step = 1L << k
+      val jNext =
+        if (k == levels - 1) "" // the last jump table is never composed
+        else s""",
+j${k + 1} AS MATERIALIZED (
+  SELECT a.product_id, a.s, b.f
+  FROM j$k a JOIN j$k b ON b.product_id = a.product_id AND b.s = a.f)"""
+      s"""o${k + 1} AS MATERIALIZED (
+  SELECT * FROM o$k
+  UNION ALL
+  SELECT o.product_id, o.bar + $step AS bar, j.f AS s
+  FROM o$k o
+  JOIN j$k j ON j.product_id = o.product_id AND j.s = o.s
+  JOIN keys k2 ON k2.product_id = o.product_id
+  WHERE j.f <= k2.n)$jNext"""
+    }.mkString(",\n")
     s"""WITH b AS (
   SELECT product_id, event_time, sequence,
          last_value(CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 END IGNORE NULLS)
@@ -615,39 +649,59 @@ HAVING count(*) >= 5"""
                price - lag(price, 1) OVER (PARTITION BY product_id
                    ORDER BY event_time, sequence) AS d
         FROM (${TickQueries.liveTicksSql}) lt) t),
-l AS (
-  SELECT product_id,
-         list(CAST(dir AS BIGINT) ORDER BY event_time, sequence) AS ds
-  FROM b WHERE dir IS NOT NULL GROUP BY 1),
-f AS (
-  SELECT product_id,
-         list_reduce(
-           list_prepend(CAST([0, 0, 0, 0, 0] AS BIGINT[]),
-                        [[d] for d in ds]),
-           (s, e) -> CASE WHEN abs(s[1] + e[1]) >= $T
-             THEN [CAST(0 AS BIGINT), s[2] + 1, 0, 0, 0] || s[6:]
-                  || [s[2], s[3] + 1, s[4] + $buy, s[5] + $sell]
-             ELSE [s[1] + e[1], s[2], s[3] + 1, s[4] + $buy, s[5] + $sell]
-                  || s[6:]
-           END) AS st
-  FROM l),
-c AS (
-  SELECT product_id,
-         st[6:] || (CASE WHEN st[3] > 0
-                         THEN [st[2], st[3], st[4], st[5]]
-                         ELSE CAST([] AS BIGINT[]) END) AS closed
-  FROM f),
-g AS (
-  SELECT product_id, closed,
-         unnest([i for i in range(0, CAST(len(closed) // 4 AS BIGINT))]) AS i
-  FROM c)
-SELECT product_id,
-       closed[4 * i + 1] AS bar,
-       closed[4 * i + 2] AS n_ticks,
-       closed[4 * i + 3] AS n_buy,
-       closed[4 * i + 4] AS n_sell,
-       closed[4 * i + 3] - closed[4 * i + 4] AS net
-FROM g"""
+d AS (
+  SELECT product_id, CAST(dir AS BIGINT) AS dir,
+         CAST(row_number() OVER (PARTITION BY product_id
+             ORDER BY event_time, sequence) AS BIGINT) AS j
+  FROM b WHERE dir IS NOT NULL),
+p AS MATERIALIZED (
+  SELECT product_id, j,
+         CAST(sum(dir) OVER (PARTITION BY product_id ORDER BY j
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pv
+  FROM d
+  UNION ALL
+  SELECT DISTINCT product_id, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS pv
+  FROM d),
+keys AS MATERIALIZED (
+  SELECT product_id, CAST(max(j) AS BIGINT) AS n FROM p GROUP BY 1),
+ev AS (
+  SELECT product_id, pv + $T AS v, j AS pos, 0 AS is_hit FROM p
+  UNION ALL SELECT product_id, pv - $T AS v, j AS pos, 0 AS is_hit FROM p
+  UNION ALL SELECT product_id, pv AS v, j AS pos, 1 AS is_hit FROM p),
+nx AS (
+  SELECT product_id, pos, is_hit,
+         min(CASE WHEN is_hit = 1 THEN pos END)
+           OVER (PARTITION BY product_id, v ORDER BY pos DESC, is_hit ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS nhit
+  FROM ev),
+j0 AS MATERIALIZED (
+  SELECT q.product_id, q.pos AS s, COALESCE(min(q.nhit), k.n + 1) AS f
+  FROM nx q JOIN keys k USING (product_id)
+  WHERE q.is_hit = 0
+  GROUP BY q.product_id, q.pos, k.n
+  UNION ALL
+  SELECT product_id, n + 1 AS s, n + 1 AS f FROM keys),
+o0 AS (
+  SELECT product_id, CAST(0 AS BIGINT) AS bar, CAST(0 AS BIGINT) AS s
+  FROM keys),
+$lifts,
+bars0 AS (
+  SELECT o.product_id, o.bar, o.s,
+         LEAST(j.f, k.n) AS e
+  FROM o$levels o
+  JOIN j0 j ON j.product_id = o.product_id AND j.s = o.s
+  JOIN keys k ON k.product_id = o.product_id),
+stats AS (
+  SELECT b.product_id, b.bar, b.e - b.s AS n_ticks, pe.pv - ps.pv AS net
+  FROM bars0 b
+  JOIN p ps ON ps.product_id = b.product_id AND ps.j = b.s
+  JOIN p pe ON pe.product_id = b.product_id AND pe.j = b.e
+  WHERE b.e > b.s)
+SELECT product_id, bar, n_ticks,
+       CAST((n_ticks + net) // 2 AS BIGINT) AS n_buy,
+       CAST((n_ticks - net) // 2 AS BIGINT) AS n_sell,
+       net
+FROM stats"""
   }
 
   private val dollarBarsSql =
