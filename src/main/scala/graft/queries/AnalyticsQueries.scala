@@ -681,17 +681,45 @@ SELECT user_id, event_id, ts, ${s6("value")} AS value, view_ts,
        ${s6("view_value")} AS view_value,
        CAST(epoch_us(ts) - epoch_us(view_ts) AS BIGINT) AS gap_us
 FROM picked""",
+    // Bucketed like the engine side (RangeJoin.pairs): a plain band
+    // join here hash-joins on user_id alone and filters the band AFTER
+    // — Θ(err_u · ev_u) per user, hot-key-quadratic at the zipf tier
+    // (killed at 46 CPU-minutes). Candidates instead come from an
+    // equi-join on (user, minute-bucket) with the probe reaching its ≤2
+    // overlapping buckets; each build row lives in exactly ONE bucket,
+    // so the two branches are disjoint and need no dedup, and the
+    // EXACT residual band filter (microsecond timestamps) makes the
+    // result independent of bucket rounding.
     "range_join" ->
       s"""WITH err AS (
   SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'
-)
+),
+ev AS (
+  SELECT user_id, ts, value, CAST(epoch_us(ts) // 60000000 AS BIGINT) AS b
+  FROM events),
+probe AS (
+  SELECT user_id, event_id, ts, CAST(epoch_us(ts) // 60000000 AS BIGINT) AS b
+  FROM err),
+cand AS (
+  SELECT p.user_id, p.event_id, p.ts, e.value
+  FROM probe p JOIN ev e
+    ON e.user_id = p.user_id AND e.b = p.b
+   AND e.ts >= p.ts - INTERVAL '60 seconds' AND e.ts < p.ts
+  UNION ALL
+  SELECT p.user_id, p.event_id, p.ts, e.value
+  FROM probe p JOIN ev e
+    ON e.user_id = p.user_id AND e.b = p.b - 1
+   AND e.ts >= p.ts - INTERVAL '60 seconds' AND e.ts < p.ts
+),
+agg AS (
+  SELECT user_id, event_id, ts, CAST(count(*) AS BIGINT) AS n_prior,
+         ${Det.sumDSql("value", 4)} AS sum_value
+  FROM cand GROUP BY 1, 2, 3)
 SELECT err.user_id, err.event_id, err.ts,
-       count(b.ts) AS n_prior,
-       ${s6(s"coalesce(${Det.sumDSql("b.value", 4)}, 0.0)")} AS sum_value
-FROM err LEFT JOIN events b
-  ON err.user_id = b.user_id
- AND b.ts >= err.ts - INTERVAL '60 seconds' AND b.ts < err.ts
-GROUP BY err.user_id, err.event_id, err.ts""",
+       COALESCE(a.n_prior, CAST(0 AS BIGINT)) AS n_prior,
+       ${s6("COALESCE(a.sum_value, 0.0)")} AS sum_value
+FROM err LEFT JOIN agg a ON a.user_id = err.user_id
+  AND a.event_id = err.event_id AND a.ts = err.ts""",
     "rel_rollup" ->
       s"""SELECT o_orderpriority, o_orderstatus,
        count(*) AS n_orders, ${s6(Det.sumDSql("o_totalprice", 2))} AS revenue
