@@ -111,7 +111,11 @@ object PlanSnap {
     "rrf_fusion",        // bow arm (broadcast qtf) + vector arm + one
                          // full-outer SMJ on Q·depth rows + fused rank
     "hilbert_layout",    // typed-map bit kernel → one hash aggregate
-    "cdc_upsert"         // window + snapshot agg sharing ONE user Exchange
+    "cdc_upsert",        // window + snapshot agg sharing ONE user Exchange
+    "theil_sen",         // hourly downsample + trailing-window rank +
+                         // W²-bounded pair self-join + two rank picks
+    "collocations"       // inverted bigram agg + broadcast marginals +
+                         // two-pass range rank (no 1-partition window)
     // ivf_sweep / hurst_rs / ndcg_eval / graph_walks* / walk_spectral /
     // link_prediction are NOT pinned as full queries: their eager output
     // checkpoints reduce the observable plan to an RDD scan — the
