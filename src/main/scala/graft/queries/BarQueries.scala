@@ -685,6 +685,15 @@ o0 AS (
   SELECT product_id, CAST(0 AS BIGINT) AS bar, CAST(0 AS BIGINT) AS s
   FROM keys),
 $lifts,
+guard AS (
+  -- a key whose chain could exceed the unrolled orbit cap must fail
+  -- LOUDLY with the cause named, never as a silent truncation that
+  -- surfaces as an opaque hash mismatch (max bars per key = n/T + 1)
+  SELECT CASE WHEN max(n) // $T + 2 > ${1L << levels}
+              THEN error('imbalance_bars oracle: orbit cap 2^' || '$levels'
+                         || ' exceeded - raise levels')
+              ELSE CAST(0 AS BIGINT) END AS ok
+  FROM keys),
 bars0 AS (
   SELECT o.product_id, o.bar, o.s,
          LEAST(j.f, k.n) AS e
@@ -696,7 +705,8 @@ stats AS (
   FROM bars0 b
   JOIN p ps ON ps.product_id = b.product_id AND ps.j = b.s
   JOIN p pe ON pe.product_id = b.product_id AND pe.j = b.e
-  WHERE b.e > b.s)
+  CROSS JOIN guard
+  WHERE b.e > b.s AND guard.ok = 0)
 SELECT product_id, bar, n_ticks,
        CAST((n_ticks + net) // 2 AS BIGINT) AS n_buy,
        CAST((n_ticks - net) // 2 AS BIGINT) AS n_sell,

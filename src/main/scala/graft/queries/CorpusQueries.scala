@@ -717,12 +717,12 @@ LIMIT $SearchTopK"""
   }
 
   private val collocationsSql =
-    s"""WITH w AS (
-  SELECT unnest(string_split(text, ' ')) AS w FROM documents
-), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w),
-wc AS MATERIALIZED (
-  SELECT w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1
-), t AS (
+    s"""WITH wc AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1
+), n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM wc),
+t AS (
   SELECT string_split(text, ' ') AS ws FROM documents
 ), pairs AS (
   SELECT ws[i] AS w1, ws[i + 1] AS w2, CAST(count(*) AS BIGINT) AS c12

@@ -187,17 +187,18 @@ GROUP BY o.o_custkey, p.n_orders, p.cust_avg"""
 
   private val hilbertLayoutSql = {
     val day = "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))"
+    val bits = 16 // ONE constant drives the fold depth AND the final CTE
     s"""WITH d0 AS (
   SELECT o_custkey, CAST($day AS BIGINT) AS day_idx,
          (o_custkey & 65535) AS hx, (CAST($day AS BIGINT) & 65535) AS hy,
          CAST(0 AS BIGINT) AS hd
   FROM orders),
-${Hilbert.dSqlCtes("d0", 16, Seq("o_custkey", "day_idx"))}
-SELECT hd >> 16 AS bucket, count(*) AS n_rows,
+${Hilbert.dSqlCtes("d0", bits, Seq("o_custkey", "day_idx"))}
+SELECT hd >> $bits AS bucket, count(*) AS n_rows,
        min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
        min(day_idx) AS min_day, max(day_idx) AS max_day,
        min(hd) AS h_min, max(hd) AS h_max
-FROM h15 GROUP BY 1"""
+FROM h${bits - 1} GROUP BY 1"""
   }
 
   private val zorderLayoutSql = {

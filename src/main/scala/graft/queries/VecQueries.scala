@@ -851,7 +851,13 @@ WHERE rnk <= 10"""
     * contributions (10^12 // (k + rank) — DuckDB `//` and Spark `div`
     * truncate identically on positive BIGINTs). Arm frames are
     * MATERIALIZED (each is referenced by the join twice through the
-    * COALESCEs — the round-12 oracle-capacity rule). */
+    * COALESCEs — the round-12 oracle-capacity rule). `tf` stays a PLAIN
+    * CTE deliberately despite 3 references: inlining lets DuckDB push
+    * `doc_id < 5` into the query-arm instance (one full tokenization +
+    * one 5-doc one, not three full) — measured 8.5 s vs 25 s
+    * MATERIALIZED at the 100× docs tier, the one probed case where the
+    * multiply-referenced-CTE rule inverts because per-reference filter
+    * pushdown beats compute-once. */
   private val rrfSql =
     s"""WITH tf AS (
   SELECT doc_id, word, count(*) AS tf
