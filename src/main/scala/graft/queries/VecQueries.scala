@@ -60,9 +60,12 @@ object VecQueries {
     * contribution = 10^12 div (k + rank) — integer division of positive
     * BIGINTs truncates identically in Spark (`div`) and DuckDB (`//`),
     * so the fused score never touches a float. */
-  private val RrfK = 60
-  private val RrfDepth = 20
-  private val RrfTopK = 10
+  // private[queries] (r14 ADVICE): RrfFusionSpec reads these instead of
+  // re-deriving literals — a constant change here now fails the spec's
+  // recomputation loudly rather than silently recomputing both sides.
+  private[queries] val RrfK = 60
+  private[queries] val RrfDepth = 20
+  private[queries] val RrfTopK = 10
 
   /** ndcg_eval DCG position weights on the 1e12 integer grid:
     * w_r = round(10^12 / log2(1+r)) for ranks 1..10, plus their running
@@ -70,11 +73,13 @@ object VecQueries {
     * interpolated into BOTH sides as Long literals — neither engine
     * ever evaluates a logarithm, so the position discounting cannot
     * introduce a float divergence. */
-  private val NdcgK = 10
-  private val NdcgW: Seq[(Long, Long)] =
+  // private[queries] (r14 ADVICE): NdcgEvalSpec reads NdcgW/NdcgCw
+  // directly instead of duplicating the grid-weight formula.
+  private[queries] val NdcgK = 10
+  private[queries] val NdcgW: Seq[(Long, Long)] =
     (1 to NdcgK).map(r => r.toLong ->
       math.floor(1e12 / (math.log1p(r.toDouble) / math.log(2.0)) + 0.5).toLong)
-  private val NdcgCw: Seq[(Long, Long)] =
+  private[queries] val NdcgCw: Seq[(Long, Long)] =
     NdcgW.scanLeft(0L -> 0L) { case ((_, acc), (r, w)) => r -> (acc + w) }.tail
   private val NdcgRankers = Seq("single", "multi", "ivf", "adc", "hamming")
 

@@ -69,8 +69,15 @@ object StatefulRangeJoin {
                 val hits = win.filter(_._1 < us)
                 var k = 0L
                 hits.foreach(k += _._3)
+                // Det.sumD finish + the batch contract's r6 wrap (r14
+                // ADVICE): the contract query snaps range_join at 6 dp,
+                // so the twin replays the SAME scalar sequence
+                // floor(x·10⁶+0.5)/10⁶ — bit-equal at ANY magnitude,
+                // not just inside the |Σk·100| < 2^51 envelope where
+                // snap6 is an identity on the 1e-4 grid.
+                val sd = k.toDouble / 1e4
                 out += EnrichedOut(key, e.event_id, e.ts,
-                  hits.size.toLong, k.toDouble / 1e4) // Det.sumD finish
+                  hits.size.toLong, math.floor(sd * 1e6 + 0.5) / 1e6)
               }
               // every event (triggers included) feeds later windows;
               // the same kl grid batch Det.sumD(_, 4) accumulates

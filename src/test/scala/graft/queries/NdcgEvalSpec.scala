@@ -16,9 +16,9 @@ class NdcgEvalSpec extends AnyFunSuite {
   import TestSpark._
 
   private val dir = "/root/testdata/sf0.001"
-  // keep in sync with VecQueries.NdcgW
-  private val w: Map[Long, Long] = (1 to 10).map(r => r.toLong ->
-    math.floor(1e12 / (math.log1p(r.toDouble) / math.log(2.0)) + 0.5).toLong).toMap
+  // THE production constants (r14 ADVICE: read, don't re-derive — a
+  // VecQueries constant change must fail these recomputations loudly)
+  private val w: Map[Long, Long] = VecQueries.NdcgW.toMap
 
   private lazy val rows = VecQueries.queries("ndcg_eval")(spark, dir).collect()
 

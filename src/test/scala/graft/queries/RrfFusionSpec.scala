@@ -15,10 +15,10 @@ class RrfFusionSpec extends AnyFunSuite {
   import TestSpark._
 
   private val dir = "/root/testdata/sf0.001"
-  // keep in sync with VecQueries.RrfK / RrfDepth / RrfTopK
-  private val K = 60
-  private val Depth = 20
-  private val TopK = 10
+  // THE production constants (r14 ADVICE: read, don't re-derive)
+  private val K = VecQueries.RrfK
+  private val Depth = VecQueries.RrfDepth
+  private val TopK = VecQueries.RrfTopK
 
   private def contrib(rnk: Any): Long = rnk match {
     case null => 0L

@@ -68,7 +68,10 @@ class StatefulRangeJoinSpec extends AnyFunSuite {
         col("bts") < col("ts"), "left")
       .groupBy(col("user_id"), col("event_id"), col("ts"))
       .agg(count(col("bts")).as("n_prior"),
-        coalesce(Det.sumD(col("value"), 4), lit(0.0)).as("sum_value"))
+        // the contract query wraps range_join in r6 — mirror the snap
+        // here so twin ≡ batch is compared at the contract's surface
+        Det.snap(coalesce(Det.sumD(col("value"), 4), lit(0.0)), 6)
+          .as("sum_value"))
       .collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
         r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("n_prior"),
