@@ -174,11 +174,32 @@ FROM un GROUP BY user_id, lag_k"""
 
   /** The shared thresholded supplier co-occurrence edge list (edge x<y
     * iff the two suppliers appear in ≥ MinCo common orders) — ONE
-    * definition ([[graft.ops.CoOccur.edges]]) feeding triangles, PageRank
-    * and the degree distribution. Callers cache: every consumer reads it
-    * more than once. */
+    * definition feeding triangles, PageRank and the degree
+    * distribution. Callers cache: every consumer reads it more than
+    * once. Composed as threshold-over-pair-counts so the SAME filter
+    * body serves both the from-scratch contract path and the
+    * [[graft.ops.GraphArtifact]] readers (r13 verdict #1). */
   private def suppEdges(s: SparkSession, d: String): DataFrame =
-    graft.ops.CoOccur.edges(t(s, d, "lineitem"), "l_orderkey", "l_suppkey", MinCo)
+    suppEdgesFrom(suppPairCounts(s, d))
+
+  /** Unthresholded supplier pair counts — the artifact's `supp_pairs`
+    * table and the base under both edge rules (MinCo filter here,
+    * link_prediction's decile rule). */
+  private[graft] def suppPairCounts(s: SparkSession, d: String): DataFrame =
+    graft.ops.CoOccur.pairCounts(t(s, d, "lineitem"), "l_orderkey", "l_suppkey")
+
+  /** Part-dimension twin (k-core, communities). */
+  private[graft] def partPairCounts(s: SparkSession, d: String): DataFrame =
+    graft.ops.CoOccur.pairCounts(t(s, d, "lineitem"), "l_orderkey", "l_partkey")
+
+  /** MinCo edge filter over a pair-counts frame — with
+    * [[suppPairCounts]] this IS [[graft.ops.CoOccur.edges]], split so an
+    * artifact-loaded pair table can enter the same body. */
+  private[graft] def suppEdgesFrom(pc: DataFrame): DataFrame =
+    pc.filter(col("c") >= MinCo).select(col("x"), col("y"))
+
+  private[graft] def partEdgesFrom(pc: DataFrame): DataFrame =
+    pc.filter(col("c") >= PartMinCo).select(col("x"), col("y"))
 
   /** Triangle counting / clustering over the supplier co-occurrence graph:
     * one summary row with edge / ordered-wedge / triangle counts and the
@@ -202,12 +223,18 @@ FROM un GROUP BY user_id, lag_k"""
     (edges, graft.ops.CoOccur.triangleStats(edges))
   }
 
-  private def triangles(s: SparkSession, d: String): DataFrame = {
-    val (edges, lazyOut) = trianglesLazy(s, d)
+  private def triangles(s: SparkSession, d: String): DataFrame =
+    trianglesFrom(suppEdges(s, d))
+
+  /** Census body over ANY edge frame — the contract path passes freshly
+    * derived edges, the artifact path passes filter-over-loaded-parquet;
+    * one body keeps the two bit-identical (GraphArtifactSpec). */
+  private[graft] def trianglesFrom(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.cache()
     // one-row summary: materialize it eagerly (localCheckpoint truncates
     // the lineage into a single tiny block) so the edge cache can be
     // released HERE instead of leaking for the driver session's lifetime
-    val out = lazyOut.localCheckpoint(true)
+    val out = graft.ops.CoOccur.triangleStats(edges).localCheckpoint(true)
     edges.unpersist(false)
     out
   }
@@ -225,7 +252,10 @@ FROM un GROUP BY user_id, lag_k"""
     * edges) — the plan-inspection surface for the link_prediction pin
     * (the contract query's eager output checkpoint hides the wedge-join
     * shape). Returns the checkpoints for the caller to release. */
-  private[graft] def linkPredictionLazy(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) = {
+  private[graft] def linkPredictionLazy(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) =
+    linkPredictionLazyFrom(suppPairCounts(s, d))
+
+  private[graft] def linkPredictionLazyFrom(pc0: DataFrame): (Seq[DataFrame], DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // Decile edge rule: keep the strongest ~10% of co-occurring pairs —
     // T = max{v : |{c ≥ v}| ≥ ⌈N/10⌉}. A fixed absolute floor (MinCo)
@@ -233,9 +263,7 @@ FROM un GROUP BY user_id, lag_k"""
     // graph goes complete (no pair left to predict). The threshold is
     // histogram-sized integer algebra (|distinct c| rows) broadcast
     // back onto the pair table — no global sort of the pairs.
-    val pc = graft.ops.CoOccur
-      .pairCounts(t(s, d, "lineitem"), "l_orderkey", "l_suppkey")
-      .localCheckpoint(true)
+    val pc = pc0.localCheckpoint(true)
     val hist = pc.groupBy(col("c")).agg(count(lit(1)).as("m"))
     val tot = hist.agg(sum(col("m")).as("n"))
     val thr = hist.crossJoin(broadcast(tot))
@@ -268,8 +296,13 @@ FROM un GROUP BY user_id, lag_k"""
     (Seq(pc, edges), out)
   }
 
-  private def linkPrediction(s: SparkSession, d: String): DataFrame = {
-    val (cks, lazyOut) = linkPredictionLazy(s, d)
+  private def linkPrediction(s: SparkSession, d: String): DataFrame =
+    linkPredictionFrom(suppPairCounts(s, d))
+
+  /** Scoring body over ANY unthresholded pair-counts frame (contract:
+    * fresh build; artifact: loaded `supp_pairs`). */
+  private[graft] def linkPredictionFrom(pc: DataFrame): DataFrame = {
+    val (cks, lazyOut) = linkPredictionLazyFrom(pc)
     // 20-row result: checkpoint eagerly, then release the pc/edges
     // checkpoints (Dataset.unpersist is a no-op on checkpoints — the
     // round-10 hygiene finding; Checkpoints.release drops the blocks).
@@ -369,10 +402,14 @@ FROM closed"""
     * the K tiny iteration joins move to the driver); past `smallEdges`
     * the distributed loop runs unchanged. */
   private[graft] def pagerank(s: SparkSession, d: String,
-                              smallEdges: Long = Adaptive.threshold(1L << 20)): DataFrame = {
+                              smallEdges: Long = Adaptive.threshold(1L << 20)): DataFrame =
+    pagerankFrom(s, suppEdges(s, d), smallEdges)
+
+  private[graft] def pagerankFrom(s: SparkSession, edgesIn: DataFrame,
+                                  smallEdges: Long = Adaptive.threshold(1L << 20)): DataFrame = {
     // cache: the union below and the degree/init/final consumers would
     // otherwise re-run the whole pair-generation scan per branch
-    val pairs = suppEdges(s, d).cache()
+    val pairs = edgesIn.cache()
     if (pairs.count() <= smallEdges) {
       val pe = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
       pairs.unpersist(false)
@@ -492,8 +529,10 @@ FROM r3 JOIN deg g ON r3.v = g.v"""
     * integers + one exact-long-ratio share; the distribution table is
     * degree-cardinality-sized (tiny), aggregated from the same
     * thresholded edge set as [[triangles]]/[[pagerank]]. */
-  private def degreeDist(s: SparkSession, d: String): DataFrame = {
-    val pairs = suppEdges(s, d)
+  private def degreeDist(s: SparkSession, d: String): DataFrame =
+    degreeDistFrom(suppEdges(s, d))
+
+  private[graft] def degreeDistFrom(pairs: DataFrame): DataFrame = {
     val degrees = pairs.unionByName(
         pairs.select(col("y").as("x"), col("x").as("y")))
       .groupBy(col("x")).agg(count(lit(1)).as("degree"))
@@ -534,9 +573,10 @@ GROUP BY degree, n.n_nodes"""
   /** k-core peel — see [[graft.ops.KCore.peel]] for semantics and the
     * per-round aggregate + semi-join scale shape. */
   private def kcore(s: SparkSession, d: String): DataFrame =
-    graft.ops.KCore.peel(
-      graft.ops.CoOccur.edges(t(s, d, "lineitem"), "l_orderkey", "l_partkey", PartMinCo),
-      KCoreK, KCoreRounds)
+    kcoreFrom(partEdgesFrom(partPairCounts(s, d)))
+
+  private[graft] def kcoreFrom(edges: DataFrame): DataFrame =
+    graft.ops.KCore.peel(edges, KCoreK, KCoreRounds)
       .select(col("node").as("part_id"), col("degree"))
 
   /** Twin of [[kcore]]: the peel trajectory UNROLLED into generated CTE
@@ -596,10 +636,11 @@ FROM s$KCoreRounds s LEFT JOIN fin f USING (node)"""
     * GONE, round-13: the unrolled min-label oracle above grades the full
     * 100× problem in ~1.5 min, and an env-sensitive contract query was
     * an ambient-misconfiguration hazard — round-12 ADVICE.) */
-  private def communities(s: SparkSession, d: String): DataFrame = {
-    val edges = graft.ops.CoOccur
-      .edges(t(s, d, "lineitem"), "l_orderkey", "l_partkey", PartMinCo)
-      .cache()
+  private def communities(s: SparkSession, d: String): DataFrame =
+    communitiesFrom(partEdgesFrom(partPairCounts(s, d)))
+
+  private[graft] def communitiesFrom(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.cache()
     val m = edges.count()
     val cc = graft.ops.ConnectedComponents.clusters(edges, "x", "y")
       .select(col("id"), col("cluster_id").as("community"))
@@ -674,8 +715,15 @@ FROM dc JOIN ic USING (community) CROSS JOIN mm"""
     * degree hubs plus the hub assignment (seed Voronoi) — see
     * [[graft.ops.Bfs.seededHops]] for the exact-integer label design and
     * the one-join-per-round relaxation shape. */
-  private def graphBfs(s: SparkSession, d: String): DataFrame = {
-    val edges = suppEdges(s, d)
+  private def graphBfs(s: SparkSession, d: String): DataFrame =
+    bfsLabelsFrom(suppEdges(s, d))
+
+  /** BFS hub-distance labels over ANY x<y edge frame — the artifact's
+    * `bfs_labels` table is exactly this output persisted (exact longs,
+    * parquet-lossless), so the loaded artifact ≡ this body bit for bit
+    * while the edge frame is unchanged (GraphArtifactSpec proves both
+    * the round-trip and the refresh-after-merge equivalence). */
+  private[graft] def bfsLabelsFrom(edges: DataFrame): DataFrame = {
     val dir = edges.unionByName(
       edges.select(col("y").as("x"), col("x").as("y"))).cache()
     val deg = dir.groupBy(col("x")).agg(count(lit(1)).as("deg"))
@@ -1294,7 +1342,10 @@ FROM ev$EmbedIters"""
     // generation 3× per action (no cache) or leaks persisted blocks to
     // the caller (cache with no release point); the result is 1 row, so
     // eager costs what the first action would anyway.
-    val edges = suppEdges(s, d)
+    assortativityFrom(s, suppEdges(s, d))
+  }
+
+  private[graft] def assortativityFrom(s: SparkSession, edges: DataFrame): DataFrame = {
     val dir = edges.unionByName(
       edges.select(col("y").as("x"), col("x").as("y"))).cache()
     val deg = dir.groupBy(col("x")).agg(count(lit(1)).as("deg"))
@@ -1386,6 +1437,71 @@ FROM dir JOIN deg a ON dir.x = a.node JOIN deg b ON dir.y = b.node"""
     * CONTRACT queries deliberately keep rebuilding — the bench's
     * standard mode measures each query standalone; this map is what the
     * amortize mode times against it. */
+  /** Seed catchment profile over a BFS label frame (graph_closeness's
+    * body): per seed the reach count, hop mass, eccentricity bound, and
+    * mean hop distance (bounded-hop closeness) — one |seeds|-sized
+    * aggregate over the already-computed labels; exact-integer ratio. */
+  private[graft] def closenessOf(labels: DataFrame): DataFrame =
+    labels
+      .groupBy(col("nearest_seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("hops")).as("sum_hops"),
+        max(col("hops")).as("ecc_bound"))
+      .select(col("nearest_seed"), col("n_reached"), col("sum_hops"),
+        col("ecc_bound"),
+        Det.snap(col("sum_hops").cast("double") /
+          col("n_reached").cast("double"), 6).as("mean_hops"))
+
+  /** Harmonic centrality over a BFS label frame (graph_harmonic's
+    * body): Σ 1/hops of reached nodes — the centrality that stays
+    * finite under disconnection (Boldi–Vigna's axiom-clean pick, where
+    * closeness degenerates). 1/hops rides the exact 1e12 integer grid
+    * (10^12 div hops — Spark `div` ≡ DuckDB `//` on positives), so the
+    * mass is a BIGINT sum; the double form is one exact non-negative
+    * cast + one division (both correctly rounded). */
+  private[graft] def harmonicOf(labels: DataFrame): DataFrame =
+    labels.filter(col("hops") > 0)
+      .groupBy(col("nearest_seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("CAST(1000000000000 AS BIGINT) div hops")).as("h_grid"))
+      .select(col("nearest_seed"), col("n_reached"), col("h_grid"),
+        Det.snap(col("h_grid").cast("double") / lit(1e12), 6).as("harmonic"))
+
+  /** Build + persist the graph family's shared frames as the
+    * [[graft.ops.GraphArtifact]] (r13 verdict #1 — the seam Bench's
+    * SPARK_GRAFT_BENCH_AMORTIZE mode measures for this family). */
+  private[graft] def buildGraphArtifact(s: SparkSession, d: String,
+                                        path: String): Unit = {
+    val supp = suppPairCounts(s, d).localCheckpoint(true)
+    val labels = bfsLabelsFrom(suppEdgesFrom(supp))
+    graft.ops.GraphArtifact.store(supp, partPairCounts(s, d), labels, path)
+    graft.ops.Checkpoints.release(supp, labels)
+  }
+
+  /** Amortized bodies for the static-graph family: identical bits to
+    * the contract queries (GraphArtifactSpec proves every reader; the
+    * artifact's exact long rows round-trip parquet losslessly), but the
+    * shared pair-count/BFS derivation is replaced by an artifact load.
+    * The CONTRACT queries deliberately keep rebuilding — standard bench
+    * mode measures each standalone; this map is what amortize mode
+    * times against it. */
+  private[graft] def amortizedGraphQueries(path: String): Map[String, (SparkSession, String) => DataFrame] = {
+    import graft.ops.GraphArtifact._
+    import TickQueries.r6
+    Map(
+      "triangle_count" -> ((s, _) => trianglesFrom(suppEdgesFrom(loadSuppPairs(s, path)))),
+      "link_prediction" -> ((s, _) => linkPredictionFrom(loadSuppPairs(s, path))),
+      "kcore" -> ((s, _) => kcoreFrom(partEdgesFrom(loadPartPairs(s, path)))),
+      "graph_communities" -> ((s, _) => communitiesFrom(partEdgesFrom(loadPartPairs(s, path)))),
+      "graph_assortativity" -> ((s, _) => assortativityFrom(s, suppEdgesFrom(loadSuppPairs(s, path)))),
+      "graph_bfs" -> ((s, _) => loadBfsLabels(s, path)),
+      "graph_closeness" -> ((s, _) => closenessOf(loadBfsLabels(s, path))),
+      "graph_harmonic" -> ((s, _) => harmonicOf(loadBfsLabels(s, path))),
+      "pagerank" -> ((s, _) => r6(pagerankFrom(s, suppEdgesFrom(loadSuppPairs(s, path))))),
+      "degree_dist" -> ((s, _) => r6(degreeDistFrom(suppEdgesFrom(loadSuppPairs(s, path)))))
+    )
+  }
+
   private[graft] def amortizedWalkQueries(path: String): Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_walks" -> ((s, _) => graft.ops.WalkCorpus.load(s, path)),
     "walk_skipgrams" -> ((s, _) =>
@@ -1435,16 +1551,7 @@ FROM visits v JOIN degf g USING (node) CROSS JOIN tot"""
     // the reach count, hop mass, eccentricity bound, and mean hop
     // distance (bounded-hop closeness) — one |seeds|-sized aggregate
     // over the already-computed label frame; exact-integer ratio.
-    "graph_closeness" -> ((s, d) =>
-      graphBfs(s, d)
-        .groupBy(col("nearest_seed"))
-        .agg(count(lit(1)).as("n_reached"),
-          sum(col("hops")).as("sum_hops"),
-          max(col("hops")).as("ecc_bound"))
-        .select(col("nearest_seed"), col("n_reached"), col("sum_hops"),
-          col("ecc_bound"),
-          Det.snap(col("sum_hops").cast("double") /
-            col("n_reached").cast("double"), 6).as("mean_hops"))),
+    "graph_closeness" -> ((s, d) => closenessOf(graphBfs(s, d))),
     // Harmonic centrality over the same BFS catchments: Σ 1/hops of
     // reached nodes — the centrality that stays finite under
     // disconnection (Boldi–Vigna's axiom-clean pick, where closeness
@@ -1452,13 +1559,7 @@ FROM visits v JOIN degf g USING (node) CROSS JOIN tot"""
     // (10^12 div hops — Spark `div` ≡ DuckDB `//` on positives), so
     // the mass is a BIGINT sum; the double form is one exact
     // non-negative cast + one division (both correctly rounded).
-    "graph_harmonic" -> ((s, d) =>
-      graphBfs(s, d).filter(col("hops") > 0)
-        .groupBy(col("nearest_seed"))
-        .agg(count(lit(1)).as("n_reached"),
-          sum(expr("CAST(1000000000000 AS BIGINT) div hops")).as("h_grid"))
-        .select(col("nearest_seed"), col("n_reached"), col("h_grid"),
-          Det.snap(col("h_grid").cast("double") / lit(1e12), 6).as("harmonic"))),
+    "graph_harmonic" -> ((s, d) => harmonicOf(graphBfs(s, d))),
     "graph_communities" -> ((s, d) => communities(s, d)),
     "kcore" -> ((s, d) => kcore(s, d)),
     "degree_dist" -> ((s, d) => {

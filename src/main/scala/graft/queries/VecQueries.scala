@@ -1149,12 +1149,17 @@ SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.2"""
     val frameVals = NdcgRankers.flatMap(r => (0L until 5L).map(q =>
       s"('$r', CAST($q AS BIGINT))")).mkString(", ")
     s"""WITH truth AS MATERIALIZED (SELECT qid, vec_id FROM ($topkSql)),
+r_single AS MATERIALIZED (SELECT qid, vec_id, rnk FROM ($lshTopkSql)),
+r_multi AS MATERIALIZED (SELECT qid, vec_id, rnk FROM ($lshMultiSql)),
+r_ivf AS MATERIALIZED (SELECT qid, vec_id, rnk FROM ($ivfProbeSql)),
+r_adc AS MATERIALIZED (SELECT qid, vec_id, rnk FROM ($pqAdcSql)),
+r_hamming AS MATERIALIZED (SELECT qid, vec_id, rnk FROM ($hammingSql)),
 cands AS (
-  SELECT 'single' AS ranker, qid, vec_id, rnk FROM ($lshTopkSql)
-  UNION ALL SELECT 'multi' AS ranker, qid, vec_id, rnk FROM ($lshMultiSql)
-  UNION ALL SELECT 'ivf' AS ranker, qid, vec_id, rnk FROM ($ivfProbeSql)
-  UNION ALL SELECT 'adc' AS ranker, qid, vec_id, rnk FROM ($pqAdcSql)
-  UNION ALL SELECT 'hamming' AS ranker, qid, vec_id, rnk FROM ($hammingSql)),
+  SELECT 'single' AS ranker, qid, vec_id, rnk FROM r_single
+  UNION ALL SELECT 'multi' AS ranker, qid, vec_id, rnk FROM r_multi
+  UNION ALL SELECT 'ivf' AS ranker, qid, vec_id, rnk FROM r_ivf
+  UNION ALL SELECT 'adc' AS ranker, qid, vec_id, rnk FROM r_adc
+  UNION ALL SELECT 'hamming' AS ranker, qid, vec_id, rnk FROM r_hamming),
 w(rnk, w) AS (VALUES $wVals),
 cw(n_true, idcg_grid) AS (VALUES $cwVals),
 frame(ranker, qid) AS (VALUES $frameVals),

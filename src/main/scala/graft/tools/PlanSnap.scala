@@ -114,8 +114,11 @@ object PlanSnap {
     "cdc_upsert",        // window + snapshot agg sharing ONE user Exchange
     "theil_sen",         // hourly downsample + trailing-window rank +
                          // W²-bounded pair self-join + two rank picks
-    "collocations"       // inverted bigram agg + broadcast marginals +
+    "collocations",      // inverted bigram agg + broadcast marginals +
                          // two-pass range rank (no 1-partition window)
+    // Round-14: adjudicating the r13 +18% bench delta (verdict #4) —
+    // the pin rules out a silent plan flip behind any future drift.
+    "simhash_hamming"    // 64-bit simhash + pigeonhole band self-join
     // ivf_sweep / hurst_rs / ndcg_eval / graph_walks* / walk_spectral /
     // link_prediction are NOT pinned as full queries: their eager output
     // checkpoints reduce the observable plan to an RDD scan — the

@@ -187,6 +187,51 @@ object ScaleUp {
       }.reduce(_ unionByName _), "lineitem")
     }
 
+    /** Hot-HUB graph scaling (`lineitem_hub`, round-13 verdict #3 — the
+      * graph twin of events_zipf): the same k disjoint copies as
+      * `lineitem_graph`, then ONE GLOBAL hub supplier is spliced into
+      * ~17% of all orders (line 1 of each md5-selected order is
+      * remapped to a hub id outside every copy's band). Every copy's
+      * suppliers co-occur with the hub in ~0.17× their order count —
+      * far past MinCo — so the hub's degree ≈ the GLOBAL supplier
+      * count: one node carries ~17% of edges, stitches the k copies
+      * into one component, and is guaranteed the top BFS seed. This is
+      * the frontier-expansion stress (BFS relaxation, walk neighbor
+      * draws, min-label propagation, wedge joins all meet one key with
+      * k× the next degree) that disjoint-copy and densified tiers
+      * cannot produce. Selection is a pure function of the BANDED
+      * orderkey (md5), so replicas differ and the fixture is
+      * deterministic. */
+    def scaleLineitemHub(): Unit = {
+      val HubShare = 0.17
+      val raw = spark.read.parquet(s"$src/lineitem.parquet")
+      val suppBand = raw.agg(max(col("l_suppkey"))).head().getLong(0) + 1L
+      // l_partkey is banded too (unlike `lineitem_graph`, whose graded
+      // queries read only the supplier graph): the part graph must stay
+      // k disjoint copies — unbanded parts would densify co-occurrence
+      // counts 100× and explode the PartMinCo=2 graph (the round-12
+      // finding) — and then gets its own hub so kcore/communities see
+      // the same single-hot-node stress as the supplier side.
+      val partBand = raw.agg(max(col("l_partkey"))).head().getLong(0) + 1L
+      val hubSupp = k * suppBand
+      val hubPart = k * partBand
+      val banded = (0 until k).map { r =>
+        raw.withColumn("l_orderkey", col("l_orderkey") + lit(r * orderBand))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(r * suppBand))
+          .withColumn("l_partkey", col("l_partkey") + lit(r * partBand))
+          .select(raw.columns.map(col).toIndexedSeq: _*)
+      }.reduce(_ unionByName _)
+      val u = (conv(substring(md5(col("l_orderkey").cast("string")), 1, 12), 16, 10)
+        .cast("double") + lit(0.5)) / lit(281474976710656.0) // 2^48
+      val hubRow = u < lit(HubShare) && col("l_linenumber") === 1
+      writeOne(banded
+        .withColumn("l_suppkey",
+          when(hubRow, lit(hubSupp)).otherwise(col("l_suppkey")))
+        .withColumn("l_partkey",
+          when(hubRow, lit(hubPart)).otherwise(col("l_partkey")))
+        .select(raw.columns.map(col).toIndexedSeq: _*), "lineitem")
+    }
+
     val all = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     val specs = Map[String, () => Unit](
@@ -197,11 +242,13 @@ object ScaleUp {
       "orders" -> (() => scaleById("orders", "o_orderkey", Some(orderBand))),
       "lineitem" -> (() => scaleById("lineitem", "l_orderkey", Some(orderBand))),
       "lineitem_graph" -> (() => scaleLineitemGraph()),
+      "lineitem_hub" -> (() => scaleLineitemHub()),
       "relational" -> (() => scaleRelational()))
     val unknown = scaled -- specs.keySet
     require(unknown.isEmpty, s"no scale rule for: ${unknown.mkString(",")}")
-    require(!(scaled.contains("lineitem") && scaled.contains("lineitem_graph")),
-      "lineitem and lineitem_graph are mutually exclusive")
+    require(Seq("lineitem", "lineitem_graph", "lineitem_hub")
+      .count(scaled.contains) <= 1,
+      "lineitem / lineitem_graph / lineitem_hub are mutually exclusive")
     require(!(scaled.contains("events") && scaled.contains("events_zipf")),
       "events and events_zipf are mutually exclusive")
     require(!scaled.contains("relational") ||
@@ -210,7 +257,7 @@ object ScaleUp {
         "lineitem slot lineitem_graph would claim)")
     // composite/aliased rules: which concrete table each active rule owns
     val ownedBy: Map[String, String] = Seq(
-      "lineitem" -> "lineitem_graph",
+      "lineitem" -> "lineitem_graph", "lineitem" -> "lineitem_hub",
       "customer" -> "relational", "orders" -> "relational",
       "lineitem" -> "relational", "events" -> "events_zipf"
     ).filter { case (_, rule) => scaled.contains(rule) }.toMap
