@@ -886,25 +886,63 @@ object Similarity {
     * engine-bit-identical. Ties rank by (distance, vec_id) like every
     * top-k here. Self-matches are excluded.
     */
-  def pqAdcTopK(queries: DataFrame, corpus: DataFrame, centArrays: DataFrame,
-                subDims: Int = 16, k: Int = 10): DataFrame = {
-    val spark = corpus.sparkSession
+  /** Collect + label-sort a codebook frame — the driver-side prep every
+    * PQ/IVF read path (and the [[VecIndex]] builder) shares. */
+  private[graft] def sortedCodebook(centArrays: DataFrame): Array[(Int, Array[Double])] = {
+    val spark = centArrays.sparkSession
     import spark.implicits._
-    val codebook: Array[(Int, Array[Double])] = centArrays
-      .select(col("label").cast("int"), col("cv"))
+    centArrays.select(col("label").cast("int"), col("cv"))
       .as[(Int, Seq[Double])]
       .collect()
       .map { case (l, cv) => (l, cv.toArray) }
       .sortBy(_._1)
-    val qs: Array[(Long, Array[Float])] = queries
-      .select(col("vec_id").cast("long"), col("embedding"))
+  }
+
+  /** Collect + id-sort the (small, broadcastable) query side. */
+  private def collectQueries(queries: DataFrame): Array[(Long, Array[Float])] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    queries.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Seq[Float])]
       .collect()
       .map { case (id, e) => (id, e.toArray) }
       .sortBy(_._1)
-    // LUT(qIdx)(sub)(codeIdx) = grid d2 of q's subvector vs that codeword slice
-    def lutFor(q: Array[Float], m: Int): Array[Array[Long]] =
-      Array.tabulate(m) { sub =>
+  }
+
+  private def gridD2Full(q: Array[Float], cv: Array[Double]): Long = {
+    var s = 0L; var i = 0
+    while (i < q.length) {
+      val d = q(i).toDouble - cv(i)
+      s += math.floor(d * d * 1e12 + 0.5).toLong
+      i += 1
+    }
+    s
+  }
+
+  /** Per-cell probing-query sets: each query's nprobe nearest cells
+    * (ties toward smaller label — the exact ivfProbeTopK ranking),
+    * inverted to label → query indices. */
+  private def probeSets(codebook: Array[(Int, Array[Double])],
+                        qs: Array[(Long, Array[Float])],
+                        nprobe: Int): Map[Int, Array[Int]] = {
+    val perQ = qs.zipWithIndex.map { case ((_, q), qi) =>
+      qi -> codebook.map { case (l, cv) => (gridD2Full(q, cv), l) }
+        .sorted.take(nprobe).map(_._2)
+    }
+    perQ.flatMap { case (qi, ls) => ls.map(l => (l, qi)) }
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2) }
+      .withDefaultValue(Array.empty[Int])
+  }
+
+  /** Per-query ADC LUTs (LUT(q)(sub)(code) = grid d2 of q's subvector
+    * vs that codeword slice), built ONCE on the driver — the whole
+    * point of ADC is that per-vector work is M lookups, not M·subDims
+    * multiplies per query. */
+  private def adcLuts(codebook: Array[(Int, Array[Double])],
+                      qs: Array[(Long, Array[Float])],
+                      subDims: Int): Array[Array[Array[Long]]] =
+    qs.map { case (_, q) =>
+      Array.tabulate(q.length / subDims) { sub =>
         codebook.map { case (_, cv) =>
           var s = 0L; var i = sub * subDims
           val end = (sub + 1) * subDims
@@ -916,34 +954,34 @@ object Similarity {
           s
         }
       }
-    // LUTs built ONCE on the driver (Q·M·|codebook| longs) and shipped in
-    // the closure — the whole point of ADC is that the per-vector work is
-    // M lookups, not M·subDims multiplies per query
-    val luts: Array[Array[Array[Long]]] =
-      qs.map { case (_, q) => lutFor(q, q.length / subDims) }
+    }
+
+  /** Shared ADC tail: (distance, vec_id) partial top-k + the exact-grid
+    * distance finish. */
+  private def adcRanked(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adcl"), col("vec_id")))
+        .cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"),
+        Det.snap(col("adcl").cast("double") / 1e12, 6).as("adc_d2"),
+        col("rnk"))
+
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame, centArrays: DataFrame,
+                subDims: Int = 16, k: Int = 10): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val codebook = sortedCodebook(centArrays)
+    val qs = collectQueries(queries)
+    val luts = adcLuts(codebook, qs, subDims)
     val scored = corpus.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Seq[Float])]
       .flatMap { case (id, emb) =>
         val e = emb.toArray
         val m = e.length / subDims
-        // encode: per subspace, nearest codeword index (tie → smaller code)
-        val codeIdx = Array.tabulate(m) { sub =>
-          var best = -1; var bestD = Long.MaxValue
-          var ci = 0
-          while (ci < codebook.length) {
-            val cv = codebook(ci)._2
-            var s = 0L; var i = sub * subDims
-            val end = (sub + 1) * subDims
-            while (i < end) {
-              val d = e(i).toDouble - cv(i)
-              s += math.floor(d * d * 1e12 + 0.5).toLong
-              i += 1
-            }
-            if (s < bestD) { bestD = s; best = ci }
-            ci += 1
-          }
-          best
-        }
+        // encode: the shared kernel (tie → smaller code position)
+        val codeIdx = VecKernels.pqCodes(codebook, e, subDims)
         qs.indices.iterator
           .filter(qi => qs(qi)._1 != id)
           .map { qi =>
@@ -953,14 +991,37 @@ object Similarity {
           }
       }
       .toDF("qid", "vec_id", "adcl")
-    scored
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("adcl"), col("vec_id")))
-        .cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("vec_id"),
-        Det.snap(col("adcl").cast("double") / 1e12, 6).as("adc_d2"),
-        col("rnk"))
+    adcRanked(scored, k)
+  }
+
+  /** ADC top-k over a PERSISTED [[VecIndex]] shard: identical LUT
+    * arithmetic over the STORED codes (the deployment note in
+    * [[pqAdcTopK]]'s scaladoc made real) — bit-identical output because
+    * the stored code is the same [[VecKernels.pqCodes]] result the
+    * fused path recomputes (VecIndexSpec). */
+  def pqAdcTopKFromCodes(queries: DataFrame, shard: DataFrame,
+                         centArrays: DataFrame, subDims: Int = 16,
+                         k: Int = 10): DataFrame = {
+    val spark = shard.sparkSession
+    import spark.implicits._
+    val codebook = sortedCodebook(centArrays)
+    val qs = collectQueries(queries)
+    val luts = adcLuts(codebook, qs, subDims)
+    val scored = shard.select(col("vec_id").cast("long"), col("codes"))
+      .as[(Long, Seq[Int])]
+      .flatMap { case (id, codes) =>
+        val codeIdx = codes.toArray
+        val m = codeIdx.length
+        qs.indices.iterator
+          .filter(qi => qs(qi)._1 != id)
+          .map { qi =>
+            var adc = 0L; var sub = 0
+            while (sub < m) { adc += luts(qi)(sub)(codeIdx(sub)); sub += 1 }
+            (qs(qi)._1, id, adc)
+          }
+      }
+      .toDF("qid", "vec_id", "adcl")
+    adcRanked(scored, k)
   }
 
   /** IVF probe search — the read path over [[ivfAssign]]'s coarse
@@ -1031,25 +1092,10 @@ object Similarity {
       .as[(Long, Seq[Float])]
       .flatMap { case (id, emb) =>
         val e = emb.toArray
-        // cell assignment: same compiled argmin as ivfAssign
-        var cell = -1; var bestD = Long.MaxValue
-        var ci = 0
-        while (ci < codebook.length) {
-          var s = 0L; var i = 0
-          val cv = codebook(ci)._2
-          while (i < e.length) {
-            val d = e(i).toDouble - cv(i)
-            s += math.floor(d * d * 1e12 + 0.5).toLong
-            i += 1
-          }
-          if (s < bestD) { bestD = s; cell = codebook(ci)._1 }
-          ci += 1
-        }
-        var nv = 0L; var i = 0
-        while (i < e.length) {
-          nv += math.floor(e(i).toDouble * e(i).toDouble * 1e12 + 0.5).toLong
-          i += 1
-        }
+        // cell assignment: same compiled argmin as ivfAssign; norm on
+        // the same grid — both shared with the VecIndex builder
+        val cell = VecKernels.argminCell(codebook, e)._1
+        val nv = VecKernels.normGrid(e)
         if (nv <= 0L) Iterator.empty
         else probes(cell).iterator
           .filter(qi => qs(qi)._1 != id)
@@ -1103,53 +1149,13 @@ object Similarity {
                 nprobe: Int = 3, subDims: Int = 16, k: Int = 10): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val codebook: Array[(Int, Array[Double])] = centArrays
-      .select(col("label").cast("int"), col("cv"))
-      .as[(Int, Seq[Double])]
-      .collect()
-      .map { case (l, cv) => (l, cv.toArray) }
-      .sortBy(_._1)
-    val qs: Array[(Long, Array[Float])] = queries
-      .select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Seq[Float])]
-      .collect()
-      .map { case (id, e) => (id, e.toArray) }
-      .sortBy(_._1)
-    def gridD2(q: Array[Float], cv: Array[Double]): Long = {
-      var s = 0L; var i = 0
-      while (i < q.length) {
-        val d = q(i).toDouble - cv(i)
-        s += math.floor(d * d * 1e12 + 0.5).toLong
-        i += 1
-      }
-      s
-    }
+    val codebook = sortedCodebook(centArrays)
+    val qs = collectQueries(queries)
     // per-query probe set: nprobe nearest cells, ties toward smaller
     // label — the exact probe ranking ivfProbeTopK uses
-    val probes: Map[Int, Array[Int]] = {
-      val perQ = qs.zipWithIndex.map { case ((_, q), qi) =>
-        qi -> codebook.map { case (l, cv) => (gridD2(q, cv), l) }
-          .sorted.take(nprobe).map(_._2)
-      }
-      val byLabel = perQ.flatMap { case (qi, ls) => ls.map(l => (l, qi)) }
-        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2) }
-      byLabel.withDefaultValue(Array.empty[Int])
-    }
+    val probes = probeSets(codebook, qs, nprobe)
     // per-query ADC LUTs, built once on the driver (Q·M·|codebook| longs)
-    val luts: Array[Array[Array[Long]]] = qs.map { case (_, q) =>
-      Array.tabulate(q.length / subDims) { sub =>
-        codebook.map { case (_, cv) =>
-          var s = 0L; var i = sub * subDims
-          val end = (sub + 1) * subDims
-          while (i < end) {
-            val d = q(i).toDouble - cv(i)
-            s += math.floor(d * d * 1e12 + 0.5).toLong
-            i += 1
-          }
-          s
-        }
-      }
-    }
+    val luts = adcLuts(codebook, qs, subDims)
     val scored = corpus.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Seq[Float])]
       .flatMap { case (id, emb) =>
@@ -1159,25 +1165,10 @@ object Similarity {
         val probing = probes(cell)
         if (probing.isEmpty) Iterator.empty
         else {
-          // PQ encode once per vector (shared across the probing queries)
+          // PQ encode once per vector (the shared kernel, reused by the
+          // probing queries and identical to the stored VecIndex codes)
           val m = e.length / subDims
-          val codeIdx = Array.tabulate(m) { sub =>
-            var best = -1; var bestD = Long.MaxValue
-            var ci = 0
-            while (ci < codebook.length) {
-              val cv = codebook(ci)._2
-              var s = 0L; var i = sub * subDims
-              val end = (sub + 1) * subDims
-              while (i < end) {
-                val d = e(i).toDouble - cv(i)
-                s += math.floor(d * d * 1e12 + 0.5).toLong
-                i += 1
-              }
-              if (s < bestD) { bestD = s; best = ci }
-              ci += 1
-            }
-            best
-          }
+          val codeIdx = VecKernels.pqCodes(codebook, e, subDims)
           probing.iterator
             .filter(qi => qs(qi)._1 != id)
             .map { qi =>
@@ -1188,14 +1179,89 @@ object Similarity {
         }
       }
       .toDF("qid", "vec_id", "adcl")
-    scored
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("adcl"), col("vec_id")))
-        .cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("vec_id"),
-        Det.snap(col("adcl").cast("double") / 1e12, 6).as("adc_d2"),
-        col("rnk"))
+    adcRanked(scored, k)
+  }
+
+  /** IVFADC over a PERSISTED [[VecIndex]] shard — the deployed form of
+    * [[ivfPqTopK]]'s scaladoc note: the scan reads the stored
+    * (cell, codes) columns instead of re-quantizing, so per vector it
+    * touches M bytes + one cell int (never the embedding), and at 100 TB
+    * a cell-partitioned shard turns the probe filter into partition
+    * pruning. Bit-identical to the fused path (VecIndexSpec): stored
+    * cell/codes are the same [[VecKernels]] results, and the candidate
+    * set, LUT arithmetic, and rank tail are shared. */
+  def ivfPqTopKFromIndex(queries: DataFrame, shard: DataFrame,
+                         centArrays: DataFrame, nprobe: Int = 3,
+                         subDims: Int = 16, k: Int = 10): DataFrame = {
+    val spark = shard.sparkSession
+    import spark.implicits._
+    val codebook = sortedCodebook(centArrays)
+    val qs = collectQueries(queries)
+    val probes = probeSets(codebook, qs, nprobe)
+    val luts = adcLuts(codebook, qs, subDims)
+    val scored = shard
+      .select(col("vec_id").cast("long"), col("cell").cast("int"), col("codes"))
+      .as[(Long, Int, Seq[Int])]
+      .flatMap { case (id, cell, codes) =>
+        val probing = probes(cell)
+        if (probing.isEmpty) Iterator.empty
+        else {
+          val codeIdx = codes.toArray
+          val m = codeIdx.length
+          probing.iterator
+            .filter(qi => qs(qi)._1 != id)
+            .map { qi =>
+              var adc = 0L; var sub = 0
+              while (sub < m) { adc += luts(qi)(sub)(codeIdx(sub)); sub += 1 }
+              (qs(qi)._1, id, adc)
+            }
+        }
+      }
+      .toDF("qid", "vec_id", "adcl")
+    adcRanked(scored, k)
+  }
+
+  /** IVF probe over a PERSISTED [[VecIndex]] shard: the stored cell
+    * replaces the per-vector argmin and the stored norm grid replaces
+    * the per-vector norm pass; the exact-cosine rerank over probed
+    * cells is the same loop. Bit-identical to [[ivfProbeTopK]]
+    * (VecIndexSpec). */
+  def ivfProbeTopKFromIndex(queries: DataFrame, shard: DataFrame,
+                            centArrays: DataFrame, nprobe: Int = 3,
+                            k: Int = 10): DataFrame = {
+    val spark = shard.sparkSession
+    import spark.implicits._
+    val codebook = sortedCodebook(centArrays)
+    val qs: Array[(Long, Array[Float], Long)] = collectQueries(queries)
+      .map { case (id, a) => (id, a, VecKernels.normGrid(a)) }
+      .filter(_._3 > 0L)
+    val probes = probeSets(codebook, qs.map { case (id, a, _) => (id, a) },
+      nprobe)
+    val scored = shard
+      .select(col("vec_id").cast("long"), col("cell").cast("int"),
+        col("embedding"), col("nvl").cast("long"))
+      .as[(Long, Int, Seq[Float], Long)]
+      .flatMap { case (id, cell, emb, nv) =>
+        if (nv <= 0L) Iterator.empty
+        else {
+          val e = emb.toArray
+          probes(cell).iterator
+            .filter(qi => qs(qi)._1 != id)
+            .map { qi =>
+              val (qid, q, nq) = qs(qi)
+              var dot = 0L; var j = 0
+              while (j < e.length) {
+                dot += math.floor(q(j).toDouble * e(j).toDouble * 1e12 + 0.5).toLong
+                j += 1
+              }
+              val c = math.floor(((dot.toDouble / 1e12) /
+                math.sqrt((nq.toDouble / 1e12) * (nv.toDouble / 1e12))) * 1e6 + 0.5) / 1e6
+              (qid, id, c)
+            }
+        }
+      }
+      .toDF("qid", "vec_id", "cosine")
+    ranked(scored, k)
   }
 
   /** Compiled nearest-centroid argmin on the exact 1e-12 grid distance

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized ANN serving index — the [[WalkCorpus]]/[[GraphArtifact]]
+  * pattern for the retrieval stack (round-13 verdict stretch): the
+  * ivfpq/adc/ivf-probe read paths each re-train the k-means codebook and
+  * re-quantize the whole corpus per query, which is exactly the work a
+  * serving deployment ships ONCE as an index build (FAISS `IndexIVFPQ`:
+  * train → add → search; Jégou et al., TPAMI 2011 §IV). The artifact is
+  * the index:
+  *
+  *  - `codebook`: the trained coarse/PQ codebook (label, cv) —
+  *    exact doubles, parquet-lossless;
+  *  - `shard`:    one row per corpus vector (vec_id, cell, codes,
+  *    embedding, nvl) — the coarse cell from
+  *    [[VecKernels.argminCell]], PQ sub-codes from
+  *    [[VecKernels.pqCodes]], the raw vector (IVFFlat-style rerank
+  *    payload), and the 1e-12-grid squared norm.
+  *
+  * Readers ([[Similarity.ivfPqTopKFromIndex]],
+  * [[Similarity.pqAdcTopKFromCodes]],
+  * [[Similarity.ivfProbeTopKFromIndex]]) are bit-identical to the fused
+  * contract paths because builder and searcher share the SAME compiled
+  * kernels and every stored column is exact (ints, longs, IEEE floats/
+  * doubles round-tripped verbatim) — VecIndexSpec proves store → load →
+  * search ≡ fused search per query, and rebuild equivalence (a reloaded
+  * codebook re-quantizes to the identical shard).
+  *
+  * Refresh semantics: the shard is row-wise per vector, so NEW vectors
+  * append as their own (cell, codes) rows under the UNCHANGED codebook —
+  * exact by construction (quantization is per-row). Re-TRAINING the
+  * codebook invalidates every stored code (cells and codes are
+  * codebook-relative); that is the index-rebuild event, not an append.
+  * At 100 TB the shard is written partitioned by cell so a probe reads
+  * nprobe partitions, not the corpus ([[storePartitioned]]); the flat
+  * form matches the contract fixtures' single-file layout.
+  */
+object VecIndex {
+
+  /** Quantize a corpus against a codebook frame: one shuffle-free typed
+    * map (the same per-row kernels the fused read paths run). */
+  def shard(corpus: DataFrame, centArrays: DataFrame, subDims: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val codebook = graft.ops.Similarity.sortedCodebook(centArrays)
+    corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, emb) =>
+        val e = emb.toArray
+        (id, VecKernels.argminCell(codebook, e)._1,
+          VecKernels.pqCodes(codebook, e, subDims).toSeq, emb,
+          VecKernels.normGrid(e))
+      }
+      .toDF("vec_id", "cell", "codes", "embedding", "nvl")
+  }
+
+  def store(corpus: DataFrame, centArrays: DataFrame, subDims: Int,
+            path: String): Unit = {
+    centArrays.write.mode("overwrite").parquet(s"$path/codebook")
+    shard(corpus, centArrays, subDims)
+      .write.mode("overwrite").parquet(s"$path/shard")
+  }
+
+  /** The 100 TB layout: shard partitioned by coarse cell, so a query's
+    * probe set prunes to nprobe directories at the parquet scan. */
+  def storePartitioned(corpus: DataFrame, centArrays: DataFrame,
+                       subDims: Int, path: String): Unit = {
+    centArrays.write.mode("overwrite").parquet(s"$path/codebook")
+    shard(corpus, centArrays, subDims)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/shard")
+  }
+
+  def loadCodebook(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(s"$path/codebook")
+
+  def loadShard(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(s"$path/shard")
+}

@@ -613,12 +613,26 @@ object VecQueries {
     * (interpolated from Similarity.planeSigns — one source of truth).
     * v[i]·(±1) is an exact IEEE sign flip, so floor(v·s·1e12+0.5) matches
     * the dotl_grid kernel bit for bit. */
-  private def bucketSql(v: String, planes: Int = 8,
-                        salt: String = "srp"): String =
-    Similarity.planeSigns(planes, 64, salt).map { s =>
-      val signs = s.map(_.toInt).mkString("[", ",", "]")
+  /** One-row sign-list CTE body for `planes` SRP planes under `salt`,
+    * as columns `<prefix>0..<prefix>{planes-1}` — HOISTING these out of
+    * the lambda is the r14 capacity fix: a literal list indexed inside
+    * a DuckDB list-comprehension is RE-CONSTRUCTED per element per row
+    * (78.6 s per plane over 200k vectors at 100×), while a one-row
+    * CROSS JOIN column is built once (0.5 s — 157×; same per-element
+    * floor/grid arithmetic, checksum-identical). */
+  private def signsCteCols(planes: Int, salt: String,
+                           prefix: String = "p"): String =
+    Similarity.planeSigns(planes, 64, salt).zipWithIndex.map { case (s, j) =>
+      s.map(_.toInt).mkString("[", ",", "]") + s" AS $prefix$j"
+    }.mkString(",\n         ")
+
+  /** SRP bucket string over hoisted sign columns `<alias>.<prefix>j`
+    * (pair with [[signsCteCols]] + a CROSS JOIN in the caller). */
+  private def bucketSql(v: String, alias: String, planes: Int = 8,
+                        prefix: String = "p"): String =
+    (0 until planes).map { j =>
       val dot =
-        s"""list_sum([CAST(floor(CAST(($v)[i] AS DOUBLE)*(($signs)[i])*1e12+0.5) AS BIGINT)
+        s"""list_sum([CAST(floor(CAST(($v)[i] AS DOUBLE)*(($alias.$prefix$j)[i])*1e12+0.5) AS BIGINT)
         for i in range(1, len($v)+1)])"""
       s"(CASE WHEN $dot >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
@@ -638,11 +652,13 @@ object VecQueries {
     * circuits, so only the active planes' dot products evaluate). The
     * plane constants are prefix-stable — planeSigns(p, i) depends only on
     * (salt, p, i) — so this equals bucketSql at the chosen plane count. */
+  /** Dynamic-plane SRP bucket over HOISTED sign columns `pl.p0..p29`
+    * (the r14 literal-list-in-lambda fix — pair with [[signsCteCols]]
+    * in the `pl` CTE the caller already CROSS JOINs). */
   private def dynBucketSql(v: String, pMax: Int = 30): String =
-    Similarity.planeSigns(pMax, 64).zipWithIndex.map { case (s, p) =>
-      val signs = s.map(_.toInt).mkString("[", ",", "]")
+    (0 until pMax).map { p =>
       val dot =
-        s"""list_sum([CAST(floor(CAST(($v)[i] AS DOUBLE)*(($signs)[i])*1e12+0.5) AS BIGINT)
+        s"""list_sum([CAST(floor(CAST(($v)[i] AS DOUBLE)*((pl.p$p)[i])*1e12+0.5) AS BIGINT)
         for i in range(1, len($v)+1)])"""
       s"(CASE WHEN $p < pl.planes THEN (CASE WHEN $dot >= 0 THEN '1' ELSE '0' END) ELSE '' END)"
     }.mkString(" || ")
@@ -713,7 +729,7 @@ FROM r2 GROUP BY 1"""
       (lo to hi).map(j =>
         s"(CASE WHEN embedding[${j + 1}] > 0 THEN CAST(1 AS BIGINT) << ${j - shiftBase} ELSE CAST(0 AS BIGINT) END)")
         .mkString(" + ")
-    s"""WITH sig AS (
+    s"""WITH sig AS MATERIALIZED (
   SELECT vec_id, ${half(0, 31, 0)} AS sig_lo, ${half(32, 63, 32)} AS sig_hi
   FROM embeddings
 ), q AS (
@@ -730,8 +746,15 @@ SELECT qid, vec_id, hamming,
 FROM d QUALIFY rnk <= 10"""
   }
 
+  // `base` CTEs here are MATERIALIZED (r14): each is referenced twice
+  // (the q filter + the corpus join side), and DuckDB re-inlines plain
+  // CTEs per reference — invisible at sf0.1, but at 100× the
+  // interpreted list-comprehension norm/signature pass over 200k
+  // vectors re-runs per reference (embed_lsh_topk's 8-plane base made
+  // its standalone oracle >12 min, and the SAME re-inline inside the
+  // composed ndcg twin was most of its 39m49s; see docs/SCALE.md r14).
   private val topkSql =
-    s"""WITH base AS (
+    s"""WITH base AS MATERIALIZED (
   SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nv FROM embeddings
 ), q AS (
   SELECT vec_id AS qid, embedding AS qv, nv AS nq FROM base WHERE vec_id < 5
@@ -746,10 +769,12 @@ SELECT qid, vec_id, cosine, rnk FROM (
 WHERE rnk <= 10"""
 
   private val lshTopkSql =
-    s"""WITH base AS (
+    s"""WITH sgl AS (
+  SELECT ${signsCteCols(8, "srp")}
+), base AS MATERIALIZED (
   SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nv,
-         ${bucketSql("embedding")} AS bucket
-  FROM embeddings
+         ${bucketSql("embedding", "sg")} AS bucket
+  FROM embeddings CROSS JOIN sgl sg
 ), q AS (
   SELECT vec_id AS qid, embedding AS qv, nv AS nq, bucket FROM base WHERE vec_id < 5
 ), scored AS (
@@ -776,13 +801,18 @@ SELECT label, pos, ${s6("c")} AS c FROM cent"""
 
   /** Shared IVF-assignment CTE chain ending in `ivf` (vec_id, label,
     * assigned_label, d2l) — rnk=1 of the declarative argmin. */
+  // centarr MATERIALIZED (r14): it is referenced by BOTH the assignment
+  // join and the probe ranking in ivfProbeSqlFor/ivfPqSql, and a plain
+  // CTE re-inlines the whole cent→ex centroid-train pipeline (a full
+  // 200k×64 unnest + grid-avg at 100×) per reference. ivf MATERIALIZED
+  // for the same reason where composed twins reference it repeatedly.
   private val ivfCte =
-    s"""$centSql, centarr AS (
+    s"""$centSql, centarr AS MATERIALIZED (
   SELECT label AS cand_label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label
 ), assign AS (
   SELECT e.vec_id, e.label, c.cand_label,
          ${dist2Sql("e.embedding", "c.cv")} AS d2l
-  FROM embeddings e, centarr c), ivf AS (
+  FROM embeddings e, centarr c), ivf AS MATERIALIZED (
   SELECT vec_id, label, cand_label AS assigned_label, d2l
   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2l, cand_label) AS rnk
         FROM assign)
@@ -823,7 +853,7 @@ WHERE rnk = 1"""
   private val pqAdcSql = {
     val xsub = s"list_slice(e.embedding, CAST((c.subspace-1)*$PqSubDims+1 AS BIGINT), CAST(c.subspace*$PqSubDims AS BIGINT))"
     val qsub = s"list_slice(q.qv, CAST((c.subspace-1)*$PqSubDims+1 AS BIGINT), CAST(c.subspace*$PqSubDims AS BIGINT))"
-    s"""$centSql, subcent AS (
+    s"""$centSql, subcent AS MATERIALIZED (
   SELECT label AS code, CAST((pos-1)//$PqSubDims AS BIGINT)+1 AS subspace,
          list(c ORDER BY pos) AS cv
   FROM cent GROUP BY 1, 2
@@ -966,9 +996,9 @@ WHERE rnk <= 10"""
     * the exact-grid cosine. */
   private def ivfProbeSqlFor(nprobe: Int) =
     s"""$ivfCte,
-base AS (
+base AS MATERIALIZED (
   SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nv FROM embeddings
-), q AS (
+), q AS MATERIALIZED (
   SELECT vec_id AS qid, embedding AS qv, nv AS nq FROM base WHERE vec_id < 5
 ), qprobe AS (
   SELECT qid, cand_label AS plabel FROM (
@@ -1000,7 +1030,7 @@ WHERE rnk <= 10"""
     val cands = SweepNprobes.map(np =>
       s"(SELECT CAST($np AS BIGINT) AS nprobe, qid, vec_id FROM (${ivfProbeSqlFor(np)}))")
       .mkString("\n  UNION ALL ")
-    s"""WITH truth AS (SELECT qid, vec_id FROM ($topkSql)),
+    s"""WITH truth AS MATERIALIZED (SELECT qid, vec_id FROM ($topkSql)),
 cands AS (${cands}),
 tt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
 h AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_hits
@@ -1038,10 +1068,12 @@ WHERE p.rk <= $ClusterK"""
           (CASE WHEN substring(qb, $i, 1) = '1' THEN '0' ELSE '1' END) ||
           substring(qb, ${i + 1}, ${planes - i})""")
     val probeList = (Seq("qb") ++ flips).mkString("[", ",\n      ", "]")
-    s"""WITH base AS (
+    s"""WITH sgl AS (
+  SELECT ${signsCteCols(8, "srp")}
+), base AS MATERIALIZED (
   SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nv,
-         ${bucketSql("embedding")} AS bucket
-  FROM embeddings
+         ${bucketSql("embedding", "sg")} AS bucket
+  FROM embeddings CROSS JOIN sgl sg
 ), q0 AS (
   SELECT vec_id AS qid, embedding AS qv, nv AS nq, bucket AS qb
   FROM base WHERE vec_id < 5
@@ -1070,17 +1102,22 @@ WHERE rnk <= 10"""
     * join per table on the bucket key, with the cosine evaluated once
     * per distinct surviving pair instead of per candidate row. */
   private val lshMultiSql = {
+    val sgCols = (0 until MultiTables).map(t =>
+      signsCteCols(MultiPlanes, Similarity.tableSalt(t), s"t${t}p"))
+      .mkString(",\n         ")
     val bs = (0 until MultiTables).map(t =>
-      bucketSql("embedding", MultiPlanes, Similarity.tableSalt(t)))
+      bucketSql("embedding", "sg", MultiPlanes, s"t${t}p"))
     val bCols = bs.zipWithIndex.map { case (b, t) => s"$b AS b$t" }.mkString(",\n         ")
     val qCols = (0 until MultiTables).map(t => s"b$t").mkString(", ")
     val perTable = (0 until MultiTables).map(t =>
       s"    SELECT q.qid, e.vec_id FROM q JOIN base e ON q.b$t = e.b$t")
       .mkString("\n    UNION ALL\n")
-    s"""WITH base AS MATERIALIZED (
+    s"""WITH sgl AS (
+  SELECT $sgCols
+), base AS MATERIALIZED (
   SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nv,
          $bCols
-  FROM embeddings
+  FROM embeddings CROSS JOIN sgl sg
 ), q AS MATERIALIZED (
   SELECT vec_id AS qid, embedding AS qv, nv AS nq, $qCols FROM base WHERE vec_id < 5
 ), cand AS (
@@ -1104,7 +1141,8 @@ WHERE rnk <= 10"""
     * survivor set of the Spark side's sorted streaming buffer. */
   private def dedupEmbedSql =
     s"""WITH pl AS (
-  SELECT ${planesForSql(s"(greatest(count(*), 1) + ${TargetBucket - 1}) // $TargetBucket")} AS planes
+  SELECT ${planesForSql(s"(greatest(count(*), 1) + ${TargetBucket - 1}) // $TargetBucket")} AS planes,
+         ${signsCteCols(30, "srp")}
   FROM embeddings
 ), e AS (
   SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n,
@@ -1178,13 +1216,17 @@ JOIN cw ON cw.n_true = tt.n_true
 LEFT JOIN dcg d ON d.ranker = f.ranker AND d.qid = f.qid"""
   }
 
+  // truth MATERIALIZED (r14): it is referenced SIX times (tt + the five
+  // hit joins) and a plain CTE re-inlines the full brute-force scan per
+  // reference — with the arm CTEs also MATERIALIZED so one compose pays
+  // each ranker once (the ndcg_eval / embed_lsh_topk 100× finding).
   private val annRecallSql =
-    s"""WITH truth AS (SELECT qid, vec_id FROM ($topkSql)),
-s1 AS (SELECT qid, vec_id FROM ($lshTopkSql)),
-m AS (SELECT qid, vec_id FROM ($lshMultiSql)),
-iv AS (SELECT qid, vec_id FROM ($ivfProbeSql)),
-ad AS (SELECT qid, vec_id FROM ($pqAdcSql)),
-hb AS (SELECT qid, vec_id FROM ($hammingSql)),
+    s"""WITH truth AS MATERIALIZED (SELECT qid, vec_id FROM ($topkSql)),
+s1 AS MATERIALIZED (SELECT qid, vec_id FROM ($lshTopkSql)),
+m AS MATERIALIZED (SELECT qid, vec_id FROM ($lshMultiSql)),
+iv AS MATERIALIZED (SELECT qid, vec_id FROM ($ivfProbeSql)),
+ad AS MATERIALIZED (SELECT qid, vec_id FROM ($pqAdcSql)),
+hb AS MATERIALIZED (SELECT qid, vec_id FROM ($hammingSql)),
 tt AS (SELECT qid, count(*) AS n_true FROM truth GROUP BY 1),
 hs AS (SELECT t.qid, count(*) AS hits_single
        FROM truth t JOIN s1 USING (qid, vec_id) GROUP BY 1),
@@ -1353,7 +1395,8 @@ FROM agg"""
     * corpus's buckets twice and kept the 100× oracle past budget. */
   private def knnGraphSql =
     s"""WITH pl AS (
-  SELECT ${planesForSql(s"(greatest(count(*), 1) + ${KnnTarget - 1}) // $KnnTarget")} AS planes
+  SELECT ${planesForSql(s"(greatest(count(*), 1) + ${KnnTarget - 1}) // $KnnTarget")} AS planes,
+         ${signsCteCols(30, "srp")}
   FROM embeddings
 ), e AS MATERIALIZED (
   SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n,
@@ -1389,19 +1432,19 @@ GROUP BY 1"""
     * the norm-ratio chain re-runs the identical left-associated IEEE
     * double sequence. */
   private def jlSql = {
-    val ys = Similarity.planeSigns(JlK, 64, JlSalt).zipWithIndex.map {
-      case (sp, j) =>
-        val signs = sp.map(_.toInt).mkString("[", ",", "]")
-        s"""CAST(list_sum([CAST(floor(CAST(embedding[i] AS DOUBLE)*(($signs)[i])*1e12+0.5) AS BIGINT)
+    val ys = (0 until JlK).map { j =>
+      s"""CAST(list_sum([CAST(floor(CAST(embedding[i] AS DOUBLE)*((sg.p$j)[i])*1e12+0.5) AS BIGINT)
         for i in range(1, len(embedding)+1)]) AS BIGINT) AS y$j"""
     }
     val chain = (0 until JlK)
       .map(j => s"CAST(y$j AS DOUBLE)*CAST(y$j AS DOUBLE)").mkString(" + ")
-    s"""WITH base AS (
+    s"""WITH sgl AS (
+  SELECT ${signsCteCols(JlK, JlSalt)}
+), base AS (
   SELECT vec_id,
          CAST(${dotSql("embedding", "embedding")} AS BIGINT) AS nx,
          ${ys.mkString(",\n         ")}
-  FROM embeddings)
+  FROM embeddings CROSS JOIN sgl sg)
 SELECT vec_id, nx, ${(0 until JlK).map(j => s"y$j").mkString(", ")},
        CASE WHEN nx > 0
             THEN ${s6(s"($chain) / (CAST(nx AS DOUBLE)*1e12*${JlK.toDouble})")}
@@ -1619,4 +1662,36 @@ FROM scores s, ex"""
     "kmeans_iter" -> kmeansSql,
     "kmeans_eval" -> kmeansEvalSql
   )
+
+  /** Build + persist the ANN serving index (train the codebook once,
+    * quantize the corpus once) — the [[graft.ops.VecIndex]] artifact
+    * Bench's SPARK_GRAFT_BENCH_AMORTIZE mode measures for the
+    * retrieval family (r13 verdict stretch). Uses the contract
+    * constants, so readers reproduce the contract queries exactly. */
+  private[graft] def buildVecIndexArtifact(s: SparkSession, d: String,
+                                           path: String): Unit = {
+    val v = vecs(s, d)
+    graft.ops.VecIndex.store(v,
+      Similarity.centroidArrays(Similarity.centroids(v)), PqSubDims, path)
+  }
+
+  /** Amortized bodies for the ANN read paths: identical bits to the
+    * contract queries (VecIndexSpec), but the per-query k-means train +
+    * corpus re-quantization is replaced by an index load. Queries stay
+    * ad-hoc (read from the raw table) — the INDEX is the corpus side,
+    * which is what a serving deployment persists. */
+  private[graft] def amortizedVecQueries(path: String): Map[String, (SparkSession, String) => DataFrame] = {
+    import graft.ops.VecIndex._
+    Map(
+      "ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopKFromIndex(
+        q5(vecs(s, d)), loadShard(s, path), loadCodebook(s, path),
+        IvfNprobe, PqSubDims)),
+      "pq_adc_topk" -> ((s, d) => Similarity.pqAdcTopKFromCodes(
+        q5(vecs(s, d)), loadShard(s, path), loadCodebook(s, path),
+        PqSubDims)),
+      "ivf_probe_topk" -> ((s, d) => Similarity.ivfProbeTopKFromIndex(
+        q5(vecs(s, d)), loadShard(s, path), loadCodebook(s, path),
+        IvfNprobe))
+    )
+  }
 }
