@@ -28,6 +28,9 @@ object GraphQueries {
   // Co-occurrence graph: suppliers sharing an order, kept only when the
   // pair co-occurs in ≥ MinCo orders (noise floor for the random pairs).
   private val MinCo = 5
+  /** link_prediction wedge-center degree cap (shared Spark/oracle) —
+    * see the hub-guard note in [[linkPredictionLazyFrom]]. */
+  private val WedgeCap = 4096
 
   /** First-order Markov transition matrix over per-user event paths:
     * c(from→to) and p(to | from) = c(from→to) / c(from→·). The path order
@@ -276,13 +279,28 @@ FROM un GROUP BY user_id, lag_k"""
       .select(col("x"), col("y"))
       .localCheckpoint(true)
     val adj = edges.union(edges.select(col("y").as("x"), col("x").as("y")))
+    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    // Hub guard (round-14 hot-hub tier finding): wedge enumeration is
+    // Θ(Σ deg(center)²), so ONE 100k-degree hub yields ~5·10⁹ wedge
+    // pairs and the query never finishes — no salt or AQE split fixes
+    // an output that large. The algorithmic answer (the Adamic–Adar
+    // insight: a common neighbor of degree d carries ~1/log d signal,
+    // so super-node co-membership is noise) is to exclude wedge
+    // CENTERS above WedgeCap from common-neighbor counting; endpoint
+    // degrees (the Jaccard denominator) stay TRUE degrees. Every
+    // driver-fixture degree is far below the cap, so contract results
+    // are unchanged (the Verify hash would catch otherwise); at the
+    // hub tier this bounds candidates to Σ_{deg≤cap} deg² while the
+    // hub still appears as an ENDPOINT through low-degree centers.
+    val centers = deg.filter(col("deg") <= WedgeCap)
+      .select(col("x").as("n"))
     val cn = adj.select(col("x").as("a"), col("y").as("n"))
+      .join(centers, Seq("n"), "left_semi")
       .join(adj.select(col("x").as("n"), col("y").as("b")), "n")
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
     val nonAdj = cn.join(
       edges.select(col("x").as("a"), col("y").as("b")), Seq("a", "b"), "left_anti")
-    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("deg"))
     val scored = nonAdj
       .join(deg.select(col("x").as("a"), col("deg").as("dega")), "a")
       .join(deg.select(col("x").as("b"), col("deg").as("degb")), "b")
@@ -331,15 +349,18 @@ FROM un GROUP BY user_id, lag_k"""
   SELECT x, y FROM p0, thr WHERE c >= thr.t
 ), adj AS MATERIALIZED (
   SELECT x, y FROM edges UNION ALL SELECT y AS x, x AS y FROM edges
+), deg AS MATERIALIZED (
+  SELECT x, count(*) AS deg FROM adj GROUP BY 1
+), centers AS (
+  SELECT x AS node FROM deg WHERE deg <= $WedgeCap
 ), cn AS MATERIALIZED (
   SELECT l.x AS a, r.y AS b, count(*) AS cn
-  FROM adj l JOIN adj r ON l.y = r.x AND l.x < r.y
+  FROM adj l JOIN centers ct ON l.y = ct.node
+  JOIN adj r ON l.y = r.x AND l.x < r.y
   GROUP BY 1, 2
 ), nonadj AS (
   SELECT c2.a, c2.b, c2.cn FROM cn c2
   WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.x = c2.a AND e.y = c2.b)
-), deg AS (
-  SELECT x, count(*) AS deg FROM adj GROUP BY 1
 ), scored AS (
   SELECT n.a, n.b, n.cn, da.deg AS dega, db.deg AS degb
   FROM nonadj n JOIN deg da ON da.x = n.a JOIN deg db ON db.x = n.b)

@@ -223,7 +223,12 @@ object ScaleUp {
       }.reduce(_ unionByName _)
       val u = (conv(substring(md5(col("l_orderkey").cast("string")), 1, 12), 16, 10)
         .cast("double") + lit(0.5)) / lit(281474976710656.0) // 2^48
-      val hubRow = u < lit(HubShare) && col("l_linenumber") === 1
+      // the fixture's line numbers are uniform-random 1..7 per row (NOT
+      // sequential), so "line 1" exists in only ~44% of orders — anchor
+      // the spliced row at each selected order's MIN line number instead
+      val minLn = min(col("l_linenumber")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey")))
+      val hubRow = u < lit(HubShare) && col("l_linenumber") === minLn
       writeOne(banded
         .withColumn("l_suppkey",
           when(hubRow, lit(hubSupp)).otherwise(col("l_suppkey")))

@@ -27,6 +27,16 @@ TABLES = [
 
 def main(sf_dir: str, out_dir: str, only=None) -> int:
     con = duckdb.connect()
+    # Bound DuckDB's memory and give it a spill directory (r14 finding:
+    # the default limit is 80% of RAM measured at startup, and on a
+    # busy host the KERNEL oom-kills the process before DuckDB starts
+    # spilling — link_prediction's 500M-key hash aggregate at the
+    # hot-hub 100x tier died at 76 GB RSS. 48 GB + a temp dir turns
+    # that into ordinary out-of-core aggregation.)
+    import os
+    os.makedirs(".tmp/check_oracle_spill", exist_ok=True)
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET temp_directory='.tmp/check_oracle_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
