@@ -17,6 +17,32 @@ import org.apache.spark.sql.SparkSession
   * StrategyConfig knob (SMA_*, *_BPS, FILL_LATENCY_*).
   */
 object Main {
+
+  /** The metrics table's PK (02_schema.sql:104) — the upsert key. */
+  private[graft] val MetricsPk = Seq("strategy_run_id", "window_label", "metric_time")
+
+  /** S5-S7 metrics-writer selection (r14 verdict: ship the stronger
+    * writer): `JDBC_WRITE_MODE=upsert` swaps the METRICS sink to the
+    * exactly-once PK upsert ([[JdbcSink.upsert]]) — its frame is a keyed
+    * aggregate, one row per (strategy_run_id, window_label, metric_time)
+    * per micro-batch, which is exactly the upsert's one-row-per-PK
+    * contract, and refined re-emissions of a still-open window NEED
+    * last-write-wins. Positions/executions stay append + server-side PK
+    * dedup in BOTH modes: their PKs (02_schema.sql:149,175) are event-time
+    * columns, not aggregation keys, so one-row-per-PK is not structural
+    * there. Default `append` is the reference-faithful at-least-once
+    * (__main__.py:144-227). MultiSinkExactlyOnceSpec drives this exact
+    * factory through StreamingJob's fan-out against embedded Derby. */
+  private[graft] def metricsWriter(mode: String, url: String, table: String,
+      user: String, password: String, batchSize: Int): org.apache.spark.sql.DataFrame => Unit =
+    mode match {
+      case "upsert" => JdbcSink.upsert(url, table, MetricsPk, batchSize,
+        connProps = Map("user" -> user, "password" -> password))
+      case "append" => JdbcSink.writer(url, table, user, password, batchSize)
+      case m => throw new IllegalArgumentException(
+        s"JDBC_WRITE_MODE=$m (expected append|upsert)")
+    }
+
   def main(args: Array[String]): Unit = {
     val env = sys.env
     def e(k: String, d: String): String = env.getOrElse(k, d)
@@ -39,12 +65,14 @@ object Main {
       watermarkDelay = e("WATERMARK_DELAY", "5 seconds"),
       startingOffsets = e("STARTING_OFFSETS", "latest"))
 
-    def jdbc(table: String) = JdbcSink.writer(
-      url = e("JDBC_URL", "jdbc:postgresql://localhost:5432/quant"),
-      table = table,
-      user = e("JDBC_USER", "quant"),
-      password = e("JDBC_PASSWORD", ""),
-      batchSize = e("JDBC_BATCH_SIZE", "200").toInt)
+    val jdbcUrl = e("JDBC_URL", "jdbc:postgresql://localhost:5432/quant")
+    val jdbcUser = e("JDBC_USER", "quant")
+    val jdbcPass = e("JDBC_PASSWORD", "")
+    val jdbcBatch = e("JDBC_BATCH_SIZE", "200").toInt
+    def jdbc(table: String) =
+      JdbcSink.writer(jdbcUrl, table, jdbcUser, jdbcPass, jdbcBatch)
+    val metricsJdbc = metricsWriter(e("JDBC_WRITE_MODE", "append"), jdbcUrl,
+      e("METRICS_TABLE", "strategy_metrics"), jdbcUser, jdbcPass, jdbcBatch)
 
     val sinks = Sinks(
       normalized = df => KafkaJson.writeBatch(df, servers,
@@ -55,7 +83,7 @@ object Main {
       executions = jdbc(e("EXECUTIONS_TABLE", "strategy_executions_stream")),
       metrics = { df =>
         KafkaJson.writeBatch(df, servers, e("METRICS_TOPIC", "metrics.performance"))
-        jdbc(e("METRICS_TABLE", "strategy_metrics"))(df)
+        metricsJdbc(df)
       })
 
     val job = new StreamingJob(strategy, cfg, sinks,

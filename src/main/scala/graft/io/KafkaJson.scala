@@ -114,7 +114,15 @@ object JdbcSink {
     * Contract: the micro-batch frame must carry AT MOST ONE row per PK
     * (true for every aggregation output this repo ships — a keyed agg
     * emits one row per key per batch); two same-PK rows in one JDBC
-    * batch would insert twice between deletes. Under that contract the
+    * batch would insert twice between deletes. The contract is ENFORCED,
+    * not just documented: the frame is hash-repartitioned on the PK (so
+    * two same-PK rows can never run concurrent delete/insert
+    * transactions from different partitions — the deadlock/duplicate
+    * hazard), and each partition throws on a repeated PK before any
+    * write lands (failing loudly beats dropDuplicates, which would
+    * silently pick an arbitrary winner). The per-partition seen-set is
+    * bounded by partition rows — fine for keyed-agg outputs, which is
+    * what this writer is for. Under that contract the
     * writer is idempotent at every granularity a retry can occur:
     * row-level replays, partial-batch commits by a non-transactional
     * sink, and whole-foreachBatch re-delivery after a sink failure all
@@ -135,8 +143,24 @@ object JdbcSink {
       s"VALUES (${cols.map(_ => "?").mkString(", ")})"
     val pkIdx = pkCols.map(cols.indexOf)
     val propSeq = connProps.toSeq
-    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+    // schema-derived java.sql type per column, so NULLs bind portably
+    // (setObject(i, null) is driver-dependent; setNull(i, type) is not)
+    val sqlTypes: Array[Int] = df.schema.fields.map(f => f.dataType match {
+      case org.apache.spark.sql.types.LongType => java.sql.Types.BIGINT
+      case org.apache.spark.sql.types.IntegerType => java.sql.Types.INTEGER
+      case org.apache.spark.sql.types.DoubleType => java.sql.Types.DOUBLE
+      case org.apache.spark.sql.types.FloatType => java.sql.Types.FLOAT
+      case org.apache.spark.sql.types.StringType => java.sql.Types.VARCHAR
+      case org.apache.spark.sql.types.TimestampType => java.sql.Types.TIMESTAMP
+      case org.apache.spark.sql.types.DateType => java.sql.Types.DATE
+      case org.apache.spark.sql.types.BooleanType => java.sql.Types.BOOLEAN
+      case _: org.apache.spark.sql.types.DecimalType => java.sql.Types.DECIMAL
+      case _ => java.sql.Types.OTHER
+    })
+    val coLocated = df.repartition(pkCols.map(org.apache.spark.sql.functions.col): _*)
+    coLocated.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.hasNext) {
+        val seen = scala.collection.mutable.HashSet.empty[Seq[Any]]
         val props = new java.util.Properties()
         propSeq.foreach { case (k, v) => props.setProperty(k, v) }
         val conn = java.sql.DriverManager.getConnection(url, props)
@@ -147,10 +171,18 @@ object JdbcSink {
           try {
             var n = 0
             rows.foreach { r =>
+              val pk: Seq[Any] = pkIdx.map(r.get)
+              require(seen.add(pk),
+                s"duplicate PK $pk in one micro-batch violates the " +
+                  "one-row-per-PK upsert contract")
               pkIdx.zipWithIndex.foreach { case (ci, pi) =>
                 dstmt.setObject(pi + 1, r.get(ci)) }
               dstmt.addBatch()
-              cols.indices.foreach(i => istmt.setObject(i + 1, r.get(i)))
+              cols.indices.foreach { i =>
+                val v = r.get(i)
+                if (v == null) istmt.setNull(i + 1, sqlTypes(i))
+                else istmt.setObject(i + 1, v)
+              }
               istmt.addBatch()
               n += 1
               // deletes flush BEFORE inserts so a replayed PK's stale row

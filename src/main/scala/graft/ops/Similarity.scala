@@ -934,6 +934,20 @@ object Similarity {
       .withDefaultValue(Array.empty[Int])
   }
 
+  /** Union of the per-query probe sets — the cell list a PARTITIONED
+    * [[VecIndex]] shard read prunes to ([[VecIndex.loadShardPruned]]).
+    * Uses the same probe ranking as [[ivfProbeTopK]]/[[ivfPqTopK]]
+    * (nprobe nearest cells per query, ties toward smaller label), so
+    * pruning can never drop a cell a probing query would read; vectors
+    * in the dropped cells contribute nothing anyway (the readers'
+    * probes(cell) lookup is empty for them), which is why the pruned
+    * read is bit-identical, not approximate (VecIndexSpec). */
+  private[graft] def probedCellUnion(queries: DataFrame, centArrays: DataFrame,
+                                     nprobe: Int): Seq[Int] = {
+    val codebook = sortedCodebook(centArrays)
+    probeSets(codebook, collectQueries(queries), nprobe).keys.toSeq.sorted
+  }
+
   /** Per-query ADC LUTs (LUT(q)(sub)(code) = grid d2 of q's subvector
     * vs that codeword slice), built ONCE on the driver — the whole
     * point of ADC is that per-vector work is M lookups, not M·subDims

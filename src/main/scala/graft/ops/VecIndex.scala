@@ -64,7 +64,10 @@ object VecIndex {
   }
 
   /** The 100 TB layout: shard partitioned by coarse cell, so a query's
-    * probe set prunes to nprobe directories at the parquet scan. */
+    * probe set prunes to nprobe directories at the parquet scan — read
+    * it with [[loadShardPruned]]; VecIndexSpec proves the pruned
+    * readers bit-identical to the flat contract paths and pins the
+    * scan's PartitionFilters on `cell`. */
   def storePartitioned(corpus: DataFrame, centArrays: DataFrame,
                        subDims: Int, path: String): Unit = {
     centArrays.write.mode("overwrite").parquet(s"$path/codebook")
@@ -77,4 +80,15 @@ object VecIndex {
 
   def loadShard(s: SparkSession, path: String): DataFrame =
     s.read.parquet(s"$path/shard")
+
+  /** Cell-pruned read of a [[storePartitioned]] shard: pass the
+    * probe-set union ([[Similarity.probedCellUnion]] — the same probe
+    * ranking the readers apply per query) and the IN filter lands as
+    * PartitionFilters at the parquet scan, so a search touches nprobe
+    * cell directories instead of the corpus. Sound and bit-identical,
+    * not approximate: vectors in non-probed cells produce no
+    * candidates in any reader (their probes(cell) set is empty), so
+    * dropping their partitions cannot change a result. */
+  def loadShardPruned(s: SparkSession, path: String, cells: Seq[Int]): DataFrame =
+    loadShard(s, path).filter(col("cell").isin(cells: _*))
 }

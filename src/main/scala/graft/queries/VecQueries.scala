@@ -1675,6 +1675,41 @@ FROM scores s, ex"""
       Similarity.centroidArrays(Similarity.centroids(v)), PqSubDims, path)
   }
 
+  /** The [[buildVecIndexArtifact]] twin for the 100 TB layout: shard
+    * written `partitionBy("cell")`, so probe sets prune to nprobe cell
+    * directories at the scan ([[graft.ops.VecIndex.loadShardPruned]]). */
+  private[graft] def buildVecIndexArtifactPartitioned(s: SparkSession, d: String,
+                                                      path: String): Unit = {
+    val v = vecs(s, d)
+    graft.ops.VecIndex.storePartitioned(v,
+      Similarity.centroidArrays(Similarity.centroids(v)), PqSubDims, path)
+  }
+
+  /** Probe-pruned bodies over a PARTITIONED index: the two probe-based
+    * readers (ADC scans every code, so pruning does not apply to
+    * pq_adc_topk) with the shard read pruned to the queries' probe-set
+    * union — bit-identical to the contract queries (VecIndexSpec), with
+    * the probe filter now a PartitionFilters entry at the parquet scan. */
+  private[graft] def prunedVecQueries(path: String): Map[String, (SparkSession, String) => DataFrame] = {
+    import graft.ops.VecIndex._
+    def pruned(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+      val cb = loadCodebook(s, path)
+      val cells = Similarity.probedCellUnion(q5(vecs(s, d)), cb, IvfNprobe)
+      (loadShardPruned(s, path, cells), cb)
+    }
+    Map(
+      "ivfpq_topk" -> ((s, d) => {
+        val (shard, cb) = pruned(s, d)
+        Similarity.ivfPqTopKFromIndex(q5(vecs(s, d)), shard, cb,
+          IvfNprobe, PqSubDims)
+      }),
+      "ivf_probe_topk" -> ((s, d) => {
+        val (shard, cb) = pruned(s, d)
+        Similarity.ivfProbeTopKFromIndex(q5(vecs(s, d)), shard, cb, IvfNprobe)
+      })
+    )
+  }
+
   /** Amortized bodies for the ANN read paths: identical bits to the
     * contract queries (VecIndexSpec), but the per-query k-means train +
     * corpus re-quantization is replaced by an index load. Queries stay

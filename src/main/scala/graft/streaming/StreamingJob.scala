@@ -44,6 +44,16 @@ final case class Sinks(
   * __main__.py:63); rows later than the watermark may still reach
   * foreachBatch and are handled by recomputation within the tail, matching
   * the reference's drop-after-watermark envelope (T3).
+  *
+  * Exactly-once through the fan-out: the tail is persisted only AFTER
+  * every sink callback returns, so a crash inside any sink replays the
+  * whole micro-batch against the pre-batch tail — the recomputed frames
+  * are bit-identical (streaming ≡ batch) and PK-idempotent JDBC sinks
+  * ([[graft.io.JdbcSink.upsert]], wired by Main's JDBC_WRITE_MODE=upsert)
+  * absorb the re-delivery. MultiSinkExactlyOnceSpec proves the
+  * composition end to end: positions committed, executions half-committed
+  * then crashed, restart, replay — all three Derby tables equal the clean
+  * run byte for byte.
   */
 final class StreamingJob(
     strategy: Strategy,

@@ -141,6 +141,41 @@ object ScaleUp {
         .select(raw.columns.map(col).toIndexedSeq: _*), "events")
     }
 
+    /** Hot-shingle DOCUMENTS scaling (`docs_zipf`, round-14 verdict #1 —
+      * the text twin of events_zipf/lineitem_hub): the same k disjoint
+      * doc_id bands as the `documents` rule, then ONE fixed boilerplate
+      * template (16 words) is APPENDED to ~20% of ALL docs (selection
+      * is md5 of the BANDED doc_id, so replicas differ and the fixture
+      * is a pure function of the source). Every template word n-gram
+      * becomes a head shingle with df ≈ 0.2·N — at k=100 that is
+      * ~100,000 docs per shingle, 200× past the maxDf=500 stop-shingle
+      * cap — and on SHORT docs the template dominates the minhash mins,
+      * so LSH band buckets concentrate on template-derived keys: the
+      * single-hot-key stress for the dedup/LSH family (stop-shingle
+      * cap, band buckets, pairCounts' Σdf² bound) that uniform
+      * replication cannot produce — real crawls have exactly this
+      * profile (one cookie banner / nav template in a fifth of pages).
+      * n_chars is kept consistent (= length of the new text). */
+    def scaleDocsZipf(): Unit = {
+      val HotShare = 0.20
+      val Template = "please subscribe to our newsletter and follow the " +
+        "channel for daily updates terms apply"
+      val raw = spark.read.parquet(s"$src/documents.parquet")
+      val band = raw.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val banded = (0 until k).map { r =>
+        raw.withColumn("doc_id", col("doc_id") + lit(r * band))
+          .select(raw.columns.map(col).toIndexedSeq: _*)
+      }.reduce(_ unionByName _)
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("double") + lit(0.5)) / lit(281474976710656.0) // 2^48
+      writeOne(banded
+        .withColumn("text",
+          when(u < lit(HotShare), concat(col("text"), lit(" " + Template)))
+            .otherwise(col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select(raw.columns.map(col).toIndexedSeq: _*), "documents")
+    }
+
     /** Relational-direction scaling (`relational`, round-13 verdict #2):
       * k coherent DISJOINT COPIES of the customer→orders→lineitem
       * subgraph — c_custkey, o_orderkey AND o_custkey, l_orderkey all
@@ -190,8 +225,10 @@ object ScaleUp {
     /** Hot-HUB graph scaling (`lineitem_hub`, round-13 verdict #3 — the
       * graph twin of events_zipf): the same k disjoint copies as
       * `lineitem_graph`, then ONE GLOBAL hub supplier is spliced into
-      * ~17% of all orders (line 1 of each md5-selected order is
-      * remapped to a hub id outside every copy's band). Every copy's
+      * ~17% of all orders (the MINIMUM line number of each md5-selected
+      * order is remapped to a hub id outside every copy's band — line
+      * numbers are uniform-random 1..7 per row, so "line 1" exists in
+      * only ~44% of orders). Every copy's
       * suppliers co-occur with the hub in ~0.17× their order count —
       * far past MinCo — so the hub's degree ≈ the GLOBAL supplier
       * count: one node carries ~17% of edges, stitches the k copies
@@ -243,6 +280,7 @@ object ScaleUp {
       "events" -> (() => scaleEvents()),
       "events_zipf" -> (() => scaleEventsZipf()),
       "documents" -> (() => scaleById("documents", "doc_id")),
+      "docs_zipf" -> (() => scaleDocsZipf()),
       "embeddings" -> (() => scaleById("embeddings", "vec_id")),
       "orders" -> (() => scaleById("orders", "o_orderkey", Some(orderBand))),
       "lineitem" -> (() => scaleById("lineitem", "l_orderkey", Some(orderBand))),
@@ -256,6 +294,8 @@ object ScaleUp {
       "lineitem / lineitem_graph / lineitem_hub are mutually exclusive")
     require(!(scaled.contains("events") && scaled.contains("events_zipf")),
       "events and events_zipf are mutually exclusive")
+    require(!(scaled.contains("documents") && scaled.contains("docs_zipf")),
+      "documents and docs_zipf are mutually exclusive")
     require(!scaled.contains("relational") ||
       (scaled & Set("customer", "orders", "lineitem", "lineitem_graph")).isEmpty,
       "relational already scales customer+orders+lineitem (and owns the " +
@@ -264,7 +304,8 @@ object ScaleUp {
     val ownedBy: Map[String, String] = Seq(
       "lineitem" -> "lineitem_graph", "lineitem" -> "lineitem_hub",
       "customer" -> "relational", "orders" -> "relational",
-      "lineitem" -> "relational", "events" -> "events_zipf"
+      "lineitem" -> "relational", "events" -> "events_zipf",
+      "documents" -> "docs_zipf"
     ).filter { case (_, rule) => scaled.contains(rule) }.toMap
     var ranComposite = Set.empty[String]
     for (t <- all) {

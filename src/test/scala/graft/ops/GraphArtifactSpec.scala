@@ -27,8 +27,12 @@ class GraphArtifactSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
   private val path = "/tmp/graph_artifact_spec"
 
-  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
-    df.collect().toSeq.map(_.toSeq).toSet
+  // multiset compare (row -> count): a duplicate-row multiplicity
+  // divergence between reader and contract must FAIL, which plain Set
+  // semantics would mask (r14 ADVICE)
+  private def rows(df: org.apache.spark.sql.DataFrame): Map[Seq[Any], Int] =
+    df.collect().toSeq.map(_.toSeq).groupBy(identity)
+      .map { case (r, g) => (r, g.size) }
 
   private lazy val built: Unit =
     GraphQueries.buildGraphArtifact(spark, dir, path)

@@ -28,8 +28,12 @@ class VecIndexSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
   private val path = "/tmp/vec_index_spec"
 
-  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
-    df.collect().toSeq.map(_.toSeq).toSet
+  // multiset compare (row -> count): a duplicate-row multiplicity
+  // divergence between reader and contract must FAIL, which plain Set
+  // semantics would mask (r14 ADVICE)
+  private def rows(df: org.apache.spark.sql.DataFrame): Map[Seq[Any], Int] =
+    df.collect().toSeq.map(_.toSeq).groupBy(identity)
+      .map { case (r, g) => (r, g.size) }
 
   private lazy val built: Unit =
     VecQueries.buildVecIndexArtifact(spark, dir, path)
@@ -54,6 +58,58 @@ class VecIndexSpec extends AnyFunSuite {
     val rebuilt = VecIndex.shard(v, VecIndex.loadCodebook(spark, path), 16)
     assert(rows(rebuilt) == rows(stored))
     assert(stored.count() == v.count())
+  }
+
+  test("partitioned layout: probe-pruned readers reproduce contract bits, " +
+      "scan prunes on cell") {
+    val pPath = "/tmp/vec_index_spec_part"
+    VecQueries.buildVecIndexArtifactPartitioned(spark, dir, pPath)
+    // the partitioned shard holds the same rows as the flat one (cell
+    // moves from a data column to a partition directory, values intact)
+    built
+    val flat = VecIndex.loadShard(spark, path)
+    val part = VecIndex.loadShard(spark, pPath)
+      .select(flat.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    assert(rows(part) == rows(flat))
+
+    val prunedQ = VecQueries.prunedVecQueries(pPath)
+    assert(prunedQ.keySet == Set("ivfpq_topk", "ivf_probe_topk"))
+    prunedQ.keySet.toSeq.sorted.foreach { name =>
+      val want = rows(graft.SparkEntry.queries(name)(spark, dir))
+      val got = rows(prunedQ(name)(spark, dir))
+      assert(want.nonEmpty, s"$name: contract result is empty")
+      assert(got == want, s"$name: pruned index reader diverged from contract")
+    }
+
+    // the pruning is REAL partition pruning, and strict: one query
+    // probes exactly nprobe=3 of the 8 cells, and the shard scan shows
+    // the probe set as PartitionFilters (NOT a post-scan Filter: the
+    // data read carries no cell column and no data filter at all)
+    import org.apache.spark.sql.functions.col
+    val v = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cb = VecIndex.loadCodebook(spark, pPath)
+    val one = v.filter(col("vec_id") === 0)
+    val cells = graft.ops.Similarity.probedCellUnion(one, cb, 3)
+    assert(cells.size == 3, s"one query must probe exactly nprobe cells, got $cells")
+    val prunedDf = graft.ops.Similarity.ivfProbeTopKFromIndex(
+      one, VecIndex.loadShardPruned(spark, pPath, cells), cb, 3)
+    // finalize AQE so the printed plan is the executed one, then assert
+    // on the FileScan line (the typed collect() can't descend through
+    // QueryStageExec wrappers)
+    prunedDf.collect()
+    val planStr = prunedDf.queryExecution.executedPlan.toString
+    val scanLine = planStr.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("shard"))
+      .getOrElse(fail(s"no shard FileScan in plan:\n$planStr"))
+    assert(scanLine.contains(s"PartitionFilters: [cell#"),
+      s"probe IN-filter must land as PartitionFilters:\n$scanLine")
+    assert(scanLine.contains(s" IN (${cells.mkString(",")})]"),
+      s"PartitionFilters must hold the exact probe set $cells:\n$scanLine")
+    assert(scanLine.contains("DataFilters: []") && !scanLine.contains("cell:int"),
+      s"pruning must be partition-level only (no data filter, cell not read):\n$scanLine")
+    // and the pruned single-query result equals the flat-shard read
+    assert(rows(prunedDf) == rows(graft.ops.Similarity.ivfProbeTopKFromIndex(
+      one, VecIndex.loadShard(spark, pPath), cb, 3)))
   }
 
   test("append exactness: shard(A) union shard(B) equals shard(A union B)") {

@@ -35,7 +35,16 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
     # that into ordinary out-of-core aggregation.)
     import os
     os.makedirs(".tmp/check_oracle_spill", exist_ok=True)
-    con.execute("SET memory_limit='48GB'")
+    # Cap at min(48GB, 70% of physical RAM): on a <60 GB host an
+    # unconditional 48GB would RAISE the limit above DuckDB's default
+    # (80% of RAM) and re-introduce the kernel-OOM risk this setting
+    # fixed. CHECK_ORACLE_MEM overrides for odd hosts.
+    mem = os.environ.get("CHECK_ORACLE_MEM")
+    if not mem:
+        ram_gb = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+                  / (1 << 30))
+        mem = f"{min(48, int(ram_gb * 0.7))}GB"
+    con.execute(f"SET memory_limit='{mem}'")
     con.execute("SET temp_directory='.tmp/check_oracle_spill'")
     for t in TABLES:
         con.execute(
