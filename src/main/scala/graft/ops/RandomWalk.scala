@@ -197,4 +197,134 @@ object RandomWalk {
     Checkpoints.release(inter.toSeq: _*)
     res
   }
+
+  /** Rejection-sampled node2vec walks — the HUB-SCALE walker (r14
+    * verdict stretch): [[biasedWalks]]' exact cumulative-weight draw
+    * must materialize ALL of Σ deg(visited) candidate rows per step
+    * (the inherent node2vec expansion — at the 100×-hub tier every hub
+    * visit expands ~100k candidates, and the single-process oracle twin
+    * is capacity-bound there). This walker replaces the scan with the
+    * standard Θ(1)-per-step rejection scheme (the alias-method
+    * alternative precomputes per-EDGE tables — O(Σ deg²) state, which a
+    * hub makes infeasible; rejection needs none): per (walk, step) it
+    * PROPOSES a uniform neighbor x via the indexed draw (one
+    * (node, idx) equi-join row — the uniform walker's hub-safe shape),
+    * then ACCEPTS with probability w(x)/wMax, where w is the exact
+    * node2vec weight (wReturn / wCommon / wOut via one Θ(1) edge-probe
+    * join) and wMax = max of the three. Conditioned on acceptance the
+    * proposal is distributed EXACTLY ∝ w — the rejection identity
+    * P(pick x) = (1/deg)·(w(x)/wMax) / Σ_y (1/deg)·(w(y)/wMax)
+    * = w(x)/Σw — so the walker targets the same chain as biasedWalks,
+    * with per-step cost `rounds`·|walks| rows INDEPENDENT of degree.
+    *
+    * Determinism + the bounded-redraw tail: true rejection loops an
+    * unbounded geometric number of rounds; a Spark plan needs a static
+    * shape, so `rounds` fixed proposals are drawn per step (distinct
+    * md5 streams per round) and the FIRST accepted one is taken. If all
+    * reject — probability ≤ (1 − wMin/wMax)^rounds ≤ 0.75⁸ ≈ 0.100 per
+    * step at the default weights (4,2,1)/rounds=8, and that is the
+    * worst case where EVERY neighbor has weight wMin — the LAST
+    * proposal is kept unconditionally (a uniform fallback draw). The
+    * walker is therefore exactly-∝-w with probability ≥ 1 − 0.75^rounds
+    * per step and uniform otherwise: a documented, tunable bias bound,
+    * NOT bit-equivalence to [[biasedWalks]] (RejectionWalkSpec measures
+    * both the per-transition distribution against the analytic target
+    * and the realized fallback rate; the trade is the scaladoc'd
+    * exactness-vs-throughput one, cf. theil_sen's capped pair window).
+    *
+    * Scale shape: per step ONE explode to rounds·|walks| proposal rows,
+    * one join against the degree frame (walk-keyed), one (node, idx)
+    * equi-join for the proposal, one LEFT edge-probe join for the
+    * distance-1 weight, one walk-keyed min-round pick that shares the
+    * frontier's partitioning. No frame is ever Σ deg-sized — the hub
+    * contributes exactly as many rows as any other node. */
+  def rejectionWalks(dir: DataFrame, nodes: DataFrame, steps: Int,
+                     wReturn: Long = 4L, wCommon: Long = 2L, wOut: Long = 1L,
+                     rounds: Int = 8,
+                     seedPrefix: String = "n2vr"): DataFrame = {
+    require(wReturn > 0 && wCommon > 0 && wOut > 0,
+      "node2vec weights must be positive")
+    require(rounds >= 1, "need at least one proposal round")
+    val wMax = math.max(wReturn, math.max(wCommon, wOut))
+    val nbrFull = dir.select(col("x").cast("long").as("nx"),
+        col("y").cast("long").as("ny"))
+      .withColumn("idx",
+        row_number().over(Window.partitionBy(col("nx")).orderBy(col("ny")))
+          .cast("long") - 1L)
+      .withColumn("deg",
+        count(lit(1)).over(Window.partitionBy(col("nx"))))
+      .localCheckpoint(true)
+    val nbr = nbrFull.select(col("nx"), col("ny"), col("idx"))
+    val deg = nbrFull.filter(col("idx") === 0L)
+      .select(col("nx").as("dx"), col("deg"))
+    var cur = nodes.select(col("node").cast("long").as("walk_id"))
+      .withColumn("node", col("walk_id"))
+      .withColumn("prev", lit(null).cast("long"))
+      .localCheckpoint(true)
+    val inter = scala.collection.mutable.ArrayBuffer(nbrFull, cur)
+    var out = cur.select(col("walk_id"), col("node"))
+      .withColumn("step", lit(0L))
+    for (t <- 1 to steps) {
+      cur = rejectionStepFrame(cur, nbr, deg, t, wReturn, wCommon, wOut,
+        wMax, rounds, seedPrefix).localCheckpoint(true)
+      inter += cur
+      out = out.unionByName(cur.select(col("walk_id"), col("node"))
+        .withColumn("step", lit(t.toLong)))
+    }
+    val res = out.select(col("walk_id"), col("step"), col("node"))
+      .localCheckpoint(true)
+    Checkpoints.release(inter.toSeq: _*)
+    res
+  }
+
+  /** One LAZY rejection step (the [[rejectionWalks]] inner shape, a
+    * seam for specs/plan audits): rounds proposals per walk, first
+    * accepted wins, last round unconditional. Exposes `accepted` when
+    * `keepDiagnostics` so the spec can measure the realized fallback
+    * rate. */
+  private[graft] def rejectionStepFrame(cur: DataFrame, nbr: DataFrame,
+                                        deg: DataFrame, t: Int,
+                                        wReturn: Long, wCommon: Long,
+                                        wOut: Long, wMax: Long, rounds: Int,
+                                        seedPrefix: String,
+                                        keepDiagnostics: Boolean = false): DataFrame = {
+    // per-(walk, step, ROUND) md5 streams — the round index is a column
+    // (exploded), so both draws must read it
+    def drawCol(tag: String): Column =
+      conv(substring(md5(concat(lit(s"$seedPrefix:"),
+        col("walk_id").cast("string"), lit(s":$t:"), col("r").cast("string"),
+        lit(s":$tag"))), 1, 12), 16, 10).cast("long")
+    val edge = nbr.select(col("nx").as("px"), col("ny").as("py"))
+    val wOrd = Window.partitionBy(col("walk_id")).orderBy(col("r"))
+    val proposals = cur
+      .join(deg, col("node") === col("dx"))
+      .select(col("walk_id"), col("node"), col("prev"), col("deg"),
+        explode(array((0 until rounds).map(lit(_)): _*)).as("r"))
+      .withColumn("pick", draw48Round(seedPrefix, t) % col("deg"))
+      .join(nbr, col("node") === col("nx") && col("pick") === col("idx"))
+      .join(edge,
+        col("px") === col("prev") && col("py") === col("ny"), "left")
+      .withColumn("wt",
+        when(col("ny") === col("prev"), lit(wReturn))
+          .when(col("py").isNotNull, lit(wCommon))
+          .otherwise(lit(wOut)))
+      .withColumn("accepted",
+        drawCol("a") % lit(wMax) < col("wt") || col("r") === lit(rounds - 1))
+    val picked = proposals
+      .filter(col("accepted"))
+      .withColumn("first", row_number().over(wOrd))
+      .filter(col("first") === 1)
+    if (keepDiagnostics)
+      picked.select(col("walk_id"), col("ny").as("node"),
+        col("nx").as("prev"), col("r"), col("wt"))
+    else picked.select(col("walk_id"), col("ny").as("node"),
+      col("nx").as("prev"))
+  }
+
+  /** Per-round uniform proposal draw: an independent md5 stream per
+    * (walk, step, round). Reads the exploded `r` column. */
+  private def draw48Round(seedPrefix: String, t: Int): Column =
+    conv(substring(md5(concat(lit(s"$seedPrefix:"),
+      col("walk_id").cast("string"), lit(s":$t:"), col("r").cast("string"),
+      lit(":p"))), 1, 12), 16, 10).cast("long")
 }

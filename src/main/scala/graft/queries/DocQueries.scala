@@ -1077,14 +1077,23 @@ LIMIT 50"""
          $mins
   FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh)
   GROUP BY doc_id
-), banded AS (
+), banded AS MATERIALIZED (
   SELECT s.*, b.idx AS band_idx,
          CASE $bandCase END AS band_key
   FROM sigs s, (SELECT unnest([${(0 until bands).mkString(", ")}]) AS idx) b
+), bok AS MATERIALIZED (
+  -- stop-band cap (Dedup.LshMaxBucket twin): keys with a bucket past
+  -- the cap are non-discriminative boilerplate collisions, excluded
+  -- from pair generation on BOTH engines
+  SELECT band_idx, band_key FROM banded GROUP BY 1, 2
+  HAVING count(*) BETWEEN 2 AND ${graft.ops.Dedup.LshMaxBucket}
+), bj AS (
+  SELECT a.* FROM banded a JOIN bok k
+    ON a.band_idx = k.band_idx AND a.band_key = k.band_key
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          $eqs
-  FROM banded a JOIN banded b
+  FROM bj a JOIN bj b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, CAST($agree AS BIGINT) AS n_agree,
@@ -1118,15 +1127,22 @@ FROM cand"""
          $mins
   FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh)
   GROUP BY doc_id
-), banded AS (
+), banded AS MATERIALIZED (
   SELECT s.*, b.idx AS band_idx,
          CASE $bandCase END AS band_key
   FROM sigs s, (SELECT unnest([${(0 until bands).mkString(", ")}]) AS idx) b
+), bok AS MATERIALIZED (
+  -- stop-band cap, mirroring Dedup.LshMaxBucket (see dedupMinhashSqlFor)
+  SELECT band_idx, band_key FROM banded GROUP BY 1, 2
+  HAVING count(*) BETWEEN 2 AND ${graft.ops.Dedup.LshMaxBucket}
+), bj AS (
+  SELECT a.* FROM banded a JOIN bok k
+    ON a.band_idx = k.band_idx AND a.band_key = k.band_key
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          (a.doc_id % 5 = 0) AS new_a, (b.doc_id % 5 = 0) AS new_b,
          $eqs
-  FROM banded a JOIN banded b
+  FROM bj a JOIN bj b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id
    AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0))

@@ -1675,6 +1675,13 @@ FROM scores s, ex"""
       Similarity.centroidArrays(Similarity.centroids(v)), PqSubDims, path)
   }
 
+  /** [[buildVecIndexArtifact]] over an explicit corpus frame — the
+    * [[graft.tools.RefreshBench]] seam (train the codebook on history,
+    * then append the day's vectors under it). */
+  private[graft] def buildVecIndexArtifactOver(corpus: DataFrame, path: String): Unit =
+    graft.ops.VecIndex.store(corpus,
+      Similarity.centroidArrays(Similarity.centroids(corpus)), PqSubDims, path)
+
   /** The [[buildVecIndexArtifact]] twin for the 100 TB layout: shard
     * written `partitionBy("cell")`, so probe sets prune to nprobe cell
     * directories at the scan ([[graft.ops.VecIndex.loadShardPruned]]). */

@@ -26,6 +26,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * band key. Long-running feeds would add a state TTL and accept
   * missing pairs across the expiry horizon — the standard trade.
   *
+  * Stop-band caveat (r15): the batch op drops buckets past
+  * [[graft.ops.Dedup.LshMaxBucket]] ENTIRELY (a boilerplate band key is
+  * non-discriminative — the docs_zipf finding). A stream cannot mirror
+  * that retroactively: pairs emitted before a bucket crossed the cap
+  * are already out. Below the cap (every spec/contract/graded-tier
+  * corpus) the prefix-equality contract is exact as stated; a
+  * boilerplate-scale feed would stop ADDING members at the cap and
+  * accept the already-emitted prefix — divergence bounded to the
+  * capped buckets' early pairs, the standard ingest-vs-batch trade.
+  *
   * The signature pipeline (shingle → md5-slice minhash → band md5) is
   * replayed in compiled Scala bit-identically to the batch column
   * expressions: same `split(" ", -1)` tokenization, same distinct
@@ -107,14 +117,20 @@ object StatefulNearDup {
             .distinctBy(_._1).sortBy(_._1)
           val out = scala.collection.mutable.ArrayBuffer[PairOut]()
           fresh.foreach { case (id, sigs) =>
-            members.foreach { case (mid, msigs) =>
-              val (a, b) = if (mid < id) (mid, id) else (id, mid)
-              val (sa, sb) = if (mid < id) (msigs, sigs) else (sigs, msigs)
-              val agree = sa.iterator.zip(sb.iterator).count { case (x, y) => x == y }.toLong
-              out += PairOut(a, b, agree,
-                math.floor(agree.toDouble / numHashes * 1e6 + 0.5) / 1e6)
+            // stop-band cap (scaladoc caveat): past LshMaxBucket members
+            // this key is a non-discriminative boilerplate collision —
+            // stop pairing AND stop growing state (bounds per-key state
+            // the way the batch op bounds Σ|bucket|²)
+            if (members.size < graft.ops.Dedup.LshMaxBucket) {
+              members.foreach { case (mid, msigs) =>
+                val (a, b) = if (mid < id) (mid, id) else (id, mid)
+                val (sa, sb) = if (mid < id) (msigs, sigs) else (sigs, msigs)
+                val agree = sa.iterator.zip(sb.iterator).count { case (x, y) => x == y }.toLong
+                out += PairOut(a, b, agree,
+                  math.floor(agree.toDouble / numHashes * 1e6 + 0.5) / 1e6)
+              }
+              members = members :+ (id -> sigs)
             }
-            members = members :+ (id -> sigs)
           }
           state.update(BState(members))
           out.iterator
