@@ -1055,8 +1055,17 @@ LIMIT 50"""
   /** Twin of Dedup.minhashLshPairs at any (numHashes, bands) geometry —
     * same md5-slice min-hashes, same '|'-joined band keys. The fixed
     * contract twin [[dedupMinhashSql]] and the dedup_sweep grid both
-    * instantiate this one builder. */
-  private def dedupMinhashSqlFor(numHashes: Int, bands: Int): String = {
+    * instantiate this one builder. `pairsOnly` emits just
+    * (doc_a, doc_b): the sweep consumes nothing else, and the full
+    * form's DISTINCT spans the per-hash eq columns, which blocks
+    * DuckDB's projection pushdown — at the 100× docs_zipf tier the
+    * four materialized candidate frames carry 10-18 columns each
+    * instead of 2, the difference between fitting the spill budget
+    * and not (r15). Semantically identical pair sets: a pair's eq
+    * columns are computed from the full signatures, so they are
+    * constant across its colliding bands. */
+  private def dedupMinhashSqlFor(numHashes: Int, bands: Int,
+                                 pairsOnly: Boolean = false): String = {
     require(numHashes % bands == 0 && numHashes % 4 == 0)
     val rows = numHashes / bands
     val mins = (0 until numHashes)
@@ -1090,7 +1099,14 @@ LIMIT 50"""
 ), bj AS (
   SELECT a.* FROM banded a JOIN bok k
     ON a.band_idx = k.band_idx AND a.band_key = k.band_key
-), cand AS (
+)${if (pairsOnly)
+      s"""
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bj a JOIN bj b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id"""
+    else
+      s""", cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          $eqs
   FROM bj a JOIN bj b
@@ -1098,7 +1114,7 @@ LIMIT 50"""
    AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, CAST($agree AS BIGINT) AS n_agree,
        ${s6(s"($agree)::DOUBLE / $numHashes")} AS est_jaccard
-FROM cand"""
+FROM cand"""}"""
   }
 
   private[queries] val dedupMinhashSql = dedupMinhashSqlFor(8, 2)
@@ -1370,7 +1386,7 @@ FROM ep"""
     * per-config scalar counts, UNION ALL of the four rows. */
   private val dedupSweepSql = {
     val cfgCtes = SweepConfigs.zipWithIndex.map { case ((h, b), i) =>
-      s"c$i AS MATERIALIZED (SELECT doc_a, doc_b FROM (${dedupMinhashSqlFor(h, b)}))"
+      s"c$i AS MATERIALIZED (SELECT doc_a, doc_b FROM (${dedupMinhashSqlFor(h, b, pairsOnly = true)}))"
     }.mkString(",\n")
     val rows = SweepConfigs.zipWithIndex.map { case ((h, b), i) =>
       s"""SELECT $h AS num_hashes, $b AS bands, tt.n_truth,

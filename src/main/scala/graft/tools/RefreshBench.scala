@@ -37,9 +37,11 @@ object RefreshBench {
   }
 
   /** Order-independent exact-frame checksum (both sides Spark, so the
-    * Spark-internal hash is fine here). */
+    * Spark-internal hash is fine here; modular sum keeps the ANSI long
+    * envelope — ≤1e9 per row over any realistic row count). */
   private def checksum(df: DataFrame): (Long, Long) = {
-    val r = df.agg(count(lit(1)), sum(xxhash64(df.columns.map(col).toIndexedSeq: _*))).head()
+    val r = df.agg(count(lit(1)),
+      sum(pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(1000000007L)))).head()
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
