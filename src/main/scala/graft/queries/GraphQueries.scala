@@ -920,7 +920,12 @@ $union"""
 
   /** node2vec biased walk corpus — see [[graft.ops.RandomWalk.biasedWalks]]
     * for the weighted seeded draw. Same co-occurrence graph, walk length
-    * and start set as [[graphWalks]]; only the transition law differs. */
+    * and start set as [[graphWalks]]; only the transition law differs.
+    * Hub-scale note (r15): the exact cumulative-weight draw costs
+    * Σ deg(visited) per step — 505 s at the 100×-hub tier; the
+    * production alternative is [[graft.ops.RandomWalk.rejectionWalks]]
+    * (Θ(rounds) per step, 23.5 s there, distribution-equivalent within
+    * a spec-bounded tail — non-contract, see SCALE.md round-15). */
   private def graphWalksBiased(s: SparkSession, d: String): DataFrame = {
     val edges = suppEdges(s, d)
     val dir = edges.unionByName(

@@ -92,7 +92,8 @@ object StatefulNearDup {
   }
 
   def pairs(stream: Dataset[DocIn], n: Int = 3, numHashes: Int = 8,
-            bands: Int = 2): Dataset[PairOut] = {
+            bands: Int = 2,
+            maxBucket: Int = graft.ops.Dedup.LshMaxBucket): Dataset[PairOut] = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val spark = stream.sparkSession
@@ -117,11 +118,11 @@ object StatefulNearDup {
             .distinctBy(_._1).sortBy(_._1)
           val out = scala.collection.mutable.ArrayBuffer[PairOut]()
           fresh.foreach { case (id, sigs) =>
-            // stop-band cap (scaladoc caveat): past LshMaxBucket members
+            // stop-band cap (scaladoc caveat): past maxBucket members
             // this key is a non-discriminative boilerplate collision —
             // stop pairing AND stop growing state (bounds per-key state
             // the way the batch op bounds Σ|bucket|²)
-            if (members.size < graft.ops.Dedup.LshMaxBucket) {
+            if (members.size < maxBucket) {
               members.foreach { case (mid, msigs) =>
                 val (a, b) = if (mid < id) (mid, id) else (id, mid)
                 val (sa, sb) = if (mid < id) (msigs, sigs) else (sigs, msigs)

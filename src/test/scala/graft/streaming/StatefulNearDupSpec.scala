@@ -89,6 +89,32 @@ class StatefulNearDupSpec extends AnyFunSuite {
     assert(runStream(Seq(c1, c2)) == batchOf(c1 ++ c2))
   }
 
+  test("stop-band cap bounds bucket state and pairing (r15 docs_zipf class)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // five EXACT copies → every band bucket holds all five docs; with
+    // maxBucket = 3 the stream pairs among the first three members and
+    // then stops growing the bucket — per-key state is bounded even if
+    // a boilerplate key never stops arriving
+    val copies = (1L to 5L).map(i =>
+      DocIn(i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val got = mutable.Set[(Long, Long)]()
+    val ms = MemoryStream[DocIn]
+    val q = StatefulNearDup.pairs(ms.toDS(), maxBucket = 3)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[PairOut], _: Long) =>
+        got ++= df.collect().map(p => (p.doc_a, p.doc_b)); ()
+      }.start()
+    try { ms.addData(copies); q.processAllAvailable() } finally q.stop()
+    // pairs among the first three docs only — docs 4, 5 never joined
+    // the capped bucket (the documented divergence class: the batch op
+    // drops the >cap bucket entirely; the stream keeps its ≤cap prefix)
+    assert(got.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(Dedup.minhashLshPairs(copies.toSeq.toDF("doc_id", "text"), maxBucket = 3)
+      .count() == 0, "batch drops the over-cap bucket entirely")
+  }
+
   test("pair emission is incremental: second member's batch triggers it") {
     val s = spark
     import s.implicits._
