@@ -1055,17 +1055,9 @@ LIMIT 50"""
   /** Twin of Dedup.minhashLshPairs at any (numHashes, bands) geometry —
     * same md5-slice min-hashes, same '|'-joined band keys. The fixed
     * contract twin [[dedupMinhashSql]] and the dedup_sweep grid both
-    * instantiate this one builder. `pairsOnly` emits just
-    * (doc_a, doc_b): the sweep consumes nothing else, and the full
-    * form's DISTINCT spans the per-hash eq columns, which blocks
-    * DuckDB's projection pushdown — at the 100× docs_zipf tier the
-    * four materialized candidate frames carry 10-18 columns each
-    * instead of 2, the difference between fitting the spill budget
-    * and not (r15). Semantically identical pair sets: a pair's eq
-    * columns are computed from the full signatures, so they are
-    * constant across its colliding bands. */
-  private def dedupMinhashSqlFor(numHashes: Int, bands: Int,
-                                 pairsOnly: Boolean = false): String = {
+    * instantiate this one builder (the sweep's chains share ONE
+    * signature CTE via [[bandedPairsFromSigs]] instead). */
+  private def dedupMinhashSqlFor(numHashes: Int, bands: Int): String = {
     require(numHashes % bands == 0 && numHashes % 4 == 0)
     val rows = numHashes / bands
     val mins = (0 until numHashes)
@@ -1099,14 +1091,7 @@ LIMIT 50"""
 ), bj AS (
   SELECT a.* FROM banded a JOIN bok k
     ON a.band_idx = k.band_idx AND a.band_key = k.band_key
-)${if (pairsOnly)
-      s"""
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bj a JOIN bj b
-  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
- AND a.doc_id < b.doc_id"""
-    else
-      s""", cand AS (
+), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          $eqs
   FROM bj a JOIN bj b
@@ -1114,7 +1099,7 @@ FROM bj a JOIN bj b
    AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, CAST($agree AS BIGINT) AS n_agree,
        ${s6(s"($agree)::DOUBLE / $numHashes")} AS est_jaccard
-FROM cand"""}"""
+FROM cand"""
   }
 
   private[queries] val dedupMinhashSql = dedupMinhashSqlFor(8, 2)
@@ -1380,21 +1365,61 @@ SELECT doc_id, epoch, skey,
        CAST(row_number() OVER (PARTITION BY epoch ORDER BY skey, doc_id) AS BIGINT) AS position
 FROM ep"""
 
-  /** Twin of dedup_sweep: one MATERIALIZED candidate CTE per banding
-    * config (DuckDB inlines plain CTEs — the truth frame is referenced
-    * 2× per config and would re-run its Σdf² posting join each time),
-    * per-config scalar counts, UNION ALL of the four rows. */
+  /** Pairs-only banding chain over a shared max-width `sigs` CTE — the
+    * oracle form of the Spark side's lshPairsOfSigs prefix property
+    * (an h-hash config reads a prefix of the widest signature frame):
+    * per config only the banding projection (3 columns), the stop-band
+    * cap, and the bucket pair join re-run; the corpus-wide shingle +
+    * min-hash pass is computed ONCE (before r15 each config CTE
+    * re-embedded it — 4 corpus-scale passes, the dominant share of the
+    * sweep oracle's 100×-tier spill). */
+  private def bandedPairsFromSigs(numHashes: Int, bands: Int, i: Int): String = {
+    val rows = numHashes / bands
+    val bandCase = (0 until bands).map { b =>
+      val key = (0 until rows).map(r => s"m${b * rows + r}").mkString(" || '|' || ")
+      s"WHEN b.idx = $b THEN md5($key)"
+    }.mkString("\n              ")
+    s"""bd$i AS MATERIALIZED (
+  SELECT s.doc_id, b.idx AS band_idx,
+         CASE $bandCase END AS band_key
+  FROM sigs s, (SELECT unnest([${(0 until bands).mkString(", ")}]) AS idx) b
+), bok$i AS MATERIALIZED (
+  SELECT band_idx, band_key FROM bd$i GROUP BY 1, 2
+  HAVING count(*) BETWEEN 2 AND ${graft.ops.Dedup.LshMaxBucket}
+), bj$i AS (
+  SELECT a.* FROM bd$i a JOIN bok$i k
+    ON a.band_idx = k.band_idx AND a.band_key = k.band_key
+), c$i AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bj$i a JOIN bj$i b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id)"""
+  }
+
+  /** Twin of dedup_sweep: ONE materialized signature frame at
+    * max(numHashes), one [[bandedPairsFromSigs]] chain per config,
+    * per-config scalar counts, UNION ALL of the four rows. (The truth
+    * frame stays materialized — referenced 2× per config.) */
   private val dedupSweepSql = {
-    val cfgCtes = SweepConfigs.zipWithIndex.map { case ((h, b), i) =>
-      s"c$i AS MATERIALIZED (SELECT doc_a, doc_b FROM (${dedupMinhashSqlFor(h, b, pairsOnly = true)}))"
-    }.mkString(",\n")
+    val maxH = SweepConfigs.map(_._1).max
+    val mins = (0 until maxH)
+      .map(h => s"min(substring(md5('${h / 4}:' || shingle), ${(h % 4) * 8 + 1}, 8)) AS m$h")
+      .mkString(",\n         ")
+    val cfgCtes = SweepConfigs.zipWithIndex
+      .map { case ((h, b), i) => bandedPairsFromSigs(h, b, i) }.mkString(",\n")
     val rows = SweepConfigs.zipWithIndex.map { case ((h, b), i) =>
       s"""SELECT $h AS num_hashes, $b AS bands, tt.n_truth,
        (SELECT count(*) FROM c$i) AS n_candidates,
        (SELECT count(*) FROM c$i JOIN truth USING (doc_a, doc_b)) AS n_hits
 FROM tt"""
     }.mkString("\nUNION ALL\n")
-    s"""WITH truth AS MATERIALIZED (
+    s"""WITH sigs AS MATERIALIZED (
+  SELECT doc_id,
+         $mins
+  FROM (SELECT doc_id, unnest(${Shingles.ofSql("text", 3)}) AS shingle
+        FROM documents)
+  GROUP BY doc_id
+), truth AS MATERIALIZED (
   SELECT doc_a, doc_b FROM ($jaccardPairsSqlBase)
   WHERE jaccard >= ${Det.dblLit(RecallTau)}
 ),
