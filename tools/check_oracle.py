@@ -46,6 +46,17 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
         mem = f"{min(48, int(ram_gb * 0.7))}GB"
     con.execute(f"SET memory_limit='{mem}'")
     con.execute("SET temp_directory='.tmp/check_oracle_spill'")
+    # Bound the spill itself (r15: two compares filled the disk to 98%+
+    # before an external watchdog killed them — dedup_sweep's 100×
+    # oracle wants >85 GB of temp). Cap at 60% of the free space on the
+    # spill volume (or CHECK_ORACLE_TEMP): a capacity-bound oracle then
+    # fails with DuckDB's clean out-of-temp error instead of starving
+    # the host.
+    tmp = os.environ.get("CHECK_ORACLE_TEMP")
+    if not tmp:
+        st = os.statvfs(".tmp/check_oracle_spill")
+        tmp = f"{int(st.f_bavail * st.f_frsize * 0.6 / (1 << 30))}GB"
+    con.execute(f"SET max_temp_directory_size='{tmp}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
