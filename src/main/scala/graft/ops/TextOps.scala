@@ -65,11 +65,23 @@ object TextOps {
       // bytes > chars ⇔ multibyte (CJK etc.) content present.
       (octet_length(col("text")) - length(col("text"))).cast("long").as("n_multibyte"),
       regexp_count(col("text"), lit(subtokenPattern)).cast("long").as("n_subtokens"),
-      ((least(nTok, lit(100L)).cast("double") / 100d) * 0.3 +
-        (nDistinct.cast("double") / nTok.cast("double")) * 0.3 +
-        (lit(1.0) - nStop.cast("double") / nTok.cast("double")) * 0.2 +
-        least(lit(1.0), vowels.cast("double") * 5d / chars.cast("double")) * 0.2)
-        .as("quality_score")
+      // Snapped AT THE SOURCE (r15, caught by the 10× docs_zipf tier):
+      // the oracle twin (DocQueries.statsSql) emits s6(quality_score),
+      // and every Det aggregate is grid-immune to raw-vs-snapped inputs
+      // (they quantize per row) — but ORDER-sensitive consumers are
+      // not: quality_dup's ntile boundary fell inside a 37-doc tie
+      // group where two docs' RAW sums differed by 1 ulp across the
+      // snap boundary (…66 vs …67), so Spark (raw order) and DuckDB
+      // (snapped order) ranked the group differently and one doc
+      // swapped quintiles. Snapping here makes the frame column-equal
+      // to statsSql, aligning every ordering, threshold compare, and
+      // grouping downstream.
+      Det.snap(
+        (least(nTok, lit(100L)).cast("double") / 100d) * 0.3 +
+          (nDistinct.cast("double") / nTok.cast("double")) * 0.3 +
+          (lit(1.0) - nStop.cast("double") / nTok.cast("double")) * 0.2 +
+          least(lit(1.0), vowels.cast("double") * 5d / chars.cast("double")) * 0.2,
+        6).as("quality_score")
     )
   }
 
