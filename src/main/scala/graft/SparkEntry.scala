@@ -35,4 +35,14 @@ object SparkEntry {
       BreadthQueries.oracleSql ++ CorpusQueries.oracleSql ++ GraphQueries.oracleSql ++
       BarQueries.oracleSql ++ StatQueries.oracleSql ++ IndicatorQueries.oracleSql ++
       MatchQueries.oracleSql ++ BasketQueries.oracleSql
+
+  /** Capacity decompositions (r15 verdict #1): for a query listed here,
+    * the part statements' ROW UNION equals its [[oracleSql]] statement —
+    * so a compare can run one part at a time, each under the DuckDB
+    * spill ceiling that the full statement exceeds at a stress tier.
+    * Verify dumps this as oracle_parts.json; check_oracle's --parts
+    * mode consumes it. Contract-gate compares keep using the full
+    * statement (parts exist for capacity, not semantics). */
+  def oracleParts: Map[String, Seq[String]] =
+    Map("dedup_sweep" -> DocQueries.dedupSweepSqlParts)
 }

@@ -73,6 +73,16 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Capacity decompositions (SparkEntry.oracleParts): per query, a
+    // list of statements whose row union equals the full oracle —
+    // check_oracle's --parts mode runs them one at a time when the
+    // full statement exceeds the spill ceiling (100× tiers).
+    val partsJson = SparkEntry.oracleParts
+      .filter { case (k, _) => only.forall(_.contains(k)) }
+      .map { case (k, vs) =>
+        s"${q(k)}: ${vs.map(q).mkString("[", ",", "]")}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_parts.json"), partsJson)
     spark.stop()
   }
 }

@@ -87,6 +87,33 @@ object KafkaJson {
   * tables keep the same primary keys so replays dedup server-side.
   */
 object JdbcSink {
+
+  /** True iff `df`'s planned physical output partitioning already
+    * co-locates rows by `pkCols` — i.e. it satisfies a
+    * ClusteredDistribution on the PK attributes, the exact property
+    * [[upsert]]'s enforcement repartition exists to establish. Reads
+    * the PLANNED partitioning: under AQE the executed plan is an
+    * un-run AdaptiveSparkPlanExec, so the check inspects its
+    * initialPlan (EnsureRequirements already applied — an agg's final
+    * stage reports HashPartitioning on its group keys) WITHOUT
+    * triggering execution. AQE's later re-reads of that shuffle
+    * (partition coalescing) preserve hash clustering, and skew-split
+    * reads are only inserted where the operator tolerates them —
+    * never above an agg's required distribution — so a true here
+    * stays true at runtime. Any unknown shape returns false and the
+    * caller repartitions. */
+  private[io] def pkCoLocated(df: DataFrame, pkCols: Seq[String]): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.physical.ClusteredDistribution
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val attrs = pkCols.flatMap(c => plan.output.find(_.name == c))
+    attrs.length == pkCols.length &&
+      plan.outputPartitioning.satisfies(ClusteredDistribution(attrs))
+  }
+
   def writer(url: String, table: String, user: String, password: String,
              batchSize: Int = 200): DataFrame => Unit = { df =>
     df.write.mode("append")
@@ -157,7 +184,19 @@ object JdbcSink {
       case _: org.apache.spark.sql.types.DecimalType => java.sql.Types.DECIMAL
       case _ => java.sql.Types.OTHER
     })
-    val coLocated = df.repartition(pkCols.map(org.apache.spark.sql.functions.col): _*)
+    // r15 verdict: the PK repartition is ENFORCEMENT (same-PK rows must
+    // never run concurrent delete/insert from two partitions), but for
+    // the writer's documented use case — keyed-agg micro-batches — the
+    // frame is already hash-partitioned by its group keys, which
+    // subsume the PK, and an unconditional Exchange re-shuffles every
+    // batch for nothing. Skip it exactly when the planned physical
+    // output partitioning already satisfies a clustered distribution on
+    // the PK columns (provable co-location); anything unknown keeps the
+    // repartition — correctness first (UpsertPartitioningSpec pins both
+    // branches).
+    val coLocated =
+      if (pkCoLocated(df, pkCols)) df
+      else df.repartition(pkCols.map(org.apache.spark.sql.functions.col): _*)
     coLocated.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.hasNext) {
         val seen = scala.collection.mutable.HashSet.empty[Seq[Any]]

@@ -211,6 +211,20 @@ object Dedup {
   def lshPairsOfSigs(sigs: DataFrame, numHashes: Int = 8,
                      bands: Int = 2, maxBucket: Int = LshMaxBucket): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // In-task expansion bound (r15 verdict #5, the Kendall-collect
+    // precedent): a bucket's pairs are emitted by ONE flatMap task off
+    // ONE collect_list row, so a cap-sized bucket costs |b|²/2 in-task
+    // pairs — at the default 4096 that is ~8.4M tuples ≈ a few hundred
+    // MB of iterator churn, fine; at 10× the cap it is ~840M pairs in
+    // one task, the exact single-task blowout the docs_zipf tier caught
+    // (2+ CPU-hours). Raising maxBucket past this guard requires
+    // splitting pair emission across tasks first (and mirroring the
+    // change in the oracle `bok` CTEs) — fail loudly instead of
+    // silently re-creating the blowout.
+    require(maxBucket <= LshMaxBucket,
+      s"maxBucket=$maxBucket exceeds LshMaxBucket=$LshMaxBucket: a " +
+        "bucket's |b|^2/2 pairs expand inside ONE task (from one " +
+        "collect_list row); split pair emission before raising the cap")
     val rows = numHashes / bands
     val spark = sigs.sparkSession
     import spark.implicits._
@@ -258,6 +272,13 @@ object Dedup {
                            maxBucket: Int = LshMaxBucket): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(numHashes % 4 == 0, "numHashes must be a multiple of 4 (md5 slicing)")
+    // same single-task |b|² expansion bound as lshPairsOfSigs (the
+    // delta filter prunes emitted pairs but still iterates the full
+    // bucket square inside one task)
+    require(maxBucket <= LshMaxBucket,
+      s"maxBucket=$maxBucket exceeds LshMaxBucket=$LshMaxBucket: a " +
+        "bucket's pairs expand inside ONE task; split pair emission " +
+        "before raising the cap")
     val rows = numHashes / bands
     val spark = docs.sparkSession
     import spark.implicits._

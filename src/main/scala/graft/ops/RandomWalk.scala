@@ -216,6 +216,13 @@ object RandomWalk {
     * P(pick x) = (1/deg)·(w(x)/wMax) / Σ_y (1/deg)·(w(y)/wMax)
     * = w(x)/Σw — so the walker targets the same chain as biasedWalks,
     * with per-step cost `rounds`·|walks| rows INDEPENDENT of degree.
+    * (Draw granularity, r15 ADVICE: both `% deg` and `% wMax` carry the
+    * usual modulo bias of O(divisor/2^48) when the divisor does not
+    * divide 2^48 — exact for the default wMax = 4, and vanishing at
+    * ~deg·2^-48 per transition otherwise, i.e. ~10^-9 even at a
+    * 100k-degree hub; "EXACTLY ∝ w" above means exact up to that
+    * granularity, the same caveat every 48-bit seeded `mod` draw in
+    * this repo carries.)
     *
     * Determinism + the bounded-redraw tail: true rejection loops an
     * unbounded geometric number of rounds; a Spark plan needs a static

@@ -1396,18 +1396,29 @@ FROM ep"""
    AND a.doc_id < b.doc_id)"""
   }
 
-  /** Twin of dedup_sweep: ONE materialized signature frame at
-    * max(numHashes), one [[bandedPairsFromSigs]] chain per config,
-    * per-config scalar counts, UNION ALL of the four rows. (The truth
-    * frame stays materialized — referenced 2× per config.) */
-  private val dedupSweepSql = {
-    val maxH = SweepConfigs.map(_._1).max
+  /** One dedup_sweep oracle statement over an arbitrary sub-grid of
+    * [[SweepConfigs]]: ONE materialized signature frame at the
+    * sub-grid's max(numHashes), one [[bandedPairsFromSigs]] chain per
+    * config, per-config scalar counts, UNION ALL of the rows. (The
+    * truth frame stays materialized — referenced 2× per config.)
+    *
+    * Decomposability (r15 verdict #1): each config's output row depends
+    * only on the shared truth frame and its OWN banding chain — and a
+    * min-hash slice m_h is width-independent — so
+    * `sqlFor(Seq(cfg))` produces bit-identical rows to the full
+    * statement's cfg rows. The full 4-chain statement needs ~85 GB of
+    * DuckDB temp at the 100× docs_zipf tier (over the ~74 GB spill
+    * ceiling); the per-geometry parts each fit, and their union IS the
+    * full result — [[dedupSweepSqlParts]] ships them through Verify's
+    * oracle_parts.json for check_oracle's --parts mode. */
+  private def dedupSweepSqlFor(cfgs: Seq[(Int, Int)]): String = {
+    val maxH = cfgs.map(_._1).max
     val mins = (0 until maxH)
       .map(h => s"min(substring(md5('${h / 4}:' || shingle), ${(h % 4) * 8 + 1}, 8)) AS m$h")
       .mkString(",\n         ")
-    val cfgCtes = SweepConfigs.zipWithIndex
+    val cfgCtes = cfgs.zipWithIndex
       .map { case ((h, b), i) => bandedPairsFromSigs(h, b, i) }.mkString(",\n")
-    val rows = SweepConfigs.zipWithIndex.map { case ((h, b), i) =>
+    val rows = cfgs.zipWithIndex.map { case ((h, b), i) =>
       s"""SELECT $h AS num_hashes, $b AS bands, tt.n_truth,
        (SELECT count(*) FROM c$i) AS n_candidates,
        (SELECT count(*) FROM c$i JOIN truth USING (doc_a, doc_b)) AS n_hits
@@ -1434,6 +1445,17 @@ SELECT num_hashes, bands, n_truth, n_candidates, n_hits,
        END AS recall_lsh
 FROM ($rows)"""
   }
+
+  /** Twin of dedup_sweep — the full grid in one statement (the
+    * contract-gate form; see [[dedupSweepSqlFor]]). */
+  private val dedupSweepSql = dedupSweepSqlFor(SweepConfigs)
+
+  /** Per-geometry decomposition of [[dedupSweepSql]] whose row union
+    * equals the full statement — the capacity-bound 100×-tier grading
+    * path (each part re-pays the shared truth/signature pass but fits
+    * the spill ceiling alone). */
+  private[graft] val dedupSweepSqlParts: Seq[String] =
+    SweepConfigs.map(c => dedupSweepSqlFor(Seq(c)))
 
   /** Twin of dedup_keep_best: the cluster twin left-joined onto the id
     * space (singletons self-cluster), quality from the stats twin, same

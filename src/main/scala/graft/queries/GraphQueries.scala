@@ -989,6 +989,98 @@ $blocks
 $union"""
   }
 
+  // Rejection-walker proposal rounds (r15 verdict #2: the hub-scale
+  // walker is promoted to an oracle-exact contract query). 8 bounds the
+  // uniform-fallback tail at ≤ 0.75⁸ ≈ 0.100 per step at the (4,2,1)
+  // weights — see RandomWalk.rejectionWalks.
+  private val N2vRounds = 8
+
+  /** Rejection-sampled node2vec walk corpus — the PRODUCTION hub-scale
+    * walker ([[graft.ops.RandomWalk.rejectionWalks]]: Θ(rounds) per
+    * step independent of degree, 21.5× vs the exact cumulative-weight
+    * draw at the 100×-hub tier) promoted from spec-bounded to
+    * oracle-exact (r15 verdict #2). Same co-occurrence graph, walk
+    * length, start set and integer weights as [[graphWalksBiased]];
+    * the transition law is the md5-seeded propose/accept scheme, whose
+    * draws are fully deterministic — so the DuckDB twin replays the
+    * identical proposal/acceptance trajectory. */
+  private def graphWalksRejection(s: SparkSession, d: String): DataFrame = {
+    val edges = suppEdges(s, d)
+    val dir = edges.unionByName(
+      edges.select(col("y").as("x"), col("x").as("y"))).cache()
+    val nodes = dir.select(col("x").as("node")).distinct()
+    val out = graft.ops.RandomWalk.rejectionWalks(dir, nodes, WalkSteps,
+      N2vReturn, N2vCommon, N2vOut, rounds = N2vRounds)
+    dir.unpersist(false)
+    out
+  }
+
+  /** Twin of [[graphWalksRejection]]: per step, the rounds-fold
+    * proposal expansion (CROSS JOIN rd — `rounds`·|walks| rows, never
+    * Σ deg), the indexed uniform proposal draw, the distance-1 LEFT
+    * probe for the integer weight, the per-round acceptance test
+    * `draw % wMax < wt OR r = rounds−1` (last round unconditional —
+    * the bounded-redraw fallback), and the first-accepted pick — all
+    * replaying [[graft.ops.RandomWalk.rejectionStepFrame]]'s exact
+    * md5 streams (`n2vr:<walk>:<t>:<r>:p` / `:a`). MATERIALIZED per
+    * step so scan count stays linear in steps. */
+  private val graphWalksRejectionSql = {
+    val wMax = math.max(N2vReturn, math.max(N2vCommon, N2vOut))
+    val blocks = (1 to WalkSteps).map { t =>
+      def draw(tag: String) = graft.ops.CorpusHex.hv48Sql(
+        s"md5('n2vr:' || CAST(w.walk_id AS VARCHAR) || ':$t:' || " +
+          s"CAST(r.r AS VARCHAR) || ':$tag')")
+      s"""pr$t AS MATERIALIZED (
+  SELECT w.walk_id, r.r, n.nx, n.ny,
+         CASE WHEN n.ny = w.prev THEN $N2vReturn
+              WHEN e.py IS NOT NULL THEN $N2vCommon
+              ELSE $N2vOut END AS wt,
+         CAST(${draw("a")} AS BIGINT) % $wMax AS adraw
+  FROM wr${t - 1} w
+  JOIN deg d ON w.node = d.dx
+  CROSS JOIN rd r
+  JOIN nbr n ON n.nx = w.node
+   AND n.idx = CAST(${draw("p")} AS BIGINT) % d.deg
+  LEFT JOIN (SELECT nx AS px, ny AS py FROM nbr) e
+    ON e.px = w.prev AND e.py = n.ny
+), wr$t AS MATERIALIZED (
+  SELECT walk_id, ny AS node, nx AS prev FROM (
+    SELECT walk_id, ny, nx,
+           row_number() OVER (PARTITION BY walk_id ORDER BY r) AS rn
+    FROM pr$t
+    WHERE adraw < wt OR r = ${N2vRounds - 1})
+  WHERE rn = 1)"""
+    }.mkString(",\n")
+    val union = (0 to WalkSteps).map(t =>
+      s"SELECT walk_id, CAST($t AS BIGINT) AS step, node FROM wr$t")
+      .mkString("\nUNION ALL\n")
+    val roundVals = (0 until N2vRounds).map(r => s"($r)").mkString(", ")
+    s"""WITH os AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), pairs AS (
+  SELECT a.l_suppkey AS x, b.l_suppkey AS y
+  FROM os a JOIN os b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING count(*) >= $MinCo
+), dir AS MATERIALIZED (
+  SELECT x, y FROM pairs UNION ALL SELECT y AS x, x AS y FROM pairs
+), nbr AS MATERIALIZED (
+  SELECT CAST(x AS BIGINT) AS nx, CAST(y AS BIGINT) AS ny,
+         CAST(row_number() OVER (PARTITION BY x ORDER BY y) AS BIGINT) - 1 AS idx
+  FROM dir
+), deg AS MATERIALIZED (
+  SELECT CAST(x AS BIGINT) AS dx, count(*) AS deg FROM dir GROUP BY 1
+), rd AS (
+  SELECT * FROM (VALUES $roundVals) t(r)
+), wr0 AS MATERIALIZED (
+  SELECT CAST(x AS BIGINT) AS walk_id, CAST(x AS BIGINT) AS node,
+         CAST(NULL AS BIGINT) AS prev
+  FROM (SELECT DISTINCT x FROM dir)
+),
+$blocks
+$union"""
+  }
+
   // Skip-gram window over the walk corpus (contexts within ±SkipWindow
   // steps), the word2vec convention for short walks.
   private val SkipWindow = 2
@@ -1572,6 +1664,7 @@ FROM visits v JOIN degf g USING (node) CROSS JOIN tot"""
     "graph_assortativity" -> ((s, d) => graphAssortativity(s, d)),
     "graph_walks" -> ((s, d) => graphWalks(s, d)),
     "graph_walks_biased" -> ((s, d) => graphWalksBiased(s, d)),
+    "graph_walks_rejection" -> ((s, d) => graphWalksRejection(s, d)),
     "graph_bfs" -> ((s, d) => graphBfs(s, d)),
     // Seed catchment profile on the BFS hub-Voronoi labels: per seed
     // the reach count, hop mass, eccentricity bound, and mean hop
@@ -1611,6 +1704,7 @@ FROM visits v JOIN degf g USING (node) CROSS JOIN tot"""
     "graph_assortativity" -> graphAssortativitySql,
     "graph_walks" -> graphWalksSql,
     "graph_walks_biased" -> graphWalksBiasedSql,
+    "graph_walks_rejection" -> graphWalksRejectionSql,
     "graph_bfs" -> graphBfsSql,
     "graph_closeness" ->
       s"""WITH bfs AS (SELECT * FROM ($graphBfsSql))

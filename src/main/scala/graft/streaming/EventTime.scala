@@ -23,4 +23,18 @@ private[streaming] object EventTime {
   def toTimestamp(us: Long): java.sql.Timestamp =
     java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
       Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+
+  /** "6 hours" / "30 seconds" → milliseconds (the StreamingJob duration
+    * grammar, shared by the TTL twins). */
+  def durationMs(d: String): Long = {
+    val Array(n, unit) = d.trim.split("\\s+")
+    val per = unit.toLowerCase match {
+      case "millisecond" | "milliseconds" => 1L
+      case "second" | "seconds" => 1000L
+      case "minute" | "minutes" => 60000L
+      case "hour" | "hours" => 3600000L
+      case u => throw new IllegalArgumentException(s"unsupported duration unit $u")
+    }
+    n.toLong * per
+  }
 }

@@ -23,8 +23,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * builds, kept keyed instead of re-derived. LSH keeps buckets sparse
   * by construction (P[collide] ≈ jaccard^rows); the keyed state is
   * hash-partitioned across executors like the batch Exchange on the
-  * band key. Long-running feeds would add a state TTL and accept
-  * missing pairs across the expiry horizon — the standard trade.
+  * band key. Long-running feeds are bounded by [[pairsTtl]] (r15
+  * verdict #3): band buckets idle past the TTL horizon (default
+  * 6 hours — the reference's T4 horizon, `table.exec.state.ttl =
+  * PT6H`, __main__.py:45) are EVICTED via EventTimeTimeout on the
+  * docs' own event-time clock (watermark-driven — replay-deterministic
+  * where a wall-clock TTL is not, and ProcessingTimeTimeout's
+  * `shouldRunAnotherBatch = always` storms continuous micro-batches
+  * under a 0-interval trigger; see StatefulDedup's scaladoc). A doc
+  * arriving after its bucket expired pairs only with post-expiry
+  * members — pairs ACROSS the horizon are accepted-missing, the
+  * standard streaming-dedup trade; below the horizon prefix-equality
+  * stays exact (StatefulTtlSpec). This [[pairs]] entry stays the
+  * unbounded NoTimeout twin — the exact-prefix-equality contract.
   *
   * Stop-band caveat (r15): the batch op drops buckets past
   * [[graft.ops.Dedup.LshMaxBucket]] ENTIRELY (a boilerplate band key is
@@ -91,6 +102,48 @@ object StatefulNearDup {
     })
   }
 
+  /** Shared per-bucket fold: admit fresh members below the stop-band
+    * cap, emitting each one's pairs against existing members; returns
+    * (updated members, emitted pairs). The cap-hit warning (r15
+    * ADVICE) makes an over-cap feed observable at the moment the
+    * prefix-equality contract weakens, not only documented. */
+  private def admit(members0: Seq[(Long, Seq[String])],
+                    incoming: Iterator[(Long, Seq[String])],
+                    maxBucket: Int, numHashes: Int)
+      : (Seq[(Long, Seq[String])], Iterator[PairOut]) = {
+    var members = members0
+    val fresh = incoming.toSeq
+      .filterNot { case (id, _) => members.exists(_._1 == id) }
+      .distinctBy(_._1).sortBy(_._1)
+    val out = scala.collection.mutable.ArrayBuffer[PairOut]()
+    var droppedAtCap = 0
+    fresh.foreach { case (id, sigs) =>
+      // stop-band cap (scaladoc caveat): past maxBucket members
+      // this key is a non-discriminative boilerplate collision —
+      // stop pairing AND stop growing state (bounds per-key state
+      // the way the batch op bounds Σ|bucket|²)
+      if (members.size >= maxBucket) droppedAtCap += 1
+      if (members.size < maxBucket) {
+        members.foreach { case (mid, msigs) =>
+          val (a, b) = if (mid < id) (mid, id) else (id, mid)
+          val (sa, sb) = if (mid < id) (msigs, sigs) else (sigs, msigs)
+          val agree = sa.iterator.zip(sb.iterator).count { case (x, y) => x == y }.toLong
+          out += PairOut(a, b, agree,
+            math.floor(agree.toDouble / numHashes * 1e6 + 0.5) / 1e6)
+        }
+        members = members :+ (id -> sigs)
+      }
+    }
+    if (droppedAtCap > 0)
+      org.apache.logging.log4j.LogManager
+        .getLogger("graft.streaming.StatefulNearDup")
+        .warn(s"stop-band cap ($maxBucket) hit: dropped " +
+          s"$droppedAtCap new members on one band key this batch " +
+          "— pairs for this key are no longer emitted and " +
+          "prefix-equality vs batch now holds only below the cap")
+    (members, out.iterator)
+  }
+
   def pairs(stream: Dataset[DocIn], n: Int = 3, numHashes: Int = 8,
             bands: Int = 2,
             maxBucket: Int = graft.ops.Dedup.LshMaxBucket): Dataset[PairOut] = {
@@ -112,29 +165,70 @@ object StatefulNearDup {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: String, rows0: Iterator[(String, Long, Seq[String])],
          state: GroupState[BState]) =>
-          var members = state.getOption.map(_.members).getOrElse(Seq.empty)
-          val fresh = rows0.map(r => (r._2, r._3)).toSeq
-            .filterNot { case (id, _) => members.exists(_._1 == id) }
-            .distinctBy(_._1).sortBy(_._1)
-          val out = scala.collection.mutable.ArrayBuffer[PairOut]()
-          fresh.foreach { case (id, sigs) =>
-            // stop-band cap (scaladoc caveat): past maxBucket members
-            // this key is a non-discriminative boilerplate collision —
-            // stop pairing AND stop growing state (bounds per-key state
-            // the way the batch op bounds Σ|bucket|²)
-            if (members.size < maxBucket) {
-              members.foreach { case (mid, msigs) =>
-                val (a, b) = if (mid < id) (mid, id) else (id, mid)
-                val (sa, sb) = if (mid < id) (msigs, sigs) else (sigs, msigs)
-                val agree = sa.iterator.zip(sb.iterator).count { case (x, y) => x == y }.toLong
-                out += PairOut(a, b, agree,
-                  math.floor(agree.toDouble / numHashes * 1e6 + 0.5) / 1e6)
-              }
-              members = members :+ (id -> sigs)
-            }
-          }
+          val (members, out) = admit(
+            state.getOption.map(_.members).getOrElse(Seq.empty),
+            rows0.map(r => (r._2, r._3)), maxBucket, numHashes)
           state.update(BState(members))
-          out.iterator
+          out
+      }
+  }
+
+  /** Timestamped input for the TTL twin (event-time idle eviction). */
+  final case class DocTsIn(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
+  /** [[pairs]] with bounded state (r15 verdict #3): band buckets idle
+    * past `ttl` of EVENT time are evicted via EventTimeTimeout — the
+    * timeout is re-armed to last-activity + ttl on every arrival and
+    * fires once the watermark passes it, so "idle" runs on the data's
+    * own clock and a checkpoint replay evicts identically (see
+    * [[StatefulDedup.dedupTtl]] for why not ProcessingTimeTimeout).
+    * Below the horizon emissions equal the NoTimeout twin's, exactly;
+    * across it, pairs between pre- and post-expiry members of a bucket
+    * are accepted-missing (StatefulTtlSpec pins both). */
+  def pairsTtl(stream: Dataset[DocTsIn], n: Int = 3, numHashes: Int = 8,
+               bands: Int = 2,
+               maxBucket: Int = graft.ops.Dedup.LshMaxBucket,
+               ttl: String = "6 hours",
+               watermarkDelay: String = "0 seconds"): Dataset[PairOut] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val ttlMs = EventTime.durationMs(ttl)
+    stream
+      .flatMap { doc =>
+        signature(doc.text, n, numHashes).iterator.flatMap { sigs =>
+          (0 until bands).iterator.map { b =>
+            val key = md5Hex(sigs.slice(b * rows, (b + 1) * rows).mkString("|"))
+            (s"$b|$key", doc.doc_id, sigs, doc.ts)
+          }
+        }
+      }
+      .withWatermark("_4", watermarkDelay)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BState, PairOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String,
+         rows0: Iterator[(String, Long, Seq[String], java.sql.Timestamp)],
+         state: GroupState[BState]) =>
+          if (state.hasTimedOut) {
+            // bucket idle past the TTL horizon: evict — docs arriving
+            // later pair only with post-expiry members (scaladoc trade)
+            state.remove()
+            Iterator.empty
+          } else {
+            val rs = rows0.toSeq
+            val (members, out) = admit(
+              state.getOption.map(_.members).getOrElse(Seq.empty),
+              rs.iterator.map(r => (r._2, r._3)), maxBucket, numHashes)
+            state.update(BState(members))
+            // re-arm: last activity + ttl, floored above the watermark
+            // (setTimeoutTimestamp throws at or below it)
+            val lastMs = rs.iterator.map(_._4.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(lastMs + ttlMs, state.getCurrentWatermarkMs + 1L))
+            out
+          }
       }
   }
 }
