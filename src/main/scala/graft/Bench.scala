@@ -154,21 +154,36 @@ object Bench {
         .stripTrailingZeros.toPlainString
     // Host-speed calibration (docs/SCALE.md round-7 method, carried in
     // the artifact so cross-round deltas are adjudicable without a
-    // re-run): three long-stable control queries, anchored to their
-    // sf0.1 medians from the round-9 driver artifact (commit 1f31b8f —
-    // if a control's own implementation is ever optimized, re-anchor
-    // here in the same commit, or the factor conflates code speedups
-    // with host speed; the anchor-sanity warning below trips on a 2×
-    // mismatch either way). The factor is the median of measured/anchor
-    // ratios — >1 means this run's host was slower than the anchor
-    // host; divide per-query deltas by it before calling anything a
-    // regression (±20-40% swings are documented).
-    val anchorRound = 9
-    val anchorCommit = "1f31b8f"
+    // re-run): EIGHT control queries spanning the contract's execution
+    // shapes (r15 verdict #6 — the old 3-control set's per-round ratio
+    // spread was ±13%, too wide to adjudicate per-query deltas below
+    // ~1.2×): graph shuffle-agg (triangle_count), exact-quantile
+    // scan-agg (rel_quantiles), pair self-join (market_basket), rolling
+    // window fold (rolling_beta), flatMap shingle kernel
+    // (dedup_minhash), tumbling scan-agg (metrics_5m), sequence
+    // generator + fill window (gapfill), seasonal window+join
+    // (seasonal_decompose). Anchored to their sf0.1 medians from the
+    // ROUND-15 local artifact (bench.json at commit e957a99 — a single
+    // host, single run, so all eight anchors share one host basis; the
+    // old r9 3-control anchors were retired with it. If a control's own
+    // implementation is ever optimized, re-anchor here in the same
+    // commit, or the factor conflates code speedups with host speed;
+    // the anchor-sanity warning below trips on a 2× mismatch either
+    // way). The factor is the median of measured/anchor ratios — >1
+    // means this run's host was slower than the anchor host; divide
+    // per-query deltas by it before calling anything a regression
+    // (±20-40% swings are documented).
+    val anchorRound = 15
+    val anchorCommit = "e957a99"
     val controlAnchors = Map(
-      "triangle_count" -> 1.311,
-      "rel_quantiles" -> 0.758,
-      "market_basket" -> 2.004)
+      "triangle_count" -> 1.070,
+      "rel_quantiles" -> 0.709,
+      "market_basket" -> 1.875,
+      "rolling_beta" -> 2.034,
+      "dedup_minhash" -> 1.034,
+      "metrics_5m" -> 0.785,
+      "gapfill" -> 0.658,
+      "seasonal_decompose" -> 0.908)
     // Anchors were measured at sf0.1 — exact directory-name match (a
     // substring test would also match ".../sf0.15" or a copied dir).
     val anchorsApply = new java.io.File(sfDir).getName == "sf0.1" &&
