@@ -82,9 +82,17 @@ object RandomWalk {
     val nbr = nbrFull.select(col("nx"), col("ny"), col("idx"))
     val deg = nbrFull.filter(col("idx") === 0L)
       .select(col("nx").as("dx"), col("deg"))
-    var cur = nodes.select(col("node").cast("long").as("walk_id"))
+    // Small-graph gate: block bytes of the just-materialized checkpoint
+    // (no job), lazy broadcast stepping under it, per-step checkpoints
+    // past it / under forcing. See [[lazySmallWalk]].
+    val cur0 = nodes.select(col("node").cast("long").as("walk_id"))
       .withColumn("node", col("walk_id"))
       .localCheckpoint(true)
+    if (checkpointBytes(nbrFull) <= Adaptive.threshold(BroadcastEdgeBytes))
+      return lazySmallWalk(cur0, steps,
+        (cur, t) => stepFrame(cur, broadcast(nbr), broadcast(deg), t, seedPrefix),
+        identity, Seq(nbrFull, cur0))
+    var cur = cur0
     val inter = scala.collection.mutable.ArrayBuffer(nbrFull, cur)
     var out = cur.withColumn("step", lit(0L))
     for (t <- 1 to steps) {
@@ -137,6 +145,61 @@ object RandomWalk {
     * ≈ 40 MB — comfortably executor-resident, far past any fixture. */
   private[graft] val BroadcastEdgeRows = 1L << 20
 
+  /** Byte size of an eagerly-checkpointed frame's stored blocks — an
+    * O(1) driver-side storage-info read, NO job (r16: the row-count
+    * gate used to cost a full count() job per walk build; the blocks
+    * were just materialized by `localCheckpoint(true)`, so their size
+    * is already known to the BlockManager). Only meaningful on frames
+    * returned by `localCheckpoint(true)`. */
+  private def checkpointBytes(df: DataFrame): Long = {
+    val ids = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
+    df.sparkSession.sparkContext.getRDDStorageInfo
+      .filter(i => ids.contains(i.id)).map(i => i.memSize + i.diskSize).sum
+  }
+
+  /** Byte gate for the small-graph lazy branch: 2²⁰ edge rows at ≈48 B
+    * of deserialized block per row. The gate only picks between
+    * bit-identical branches (RandomWalkSpec pins equality), so its
+    * exact cut is a performance heuristic, not a semantics knob. */
+  private[graft] val BroadcastEdgeBytes = 48L << 20
+
+  /** r16 (guide §1.2/§2.4): when the indexed edge frame fits the
+    * broadcast gate, the per-step eager `localCheckpoint` is pure
+    * overhead — each step then costs a full scheduled job plus a block
+    * write for a frontier of a few thousand rows, and the measured walk
+    * build spent ~1.6 s of its 3.1 s in those step jobs. The small
+    * branch instead composes the steps LAZILY over broadcast-hinted
+    * nbr/deg (every step join a BroadcastHashJoin — zero Exchange on
+    * the frontier) and materializes ONCE at the corpus checkpoint; the
+    * union's re-derivation of step t in later branches is map-side
+    * arithmetic over the one checkpointed base, and identical subplans
+    * share work via ReuseExchange. (A lazy cur0 was probed and REGRESSED
+    * 2×: branch re-evaluation of the start distinct is not reliably
+    * deduped under AQE — the frontier stays an eager checkpoint.) The
+    * distributed
+    * branch (past the gate, or SPARK_GRAFT_FORCE_DISTRIBUTED) keeps the
+    * per-step checkpoint: at real scale the frontier is large,
+    * re-derivation is a steps²-deep join chain, and lineage must stay
+    * truncated. Both branches evaluate the identical expressions —
+    * bit-equality is pinned in RandomWalkSpec. */
+  private def lazySmallWalk(cur0: DataFrame, steps: Int,
+                            step: (DataFrame, Int) => DataFrame,
+                            project: DataFrame => DataFrame,
+                            released: Seq[DataFrame]): DataFrame = {
+    var cur = cur0
+    var out = project(cur0).withColumn("step", lit(0L))
+    for (t <- 1 to steps) {
+      cur = step(cur, t)
+      out = out.unionByName(project(cur).withColumn("step", lit(t.toLong)))
+    }
+    val res = out.select(col("walk_id"), col("step"), col("node"))
+      .localCheckpoint(true)
+    Checkpoints.release(released: _*)
+    res
+  }
+
   /** node2vec biased walks (Grover–Leskovec KDD'16): stepping from
     * previous node t through current node v, each neighbor x of v gets
     * an integer weight — `wReturn` if x == t (the 1/p return case),
@@ -177,11 +240,23 @@ object RandomWalk {
         row_number().over(Window.partitionBy(col("nx")).orderBy(col("ny")))
           .cast("long") - 1L)
       .localCheckpoint(true)
-    val bcProbe = nbr.count() <= Adaptive.threshold(BroadcastEdgeRows)
-    var cur = nodes.select(col("node").cast("long").as("walk_id"))
+    val bcProbe =
+      checkpointBytes(nbr) <= Adaptive.threshold(BroadcastEdgeBytes)
+    // Under the broadcast gate the candidate-expansion join is also
+    // broadcastable — lazy stepping, one materialization (r16; see
+    // [[lazySmallWalk]]). The per-step walk_id window Exchanges repeat
+    // across union branches but canonicalize identically (ReuseExchange).
+    val cur0 = nodes.select(col("node").cast("long").as("walk_id"))
       .withColumn("node", col("walk_id"))
       .withColumn("prev", lit(null).cast("long"))
       .localCheckpoint(true)
+    if (bcProbe)
+      return lazySmallWalk(cur0, steps,
+        (cur, t) => biasedStepFrame(cur, broadcast(nbr), t, wReturn,
+          wCommon, wOut, seedPrefix, broadcastProbe = true),
+        _.select(col("walk_id"), col("node"), col("prev")),
+        Seq(nbr, cur0))
+    var cur = cur0
     val inter = scala.collection.mutable.ArrayBuffer(nbr, cur)
     var out = cur.select(col("walk_id"), col("node"))
       .withColumn("step", lit(0L))
@@ -264,10 +339,19 @@ object RandomWalk {
     val nbr = nbrFull.select(col("nx"), col("ny"), col("idx"))
     val deg = nbrFull.filter(col("idx") === 0L)
       .select(col("nx").as("dx"), col("deg"))
-    var cur = nodes.select(col("node").cast("long").as("walk_id"))
+    // Same small-graph gate as the other walkers (r16): proposals are
+    // rounds·|walks| rows — the broadcast-join shape holds a fortiori.
+    val cur0 = nodes.select(col("node").cast("long").as("walk_id"))
       .withColumn("node", col("walk_id"))
       .withColumn("prev", lit(null).cast("long"))
       .localCheckpoint(true)
+    if (checkpointBytes(nbrFull) <= Adaptive.threshold(BroadcastEdgeBytes))
+      return lazySmallWalk(cur0, steps,
+        (cur, t) => rejectionStepFrame(cur, broadcast(nbr), broadcast(deg),
+          t, wReturn, wCommon, wOut, wMax, rounds, seedPrefix),
+        _.select(col("walk_id"), col("node"), col("prev")),
+        Seq(nbrFull, cur0))
+    var cur = cur0
     val inter = scala.collection.mutable.ArrayBuffer(nbrFull, cur)
     var out = cur.select(col("walk_id"), col("node"))
       .withColumn("step", lit(0L))

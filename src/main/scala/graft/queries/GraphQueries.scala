@@ -1515,15 +1515,25 @@ FROM dir JOIN deg a ON dir.x = a.node JOIN deg b ON dir.y = b.node"""
                                         dir: DataFrame): DataFrame = {
     def sdbl(c: org.apache.spark.sql.Column) = c.cast("string").cast("double")
     val visits = corpus.groupBy(col("node")).agg(count(lit(1)).as("visits"))
+    // r16 guide §2.4: deg is referenced twice (the join side AND the Σdeg
+    // scalar) and `dir` arrives as an UNCACHED union of the pair-count
+    // subtree — lazily that re-ran the whole lineitem pair expansion per
+    // reference. One node-sized eager checkpoint computes it once; the
+    // result is checkpointed too so deg can be released (≤1-survivor
+    // hygiene, CacheHygieneSpec).
     val deg = dir.groupBy(col("x")).agg(count(lit(1)).as("deg"))
       .select(col("x").as("node"), col("deg"))
+      .localCheckpoint(true)
     val tot = visits.agg(sum(col("visits")).as("tv"))
       .crossJoin(deg.agg(sum(col("deg")).as("td")))
-    visits.join(deg, Seq("node"))
+    val res = visits.join(deg, Seq("node"))
       .crossJoin(broadcast(tot))
       .select(col("node"), col("visits"), col("deg"),
         Det.snap(sdbl(col("visits") * col("td")) /
           sdbl(col("deg") * col("tv")), 6).as("visit_rate_ratio"))
+      .localCheckpoint(true)
+    graft.ops.Checkpoints.release(deg)
+    res
   }
 
   /** Symmetrized supplier co-occurrence edge frame — the walk family's
@@ -1534,8 +1544,22 @@ FROM dir JOIN deg a ON dir.x = a.node JOIN deg b ON dir.y = b.node"""
     edges.unionByName(edges.select(col("y").as("x"), col("x").as("y")))
   }
 
-  private def walkVisitStats(s: SparkSession, d: String): DataFrame =
-    walkVisitStatsFrom(graphWalks(s, d), suppDir(s, d))
+  private def walkVisitStats(s: SparkSession, d: String): DataFrame = {
+    // r16: ONE cached symmetrized edge frame serves both the walk build
+    // and the degree frame — the prior shape paid the lineitem
+    // pair-count build once inside graphWalks and again (uncached) via
+    // suppDir. The result is eager inside walkVisitStatsFrom, so the
+    // corpus checkpoint can be released here (≤1 survivor).
+    val edges = suppEdges(s, d)
+    val dir = edges.unionByName(
+      edges.select(col("y").as("x"), col("x").as("y"))).cache()
+    val nodes = dir.select(col("x").as("node")).distinct()
+    val corpus = graft.ops.RandomWalk.walks(dir, nodes, WalkSteps)
+    val out = walkVisitStatsFrom(corpus, dir)
+    dir.unpersist(false)
+    graft.ops.Checkpoints.release(corpus)
+    out
+  }
 
   /** Build + persist the shared walk corpus as the
     * [[graft.ops.WalkCorpus]] parquet artifact (round-12 verdict #6 —

@@ -295,6 +295,15 @@ FROM ($pre) agg"""
     * rank (one keyed Exchange) → a SenWindow²-bounded per-key self-join
     * → two rank picks on the same key partitioning. */
   private def theilSen(s: SparkSession, d: String): DataFrame = {
+    // r16 guide §2.4: the trailing-window frame is referenced THREE
+    // times below (both self-join sides + the residual join) — lazy, the
+    // whole ticks scan + hourly close + trailing-rank subtree executed
+    // 3× (6 parquet scans, 16 Exchanges in the before plan). It is
+    // ≤ SenWindow rows per instrument, so one eager checkpoint
+    // materializes it once and the pair join reads blocks. Values are
+    // untouched — same rows, same doubles. Caller-released at the end is
+    // unnecessary: the result frame is small and the checkpoint is the
+    // one surviving block set (the walk-family hygiene budget).
     val hourly = TickQueries.ticks(s, d)
       .groupBy(col("product_id"),
         date_trunc("hour", col("event_time")).as("hr"))
@@ -305,6 +314,7 @@ FROM ($pre) agg"""
       .filter(col("rk") <= SenWindow)
       .select(col("product_id"),
         expr("unix_micros(hr) div 3600000000").as("t"), col("close"))
+      .localCheckpoint(true)
     val a = hourly.select(col("product_id"), col("t").as("ta"), col("close").as("pa"))
     val b = hourly.select(col("product_id"), col("t").as("tb"), col("close").as("pb"))
     val w = Window.partitionBy(col("product_id"))
