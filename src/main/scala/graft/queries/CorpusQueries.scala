@@ -19,7 +19,7 @@ object CorpusQueries {
   private def s6(x: String): String = Det.snapSql(x, 6)
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.ops.Par.spread(s.read.parquet(s"$dir/documents.parquet"))
 
   // Chunking profile: 80-token windows, stride 60 (20-token overlap).
   private val ChunkWindow = 80

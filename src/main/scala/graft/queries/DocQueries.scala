@@ -61,8 +61,14 @@ object DocQueries {
     * walks the LSH precision↔recall dial (shared Spark/oracle constant). */
   private val SweepConfigs = Seq((8, 1), (8, 2), (8, 4), (16, 4))
 
+  /** The corpus scan, spread to session parallelism (r16): the sf
+    * fixtures are single-row-group files — one scan partition — so the
+    * doc family's per-record kernels (shingles, minhash, md5 windows)
+    * ran single-threaded before their first Exchange. See
+    * [[graft.ops.Par.spread]]; identity on any input that already
+    * scans wide (the 100 TB case) and under forced-distributed. */
   def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.ops.Par.spread(s.read.parquet(s"$dir/documents.parquet"))
 
   /** quality_sweep candidate cutoffs (shared Spark/oracle constant; each
     * crosses engines as the same decimal string → same double bits). */
