@@ -19,7 +19,13 @@ object CorpusQueries {
   private def s6(x: String): String = Det.snapSql(x, 6)
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Par.spread(s.read.parquet(s"$dir/documents.parquet"))
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Spread corpus scan — opt-in for kernel-heavy bodies only (see
+    * DocQueries.docsW: a blanket spread regressed light multi-pass
+    * queries). */
+  private def docsW(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Par.spread(docs(s, dir))
 
   // Chunking profile: 80-token windows, stride 60 (20-token overlap).
   private val ChunkWindow = 80
@@ -949,7 +955,7 @@ HAVING count(DISTINCT doc_id) >= 2"""
     * rows). Output: one row per maximal duplicated span — exact
     * integers end to end, no floats to snap. */
   private def dedupSubstring(s: SparkSession, d: String): DataFrame =
-    dedupSubstringOf(docs(s, d))
+    dedupSubstringOf(docsW(s, d))
 
   /** [[dedupSubstring]] over an arbitrary (doc_id, text) frame — the
     * contract body AND the batch side of the
@@ -1265,7 +1271,7 @@ FROM tok t LEFT JOIN neww n USING (doc_id)"""
     // the order-free portable-bits companion to kmv_distinct
     // (Approx.countMin scaladoc has the fixed-size-counter argument).
     "countmin_words" -> ((s, d) => graft.ops.Approx.countMin(
-      docs(s, d).select(explode(split(col("text"), " ")).as("word")),
+      docsW(s, d).select(explode(split(col("text"), " ")).as("word")),
       col("word"), CmWidth, CmDepth, CmTopK)),
     "kmv_distinct" -> ((s, d) => graft.ops.Approx.kmvDistinct(
       docs(s, d).select(col("source"), explode(split(col("text"), " ")).as("word")),

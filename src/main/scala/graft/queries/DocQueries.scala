@@ -61,14 +61,22 @@ object DocQueries {
     * walks the LSH precision↔recall dial (shared Spark/oracle constant). */
   private val SweepConfigs = Seq((8, 1), (8, 2), (8, 4), (16, 4))
 
-  /** The corpus scan, spread to session parallelism (r16): the sf
-    * fixtures are single-row-group files — one scan partition — so the
-    * doc family's per-record kernels (shingles, minhash, md5 windows)
-    * ran single-threaded before their first Exchange. See
-    * [[graft.ops.Par.spread]]; identity on any input that already
-    * scans wide (the 100 TB case) and under forced-distributed. */
   def docs(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Par.spread(s.read.parquet(s"$dir/documents.parquet"))
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** The corpus scan SPREAD to session parallelism (r16): the sf
+    * fixtures are single-row-group files — one scan partition — so a
+    * per-record kernel running before its first Exchange executes
+    * single-threaded. Opt-in PER QUERY, not in [[docs]] itself: the
+    * extra Exchange wins only where the pre-shuffle kernel is heavy
+    * (shingling, minhash signatures, md5 windows, regex scrubbing —
+    * measured 0.26×-0.8×); light multi-pass bodies (sketches, BPE's
+    * per-round re-reads, per-doc map stats) re-pay the shuffle per
+    * pass and regressed +0.2-0.6 s under a blanket spread. See
+    * [[graft.ops.Par.spread]]; identity on wide inputs and under
+    * forced-distributed. */
+  private def docsW(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Par.spread(docs(s, dir))
 
   /** quality_sweep candidate cutoffs (shared Spark/oracle constant; each
     * crosses engines as the same decimal string → same double bits). */
@@ -120,7 +128,7 @@ FROM documents"""
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_stats" -> ((s, d) => r6(TextOps.stats(docs(s, d)))),
+    "text_stats" -> ((s, d) => r6(TextOps.stats(docsW(s, d)))),
     // Gopher-family intra-document repetition signals; doc-local typed
     // map, zero shuffle (TextOps.repetition's scaladoc has the scale
     // argument). Fractions snapped at the edge per the Det contract.
@@ -135,13 +143,13 @@ FROM documents"""
     // emails/IPs/phones (pure doc_id arithmetic, mirrored verbatim in
     // the twin) and the gate then verifies detection counts AND the
     // md5 of the redacted text — i.e. the exact replacement spans.
-    "pii_scrub" -> ((s, d) => TextOps.piiScrub(piiInjected(docs(s, d)))),
+    "pii_scrub" -> ((s, d) => TextOps.piiScrub(piiInjected(docsW(s, d)))),
     // Vocabulary-richness quality signals (TTR, hapax fraction, log-free
     // Gini-Simpson diversity); doc-local zero-shuffle typed map —
     // TextOps.lexicalDiversity has the measure and scale arguments.
     "lexical_diversity" -> ((s, d) => r6(TextOps.lexicalDiversity(docs(s, d)))),
     "text_vocab" -> ((s, d) => r6(TextOps.vocab(docs(s, d)))),
-    "lang_id" -> ((s, d) => TextOps.langId(docs(s, d))),
+    "lang_id" -> ((s, d) => TextOps.langId(docsW(s, d))),
     // Confusion matrix of the langId heuristic against the labeled
     // `lang` column — the classifier-eval harness run before trusting a
     // filter gate at corpus scale. One |langs|²-sized aggregate over the
@@ -190,22 +198,22 @@ FROM documents"""
       Perceptron.prCurveHeldOut(base.filter(col("doc_id") % 5 =!= 0),
         base.filter(col("doc_id") % 5 === 0), PerceptronEpochs)
     }),
-    "fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
+    "fingerprint" -> ((s, d) => TextOps.fingerprint(docsW(s, d))),
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
-    "dedup_jaccard" -> ((s, d) => Dedup.ngramJaccardTopK(docs(s, d))),
-    "dedup_minhash" -> ((s, d) => Dedup.minhashLshPairs(docs(s, d))),
+    "dedup_jaccard" -> ((s, d) => Dedup.ngramJaccardTopK(docsW(s, d))),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashLshPairs(docsW(s, d))),
     // Incremental dedup of a simulated daily delta (doc_id % 5 == 0 is
     // "today's batch") against the standing corpus: candidate pairs
     // must TOUCH the delta — the filter lives inside the bucket pair
     // generator so history×history never materializes
     // (Dedup.minhashLshDeltaPairs scaladoc has the Σ|new∩b|·|b| bound).
     "dedup_delta" -> ((s, d) =>
-      Dedup.minhashLshDeltaPairs(docs(s, d), col("doc_id") % 5 === 0)),
+      Dedup.minhashLshDeltaPairs(docsW(s, d), col("doc_id") % 5 === 0)),
     // Asymmetric containment |A∩B|/|A| — the quote/superset axis of text
     // dedup that symmetric Jaccard misses (Dedup.containmentPairs has
     // the measure and the scale argument; same Σdf²-bounded postings).
     "dedup_containment" -> ((s, d) =>
-      Dedup.containmentPairs(docs(s, d), tau = ContainTau)),
+      Dedup.containmentPairs(docsW(s, d), tau = ContainTau)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
     // SimHash Hamming-neighbor pairs via pigeonhole banding; the oracle
     // is the brute-force quadratic, so the hash gate itself proves the
@@ -229,7 +237,7 @@ FROM documents"""
       // cheap scan+explode recomputes (measured; and the asymmetry only
       // grows at 100 TB). truth/cand are pair-dimension-sized and each
       // read twice below (count + hit join), so they DO materialize.
-      val sh = Shingles.exploded(docs(s, d), 3)
+      val sh = Shingles.exploded(docsW(s, d), 3)
       val truth = Dedup.jaccardPairsOf(sh, tau = RecallTau)
         .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
       val cand = Dedup.minhashLshPairsOf(sh)
@@ -377,7 +385,7 @@ FROM documents"""
     // still emits its row (mirroring the oracle's per-config counts).
     "dedup_sweep" -> ((s, d) => {
       import s.implicits._
-      val sh = Shingles.exploded(docs(s, d), 3)
+      val sh = Shingles.exploded(docsW(s, d), 3)
       val truth = Dedup.jaccardPairsOf(sh, tau = RecallTau)
         .select(col("doc_a"), col("doc_b")).withColumn("t", lit(1))
         .localCheckpoint(true)
@@ -423,7 +431,7 @@ FROM documents"""
     "dedup_keep_best" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val cl = ConnectedComponents.clusters(
-          Dedup.minhashLshPairs(docs(s, d)), "doc_a", "doc_b")
+          Dedup.minhashLshPairs(docsW(s, d)), "doc_a", "doc_b")
         .select(col("id").as("doc_id"), col("cluster_id"))
       val q = TextOps.stats(docs(s, d)).select(col("doc_id"), col("quality_score"))
       docs(s, d).select(col("doc_id"))
@@ -465,8 +473,8 @@ FROM documents"""
     // comparator runs on the LSH-bounded pair frame, never the corpus;
     // the two text lookups are id-keyed joins of narrow frames.
     "dedup_verify" -> ((s, d) => {
-      val txt = docs(s, d).select(col("doc_id"), col("text"))
-      Dedup.minhashLshPairs(docs(s, d))
+      val txt = docsW(s, d).select(col("doc_id"), col("text"))
+      Dedup.minhashLshPairs(docsW(s, d))
         .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
         .join(txt.select(col("doc_id").as("doc_a"), col("text").as("ta")),
           Seq("doc_a"))
@@ -488,7 +496,7 @@ FROM documents"""
     // final aggregate is |sources|²-sized.
     "dedup_sources" -> ((s, d) => {
       val src = docs(s, d).select(col("doc_id"), col("source"))
-      Dedup.minhashLshPairs(docs(s, d)).select(col("doc_a"), col("doc_b"))
+      Dedup.minhashLshPairs(docsW(s, d)).select(col("doc_a"), col("doc_b"))
         .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
           Seq("doc_a"))
         .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
@@ -510,7 +518,7 @@ FROM documents"""
       val sp = docs(s, d).select(col("doc_id"),
         when(hv < TrainCut, "train").when(hv < ValCut, "val")
           .otherwise(lit("test")).as("split"))
-      Dedup.minhashLshPairs(docs(s, d)).select(col("doc_a"), col("doc_b"))
+      Dedup.minhashLshPairs(docsW(s, d)).select(col("doc_a"), col("doc_b"))
         .join(sp.select(col("doc_id").as("doc_a"), col("split").as("pa")),
           Seq("doc_a"))
         .join(sp.select(col("doc_id").as("doc_b"), col("split").as("pb")),
@@ -589,7 +597,7 @@ FROM documents"""
     // Near-dup pairs -> canonical clusters (min-id label propagation).
     "dedup_clusters" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      ConnectedComponents.clusters(Dedup.minhashLshPairs(docs(s, d)), "doc_a", "doc_b")
+      ConnectedComponents.clusters(Dedup.minhashLshPairs(docsW(s, d)), "doc_a", "doc_b")
         .select(col("id").as("doc_id"), col("cluster_id"))
         .withColumn("n_members",
           count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
@@ -609,7 +617,7 @@ FROM documents"""
     // Four operator families composed in one contract query; the joins
     // are all doc-dimension-sized (one row per doc per side).
     "curation_report" -> ((s, d) => {
-      val base = docs(s, d)
+      val base = docsW(s, d)
       val clusters = ConnectedComponents
         .clusters(Dedup.minhashLshPairs(base), "doc_a", "doc_b")
         .select(col("id").as("doc_id"), col("cluster_id"))
@@ -737,7 +745,7 @@ FROM documents"""
       m.select(explode(array(arms: _*)).as("r")).select(col("r.*"))
     }),
     "corpus_clean" -> ((s, d) => {
-      val base = docs(s, d)
+      val base = docsW(s, d)
       r6(TextOps.stats(base))
         .join(TextOps.langId(base).select("doc_id", "predicted_lang"), Seq("doc_id"))
         .join(Dedup.exact(base).select("doc_id", "is_duplicate"), Seq("doc_id"))
