@@ -62,7 +62,24 @@ object RandomWalk {
     * (walk_id, step, node), step 0..steps — an eager checkpoint, all
     * intermediates released. */
   def walks(dir: DataFrame, nodes: DataFrame, steps: Int,
-            seedPrefix: String = "walk"): DataFrame = {
+            seedPrefix: String = "walk"): DataFrame =
+    walksImpl(dir, Some(nodes), steps, seedPrefix)
+
+  /** [[walks]] with EVERY graph node as a start — the corpus queries'
+    * shape (r16). The start set derives from the checkpointed neighbor
+    * index's idx = 0 slice: the same node set as
+    * `dir.select(x).distinct()` (one row per source node; symmetrized
+    * graphs have every node as a source), WITHOUT paying that
+    * distinct's Exchange plus a separate start-frame checkpoint job —
+    * in the small-graph branch the start frame is a narrow filter over
+    * already-materialized checkpoint blocks, so it needs no blocks of
+    * its own. */
+  def walksAll(dir: DataFrame, steps: Int,
+               seedPrefix: String = "walk"): DataFrame =
+    walksImpl(dir, None, steps, seedPrefix)
+
+  private def walksImpl(dir: DataFrame, nodesOpt: Option[DataFrame],
+                        steps: Int, seedPrefix: String): DataFrame = {
     // Step-invariant frames: materialize ONCE before the step loop.
     // Without the checkpoint each per-step join re-executes the ranking
     // window's shuffle+sort over the full edge list — a steps× redundant
@@ -85,13 +102,23 @@ object RandomWalk {
     // Small-graph gate: block bytes of the just-materialized checkpoint
     // (no job), lazy broadcast stepping under it, per-step checkpoints
     // past it / under forcing. See [[lazySmallWalk]].
-    val cur0 = nodes.select(col("node").cast("long").as("walk_id"))
+    val small = checkpointBytes(nbrFull) <= Adaptive.threshold(BroadcastEdgeBytes)
+    val starts = nodesOpt
+      .map(_.select(col("node").cast("long").as("walk_id")))
+      .getOrElse(nbrFull.filter(col("idx") === 0L)
+        .select(col("nx").as("walk_id")))
       .withColumn("node", col("walk_id"))
-      .localCheckpoint(true)
-    if (checkpointBytes(nbrFull) <= Adaptive.threshold(BroadcastEdgeBytes))
+    // Derived starts in the small branch are a narrow slice of the
+    // nbrFull checkpoint — re-derivation per union branch reads blocks,
+    // so no extra checkpoint job is needed (caller-provided starts keep
+    // the eager checkpoint: their lineage is arbitrary).
+    val cur0 =
+      if (small && nodesOpt.isEmpty) starts
+      else starts.localCheckpoint(true)
+    if (small)
       return lazySmallWalk(cur0, steps,
         (cur, t) => stepFrame(cur, broadcast(nbr), broadcast(deg), t, seedPrefix),
-        identity, Seq(nbrFull, cur0))
+        identity, if (nodesOpt.isEmpty) Seq(nbrFull) else Seq(nbrFull, cur0))
     var cur = cur0
     val inter = scala.collection.mutable.ArrayBuffer(nbrFull, cur)
     var out = cur.withColumn("step", lit(0L))
@@ -231,7 +258,19 @@ object RandomWalk {
     * forces the distributed branch). */
   def biasedWalks(dir: DataFrame, nodes: DataFrame, steps: Int,
                   wReturn: Long = 4L, wCommon: Long = 2L, wOut: Long = 1L,
-                  seedPrefix: String = "n2v"): DataFrame = {
+                  seedPrefix: String = "n2v"): DataFrame =
+    biasedWalksImpl(dir, Some(nodes), steps, wReturn, wCommon, wOut, seedPrefix)
+
+  /** [[biasedWalks]] with every graph node as a start — derived from
+    * the checkpointed neighbor index (see [[walksAll]]). */
+  def biasedWalksAll(dir: DataFrame, steps: Int,
+                     wReturn: Long = 4L, wCommon: Long = 2L, wOut: Long = 1L,
+                     seedPrefix: String = "n2v"): DataFrame =
+    biasedWalksImpl(dir, None, steps, wReturn, wCommon, wOut, seedPrefix)
+
+  private def biasedWalksImpl(dir: DataFrame, nodesOpt: Option[DataFrame],
+                              steps: Int, wReturn: Long, wCommon: Long,
+                              wOut: Long, seedPrefix: String): DataFrame = {
     require(wReturn > 0 && wCommon > 0 && wOut > 0,
       "node2vec weights must be positive")
     val nbr = dir.select(col("x").cast("long").as("nx"),
@@ -246,16 +285,21 @@ object RandomWalk {
     // broadcastable — lazy stepping, one materialization (r16; see
     // [[lazySmallWalk]]). The per-step walk_id window Exchanges repeat
     // across union branches but canonicalize identically (ReuseExchange).
-    val cur0 = nodes.select(col("node").cast("long").as("walk_id"))
+    val starts = nodesOpt
+      .map(_.select(col("node").cast("long").as("walk_id")))
+      .getOrElse(nbr.filter(col("idx") === 0L)
+        .select(col("nx").as("walk_id")))
       .withColumn("node", col("walk_id"))
       .withColumn("prev", lit(null).cast("long"))
-      .localCheckpoint(true)
+    val cur0 =
+      if (bcProbe && nodesOpt.isEmpty) starts
+      else starts.localCheckpoint(true)
     if (bcProbe)
       return lazySmallWalk(cur0, steps,
         (cur, t) => biasedStepFrame(cur, broadcast(nbr), t, wReturn,
           wCommon, wOut, seedPrefix, broadcastProbe = true),
         _.select(col("walk_id"), col("node"), col("prev")),
-        Seq(nbr, cur0))
+        if (nodesOpt.isEmpty) Seq(nbr) else Seq(nbr, cur0))
     var cur = cur0
     val inter = scala.collection.mutable.ArrayBuffer(nbr, cur)
     var out = cur.select(col("walk_id"), col("node"))
@@ -323,7 +367,23 @@ object RandomWalk {
   def rejectionWalks(dir: DataFrame, nodes: DataFrame, steps: Int,
                      wReturn: Long = 4L, wCommon: Long = 2L, wOut: Long = 1L,
                      rounds: Int = 8,
-                     seedPrefix: String = "n2vr"): DataFrame = {
+                     seedPrefix: String = "n2vr"): DataFrame =
+    rejectionWalksImpl(dir, Some(nodes), steps, wReturn, wCommon, wOut,
+      rounds, seedPrefix)
+
+  /** [[rejectionWalks]] with every graph node as a start — derived from
+    * the checkpointed neighbor index (see [[walksAll]]). */
+  def rejectionWalksAll(dir: DataFrame, steps: Int,
+                        wReturn: Long = 4L, wCommon: Long = 2L,
+                        wOut: Long = 1L, rounds: Int = 8,
+                        seedPrefix: String = "n2vr"): DataFrame =
+    rejectionWalksImpl(dir, None, steps, wReturn, wCommon, wOut,
+      rounds, seedPrefix)
+
+  private def rejectionWalksImpl(dir: DataFrame, nodesOpt: Option[DataFrame],
+                                 steps: Int, wReturn: Long, wCommon: Long,
+                                 wOut: Long, rounds: Int,
+                                 seedPrefix: String): DataFrame = {
     require(wReturn > 0 && wCommon > 0 && wOut > 0,
       "node2vec weights must be positive")
     require(rounds >= 1, "need at least one proposal round")
@@ -341,16 +401,23 @@ object RandomWalk {
       .select(col("nx").as("dx"), col("deg"))
     // Same small-graph gate as the other walkers (r16): proposals are
     // rounds·|walks| rows — the broadcast-join shape holds a fortiori.
-    val cur0 = nodes.select(col("node").cast("long").as("walk_id"))
+    val small =
+      checkpointBytes(nbrFull) <= Adaptive.threshold(BroadcastEdgeBytes)
+    val starts = nodesOpt
+      .map(_.select(col("node").cast("long").as("walk_id")))
+      .getOrElse(nbrFull.filter(col("idx") === 0L)
+        .select(col("nx").as("walk_id")))
       .withColumn("node", col("walk_id"))
       .withColumn("prev", lit(null).cast("long"))
-      .localCheckpoint(true)
-    if (checkpointBytes(nbrFull) <= Adaptive.threshold(BroadcastEdgeBytes))
+    val cur0 =
+      if (small && nodesOpt.isEmpty) starts
+      else starts.localCheckpoint(true)
+    if (small)
       return lazySmallWalk(cur0, steps,
         (cur, t) => rejectionStepFrame(cur, broadcast(nbr), broadcast(deg),
           t, wReturn, wCommon, wOut, wMax, rounds, seedPrefix),
         _.select(col("walk_id"), col("node"), col("prev")),
-        Seq(nbrFull, cur0))
+        if (nodesOpt.isEmpty) Seq(nbrFull) else Seq(nbrFull, cur0))
     var cur = cur0
     val inter = scala.collection.mutable.ArrayBuffer(nbrFull, cur)
     var out = cur.select(col("walk_id"), col("node"))

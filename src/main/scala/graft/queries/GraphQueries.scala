@@ -804,10 +804,11 @@ FROM b$BfsRounds"""
     val edges = suppEdges(s, d)
     val dir = edges.unionByName(
       edges.select(col("y").as("x"), col("x").as("y"))).cache()
-    val nodes = dir.select(col("x").as("node")).distinct()
-    // walks() returns an eager checkpoint with every intermediate
-    // released (RandomWalk hygiene) — the ONE block set this query keeps.
-    val out = graft.ops.RandomWalk.walks(dir, nodes, WalkSteps)
+    // walksAll derives the start set (= every node) from its own
+    // checkpointed neighbor index — no separate distinct pass (r16);
+    // returns an eager checkpoint with every intermediate released
+    // (RandomWalk hygiene) — the ONE block set this query keeps.
+    val out = graft.ops.RandomWalk.walksAll(dir, WalkSteps)
     dir.unpersist(false)
     out
   }
@@ -930,9 +931,9 @@ $union"""
     val edges = suppEdges(s, d)
     val dir = edges.unionByName(
       edges.select(col("y").as("x"), col("x").as("y"))).cache()
-    val nodes = dir.select(col("x").as("node")).distinct()
-    // biasedWalks() returns an eager checkpoint, intermediates released.
-    val out = graft.ops.RandomWalk.biasedWalks(dir, nodes, WalkSteps,
+    // biasedWalksAll derives starts from its neighbor index (r16) and
+    // returns an eager checkpoint, intermediates released.
+    val out = graft.ops.RandomWalk.biasedWalksAll(dir, WalkSteps,
       N2vReturn, N2vCommon, N2vOut)
     dir.unpersist(false)
     out
@@ -1008,8 +1009,7 @@ $union"""
     val edges = suppEdges(s, d)
     val dir = edges.unionByName(
       edges.select(col("y").as("x"), col("x").as("y"))).cache()
-    val nodes = dir.select(col("x").as("node")).distinct()
-    val out = graft.ops.RandomWalk.rejectionWalks(dir, nodes, WalkSteps,
+    val out = graft.ops.RandomWalk.rejectionWalksAll(dir, WalkSteps,
       N2vReturn, N2vCommon, N2vOut, rounds = N2vRounds)
     dir.unpersist(false)
     out
@@ -1553,8 +1553,7 @@ FROM dir JOIN deg a ON dir.x = a.node JOIN deg b ON dir.y = b.node"""
     val edges = suppEdges(s, d)
     val dir = edges.unionByName(
       edges.select(col("y").as("x"), col("x").as("y"))).cache()
-    val nodes = dir.select(col("x").as("node")).distinct()
-    val corpus = graft.ops.RandomWalk.walks(dir, nodes, WalkSteps)
+    val corpus = graft.ops.RandomWalk.walksAll(dir, WalkSteps)
     val out = walkVisitStatsFrom(corpus, dir)
     dir.unpersist(false)
     graft.ops.Checkpoints.release(corpus)
