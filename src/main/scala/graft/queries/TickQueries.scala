@@ -263,11 +263,18 @@ object TickQueries {
         .filter(col("price").isNotNull)
       val withMkt = filled.withColumn("mkt",
         Det.avgD(col("price"), 9, Window.partitionBy(col("grid_ts"))))
-      val frame = Window.partitionBy(col("product_id"))
-        .orderBy(col("grid_ts")).rowsBetween(-23, Window.currentRow)
+      // r16: trailing prefix-sum form (Det.betaDTrailing) — Spark
+      // rebuilds a sliding ROWS frame per output row (O(n·w·aggs);
+      // measured 1.5 s of this query's 2.6 s), the prefix-difference is
+      // bit-identical on exact grid longs. n_obs = min(rn, 24): the
+      // frame count of a never-null column, same values.
+      val base = Window.partitionBy(col("product_id"))
+        .orderBy(col("grid_ts"))
       r6(withMkt
-        .withColumn("n_obs", count(lit(1)).over(frame))
-        .withColumn("beta24", Det.betaD(col("price"), col("mkt"), 4, frame))
+        .withColumn("n_obs",
+          least(row_number().over(base), lit(24)).cast("long"))
+        .withColumn("beta24",
+          Det.betaDTrailing(col("price"), col("mkt"), 4, 24, base))
         .select(col("product_id"), col("grid_ts"), col("n_obs"),
           col("beta24")))
     }),
@@ -547,11 +554,13 @@ object TickQueries {
       // finish (sqrt is IEEE-correctly-rounded in both engines). The
       // single-pair series makes the lit(1) window partition
       // time-bounded, not data-bounded.
-      val frame = Window.partitionBy(lit(1)).orderBy(col("grid_ts"))
-        .rowsBetween(-23, Window.currentRow)
+      // r16: trailing prefix-sum form — see rolling_beta's note.
+      val base = Window.partitionBy(lit(1)).orderBy(col("grid_ts"))
       r6(alignPair(s, d)
-        .withColumn("n_obs", count(lit(1)).over(frame))
-        .withColumn("corr24", Det.corrD(col("xa"), col("xb"), 4, frame))
+        .withColumn("n_obs",
+          least(row_number().over(base), lit(24)).cast("long"))
+        .withColumn("corr24",
+          Det.corrDTrailing(col("xa"), col("xb"), 4, 24, base))
         .select(col("grid_ts"), col("n_obs"), col("corr24")))
     }),
     "pairs_spread" -> ((s, d) => {
