@@ -288,13 +288,16 @@ object Bench {
       s""","queries_min":${obj(minima)},"total_min":${f3(minima.map(_._2).sum)},"queries_spread":${obj(spreads)},"spread_flagged":$flaggedJson,"samples":$raw}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     spark.stop()
-    // Stdout contract: the driver's tail capture has front-truncated the
-    // ~6 KB per-query line three rounds running. Print the full line
-    // first (best effort), then a SHORT total-only line as the very last
-    // stdout byte — short enough to survive any tail window; per-query
-    // medians + samples are in the bench.json artifact either way.
-    println(line)
+    // Stdout contract (r17, verdict #2): the driver parses the FINAL
+    // stdout line, so the final line must carry the per-query medians —
+    // rounds 15/16 shipped a total-only final line (a defense against
+    // front-truncation of the ~6 KB line) and the driver's per-query
+    // comparison went dark (PERF per_query: {}). The r16 driver tail
+    // demonstrably captured >4 KB, so the defense now costs more than
+    // the failure it guards: print the SHORT total-only line first (the
+    // truncation fallback), then the full compact per-query line LAST.
     val hfShort = hostFactor.map(hf => s""","host_speed_factor":${f3(hf)}""").getOrElse("")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{},"sf":"$sfDir","iters":$iters,"nqueries":${names.size},"bench_json":"$outPath"$hfShort}""")
+    println(line)
   }
 }

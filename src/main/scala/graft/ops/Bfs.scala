@@ -37,17 +37,38 @@ import org.apache.spark.sql.functions._
 object Bfs {
 
   /** `dir`: DIRECTED edges (x, y) — pass both orientations for an
-    * undirected graph (and cache it; evaluated `rounds` times).
-    * `seeds`: (node). Output: (node, hops, nearest_seed), one row per
-    * node within `rounds` hops of any seed. `step` must exceed every
-    * node id (default 2^40) so the packed code never collides. */
+    * undirected graph (and cache it; counted once and, past the small
+    * gate, evaluated `rounds` times). `seeds`: (node). Output:
+    * (node, hops, nearest_seed), one row per node within `rounds` hops
+    * of any seed. `step` must exceed every node id (default 2^40) so
+    * the packed code never collides.
+    *
+    * Size-adaptive (r17, the ConnectedComponents/pagerank pattern): the
+    * relaxation is EXACT LONG min-arithmetic throughout, so a driver
+    * replay of the same operations is bit-identical to the distributed
+    * loop by construction (GraphAdaptiveSpec). The per-round eager
+    * checkpoint is REQUIRED by the recurrence's double self-reference
+    * (dist feeds both the union and the join — lazy chaining is a
+    * 2^rounds subtree blowup, r16 probe), so under `smallEdges` the
+    * rounds×(join+agg+checkpoint-job) scheduling is pure overhead:
+    * collect the edge list once and replay. Past the gate (or under
+    * SPARK_GRAFT_FORCE_DISTRIBUTED) the distributed loop runs
+    * unchanged — the 100 TB shape. */
   def seededHops(dir: DataFrame, seeds: DataFrame, rounds: Int,
-                 step: Long = 1L << 40): DataFrame = {
+                 step: Long = 1L << 40,
+                 smallEdges: Long = Adaptive.threshold(1L << 20)): DataFrame = {
     // Packing envelope: code = hops·step + seed_id, min-reduced as one
     // long. Requires every seed id < step AND the max code
     // rounds·step + step to stay under 2^63, else codes collide or wrap.
     require(step > 0 && rounds.toLong + 1L <= Long.MaxValue / step,
       s"rounds=$rounds overflows the hops*step packing for step=$step")
+    if (dir.count() <= smallEdges) {
+      val edges = dir.select(col("x").cast("long"), col("y").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val seedIds = seeds.select(col("node").cast("long"))
+        .collect().map(_.getLong(0))
+      return seededHopsDriver(dir.sparkSession, edges, seedIds, rounds, step)
+    }
     // seed-sized eager checkpoint: gives the label frame fresh attribute
     // ids (callers routinely derive seeds FROM the edge list — top-degree
     // hubs — which would otherwise trip the ambiguous-self-join check on
@@ -73,5 +94,43 @@ object Bfs {
     dist.select(col("node"),
       expr(s"code div $step").as("hops"),
       (col("code") % step).as("nearest_seed"))
+  }
+
+  /** Driver replay of the min-code relaxation over a collected edge
+    * list: identical operations — per round, every labeled node offers
+    * `code + step` to each out-neighbor and each node keeps the MIN
+    * code (exact longs; min is order-independent, so the different
+    * combine order is irrelevant). The final `div/%` unpacking matches
+    * the distributed select (non-negative operands: Scala `/`/`%` ≡
+    * SQL div/%). */
+  private def seededHopsDriver(spark: org.apache.spark.sql.SparkSession,
+                               edges: Array[(Long, Long)],
+                               seedIds: Array[Long],
+                               rounds: Int, step: Long): DataFrame = {
+    import spark.implicits._
+    import scala.collection.mutable
+    seedIds.foreach(sd => require(sd >= 0L && sd < step,
+      s"Bfs.seededHops: seed id out of [0, $step) packing range"))
+    val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+    edges.foreach { case (x, y) =>
+      adj.getOrElseUpdate(x, mutable.ArrayBuffer.empty[Long]) += y
+    }
+    val dist = mutable.LongMap.empty[Long]
+    seedIds.foreach(sd => dist.update(sd, math.min(dist.getOrElse(sd, Long.MaxValue), sd)))
+    for (_ <- 1 to rounds) {
+      val upd = mutable.LongMap.empty[Long]
+      dist.foreach { case (node, code) =>
+        adj.get(node).foreach(_.foreach { y =>
+          val c = code + step
+          if (c < upd.getOrElse(y, Long.MaxValue)) upd.update(y, c)
+        })
+      }
+      upd.foreach { case (n, c) =>
+        if (c < dist.getOrElse(n, Long.MaxValue)) dist.update(n, c)
+      }
+    }
+    val rows = dist.toArray.sortBy(_._1)
+      .map { case (n, c) => (n, c / step, c % step) }.toIndexedSeq
+    spark.createDataset(rows).toDF("node", "hops", "nearest_seed")
   }
 }

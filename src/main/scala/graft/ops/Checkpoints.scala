@@ -28,4 +28,19 @@ object Checkpoints {
       case _ => ()
     }
   }
+
+  /** Byte size of an eagerly-checkpointed frame's stored blocks — an
+    * O(1) driver-side storage-info read, NO job (r16: a row-count gate
+    * costs a full count() job; the blocks were just materialized by
+    * `localCheckpoint(true)`, so their size is already known to the
+    * BlockManager). Only meaningful on frames returned by
+    * `localCheckpoint(true)`. Shared by the size-adaptive graph ops
+    * (RandomWalk r16; Bfs/KCore r17). */
+  def bytes(df: DataFrame): Long = {
+    val ids = df.queryExecution.analyzed.collect {
+      case lr: LogicalRDD => lr.rdd.id
+    }.toSet
+    df.sparkSession.sparkContext.getRDDStorageInfo
+      .filter(i => ids.contains(i.id)).map(i => i.memSize + i.diskSize).sum
+  }
 }

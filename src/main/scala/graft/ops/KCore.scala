@@ -29,12 +29,29 @@ object KCore {
 
   /** Peel an undirected edge list (x < y, Long endpoints) for `rounds`
     * rounds at threshold `k`. Output: (node, degree) — last-round
-    * survivors with their residual degree. */
-  def peel(edges0: DataFrame, k: Int = 2, rounds: Int = 6): DataFrame = {
+    * survivors with their residual degree.
+    *
+    * Size-adaptive (r17, the ConnectedComponents/Bfs pattern): the peel
+    * is EXACT INTEGER set arithmetic (counts, ≥ k filters, semi joins),
+    * so a driver replay of the same trajectory is bit-identical by
+    * construction (GraphAdaptiveSpec). Under the byte gate — read O(1)
+    * from the initial checkpoint's BlockManager info, no job — the
+    * rounds×(agg + 2 semi joins + 2 checkpoint jobs) scheduling is pure
+    * overhead on a graph that fits one task; collect once and replay.
+    * Past the gate (or SPARK_GRAFT_FORCE_DISTRIBUTED) the distributed
+    * loop runs unchanged — the 100 TB shape. */
+  def peel(edges0: DataFrame, k: Int = 2, rounds: Int = 6,
+           smallBytes: Long = Adaptive.threshold(SmallEdgeBytes)): DataFrame = {
     require(rounds >= 1, "at least one peel round")
     var edges = edges0
       .select(col("x").cast("long"), col("y").cast("long"))
       .localCheckpoint(true)
+    if (Checkpoints.bytes(edges) <= smallBytes) {
+      val pe = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val spark = edges.sparkSession
+      Checkpoints.release(edges)
+      return peelDriver(spark, pe, k, rounds)
+    }
     var survivors: DataFrame = null
     var r = 0
     while (r < rounds) {
@@ -55,5 +72,46 @@ object KCore {
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
     survivors.join(finDeg, Seq("node"), "left")
       .select(col("node"), coalesce(col("degree"), lit(0L)).as("degree"))
+  }
+
+  /** Edge-frame byte gate for the driver replay: 2-long rows store at
+    * ≈48 B of deserialized block per row, so 48 MB ≈ 2²⁰ edges — the
+    * same envelope as ConnectedComponents' 1M-row collect gate. */
+  private[graft] val SmallEdgeBytes = 48L << 20
+
+  /** Driver replay of the peel over a collected edge list: identical
+    * per-round operations — degree census over surviving edges, ≥ k
+    * survivor filter, edge restriction to survivor endpoints — in exact
+    * integer arithmetic (order-irrelevant counts), then survivors with
+    * their residual degree (0 when all edges left with peeled
+    * neighbors). */
+  private def peelDriver(spark: org.apache.spark.sql.SparkSession,
+                         edges0: Array[(Long, Long)],
+                         k: Int, rounds: Int): DataFrame = {
+    import spark.implicits._
+    import scala.collection.mutable
+    var edges = edges0
+    var survivors: mutable.LongMap[Unit] = null
+    for (_ <- 1 to rounds) {
+      val deg = mutable.LongMap.empty[Long]
+      edges.foreach { case (x, y) =>
+        deg.update(x, deg.getOrElse(x, 0L) + 1L)
+        deg.update(y, deg.getOrElse(y, 0L) + 1L)
+      }
+      val surv = mutable.LongMap.empty[Unit]
+      deg.foreach { case (n, d) => if (d >= k) surv.update(n, ()) }
+      survivors = surv
+      edges = edges.filter { case (x, y) =>
+        surv.contains(x) && surv.contains(y)
+      }
+    }
+    val finDeg = mutable.LongMap.empty[Long]
+    edges.foreach { case (x, y) =>
+      finDeg.update(x, finDeg.getOrElse(x, 0L) + 1L)
+      finDeg.update(y, finDeg.getOrElse(y, 0L) + 1L)
+    }
+    val rows = survivors.keys.toArray.sorted
+      .map(n => (n, finDeg.getOrElse(n, 0L))).toIndexedSeq
+    spark.createDataset(rows).toDF("node", "degree")
   }
 }

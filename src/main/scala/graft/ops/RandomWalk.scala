@@ -172,19 +172,9 @@ object RandomWalk {
     * ≈ 40 MB — comfortably executor-resident, far past any fixture. */
   private[graft] val BroadcastEdgeRows = 1L << 20
 
-  /** Byte size of an eagerly-checkpointed frame's stored blocks — an
-    * O(1) driver-side storage-info read, NO job (r16: the row-count
-    * gate used to cost a full count() job per walk build; the blocks
-    * were just materialized by `localCheckpoint(true)`, so their size
-    * is already known to the BlockManager). Only meaningful on frames
-    * returned by `localCheckpoint(true)`. */
-  private def checkpointBytes(df: DataFrame): Long = {
-    val ids = df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
-    }.toSet
-    df.sparkSession.sparkContext.getRDDStorageInfo
-      .filter(i => ids.contains(i.id)).map(i => i.memSize + i.diskSize).sum
-  }
+  /** See [[Checkpoints.bytes]] (moved there in r17 so Bfs/KCore share
+    * the O(1) no-job byte gate). */
+  private def checkpointBytes(df: DataFrame): Long = Checkpoints.bytes(df)
 
   /** Byte gate for the small-graph lazy branch: 2²⁰ edge rows at ≈48 B
     * of deserialized block per row. The gate only picks between

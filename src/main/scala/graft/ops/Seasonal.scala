@@ -40,21 +40,38 @@ object Seasonal {
 
   /** The per-row exact detrend frame shared by the profile and the
     * anomaly scorer: (product_id, grid_ts, hour_od, y) with
-    * y = 48·k − N on the 48·10⁴ grid, full-window rows only. */
+    * y = 48·k − N on the 48·10⁴ grid, full-window rows only.
+    *
+    * r17 (guide §1.2 per-task work — the betaDTrailing idiom): Spark
+    * rebuilds a sliding ROWS frame per output row, so the ±11 inner sum
+    * and the ±12 count cost O(n·w) over the ~1M-row grid. Rewritten as
+    * exact prefix-sum differences, O(n):
+    *   Σ_{t−11..t+11} k = cum_{t+11} − cum_{t−12}
+    *                    = lead(cum, 11) − lag(cum, 12),
+    * and the full-window test `count over ±12 == 25` (k is never null —
+    * callers filter price IS NOT NULL before the grid) is exactly
+    * `lag(k,12) IS NOT NULL AND lead(k,12) IS NOT NULL` — both offsets
+    * already computed for num48. Prefix difference of exact longs ≡
+    * frame sum bit-for-bit. Envelope: the CUMULATIVE Σk per instrument
+    * must stay under 2^63 (ANSI throws loudly past it) — at k ≈ 10^8
+    * (price·10⁴) that is ~10^10 grid rows per key, five orders past the
+    * 100× tiers. Surviving rows have both lag12/lead12 non-null, hence
+    * both cum offsets defined (the coalesce only feeds filtered rows). */
   private def detrended(filled: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("product_id")).orderBy(col("grid_ts"))
-    val inner = w.rowsBetween(-11, 11)
-    val full = w.rowsBetween(-12, 12)
+    val cum = sum(col("k")).over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     filled
       .withColumn("k", Det.kl(col("price"), 4))
-      .withColumn("cnt", count(col("k")).over(full))
-      .withColumn("num48",
-        lit(2L) * sum(col("k")).over(inner) +
-          lag(col("k"), 12).over(w) + lead(col("k"), 12).over(w))
-      .filter(col("cnt") === 25)
+      .withColumn("lag12", lag(col("k"), 12).over(w))
+      .withColumn("lead12", lead(col("k"), 12).over(w))
+      .withColumn("sinner",
+        lead(cum, 11).over(w) - coalesce(lag(cum, 12).over(w), lit(0L)))
+      .filter(col("lag12").isNotNull && col("lead12").isNotNull)
       .select(col("product_id"), col("grid_ts"),
         hour(col("grid_ts")).cast("long").as("hour_od"),
-        (lit(48L) * col("k") - col("num48")).as("y"))
+        (lit(48L) * col("k") -
+          (lit(2L) * col("sinner") + col("lag12") + col("lead12"))).as("y"))
   }
 
   def hourOfDayProfile(filled: DataFrame): DataFrame = {
