@@ -63,8 +63,14 @@ object BloomPrune {
       s"((shiftright(element_at(bloom_words, cast(${probe(h)} div 64 as int) + 1), " +
         s"cast(${probe(h)} % 64 as int)) & 1) = 1)"
     val membership = (0 until hashes).map(test).mkString(" AND ")
-    val flagged = big
-      .select(col("k").cast("long").as("k"))
+    // r17: the probe kernel is `hashes` md5s per row BEFORE any
+    // Exchange — on the contract's single-file big side that stage ran
+    // single-threaded (the Par.spread case, guide §2.5; ~1.8M md5 calls
+    // serial at sf0.1). Spread the raw keys to session parallelism;
+    // identity on any input already at least that wide or under
+    // forcing. The downstream one-row aggregate is order-free.
+    val flagged = Par.spread(big
+      .select(col("k").cast("long").as("k")))
       .withColumn("bloom_words", array(words.toIndexedSeq.map(lit): _*))
       .withColumn("bloom_pass", expr(membership))
       .withColumn("is_match",

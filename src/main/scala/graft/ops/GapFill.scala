@@ -20,7 +20,15 @@ object GapFill {
 
   /** @param valueCols observed column → output name, as in AsofJoin
     *                  (include the source time column renamed to expose
-    *                  staleness). */
+    *                  staleness).
+    *
+    * The grid-bounds side evaluates the `obs` subtree a second time,
+    * but column pruning collapses any value-only derivation out of it —
+    * e.g. with a per-(key, time) dedup aggregate as `obs` (uniqTicks),
+    * the bounds side plans as ONE min/max aggregate straight off the
+    * scan, no dedup Exchange (r17 probe: a raw-table bounds override
+    * was plan-identical to what Catalyst already produces — don't add
+    * one). */
   def apply(obs: DataFrame, keys: Seq[String], timeCol: String,
             step: String, valueCols: Seq[(String, String)],
             truncUnit: String = "minute"): DataFrame = {

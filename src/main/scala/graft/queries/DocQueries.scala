@@ -218,8 +218,12 @@ FROM documents"""
     // SimHash Hamming-neighbor pairs via pigeonhole banding; the oracle
     // is the brute-force quadratic, so the hash gate itself proves the
     // banding surfaces EVERY within-budget pair on the live corpus.
+    // docsW (r17): the per-word md5+hex kernel of the inner simhash is
+    // the query's heaviest pre-Exchange stage — the measured-winner
+    // spread profile (its r16 blanket reading was 0.77×; the opt-in
+    // was missed then).
     "simhash_hamming" -> ((s, d) =>
-      Dedup.simhashHamming(docs(s, d), maxHamming = HammingMax)),
+      Dedup.simhashHamming(docsW(s, d), maxHamming = HammingMax)),
     // MinHash-LSH candidate quality vs EXACT Jaccard ground truth — the
     // eval a curator runs before trusting the approximate path at scale
     // (the ann_recall companion for text dedup). One summary row:

@@ -110,6 +110,56 @@ object TickQueries {
       .groupBy(col("product_id"), col("event_time"))
       .agg(max(col("price")).as("price"))
 
+  /** The standard filled hourly grid (price forward-filled, pre-price
+    * rows dropped) shared by the grid family — seasonal, market-factor,
+    * rank and long-memory queries. (r17: consolidated from 11 inline
+    * copies; a raw-ticks bounds override was probed and found
+    * plan-identical — Catalyst already prunes the dedup aggregate out
+    * of the grid-bounds side, see GapFill's scaladoc.) */
+  private def filledGrid(s: SparkSession, d: String): DataFrame =
+    GapFill(uniqTicks(s, d),
+      Seq("product_id"), "event_time", "1 hour",
+      Seq("price" -> "price"), truncUnit = "hour")
+      .filter(col("price").isNotNull)
+
+  /** The filled grid with the cross-sectional market mean attached by a
+    * BROADCAST hour-mean join instead of a window over grid_ts.
+    *
+    * r17 (guide §2.4 remove shuffles): the window form pays a FULL-GRID
+    * Exchange + sort onto the hour key, immediately followed by the
+    * consumer's Exchange back onto product_id (two ~1M-row shuffles
+    * ping-ponging between orthogonal keys). Here the grid is cached
+    * once (a lazy groupBy side would re-run the whole gap-fill subtree
+    * per reference), the per-hour mean is ONE map-side-combinable
+    * narrow aggregate (hours-sized output), and it re-attaches by
+    * broadcast join — the grid-sized side is never shuffled onto
+    * grid_ts at all. Bits cannot move: Det.avgD's grouped and windowed
+    * forms run the same exact long sum and the identical finishing
+    * sequence `(double)Σk / 1e9 / n`, and the inner join on grid_ts
+    * matches every row exactly once (its own hour group). Broadcast
+    * envelope: one row per grid hour — time-dimension-sized, ~64 B/row;
+    * a century of hours is ~56 MB. At 100 TB the hour count grows with
+    * the time span, not the fact volume.
+    *
+    * Consumer scope (measured, guide §1): ONLY rolling_beta — where a
+    * heavy product-keyed window chain follows, the saved Exchange wins
+    * 1.19–1.27× across two runs. For the aggregate-tailed siblings
+    * (market_corr/market_beta/kendall_corr/spearman_corr) the cache
+    * materialization cost more than the saved Exchange (0.80–1.02×,
+    * two runs) — they keep the window-over-hour shape. */
+  private def filledWithMkt(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint, NOT cache(): a cache registers the grid subtree
+    // in the CacheManager and Catalyst then substitutes it into EVERY
+    // plan-equal filledGrid subtree built later in the same session —
+    // cross-query contamination (caught by the plan pins; a checkpoint
+    // is invisible to other plans). Measured equal within noise
+    // (1.19× vs 1.27× on different host episodes).
+    val filled = filledGrid(s, d).localCheckpoint(true)
+    val mkt = filled.groupBy(col("grid_ts"))
+      .agg(Det.avgD(col("price"), 9).as("mkt"))
+    filled.join(broadcast(mkt), Seq("grid_ts"))
+  }
+
   /** Deterministic top-N instruments by filled-grid length (count DESC,
     * product_id) — the pick is instrument-DIMENSION-sized, so it is a
     * driver collect of per-product counts embedded back as literals.
@@ -218,13 +268,14 @@ object TickQueries {
       // market mean over the gap-filled hourly grid (time-series
       // similarity vs the market factor). mkt is one row per grid hour —
       // broadcast; corr runs on Det grids, engine-exact.
-      val filled = GapFill(uniqTicks(s, d),
-        Seq("product_id"), "event_time", "1 hour",
-        Seq("price" -> "price"), truncUnit = "hour")
-        .filter(col("price").isNotNull)
+      val filled = filledGrid(s, d)
       // mkt via window-over-hour, not a self-join: the grid subtree is
       // computed ONCE (a self-join would recompute the whole gap-fill
-      // for each side).
+      // for each side). r17 probed the [[filledWithMkt]] broadcast shape
+      // here and REJECTED it (0.80×/0.87× two runs — the cache/ckpt
+      // materialization costs more than the saved Exchange when the
+      // tail is one small aggregate; it only pays where heavy window
+      // work follows, i.e. rolling_beta).
       val withMkt = filled.withColumn("mkt",
         Det.avgD(col("price"), 9, Window.partitionBy(col("grid_ts"))))
       r6(withMkt.groupBy(col("product_id"))
@@ -236,10 +287,7 @@ object TickQueries {
       // companion to market_corr, from the same single grid build: beta
       // is Det.betaD's exact moment combination, alpha the Det-mean
       // residual intercept (a fixed IEEE sequence over exact means).
-      val filled = GapFill(uniqTicks(s, d),
-        Seq("product_id"), "event_time", "1 hour",
-        Seq("price" -> "price"), truncUnit = "hour")
-        .filter(col("price").isNotNull)
+      val filled = filledGrid(s, d)
       val withMkt = filled.withColumn("mkt",
         Det.avgD(col("price"), 9, Window.partitionBy(col("grid_ts"))))
       r6(withMkt.groupBy(col("product_id"))
@@ -257,12 +305,7 @@ object TickQueries {
       // feeding betaD's fixed finishing sequence. Two window passes on
       // orthogonal partitionings (per-instant mean, per-instrument
       // frame) = two keyed Exchanges, the momentum_ranks shape.
-      val filled = GapFill(uniqTicks(s, d),
-        Seq("product_id"), "event_time", "1 hour",
-        Seq("price" -> "price"), truncUnit = "hour")
-        .filter(col("price").isNotNull)
-      val withMkt = filled.withColumn("mkt",
-        Det.avgD(col("price"), 9, Window.partitionBy(col("grid_ts"))))
+      val withMkt = filledWithMkt(s, d) // r17: broadcast hour mean
       // r16: trailing prefix-sum form (Det.betaDTrailing) — Spark
       // rebuilds a sliding ROWS frame per output row (O(n·w·aggs);
       // measured 1.5 s of this query's 2.6 s), the prefix-difference is
@@ -290,10 +333,7 @@ object TickQueries {
       // |products|-sized aggregate. Envelope: |d|≤1e6 (price span ·1e4),
       // Σd² <2^63 to ~9e6 rows/instrument; num ≈ n³·Σd² stays under
       // 1e37 < min(DECIMAL(38), HUGEINT) at the 10× fixture.
-      val filled = GapFill(uniqTicks(s, d),
-        Seq("product_id"), "event_time", "1 hour",
-        Seq("price" -> "price"), truncUnit = "hour")
-        .filter(col("price").isNotNull)
+      val filled = filledGrid(s, d)
       val w = Window.partitionBy(col("product_id")).orderBy(col("grid_ts"))
       val base = filled.withColumn("k", Det.kl(col("price"), 4))
       val diffs = (1 +: VrQs).foldLeft(base) { (df, q) =>
@@ -360,10 +400,7 @@ object TickQueries {
       // instrument axis scales; each group is time-bounded). The ORACLE
       // is the quadratic per-instrument sign census — an independent
       // algorithm checking every count column.
-      val filled = GapFill(uniqTicks(s, d),
-        Seq("product_id"), "event_time", "1 hour",
-        Seq("price" -> "price"), truncUnit = "hour")
-        .filter(col("price").isNotNull)
+      val filled = filledGrid(s, d)
       val withMkt = filled.withColumn("mkt",
         Det.avgD(col("price"), 9, Window.partitionBy(col("grid_ts"))))
       Kendall.countsByKey(withMkt, "product_id", "price", "mkt", "grid_ts")
@@ -377,10 +414,7 @@ object TickQueries {
       // detrended series, within-slot stddev — the classical STL
       // ancestor, 24 rows per instrument, everything on exact integer
       // grids so both engines agree bit-for-bit.
-      val filled = GapFill(uniqTicks(s, d),
-        Seq("product_id"), "event_time", "1 hour",
-        Seq("price" -> "price"), truncUnit = "hour")
-        .filter(col("price").isNotNull)
+      val filled = filledGrid(s, d)
       Seasonal.hourOfDayProfile(filled)
     }),
     "seasonal_anomalies" -> ((s, d) => {
@@ -389,10 +423,7 @@ object TickQueries {
       // built on seasonal_decompose's exact frame (ops.Seasonal
       // scaladoc: the z-score's grid denominators cancel, so every
       // compared value is exact-long / sqrt(exact)).
-      val filled = GapFill(uniqTicks(s, d),
-        Seq("product_id"), "event_time", "1 hour",
-        Seq("price" -> "price"), truncUnit = "hour")
-        .filter(col("price").isNotNull)
+      val filled = filledGrid(s, d)
       Seasonal.anomalies(filled)
     }),
     "spearman_corr" -> ((s, d) => {
@@ -404,10 +435,7 @@ object TickQueries {
       // ρ = 1 − 6Σd²/(n(n²−1)) is plain IEEE on exact operands —
       // n(n²−1) ≤ ~4e11 at the 10× fixture, well inside long. Three
       // window passes, all keyed on (grid_ts) or (product_id).
-      val filled = GapFill(uniqTicks(s, d),
-        Seq("product_id"), "event_time", "1 hour",
-        Seq("price" -> "price"), truncUnit = "hour")
-        .filter(col("price").isNotNull)
+      val filled = filledGrid(s, d)
       val withMkt = filled.withColumn("mkt",
         Det.avgD(col("price"), 9, Window.partitionBy(col("grid_ts"))))
       val ranked = withMkt
@@ -470,10 +498,7 @@ object TickQueries {
       // would be five scans). Exact integers throughout, so the rewrite
       // cannot move a bit vs the per-arm form (the oracle keeps the
       // per-arm algebra).
-      val filled = GapFill(uniqTicks(s, d),
-        Seq("product_id"), "event_time", "1 hour",
-        Seq("price" -> "price"), truncUnit = "hour")
-        .filter(col("price").isNotNull)
+      val filled = filledGrid(s, d)
       val wp = Window.partitionBy(col("product_id")).orderBy(col("grid_ts"))
       val seq0 = filled.withColumn("k", Det.kl(col("price"), 4))
         .withColumn("rn", row_number().over(wp))
@@ -505,10 +530,7 @@ object TickQueries {
       // exact grid. The log-log slope (the exponent itself) is left to
       // the caller — ln is not engine-portable, the R/S curve is.
       // Each arm: one Exchange per (product,block) window family.
-      val filled = GapFill(uniqTicks(s, d),
-        Seq("product_id"), "event_time", "1 hour",
-        Seq("price" -> "price"), truncUnit = "hour")
-        .filter(col("price").isNotNull)
+      val filled = filledGrid(s, d)
       val wp = Window.partitionBy(col("product_id")).orderBy(col("grid_ts"))
       // one grid build materialized for the three block-length arms
       // (each arm re-windows on its own (product,block) keying — that
@@ -675,10 +697,7 @@ object TickQueries {
       // two window passes on orthogonal partitionings). Momentum divides
       // two raw picked prices (identical bits in both engines), so the
       // DESC rank order matches everywhere; ties break on product_id.
-      val filled = GapFill(uniqTicks(s, d),
-        Seq("product_id"), "event_time", "1 hour",
-        Seq("price" -> "price"), truncUnit = "hour")
-        .filter(col("price").isNotNull)
+      val filled = filledGrid(s, d)
       val wk = Window.partitionBy(col("product_id")).orderBy(col("grid_ts"))
       val byTs = Window.partitionBy(col("grid_ts"))
       r6(filled

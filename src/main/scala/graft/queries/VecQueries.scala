@@ -561,6 +561,15 @@ object VecQueries {
     "ann_recall" -> ((s, d) => {
       val v = vecs(s, d)
       val cents = Similarity.centroidArrays(Similarity.centroids(v))
+      // r17 probed and REJECTED (guide §1 measure-first): the truth
+      // subtree feeds six places and un-checkpointed the plan is 1,382
+      // operator lines / 64 Exchanges / 40 parquet scans — yet BOTH a
+      // truth localCheckpoint(+result checkpoint for hygiene) and a
+      // truth cache() measured SLOWER (1.58 s → 1.82 s / 1.84 s): on
+      // the 2,000-row base every re-evaluated subtree is sub-ms and the
+      // one giant lazy plan schedules as a single DAG, while the
+      // materialization adds a job barrier + block round-trip. The
+      // re-evaluation is the fast shape at this scale.
       val truth = Similarity.bruteForceTopK(q5(v), v).select("qid", "vec_id")
       val paths = Seq(
         "single" -> Similarity.lshTopK(q5(v), v).select("qid", "vec_id"),

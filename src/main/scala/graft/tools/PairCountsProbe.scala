@@ -68,17 +68,53 @@ object PairCountsProbe {
         .agg(count(lit(1)).as("c"))
     }
 
+    // D (r17): pure-codegen self-join — the oracle twin's shape. distinct
+    // (group, item) once, self-join on the group key with x < y, count.
+    // No typed boundary at all; ~2× the expansion rows of flatMapGroups
+    // (the join probes k² and filters) but every operator whole-stage.
+    def viaSelfJoin: DataFrame = {
+      val os = li.select(col("l_orderkey").cast("long").as("g"),
+        col("l_suppkey").cast("long").as("i")).distinct()
+      os.as("a").join(os.as("b"),
+          col("a.g") === col("b.g") && col("a.i") < col("b.i"))
+        .select(col("a.i").as("x"), col("b.i").as("y"))
+        .groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("c"))
+    }
+
+    // E (r17): self-join reusing ONE distinct via localCheckpoint (the
+    // distinct's shuffle paid once, both join sides read blocks).
+    def viaSelfJoinCk: DataFrame = {
+      val os = li.select(col("l_orderkey").cast("long").as("g"),
+        col("l_suppkey").cast("long").as("i")).distinct()
+        .localCheckpoint(true)
+      val out = os.as("a").join(os.as("b"),
+          col("a.g") === col("b.g") && col("a.i") < col("b.i"))
+        .select(col("a.i").as("x"), col("b.i").as("y"))
+        .groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      graft.ops.Checkpoints.release(os)
+      out
+    }
+
     // sanity: identical results
     val a = cur.orderBy("x", "y").collect()
     val b = viaCollectSet.orderBy("x", "y").collect()
     val c = viaDistinct.orderBy("x", "y").collect()
+    val d = viaSelfJoin.orderBy("x", "y").collect()
+    val e = viaSelfJoinCk.orderBy("x", "y").collect()
     println(s"rows cur=${a.length} collectSet=${b.length} distinct=${c.length} " +
-      s"equalB=${a.sameElements(b)} equalC=${a.sameElements(c)}")
+      s"selfjoin=${d.length} selfjoinCk=${e.length} " +
+      s"equalB=${a.sameElements(b)} equalC=${a.sameElements(c)} " +
+      s"equalD=${a.sameElements(d)} equalE=${a.sameElements(e)}")
 
     for (_ <- 1 to 2) {
       time("pairCounts current")(noop(cur))
       time("pairCounts collect_set")(noop(viaCollectSet))
       time("pairCounts pre-distinct")(noop(viaDistinct))
+      time("pairCounts self-join")(noop(viaSelfJoin))
+      time("pairCounts self-join ckpt")(noop(viaSelfJoinCk))
     }
     spark.stop()
   }
