@@ -110,17 +110,44 @@ object BpeTrain {
     buf.toArray
   }
 
+  /** Vocabulary byte gate for the driver training replay: the word
+    * dictionary at ~200 B/row of deserialized block ⇒ 32 MB ≈ 160k
+    * distinct words — far past the fixtures, far under driver heap. */
+  private[graft] val SmallVocabBytes = 1L << 25
+
   /** The training loop shared by [[merges]] and [[tokenCounts]]:
-    * returns (merge table, final per-word symbol sequences). */
-  private def train(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    * returns (merge table, final per-word symbol sequences).
+    *
+    * Size-adaptive (r17, the Bfs/KCore pattern): the state is the
+    * VOCAB-sized dictionary, so under the byte gate the per-round
+    * aggregate + argmax-collect + map-checkpoint jobs (2·rounds + 1
+    * scheduled jobs on frames of a few thousand rows) are pure
+    * scheduling overhead — collect the dictionary once and replay the
+    * rounds on the driver. Exact trajectory: integer counts, the same
+    * (count DESC, left, right) argmax where the string legs compare as
+    * unsigned UTF-8 bytes (Spark's UTF8String binary order — Java
+    * String.compareTo diverges on supplementary characters), and the
+    * shared [[mergePass]]. Past the gate (or under
+    * SPARK_GRAFT_FORCE_DISTRIBUTED) the distributed loop runs
+    * unchanged; ThresholdForcingSpec pins branch equality through the
+    * three bpe contract queries. */
+  private def train(docs: DataFrame, rounds: Int,
+                    smallBytes: Long = Adaptive.threshold(SmallVocabBytes)): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var seq = docs.select(explode(split(col("text"), " ")).as("word"))
+    val seq0 = docs.select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("f"))
       .as[(String, Long)]
       .map { case (w, f) => (w, f, w.toCharArray.map(_.toString)) }
       .toDF("word", "f", "syms")
       .localCheckpoint(true)
+    if (Checkpoints.bytes(seq0) <= smallBytes) {
+      val vocab = seq0.as[(String, Long, Seq[String])].collect()
+        .map { case (w, f, syms) => (w, f, syms.toArray) }
+      Checkpoints.release(seq0)
+      return trainDriver(spark, vocab, rounds)
+    }
+    var seq = seq0
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 0
     var done = false
@@ -146,5 +173,67 @@ object BpeTrain {
     }
     (spark.createDataset(out.toSeq)
       .toDF("merge_rank", "left_sym", "right_sym", "pair_count"), seq)
+  }
+
+  /** Spark's string sort order is UTF8String's: unsigned lexicographic
+    * comparison of the UTF-8 bytes. */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Driver replay of the training rounds over the collected dictionary:
+    * identical operations — weighted adjacent-pair census (exact long
+    * sums, order-free), the (c DESC, a, b) argmax with UTF-8-byte
+    * string legs, the shared [[mergePass]] rewrite. */
+  private def trainDriver(spark: org.apache.spark.sql.SparkSession,
+                          vocab0: Array[(String, Long, Array[String])],
+                          rounds: Int): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    var vocab = vocab0
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (_, f, syms) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var bestA: String = null; var bestB: String = null; var bestC = 0L
+        counts.foreach { case ((a, b), c) =>
+          val better =
+            if (bestA == null) true
+            else if (c != bestC) c > bestC
+            else if (a != bestA) utf8Lt(a, bestA)
+            else utf8Lt(b, bestB)
+          if (better) { bestA = a; bestB = b; bestC = c }
+        }
+        out += ((r + 1L, bestA, bestB, bestC))
+        vocab = vocab.map { case (w, f, syms) =>
+          (w, f, mergePass(syms, bestA, bestB))
+        }
+      }
+      r += 1
+    }
+    val seqDf = spark.createDataset(vocab.toIndexedSeq
+        .map { case (w, f, syms) => (w, f, syms.toSeq) })
+      .toDF("word", "f", "syms")
+    (spark.createDataset(out.toSeq)
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count"), seqDf)
   }
 }

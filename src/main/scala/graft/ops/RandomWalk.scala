@@ -100,26 +100,23 @@ object RandomWalk {
     val deg = nbrFull.filter(col("idx") === 0L)
       .select(col("nx").as("dx"), col("deg"))
     // Small-graph gate: block bytes of the just-materialized checkpoint
-    // (no job), lazy broadcast stepping under it, per-step checkpoints
-    // past it / under forcing. See [[lazySmallWalk]].
+    // (no job), driver replay under it (see the driver-replay block
+    // below), per-step checkpoints past it / under forcing.
     val small = checkpointBytes(nbrFull) <= Adaptive.threshold(BroadcastEdgeBytes)
+    if (small) {
+      val adj = adjacency(nbrFull.select(col("nx"), col("ny"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))))
+      val ids = startIds(nodesOpt, adj)
+      val spark = nbrFull.sparkSession
+      Checkpoints.release(nbrFull)
+      return walksDriver(spark, adj, ids, steps, seedPrefix)
+    }
     val starts = nodesOpt
       .map(_.select(col("node").cast("long").as("walk_id")))
       .getOrElse(nbrFull.filter(col("idx") === 0L)
         .select(col("nx").as("walk_id")))
       .withColumn("node", col("walk_id"))
-    // Derived starts in the small branch are a narrow slice of the
-    // nbrFull checkpoint — re-derivation per union branch reads blocks,
-    // so no extra checkpoint job is needed (caller-provided starts keep
-    // the eager checkpoint: their lineage is arbitrary).
-    val cur0 =
-      if (small && nodesOpt.isEmpty) starts
-      else starts.localCheckpoint(true)
-    if (small)
-      return lazySmallWalk(cur0, steps,
-        (cur, t) => stepFrame(cur, broadcast(nbr), broadcast(deg), t, seedPrefix),
-        identity, if (nodesOpt.isEmpty) Seq(nbrFull) else Seq(nbrFull, cur0))
-    var cur = cur0
+    var cur = starts.localCheckpoint(true)
     val inter = scala.collection.mutable.ArrayBuffer(nbrFull, cur)
     var out = cur.withColumn("step", lit(0L))
     for (t <- 1 to steps) {
@@ -182,39 +179,177 @@ object RandomWalk {
     * exact cut is a performance heuristic, not a semantics knob. */
   private[graft] val BroadcastEdgeBytes = 48L << 20
 
-  /** r16 (guide §1.2/§2.4): when the indexed edge frame fits the
-    * broadcast gate, the per-step eager `localCheckpoint` is pure
-    * overhead — each step then costs a full scheduled job plus a block
-    * write for a frontier of a few thousand rows, and the measured walk
-    * build spent ~1.6 s of its 3.1 s in those step jobs. The small
-    * branch instead composes the steps LAZILY over broadcast-hinted
-    * nbr/deg (every step join a BroadcastHashJoin — zero Exchange on
-    * the frontier) and materializes ONCE at the corpus checkpoint; the
-    * union's re-derivation of step t in later branches is map-side
-    * arithmetic over the one checkpointed base, and identical subplans
-    * share work via ReuseExchange. (A lazy cur0 was probed and REGRESSED
-    * 2×: branch re-evaluation of the start distinct is not reliably
-    * deduped under AQE — the frontier stays an eager checkpoint.) The
-    * distributed
-    * branch (past the gate, or SPARK_GRAFT_FORCE_DISTRIBUTED) keeps the
-    * per-step checkpoint: at real scale the frontier is large,
-    * re-derivation is a steps²-deep join chain, and lineage must stay
-    * truncated. Both branches evaluate the identical expressions —
-    * bit-equality is pinned in RandomWalkSpec. */
-  private def lazySmallWalk(cur0: DataFrame, steps: Int,
-                            step: (DataFrame, Int) => DataFrame,
-                            project: DataFrame => DataFrame,
-                            released: Seq[DataFrame]): DataFrame = {
-    var cur = cur0
-    var out = project(cur0).withColumn("step", lit(0L))
-    for (t <- 1 to steps) {
-      cur = step(cur, t)
-      out = out.unionByName(project(cur).withColumn("step", lit(t.toLong)))
+  // -------------------------------------------------------------------
+  // Driver replay of the walkers (r17, the Bfs/KCore/BPE pattern).
+  //
+  // r16 composed the small-graph steps LAZILY over broadcast-hinted
+  // frames; that removed the per-step checkpoint jobs but still paid a
+  // union plan whose branch t re-derives steps 1..t (Σt step-join
+  // evaluations), whole-stage codegen per branch, and one scheduled
+  // job — measured ~0.9 s of graph_walks' 1.8 s and ~2.2 s of
+  // graph_walks_biased's 3.1 s beyond the shared kernel. Every draw,
+  // weight, and pick is EXACT integer/md5 arithmetic over the already-
+  // materialized (and byte-gated ≤ ~48 MB) neighbor index, so under the
+  // gate the walks replay on the driver: same md5 streams (MessageDigest
+  // MD5 over the identical concat strings — what Spark's md5() calls),
+  // same 48-bit draws, same y-ascending neighbor ranking, same
+  // cumulative-weight / rejection picks. Past the gate (or under
+  // SPARK_GRAFT_FORCE_DISTRIBUTED) the per-step-checkpoint distributed
+  // loop runs unchanged — the 100 TB shape. Branch bit-equality is
+  // pinned by RandomWalkSpec / RejectionWalkSpec (forced runs) and the
+  // 7 walk contract queries' forced-distributed oracle pass.
+  // -------------------------------------------------------------------
+
+  /** Adjacency in neighbor-ranking order from the collected checkpoint:
+    * node → ys ascending (exactly row_number over (nx ORDER BY ny)). */
+  private def adjacency(rows: Array[(Long, Long)]): scala.collection.mutable.LongMap[Array[Long]] = {
+    val m = scala.collection.mutable.LongMap.empty[scala.collection.mutable.ArrayBuffer[Long]]
+    rows.foreach { case (x, y) =>
+      m.getOrElseUpdate(x, scala.collection.mutable.ArrayBuffer.empty[Long]) += y
     }
-    val res = out.select(col("walk_id"), col("step"), col("node"))
+    val out = scala.collection.mutable.LongMap.empty[Array[Long]]
+    m.foreach { case (x, ys) => out.update(x, ys.toArray.sorted) }
+    out
+  }
+
+  /** `md5(s)₄₈` — first 12 lowercase-hex chars of the MD5 parsed base
+    * 16: what `conv(substring(md5(s), 1, 12), 16, 10) :: long` computes
+    * (< 2^48, so the decimal round-trip is exact). */
+  private def md548(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 6 bytes = first 12 hex chars
+    var v = 0L
+    var i = 0
+    while (i < 6) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** Collected start set: caller-provided nodes verbatim, else the
+    * neighbor index's source nodes (the idx = 0 slice) — same set as
+    * the distributed derivation. */
+  private def startIds(nodesOpt: Option[DataFrame],
+                       adj: scala.collection.mutable.LongMap[Array[Long]]): Array[Long] =
+    nodesOpt match {
+      case Some(n) =>
+        n.select(col("node").cast("long")).collect().map(_.getLong(0))
+      case None => adj.keys.toArray.sorted
+    }
+
+  private def corpusFrame(spark: org.apache.spark.sql.SparkSession,
+                          rows: Seq[(Long, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(rows).toDF("walk_id", "step", "node")
       .localCheckpoint(true)
-    Checkpoints.release(released: _*)
-    res
+  }
+
+  /** Driver replay of [[walks]]: per step the uniform indexed draw
+    * `md5(prefix:walk:t)₄₈ mod deg`, walks die at sinks. */
+  private def walksDriver(spark: org.apache.spark.sql.SparkSession,
+                          adj: scala.collection.mutable.LongMap[Array[Long]],
+                          starts: Array[Long], steps: Int,
+                          seedPrefix: String): DataFrame = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var cur = starts.map(w => (w, w))
+    cur.foreach { case (w, n) => out += ((w, 0L, n)) }
+    for (t <- 1 to steps) {
+      cur = cur.flatMap { case (w, n) =>
+        adj.get(n) match {
+          case Some(ys) =>
+            val pick = md548(s"$seedPrefix:$w:$t") % ys.length
+            Some((w, ys(pick.toInt)))
+          case None => None
+        }
+      }
+      cur.foreach { case (w, n) => out += ((w, t.toLong, n)) }
+    }
+    corpusFrame(spark, out.toSeq)
+  }
+
+  /** node2vec weight of stepping to neighbor `y` given previous node
+    * `prev` — the shared wReturn / wCommon / wOut rule (step 1 has no
+    * prev ⇒ wOut, matching the null-prev column semantics). */
+  private def n2vWeight(prev: Long, hasPrev: Boolean, y: Long,
+                        edge: Long => Array[Long],
+                        wReturn: Long, wCommon: Long, wOut: Long): Long =
+    if (hasPrev && y == prev) wReturn
+    else if (hasPrev && java.util.Arrays.binarySearch(edge(prev), y) >= 0) wCommon
+    else wOut
+
+  /** Driver replay of [[biasedWalks]]: exact cumulative-weight pick over
+    * the y-ascending neighbor order. */
+  private def biasedWalksDriver(spark: org.apache.spark.sql.SparkSession,
+                                adj: scala.collection.mutable.LongMap[Array[Long]],
+                                starts: Array[Long], steps: Int,
+                                wReturn: Long, wCommon: Long, wOut: Long,
+                                seedPrefix: String): DataFrame = {
+    val empty = Array.empty[Long]
+    val edge = (p: Long) => adj.getOrElse(p, empty)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var cur: Array[(Long, Long, Long, Boolean)] =
+      starts.map(w => (w, w, 0L, false)) // (walk, node, prev, hasPrev)
+    cur.foreach { case (w, n, _, _) => out += ((w, 0L, n)) }
+    for (t <- 1 to steps) {
+      cur = cur.flatMap { case (w, n, prev, hasPrev) =>
+        adj.get(n) match {
+          case Some(ys) =>
+            val wts = ys.map(y =>
+              n2vWeight(prev, hasPrev, y, edge, wReturn, wCommon, wOut))
+            val tot = wts.sum
+            val r = md548(s"$seedPrefix:$w:$t") % tot
+            var cum = 0L; var i = 0; var picked = -1
+            while (picked < 0 && i < ys.length) {
+              cum += wts(i)
+              if (r < cum) picked = i
+              i += 1
+            }
+            Some((w, ys(picked), n, true))
+          case None => None
+        }
+      }
+      cur.foreach { case (w, n, _, _) => out += ((w, t.toLong, n)) }
+    }
+    corpusFrame(spark, out.toSeq)
+  }
+
+  /** Driver replay of [[rejectionWalks]]: `rounds` independent md5
+    * proposal/accept streams per (walk, step), first accept wins, last
+    * round unconditional. */
+  private def rejectionWalksDriver(spark: org.apache.spark.sql.SparkSession,
+                                   adj: scala.collection.mutable.LongMap[Array[Long]],
+                                   starts: Array[Long], steps: Int,
+                                   wReturn: Long, wCommon: Long, wOut: Long,
+                                   wMax: Long, rounds: Int,
+                                   seedPrefix: String): DataFrame = {
+    val empty = Array.empty[Long]
+    val edge = (p: Long) => adj.getOrElse(p, empty)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var cur: Array[(Long, Long, Long, Boolean)] =
+      starts.map(w => (w, w, 0L, false))
+    cur.foreach { case (w, n, _, _) => out += ((w, 0L, n)) }
+    for (t <- 1 to steps) {
+      cur = cur.flatMap { case (w, n, prev, hasPrev) =>
+        adj.get(n) match {
+          case Some(ys) =>
+            var picked = 0L
+            var found = false
+            var r = 0
+            while (!found && r < rounds) {
+              val pick = md548(s"$seedPrefix:$w:$t:$r:p") % ys.length
+              val y = ys(pick.toInt)
+              val wt = n2vWeight(prev, hasPrev, y, edge, wReturn, wCommon, wOut)
+              val accept =
+                md548(s"$seedPrefix:$w:$t:$r:a") % wMax < wt || r == rounds - 1
+              if (accept) { picked = y; found = true }
+              r += 1
+            }
+            Some((w, picked, n, true))
+          case None => None
+        }
+      }
+      cur.foreach { case (w, n, _, _) => out += ((w, t.toLong, n)) }
+    }
+    corpusFrame(spark, out.toSeq)
   }
 
   /** node2vec biased walks (Grover–Leskovec KDD'16): stepping from
@@ -271,26 +406,24 @@ object RandomWalk {
       .localCheckpoint(true)
     val bcProbe =
       checkpointBytes(nbr) <= Adaptive.threshold(BroadcastEdgeBytes)
-    // Under the broadcast gate the candidate-expansion join is also
-    // broadcastable — lazy stepping, one materialization (r16; see
-    // [[lazySmallWalk]]). The per-step walk_id window Exchanges repeat
-    // across union branches but canonicalize identically (ReuseExchange).
+    // Under the gate: driver replay (r17 — see the driver-replay block;
+    // the exact cumulative-weight pick over the same y-ascending order).
+    if (bcProbe) {
+      val adj = adjacency(nbr.select(col("nx"), col("ny"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))))
+      val ids = startIds(nodesOpt, adj)
+      val spark = nbr.sparkSession
+      Checkpoints.release(nbr)
+      return biasedWalksDriver(spark, adj, ids, steps,
+        wReturn, wCommon, wOut, seedPrefix)
+    }
     val starts = nodesOpt
       .map(_.select(col("node").cast("long").as("walk_id")))
       .getOrElse(nbr.filter(col("idx") === 0L)
         .select(col("nx").as("walk_id")))
       .withColumn("node", col("walk_id"))
       .withColumn("prev", lit(null).cast("long"))
-    val cur0 =
-      if (bcProbe && nodesOpt.isEmpty) starts
-      else starts.localCheckpoint(true)
-    if (bcProbe)
-      return lazySmallWalk(cur0, steps,
-        (cur, t) => biasedStepFrame(cur, broadcast(nbr), t, wReturn,
-          wCommon, wOut, seedPrefix, broadcastProbe = true),
-        _.select(col("walk_id"), col("node"), col("prev")),
-        if (nodesOpt.isEmpty) Seq(nbr) else Seq(nbr, cur0))
-    var cur = cur0
+    var cur = starts.localCheckpoint(true)
     val inter = scala.collection.mutable.ArrayBuffer(nbr, cur)
     var out = cur.select(col("walk_id"), col("node"))
       .withColumn("step", lit(0L))
@@ -389,26 +522,26 @@ object RandomWalk {
     val nbr = nbrFull.select(col("nx"), col("ny"), col("idx"))
     val deg = nbrFull.filter(col("idx") === 0L)
       .select(col("nx").as("dx"), col("deg"))
-    // Same small-graph gate as the other walkers (r16): proposals are
-    // rounds·|walks| rows — the broadcast-join shape holds a fortiori.
+    // Same small-graph gate as the other walkers: driver replay of the
+    // rounds-proposal rejection scheme (r17 — see driver-replay block).
     val small =
       checkpointBytes(nbrFull) <= Adaptive.threshold(BroadcastEdgeBytes)
+    if (small) {
+      val adj = adjacency(nbrFull.select(col("nx"), col("ny"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))))
+      val ids = startIds(nodesOpt, adj)
+      val spark = nbrFull.sparkSession
+      Checkpoints.release(nbrFull)
+      return rejectionWalksDriver(spark, adj, ids, steps,
+        wReturn, wCommon, wOut, wMax, rounds, seedPrefix)
+    }
     val starts = nodesOpt
       .map(_.select(col("node").cast("long").as("walk_id")))
       .getOrElse(nbrFull.filter(col("idx") === 0L)
         .select(col("nx").as("walk_id")))
       .withColumn("node", col("walk_id"))
       .withColumn("prev", lit(null).cast("long"))
-    val cur0 =
-      if (small && nodesOpt.isEmpty) starts
-      else starts.localCheckpoint(true)
-    if (small)
-      return lazySmallWalk(cur0, steps,
-        (cur, t) => rejectionStepFrame(cur, broadcast(nbr), broadcast(deg),
-          t, wReturn, wCommon, wOut, wMax, rounds, seedPrefix),
-        _.select(col("walk_id"), col("node"), col("prev")),
-        if (nodesOpt.isEmpty) Seq(nbrFull) else Seq(nbrFull, cur0))
-    var cur = cur0
+    var cur = starts.localCheckpoint(true)
     val inter = scala.collection.mutable.ArrayBuffer(nbrFull, cur)
     var out = cur.select(col("walk_id"), col("node"))
       .withColumn("step", lit(0L))

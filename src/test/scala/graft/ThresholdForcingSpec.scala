@@ -71,7 +71,14 @@ class ThresholdForcingSpec extends AnyFunSuite {
     "entity_clusters",     // ConnectedComponents inside record linkage
     "graph_communities",   // ConnectedComponents + community aggregates
     "mmr_diversify",       // driver greedy vs per-round distributed argmax
-    "kendall_tau"          // driver groupCounts vs two-pass Knight split
+    "kendall_tau",         // driver groupCounts vs two-pass Knight split
+    "graph_bfs",           // r17 driver min-code replay vs relaxation loop
+    "graph_closeness",     // BFS labels consumed by the catchment profile
+    "graph_harmonic",      // BFS labels consumed by harmonic centrality
+    "kcore",               // r17 driver peel replay vs per-round semi-joins
+    "bpe_merges",          // r17 driver round replay vs per-round agg+argmax
+    "bpe_tokenize",        // same trajectory feeding the count report
+    "bpe_eval"             // train-side replay under the held-out apply
   )
 
   for (name <- bitIdentical)
