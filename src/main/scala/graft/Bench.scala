@@ -181,6 +181,18 @@ object Bench {
     // median ratio of the six UNTOUCHED controls against their r15
     // anchors in that same run (plans/r16/bench_after.json). The six
     // untouched anchors are unchanged, so all eight stay on one basis.
+    // r17: seasonal_decompose's IMPLEMENTATION changed (centered-MA
+    // frames → prefix sums) but measured SPEED-NEUTRAL at sf0.1 — its
+    // per-round minima are 0.988 before vs 0.995 after across the
+    // round's three full benches (the query is floored by the grid
+    // build, not the frames). The anchor is therefore RETAINED: the
+    // re-anchor procedure exists to stop a code SPEEDUP reading as host
+    // speed, and with no speedup there is nothing to absorb — deriving
+    // a new anchor from one noisy run would only inject that run's
+    // noise into the calibration basis (plans/r17/bench_{before,mid,
+    // after}.json hold the three samples). rolling_beta ended r17 on
+    // its r16 code (a broadcast-mkt probe was reverted at the 100×
+    // tier), so its r16 anchor stands untouched.
     val anchorRound = 15
     val anchorCommit = "e957a99"
     val controlAnchors = Map(

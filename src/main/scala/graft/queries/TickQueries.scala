@@ -122,43 +122,19 @@ object TickQueries {
       Seq("price" -> "price"), truncUnit = "hour")
       .filter(col("price").isNotNull)
 
-  /** The filled grid with the cross-sectional market mean attached by a
-    * BROADCAST hour-mean join instead of a window over grid_ts.
-    *
-    * r17 (guide §2.4 remove shuffles): the window form pays a FULL-GRID
-    * Exchange + sort onto the hour key, immediately followed by the
-    * consumer's Exchange back onto product_id (two ~1M-row shuffles
-    * ping-ponging between orthogonal keys). Here the grid is cached
-    * once (a lazy groupBy side would re-run the whole gap-fill subtree
-    * per reference), the per-hour mean is ONE map-side-combinable
-    * narrow aggregate (hours-sized output), and it re-attaches by
-    * broadcast join — the grid-sized side is never shuffled onto
-    * grid_ts at all. Bits cannot move: Det.avgD's grouped and windowed
-    * forms run the same exact long sum and the identical finishing
-    * sequence `(double)Σk / 1e9 / n`, and the inner join on grid_ts
-    * matches every row exactly once (its own hour group). Broadcast
-    * envelope: one row per grid hour — time-dimension-sized, ~64 B/row;
-    * a century of hours is ~56 MB. At 100 TB the hour count grows with
-    * the time span, not the fact volume.
-    *
-    * Consumer scope (measured, guide §1): ONLY rolling_beta — where a
-    * heavy product-keyed window chain follows, the saved Exchange wins
-    * 1.19–1.27× across two runs. For the aggregate-tailed siblings
-    * (market_corr/market_beta/kendall_corr/spearman_corr) the cache
-    * materialization cost more than the saved Exchange (0.80–1.02×,
-    * two runs) — they keep the window-over-hour shape. */
-  private def filledWithMkt(s: SparkSession, d: String): DataFrame = {
-    // localCheckpoint, NOT cache(): a cache registers the grid subtree
-    // in the CacheManager and Catalyst then substitutes it into EVERY
-    // plan-equal filledGrid subtree built later in the same session —
-    // cross-query contamination (caught by the plan pins; a checkpoint
-    // is invisible to other plans). Measured equal within noise
-    // (1.19× vs 1.27× on different host episodes).
-    val filled = filledGrid(s, d).localCheckpoint(true)
-    val mkt = filled.groupBy(col("grid_ts"))
-      .agg(Det.avgD(col("price"), 9).as("mkt"))
-    filled.join(broadcast(mkt), Seq("grid_ts"))
-  }
+  // r17 probed and REVERTED: a broadcast hour-mean shape for the
+  // market-factor family (checkpoint the grid, groupBy(grid_ts) the
+  // mean, broadcast-join it back — saving the full-grid Exchange onto
+  // the hour key). Local reads: rolling_beta 1.19–1.27×, the
+  // aggregate-tailed siblings 0.80–1.02× (wash). Rejected on the 100×
+  // uniform tier (ScaleBench, same-day A/B at /tmp/sf100x): 85.1 s vs
+  // 74.4 s reverted — the events replication extends the TIME SPAN
+  // 100×, so the "hours-sized" broadcast side is ~7M rows (~110 MB
+  // shipped to every executor) and the grid checkpoint writes ~105M
+  // rows of blocks. The hour dimension grows with the span, which this
+  // data model scales with volume: a structurally unbounded broadcast
+  // for a ~0.3 s local win. Every consumer keeps the window-over-hour
+  // form (one keyed Exchange, span-independent).
 
   /** Deterministic top-N instruments by filled-grid length (count DESC,
     * product_id) — the pick is instrument-DIMENSION-sized, so it is a
@@ -305,7 +281,9 @@ object TickQueries {
       // feeding betaD's fixed finishing sequence. Two window passes on
       // orthogonal partitionings (per-instant mean, per-instrument
       // frame) = two keyed Exchanges, the momentum_ranks shape.
-      val withMkt = filledWithMkt(s, d) // r17: broadcast hour mean
+      val filled = filledGrid(s, d)
+      val withMkt = filled.withColumn("mkt",
+        Det.avgD(col("price"), 9, Window.partitionBy(col("grid_ts"))))
       // r16: trailing prefix-sum form (Det.betaDTrailing) — Spark
       // rebuilds a sliding ROWS frame per output row (O(n·w·aggs);
       // measured 1.5 s of this query's 2.6 s), the prefix-difference is
